@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Dev-loop replica of the driver's DuckDB-oracle compare (t2).
+
+NOT part of the library — development tooling only. Runs each oracle SQL
+from Verify's oracle_sql.json in DuckDB over the same parquet tables,
+loads the Spark-written parquet result, and compares values
+column-name-sorted, row-order-sensitive.
+
+Usage: python3 dev/check_parity.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    # normalize values for comparison across engines
+    import datetime, decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result"); n_bad += 1; continue
+        spark_tbl = pq.read_table(files[0])
+        cols = sorted(spark_tbl.column_names)
+        spark_rows = [tuple(norm(r[c]) for c in cols)
+                      for r in spark_tbl.to_pylist()]
+        try:
+            duck = con.execute(oracle[name])
+            dcols = [d[0] for d in duck.description]
+            order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            duck_rows = [tuple(norm(r[i]) for i in order)
+                         for r in duck.fetchall()]
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_bad += 1; continue
+        if sorted(cols) != sorted(dcols):
+            print(f"FAIL {name}: cols spark={cols} duck={sorted(dcols)}")
+            n_bad += 1; continue
+        if spark_rows == duck_rows:
+            print(f"ok   {name}  rows={len(spark_rows)}"); n_ok += 1
+        else:
+            n_bad += 1
+            print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
+            for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+                if a != b:
+                    print(f"  first diff @ row {i}: spark={a} duck={b}")
+                    break
+    print(f"\n{n_ok} ok, {n_bad} fail")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
