@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over [[CodecImpl]] — the engine's non-SQL
+  * scalar surface (SURVEY §4.2). All are deterministic, null-safe
+  * (null in → null out) and foldable under constant inputs, so
+  * Catalyst can constant-fold them; evaluation is interpreted
+  * (CodegenFallback) which is fine off the relational hot path.
+  */
+object CodecExpressions {
+
+  abstract class BinaryCodec extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+  }
+
+  case class Crc16(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any = CodecImpl.crc16(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Crc16 = copy(c)
+    override def prettyName: String = "crc16_ccitt"
+  }
+
+  case class IpCksum(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any = CodecImpl.ipCksum(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): IpCksum = copy(c)
+    override def prettyName: String = "ip_cksum"
+  }
+
+  case class XteaEncrypt(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(d: Any, k: Any): Any =
+      CodecImpl.xteaEncrypt(d.asInstanceOf[Array[Byte]], k.asInstanceOf[Array[Byte]])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): XteaEncrypt = copy(l, r)
+    override def prettyName: String = "xtea_encrypt"
+  }
+
+  case class XteaDecrypt(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(d: Any, k: Any): Any =
+      CodecImpl.xteaDecrypt(d.asInstanceOf[Array[Byte]], k.asInstanceOf[Array[Byte]])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): XteaDecrypt = copy(l, r)
+    override def prettyName: String = "xtea_decrypt"
+  }
+
+  case class SizeDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = CodecImpl.sizeDecode(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): SizeDecode = copy(c)
+    override def prettyName: String = "size_decode"
+  }
+
+  case class SizeEncode(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any = CodecImpl.sizeEncode(v.asInstanceOf[Long])
+    override protected def withNewChildInternal(c: Expression): SizeEncode = copy(c)
+    override def prettyName: String = "size_encode"
+  }
+
+  case class KeyExtract(child: Expression) extends BinaryCodec {
+    override def nullSafeEval(v: Any): Any = CodecImpl.keyExtract(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): KeyExtract = copy(c)
+    override def prettyName: String = "key_extract"
+  }
+
+  case class SeedXor(child: Expression) extends BinaryCodec {
+    override def nullSafeEval(v: Any): Any = CodecImpl.seedXor(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): SeedXor = copy(c)
+    override def prettyName: String = "seed_xor"
+  }
+
+  case class SlidingXor(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(d: Any, k: Any, o: Any): Any =
+      CodecImpl.slidingXor(d.asInstanceOf[Array[Byte]], k.asInstanceOf[Array[Byte]],
+        o.asInstanceOf[Int])
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): SlidingXor =
+      copy(a, b, c)
+    override def prettyName: String = "sliding_xor"
+  }
+
+  case class DnsNameDecode(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(d: Any, o: Any): Any =
+      UTF8String.fromString(
+        CodecImpl.dnsNameDecode(d.asInstanceOf[Array[Byte]], o.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DnsNameDecode = copy(l, r)
+    override def prettyName: String = "dns_name_decode"
+  }
+
+  case class DnsNameEncode(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      CodecImpl.dnsNameEncode(v.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression): DnsNameEncode = copy(c)
+    override def prettyName: String = "dns_name_encode"
+  }
+
+  case class MacFormat(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(CodecImpl.macFormat(v.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildInternal(c: Expression): MacFormat = copy(c)
+    override def prettyName: String = "mac_format"
+  }
+
+  val tlvEntryType: StructType =
+    StructType(Seq(StructField("type", IntegerType, nullable = false),
+      StructField("value", BinaryType, nullable = false)))
+
+  /** `tlv_decode(BINARY) → ARRAY<STRUCT<type INT, value BINARY>>`
+    * (SURVEY §4.2); explode downstream for per-field rows.
+    */
+  case class TlvDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(tlvEntryType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val entries = CodecImpl.tlvDecode(v.asInstanceOf[Array[Byte]])
+      new GenericArrayData(entries.map { case (t, bytes) =>
+        InternalRow(t, bytes)
+      }.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): TlvDecode = copy(c)
+    override def prettyName: String = "tlv_decode"
+  }
+
+  /** `tlv_encode(ARRAY<STRUCT<type INT, value BINARY>>) → BINARY`. */
+  case class TlvEncode(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val fields = (0 until arr.numElements()).map { i =>
+        val row = arr.getStruct(i, 2)
+        (row.getInt(0), row.getBinary(1))
+      }
+      CodecImpl.tlvEncode(fields)
+    }
+    override protected def withNewChildInternal(c: Expression): TlvEncode = copy(c)
+    override def prettyName: String = "tlv_encode"
+  }
+
+  // ------------------------------------------------------- Column API
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def crc16_ccitt(col: Column): Column = c(Crc16(e(col)))
+  def ip_cksum(col: Column): Column = c(IpCksum(e(col)))
+  def xtea_encrypt(data: Column, key: Column): Column = c(XteaEncrypt(e(data), e(key)))
+  def xtea_decrypt(data: Column, key: Column): Column = c(XteaDecrypt(e(data), e(key)))
+  def size_decode(col: Column): Column = c(SizeDecode(e(col)))
+  def size_encode(col: Column): Column = c(SizeEncode(e(col)))
+  def key_extract(col: Column): Column = c(KeyExtract(e(col)))
+  def seed_xor(col: Column): Column = c(SeedXor(e(col)))
+  def sliding_xor(data: Column, key: Column, offset: Column): Column =
+    c(SlidingXor(e(data), e(key), e(offset)))
+  def dns_name_decode(dns: Column, offset: Column): Column = c(DnsNameDecode(e(dns), e(offset)))
+  def dns_name_encode(name: Column): Column = c(DnsNameEncode(e(name)))
+  def mac_format(col: Column): Column = c(MacFormat(e(col)))
+  def tlv_decode(col: Column): Column = c(TlvDecode(e(col)))
+  def tlv_encode(col: Column): Column = c(TlvEncode(e(col)))
+
+  /** SQL registration so the functions are usable from `spark.sql`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    one("crc16_ccitt", es => Crc16(es.head))
+    one("ip_cksum", es => IpCksum(es.head))
+    one("xtea_encrypt", es => XteaEncrypt(es(0), es(1)))
+    one("xtea_decrypt", es => XteaDecrypt(es(0), es(1)))
+    one("size_decode", es => SizeDecode(es.head))
+    one("size_encode", es => SizeEncode(es.head))
+    one("key_extract", es => KeyExtract(es.head))
+    one("seed_xor", es => SeedXor(es.head))
+    one("sliding_xor", es => SlidingXor(es(0), es(1), es(2)))
+    one("dns_name_decode", es => DnsNameDecode(es(0), es(1)))
+    one("dns_name_encode", es => DnsNameEncode(es.head))
+    one("mac_format", es => MacFormat(es.head))
+    one("tlv_decode", es => TlvDecode(es.head))
+    one("tlv_encode", es => TlvEncode(es.head))
+  }
+}

@@ -1,0 +1,307 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+/** Pure byte-level codec semantics of the reference's record formats,
+  * re-implemented from their published behavior (all algorithms are
+  * public: CRC-16/CCITT, XTEA, RFC 1071 checksums, DNS name
+  * compression). Each function cites the reference location whose
+  * behavior it models; no reference code is copied.
+  *
+  * These are deliberately free of any Spark dependency so they can be
+  * golden-vector tested directly and wrapped by Catalyst expressions.
+  */
+object CodecImpl {
+
+  /** CRC-16/CCITT-FALSE: poly 0x1021 MSB-first, init 0xFFFF, no final
+    * XOR, no reflection — the variant computed nibble-wise by
+    * `server/tiny_crc16.c:3-68`. Standard check: crc16("123456789") ==
+    * 0x29B1.
+    */
+  def crc16(msg: Array[Byte]): Int = {
+    var crc = 0xFFFF
+    var i = 0
+    while (i < msg.length) {
+      crc ^= (msg(i) & 0xFF) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x1021) & 0xFFFF
+              else (crc << 1) & 0xFFFF
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private final val XteaDelta = 0x9E3779B9
+  private final val XteaRounds = 32
+
+  private def beU32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private def putBeU32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  /** XTEA, 32 rounds, delta 0x9e3779b9, big-endian words (the
+    * reference decrypts with `struct.unpack("!2L")`,
+    * `honeycomb/honeycomb.py:83-93`), 8-byte ECB with zero-padded tail
+    * (`server/beacon.c:620-653`). Key = 16 bytes as four BE u32.
+    */
+  def xteaEncrypt(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    require(key.length == 16, s"XTEA key must be 16 bytes, got ${key.length}")
+    val k = Array.tabulate(4)(i => beU32(key, i * 4))
+    val nBlocks = (data.length + 7) / 8
+    val out = new Array[Byte](nBlocks * 8)
+    var blk = 0
+    while (blk < nBlocks) {
+      val off = blk * 8
+      val padded = new Array[Byte](8)
+      System.arraycopy(data, off, padded, 0, math.min(8, data.length - off))
+      var v0 = beU32(padded, 0); var v1 = beU32(padded, 4); var sum = 0
+      var r = 0
+      while (r < XteaRounds) {
+        v0 += (((v1 << 4) ^ (v1 >>> 5)) + v1) ^ (sum + k(sum & 3))
+        sum += XteaDelta
+        v1 += (((v0 << 4) ^ (v0 >>> 5)) + v0) ^ (sum + k((sum >>> 11) & 3))
+        r += 1
+      }
+      putBeU32(out, off, v0); putBeU32(out, off + 4, v1)
+      blk += 1
+    }
+    out
+  }
+
+  /** XTEA decrypt; whole 8-byte blocks only — a trailing partial block
+    * is dropped, matching `honeycomb.py:95-103` (`if size - i >= 8`).
+    */
+  def xteaDecrypt(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    require(key.length == 16, s"XTEA key must be 16 bytes, got ${key.length}")
+    val k = Array.tabulate(4)(i => beU32(key, i * 4))
+    val nBlocks = data.length / 8
+    val out = new Array[Byte](nBlocks * 8)
+    var blk = 0
+    while (blk < nBlocks) {
+      val off = blk * 8
+      var v0 = beU32(data, off); var v1 = beU32(data, off + 4)
+      var sum = XteaDelta * XteaRounds
+      var r = 0
+      while (r < XteaRounds) {
+        v1 -= (((v0 << 4) ^ (v0 >>> 5)) + v0) ^ (sum + k((sum >>> 11) & 3))
+        sum -= XteaDelta
+        v0 -= (((v1 << 4) ^ (v1 >>> 5)) + v1) ^ (sum + k(sum & 3))
+        r += 1
+      }
+      putBeU32(out, off, v0); putBeU32(out, off + 4, v1)
+      blk += 1
+    }
+    out
+  }
+
+  private final val XorKey = 5
+
+  /** Size-in-preamble decode: byte0 XOR 5 = digit count, then that many
+    * ASCII digits each XOR 5 (`server/beacon.c:77-94`, decode
+    * `honeycomb.py:186-194`). Returns -1 on malformed input.
+    */
+  def sizeDecode(buf: Array[Byte]): Long = {
+    if (buf.isEmpty) return -1L
+    val n = (buf(0) & 0xFF) ^ XorKey
+    if (n <= 0 || n > 19 || buf.length < n + 1) return -1L
+    var v = 0L
+    var i = 1
+    while (i <= n) {
+      val c = ((buf(i) & 0xFF) ^ XorKey).toChar
+      if (c < '0' || c > '9') return -1L
+      v = v * 10 + (c - '0')
+      i += 1
+    }
+    v
+  }
+
+  /** Size-in-preamble encode into a `totalLen`-byte buffer. The
+    * reference fills the remainder with random bytes (transport noise);
+    * here the filler is a deterministic byte stream derived from the
+    * size so encode is a pure function (decode ignores the filler).
+    */
+  def sizeEncode(size: Long, totalLen: Int = 64): Array[Byte] = {
+    require(size >= 0, "size must be non-negative")
+    val digits = size.toString.getBytes(StandardCharsets.US_ASCII)
+    require(totalLen >= digits.length + 1, "buffer too small for size digits")
+    val out = new Array[Byte](totalLen)
+    out(0) = (digits.length ^ XorKey).toByte
+    var i = 0
+    while (i < digits.length) { out(i + 1) = (digits(i) ^ XorKey).toByte; i += 1 }
+    var j = digits.length + 1
+    var st = size * 6364136223846793005L + 1442695040888963407L // LCG filler
+    while (j < totalLen) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      out(j) = (st >>> 56).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Session-key extraction: offset = (byte0 XOR 5) % 15, key = 16
+    * bytes at offset+1 (`server/beacon.c:669-678`,
+    * `honeycomb.py:78-80`).
+    */
+  def keyExtract(buf: Array[Byte]): Array[Byte] = {
+    require(buf.length >= 17, s"key buffer needs >= 17 bytes, got ${buf.length}")
+    val offset = ((buf(0) & 0xFF) ^ XorKey) % 15
+    require(buf.length >= offset + 17, "buffer too short for key at offset")
+    java.util.Arrays.copyOfRange(buf, offset + 1, offset + 17)
+  }
+
+  /** Seed-XOR obfuscation: byte0 is the seed (0 promoted to 0xFF),
+    * bytes 1..n XOR seed (`client/trigger_protocols.c:213-227`).
+    */
+  def seedXor(payload: Array[Byte]): Array[Byte] = {
+    if (payload.isEmpty) return payload
+    val out = payload.clone()
+    var seed = out(0)
+    if (seed == 0) { seed = 0xFF.toByte; out(0) = seed }
+    var i = 1
+    while (i < out.length) { out(i) = (out(i) ^ seed).toByte; i += 1 }
+    out
+  }
+
+  /** Inverse of [[seedXor]] (`server/trigger_payload.c:113-115`): XOR
+    * bytes 1..n with byte0, keeping byte0 in place.
+    */
+  def seedUnxor(packet: Array[Byte]): Array[Byte] = seedXor(packet)
+
+  /** Sliding-key XOR: payload XORed with `key.length` bytes of `key`
+    * starting at `crc % (keyWindow - payloadLen)`
+    * (`client/trigger_protocols.c:889-897`, inverse
+    * `server/trigger_payload.c:209-217`). Generalized: XOR `data` with
+    * `key` bytes cyclically from `offset`.
+    */
+  def slidingXor(data: Array[Byte], key: Array[Byte], offset: Int): Array[Byte] = {
+    require(key.nonEmpty, "key must be non-empty")
+    val out = new Array[Byte](data.length)
+    var i = 0
+    while (i < data.length) {
+      out(i) = (data(i) ^ key((offset + i) % key.length)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** DNS name decode with 0xC0 compression pointers
+    * (`server/decode_dns.c:136-158`): length-prefixed labels joined by
+    * '.', negative length byte = 14-bit pointer into the message.
+    * Follows at most `maxJumps` pointers to stay total on adversarial
+    * input (the reference can loop forever; we must not).
+    */
+  def dnsNameDecode(dns: Array[Byte], offset: Int, maxJumps: Int = 32): String = {
+    val sb = new StringBuilder
+    var pos = offset
+    var jumps = 0
+    var len = if (pos < dns.length) dns(pos).toInt else 0
+    while (len != 0) {
+      if (len < 0) { // compression pointer: 14-bit offset
+        require(jumps < maxJumps, "DNS pointer loop")
+        require(pos + 1 < dns.length, "truncated DNS pointer")
+        pos = (((dns(pos) & 0x3F) << 8) | (dns(pos + 1) & 0xFF))
+        jumps += 1
+      } else {
+        require(pos + 1 + len <= dns.length, "truncated DNS label")
+        if (sb.nonEmpty) sb.append('.')
+        sb.append(new String(dns, pos + 1, len, StandardCharsets.US_ASCII))
+        pos += 1 + len
+      }
+      len = if (pos < dns.length) dns(pos).toInt else 0
+    }
+    sb.toString
+  }
+
+  /** DNS name encode: dotted name → length-prefixed labels + zero
+    * terminator (`server/dns_client.c:78-92`).
+    */
+  def dnsNameEncode(name: String): Array[Byte] = {
+    val labels = if (name.isEmpty) Array.empty[String] else name.split('.')
+    val out = new java.io.ByteArrayOutputStream()
+    labels.foreach { l =>
+      require(l.length <= 63, s"DNS label too long: $l")
+      out.write(l.length)
+      out.write(l.getBytes(StandardCharsets.US_ASCII))
+    }
+    out.write(0)
+    out.toByteArray
+  }
+
+  /** RFC 1071 ones-complement checksum over big-endian 16-bit words,
+    * odd trailing byte zero-padded — the semantics of
+    * `client/trigger_network.c:99-111` (endian-agnostic by
+    * construction; we canonicalize to network byte order).
+    */
+  def ipCksum(buf: Array[Byte]): Int = {
+    var sum = 0L
+    var i = 0
+    while (i + 1 < buf.length) {
+      sum += ((buf(i) & 0xFF) << 8) | (buf(i + 1) & 0xFF)
+      if ((sum & 0xFFFF0000L) != 0) sum = (sum & 0xFFFF) + 1
+      i += 2
+    }
+    if (i < buf.length) {
+      sum += (buf(i) & 0xFF) << 8
+      if ((sum & 0xFFFF0000L) != 0) sum = (sum & 0xFFFF) + 1
+    }
+    (~sum & 0xFFFF).toInt
+  }
+
+  /** TLV encode: per field `type:u16be, len:u16be, bytes`, then a
+    * zero TLV terminator; null/absent fields skipped
+    * (`server/beacon.c:384-446`).
+    */
+  def tlvEncode(fields: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    fields.foreach { case (t, v) =>
+      if (v != null) {
+        require(t > 0 && t <= 0xFFFF, s"TLV type out of range: $t")
+        require(v.length <= 0xFFFF, "TLV value too long")
+        out.write(t >>> 8); out.write(t & 0xFF)
+        out.write(v.length >>> 8); out.write(v.length & 0xFF)
+        out.write(v)
+      }
+    }
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.toByteArray
+  }
+
+  /** TLV decode: walk `(type:u16be, len:u16be, bytes)` until the zero
+    * TLV (`honeycomb.py:216-249`). Truncated input throws; unknown
+    * types are returned as-is (validation is a separate filter, like
+    * the reference's parse_error flag).
+    */
+  def tlvDecode(buf: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    var pos = 0
+    def u16(o: Int): Int = {
+      require(o + 2 <= buf.length, "truncated TLV header")
+      ((buf(o) & 0xFF) << 8) | (buf(o + 1) & 0xFF)
+    }
+    var t = u16(pos); var len = u16(pos + 2)
+    while (t != 0 || len != 0) {
+      pos += 4
+      require(pos + len <= buf.length, "truncated TLV value")
+      out += ((t, java.util.Arrays.copyOfRange(buf, pos, pos + len)))
+      pos += len
+      t = u16(pos); len = u16(pos + 2)
+    }
+    out.result()
+  }
+
+  /** MAC canonicalization: 6 bytes → lowercase `%02x-` join
+    * (`server/beacon.c:657-666`).
+    */
+  def macFormat(mac: Array[Byte]): String =
+    mac.map(b => f"${b & 0xFF}%02x").mkString("-")
+
+  /** Bitwise-NOT string scramble (`common/strings/string_utils.c:16-24`). */
+  def scramble(bytes: Array[Byte]): Array[Byte] = bytes.map(b => (~b).toByte)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{CodecExpressions => CE, CodecImpl}
+
+/** The codec Catalyst expressions exercised through real Spark plans —
+  * Column API, SQL registration, and generator-style explode of
+  * tlv_decode.
+  */
+class CodecExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("crc16 over a column matches the pure implementation") {
+    import spark.implicits._
+    val rows = Seq("123456789", "", "hello graft").map(_.getBytes("ASCII"))
+    val got = rows.toDF("b").select(CE.crc16_ccitt(col("b"))).as[Int].collect()
+    assert(got.toSeq === rows.map(CodecImpl.crc16).toSeq)
+    assert(got(0) === 0x29B1)
+  }
+
+  test("xtea encrypt/decrypt round-trips through a plan") {
+    import spark.implicits._
+    val key = Array.tabulate[Byte](16)(_.toByte)
+    val pt = "EIGHTBYTESx2!!!!".getBytes("ASCII")
+    val back = Seq((pt, key)).toDF("data", "key")
+      .select(CE.xtea_decrypt(CE.xtea_encrypt(col("data"), col("key")), col("key")).as("rt"))
+      .as[Array[Byte]].head()
+    assert(back.sameElements(pt))
+  }
+
+  test("tlv_decode explodes into typed per-field rows") {
+    import spark.implicits._
+    val blob = CodecImpl.tlvEncode(Seq(
+      1 -> "00-11-22-33-44-55".getBytes, 2 -> "12345".getBytes, 7 -> "3600".getBytes))
+    val out = Seq(Tuple1(blob)).toDF("raw")
+      .select(explode(CE.tlv_decode(col("raw"))).as("f"))
+      .select(col("f.type").as("t"), col("f.value").cast("string").as("v"))
+      .as[(Int, String)].collect().toSeq
+    assert(out === Seq((1, "00-11-22-33-44-55"), (2, "12345"), (7, "3600")))
+  }
+
+  test("SQL registration: functions callable from spark.sql") {
+    CE.register(spark)
+    val row = spark.sql(
+      """SELECT crc16_ccitt(CAST('123456789' AS BINARY)) AS crc,
+        |       mac_format(unhex('001A2B3C4D5E')) AS mac,
+        |       size_decode(size_encode(42L)) AS sz,
+        |       ip_cksum(unhex('0001f203f4f5f6f7')) AS ck
+        |""".stripMargin).head()
+    assert(row.getInt(0) === 0x29B1)
+    assert(row.getString(1) === "00-1a-2b-3c-4d-5e")
+    assert(row.getLong(2) === 42L)
+    assert(row.getInt(3) === 0x220D)
+  }
+
+  test("null in → null out (no NPE inside a plan)") {
+    import spark.implicits._
+    val got = Seq(Option.empty[Array[Byte]]).toDF("b")
+      .select(CE.crc16_ccitt(col("b"))).collect()
+    assert(got.head.isNullAt(0))
+  }
+
+  test("key_extract + seed_xor compose inside one projection") {
+    import spark.implicits._
+    val buf = new Array[Byte](64)
+    buf(0) = (3 ^ 5).toByte // offset 3 % 15 = 3... b0^5=6? (3^5)=6 → 6%15=6
+    val off = ((buf(0) & 0xFF) ^ 5) % 15
+    for (i <- 0 until 16) buf(off + 1 + i) = (i + 1).toByte
+    val k = Seq(Tuple1(buf)).toDF("b")
+      .select(CE.key_extract(col("b")).as("k")).as[Array[Byte]].head()
+    assert(k.sameElements((1 to 16).map(_.toByte)))
+  }
+}

@@ -1,0 +1,246 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CodecImpl
+
+/** Golden vectors + properties for the pure codec layer (FIXTURES.md §3). */
+class CodecImplSpec extends AnyFunSuite {
+
+  /** Deterministic pseudo-random byte arrays for property-style loops. */
+  private val rnd = new scala.util.Random(42)
+  private def randBytes(n: Int): Array[Byte] = {
+    val a = new Array[Byte](n); rnd.nextBytes(a); a
+  }
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // ------------------------------------------------------------- crc16
+
+  /** Independent nibble-LUT formulation (the reference's table shape,
+    * tiny_crc16.c:3-68) to cross-check the bitwise implementation.
+    */
+  private def crc16Nibble(msg: Array[Byte]): Int = {
+    val hi = Array(0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70,
+      0x81, 0x91, 0xA1, 0xB1, 0xC1, 0xD1, 0xE1, 0xF1)
+    val lo = Array(0x00, 0x21, 0x42, 0x63, 0x84, 0xA5, 0xC6, 0xE7,
+      0x08, 0x29, 0x4A, 0x6B, 0x8C, 0xAD, 0xCE, 0xEF)
+    var h = 0xFF; var l = 0xFF
+    msg.foreach { m =>
+      for (nib <- Seq((m >> 4) & 0xF, m & 0xF)) {
+        val t = (h >> 4) ^ nib
+        h = ((h << 4) | (l >> 4)) & 0xFF
+        l = (l << 4) & 0xFF
+        h = h ^ hi(t)
+        l = l ^ lo(t)
+      }
+    }
+    ((h << 8) | l) & 0xFFFF
+  }
+
+  test("crc16: CCITT-FALSE check value") {
+    assert(CodecImpl.crc16("123456789".getBytes("ASCII")) === 0x29B1)
+  }
+  test("crc16: empty input = init value") {
+    assert(CodecImpl.crc16(Array.empty) === 0xFFFF)
+  }
+  test("crc16: equals the nibble-LUT formulation on arbitrary input") {
+    for (n <- 0 to 200) {
+      val bytes = randBytes(n)
+      assert(CodecImpl.crc16(bytes) === crc16Nibble(bytes))
+    }
+  }
+  test("crc16: 84-byte trigger window case is stable") {
+    val buf = Array.tabulate[Byte](84)(i => (i * 7 + 3).toByte)
+    assert(CodecImpl.crc16(buf) === crc16Nibble(buf))
+  }
+
+  // -------------------------------------------------------------- xtea
+
+  private val key = hex("000102030405060708090a0b0c0d0e0f")
+
+  test("xtea: known-shape round trip, exact multiple of 8") {
+    val pt = "ABCDEFGH01234567".getBytes("ASCII")
+    val ct = CodecImpl.xteaEncrypt(pt, key)
+    assert(ct.length === 16)
+    assert(!ct.sameElements(pt))
+    assert(CodecImpl.xteaDecrypt(ct, key).sameElements(pt))
+  }
+  test("xtea: tail zero-padded to 8 (beacon.c:620-653)") {
+    val pt = "ABC".getBytes("ASCII")
+    val ct = CodecImpl.xteaEncrypt(pt, key)
+    assert(ct.length === 8)
+    val back = CodecImpl.xteaDecrypt(ct, key)
+    assert(back.sameElements(pt ++ Array[Byte](0, 0, 0, 0, 0)))
+  }
+  test("xtea: ECB — equal blocks encrypt equally") {
+    val pt = hex("1122334455667788" * 2)
+    val ct = CodecImpl.xteaEncrypt(pt, key)
+    assert(ct.slice(0, 8).sameElements(ct.slice(8, 16)))
+  }
+  test("xtea: decrypt drops trailing partial block (honeycomb.py:95-103)") {
+    val ct = hex("00112233445566778899aa") // 11 bytes
+    assert(CodecImpl.xteaDecrypt(ct, key).length === 8)
+  }
+  test("xtea: round trip property") {
+    for (n <- 1 to 100) {
+      val pt = randBytes(n); val k = randBytes(16)
+      val padded = pt ++ Array.fill[Byte]((8 - pt.length % 8) % 8)(0)
+      assert(CodecImpl.xteaDecrypt(CodecImpl.xteaEncrypt(pt, k), k).sameElements(padded))
+    }
+  }
+
+  // ----------------------------------------------------- size preamble
+
+  test("size preamble: golden (beacon.c:77-94)") {
+    val buf = CodecImpl.sizeEncode(12345L)
+    assert(buf.length === 64)
+    assert((buf(0) & 0xFF) === (5 ^ 5)) // 5 digits XOR key 5 = 0
+    assert(((buf(1) & 0xFF) ^ 5).toChar === '1')
+    assert(((buf(5) & 0xFF) ^ 5).toChar === '5')
+    assert(CodecImpl.sizeDecode(buf) === 12345L)
+  }
+  test("size preamble: round trip property") {
+    for (_ <- 1 to 200) {
+      val n = math.abs(rnd.nextLong()) % 999999999999L
+      assert(CodecImpl.sizeDecode(CodecImpl.sizeEncode(n)) === n)
+    }
+  }
+  test("size preamble: malformed input → -1") {
+    assert(CodecImpl.sizeDecode(Array.empty) === -1L)
+    assert(CodecImpl.sizeDecode(Array[Byte](5 ^ 99)) === -1L) // count too big
+    val bad = CodecImpl.sizeEncode(777L); bad(2) = 0xFF.toByte // non-digit
+    assert(CodecImpl.sizeDecode(bad) === -1L)
+  }
+
+  // ------------------------------------------------------- key extract
+
+  test("key extract: golden (beacon.c:669-678)") {
+    val buf = new Array[Byte](64)
+    buf(0) = (9 ^ 5).toByte // offset = 9 % 15 = 9
+    for (i <- 0 until 16) buf(10 + i) = (0x40 + i).toByte
+    val k = CodecImpl.keyExtract(buf)
+    assert(k.sameElements((0 until 16).map(i => (0x40 + i).toByte)))
+  }
+  test("key extract matches size-style offset arithmetic property") {
+    for (_ <- 1 to 100) {
+      val buf = randBytes(64)
+      val k = CodecImpl.keyExtract(buf)
+      val off = ((buf(0) & 0xFF) ^ 5) % 15
+      assert(k.sameElements(buf.slice(off + 1, off + 17)))
+    }
+  }
+
+  // ---------------------------------------------------------- seed xor
+
+  test("seed xor: round trip, byte0 preserved (trigger_protocols.c:213-227)") {
+    val p = hex("2a0102030405")
+    val obf = CodecImpl.seedXor(p)
+    assert(obf(0) === 0x2a.toByte)
+    assert(CodecImpl.seedUnxor(obf).sameElements(p))
+  }
+  test("seed xor: zero seed promoted to 0xFF") {
+    val p = hex("000102")
+    val obf = CodecImpl.seedXor(p)
+    assert((obf(0) & 0xFF) === 0xFF)
+    assert((obf(1) & 0xFF) === (0x01 ^ 0xFF))
+  }
+
+  // ------------------------------------------------------- sliding xor
+
+  test("sliding xor: round trip at reference offset arithmetic") {
+    for (_ <- 1 to 100) {
+      val payload = randBytes(29); val window = randBytes(84)
+      val off = rnd.nextInt(55) // crc % (84 - 29), trigger_protocols.c:889
+      val enc = CodecImpl.slidingXor(payload, window, off)
+      assert(CodecImpl.slidingXor(enc, window, off).sameElements(payload))
+    }
+  }
+
+  // --------------------------------------------------------------- dns
+
+  test("dns name: encode golden") {
+    assert(CodecImpl.dnsNameEncode("www.example.com").sameElements(
+      Array[Byte](3) ++ "www".getBytes ++ Array[Byte](7) ++ "example".getBytes ++
+        Array[Byte](3) ++ "com".getBytes ++ Array[Byte](0)))
+  }
+  test("dns name: decode with 0xC0 compression pointer (decode_dns.c:136-158)") {
+    // offset 0: "example.com"; offset 13: "www" + pointer to offset 0
+    val base = CodecImpl.dnsNameEncode("example.com") // 13 bytes
+    val pkt = base ++ Array[Byte](3) ++ "www".getBytes ++
+      Array[Byte](0xC0.toByte, 0x00)
+    assert(CodecImpl.dnsNameDecode(pkt, 0) === "example.com")
+    assert(CodecImpl.dnsNameDecode(pkt, 13) === "www.example.com")
+  }
+  test("dns name: pointer loop is detected, not infinite") {
+    val pkt = Array[Byte](0xC0.toByte, 0x00)
+    intercept[IllegalArgumentException](CodecImpl.dnsNameDecode(pkt, 0))
+  }
+  test("dns name: round trip property") {
+    for (_ <- 1 to 100) {
+      val name = (1 to (1 + rnd.nextInt(5))).map { _ =>
+        (1 to (1 + rnd.nextInt(20))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      }.mkString(".")
+      assert(CodecImpl.dnsNameDecode(CodecImpl.dnsNameEncode(name), 0) === name)
+    }
+  }
+
+  // ------------------------------------------------------------- cksum
+
+  test("ip cksum: RFC 1071 worked example") {
+    assert(CodecImpl.ipCksum(hex("0001f203f4f5f6f7")) === 0x220D)
+  }
+  test("ip cksum: checksum over data+cksum folds to zero") {
+    for (n <- 0 to 100 by 2) {
+      val data = randBytes(n)
+      val ck = CodecImpl.ipCksum(data)
+      val withCk = data ++ Array[Byte]((ck >> 8).toByte, ck.toByte)
+      assert(CodecImpl.ipCksum(withCk) === 0)
+    }
+  }
+
+  // --------------------------------------------------------------- tlv
+
+  test("tlv: golden encode (beacon.c:384-446)") {
+    val enc = CodecImpl.tlvEncode(Seq(1 -> "aa".getBytes, 7 -> "123".getBytes))
+    assert(enc.sameElements(
+      hex("0001 0002") ++ "aa".getBytes ++ hex("0007 0003") ++ "123".getBytes ++ hex("0000 0000")))
+  }
+  test("tlv: null fields are skipped (skip-if-null, beacon.c:414-445)") {
+    val enc = CodecImpl.tlvEncode(Seq(1 -> "aa".getBytes, 2 -> null, 3 -> "b".getBytes))
+    assert(CodecImpl.tlvDecode(enc).map(_._1) === Seq(1, 3))
+  }
+  test("tlv: decode walks until zero TLV, preserving unknown types") {
+    val enc = CodecImpl.tlvEncode(Seq(99 -> "zz".getBytes))
+    val got = CodecImpl.tlvDecode(enc)
+    assert(got.size === 1 && got.head._1 === 99)
+  }
+  test("tlv: truncated input throws") {
+    intercept[IllegalArgumentException](CodecImpl.tlvDecode(hex("000100ff")))
+  }
+  test("tlv: round trip property") {
+    for (_ <- 1 to 100) {
+      val fields = (0 until rnd.nextInt(8)).map { _ =>
+        (1 + rnd.nextInt(0xFFFF), randBytes(rnd.nextInt(50)))
+      }
+      val back = CodecImpl.tlvDecode(CodecImpl.tlvEncode(fields))
+      assert(back.map(_._1) === fields.map(_._1))
+      assert(back.zip(fields).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    }
+  }
+
+  // --------------------------------------------------------------- mac
+
+  test("mac format: golden (beacon.c:657-666)") {
+    assert(CodecImpl.macFormat(hex("001a2b3c4d5e")) === "00-1a-2b-3c-4d-5e")
+    assert(CodecImpl.macFormat(hex("ffffffffffff")) === "ff-ff-ff-ff-ff-ff")
+  }
+
+  // ---------------------------------------------------------- scramble
+
+  test("scramble: bitwise NOT involution (string_utils.c:16-24)") {
+    val s = "hello".getBytes
+    assert(CodecImpl.scramble(CodecImpl.scramble(s)).sameElements(s))
+    assert(CodecImpl.scramble(Array[Byte](0)).head === -1)
+  }
+}
