@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over [[TextImpl]]: simhash, rolling
+  * fingerprints, hamming distance, language ID.
+  */
+object TextExpressions {
+
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val tokens = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      TextImpl.simhash64(tokens)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    override def prettyName: String = "simhash64"
+  }
+
+  case class Hamming64(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextImpl.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 = copy(l, r)
+    override def prettyName: String = "hamming64"
+  }
+
+  case class Fnv1a64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextImpl.fnv1a64(v.asInstanceOf[UTF8String].getBytes)
+    override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
+    override def prettyName: String = "fnv1a64"
+  }
+
+  case class RollingFingerprint(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextImpl.rollingFingerprint(v.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(c)
+    override def prettyName: String = "rolling_fingerprint"
+  }
+
+  case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(TextImpl.langId(v.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): LangId = copy(c)
+    override def prettyName: String = "lang_id"
+  }
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
+  def fnv1a64(s: Column): Column = c(Fnv1a64(e(s)))
+  def rolling_fingerprint(s: Column): Column = c(RollingFingerprint(e(s)))
+  def lang_id(s: Column): Column = c(LangId(e(s)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    one("simhash64", es => SimHash64(es.head))
+    one("hamming64", es => Hamming64(es(0), es(1)))
+    one("fnv1a64", es => Fnv1a64(es.head))
+    one("rolling_fingerprint", es => RollingFingerprint(es.head))
+    one("lang_id", es => LangId(es.head))
+  }
+}

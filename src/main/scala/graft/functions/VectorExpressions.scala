@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Vector kernels for the similarity operators. `aggregate`/`zip_with`
+  * higher-order functions evaluate their lambdas interpreted, one
+  * boxed element at a time — far too slow for an all-pairs prefilter.
+  * These expressions loop over the primitive float arrays directly and
+  * generate a tight scalar loop under whole-stage codegen.
+  */
+object VectorExpressions {
+
+  /** `dot_f32(ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE` — IEEE
+    * index-order sum of per-component double products (the same fold
+    * order as DuckDB's list_sum over list_transform, so doubles agree
+    * bit-for-bit).
+    */
+  case class DotF32(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      DotF32.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorExpressions.DotF32.dot($a, $b)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 = copy(l, r)
+    override def prettyName: String = "dot_f32"
+  }
+
+  object DotF32 {
+    /** Shared by interpreted eval and generated code. */
+    def dot(a: ArrayData, b: ArrayData): Double = {
+      val xs = a.toFloatArray()
+      val ys = b.toFloatArray()
+      val n = math.min(xs.length, ys.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += xs(i).toDouble * ys(i).toDouble
+        i += 1
+      }
+      s
+    }
+  }
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def dot_f32(a: Column, b: Column): Column = c(DotF32(e(a), e(b)))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f32", es => DotF32(es(0), es(1)), "scala_udf")
+}

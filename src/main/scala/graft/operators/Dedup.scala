@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextExpressions
+
+/** Deduplication operators over the `documents` table (training-data
+  * pipeline surface): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale notes (the 100 TB story):
+  *  - shingling + hashing are narrow, codegen'd projections — they
+  *    scale linearly with no shuffle;
+  *  - candidate generation shuffles on the shingle/band key, never on
+  *    the document pair, so cost is bounded by bucket sizes, not n²;
+  *  - the exact-verify stage touches only candidate pairs (LSH
+  *    semantics), so all-pairs work never materializes.
+  */
+object Dedup {
+
+  val ShingleN = 5
+  val MinhashK = 16
+  val Bands = 4 // x 4 rows per band
+  val JaccardThreshold = 0.8
+
+  /** (doc_id, sg) — one row per distinct shingle per doc. Rebuilt from
+    * the parquet scan on each call so self-join plans stay independent
+    * (dodges DetectAmbiguousSelfJoin; the double scan is co-optimized
+    * by the parquet reader cache, and at scale you'd checkpoint it).
+    */
+  def shingleTable(spark: SparkSession, dir: String, idName: String): DataFrame = {
+    val ts = TextOps.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as(idName), ts.as("ts"))
+      .filter(size(col("ts")) >= ShingleN)
+      .select(col(idName), explode(TextOps.shingles(col("ts"), ShingleN)).as("sg"))
+  }
+
+  /** Exact dedup: survivors per md5(normalized text) group. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(TextOps.norm(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+      .select("keep_id", "n_dupes")
+      .orderBy("keep_id")
+
+  /** Exact Jaccard over candidate pairs that share ≥1 shingle:
+    * inverted-index join on the shingle (shuffle key = shingle), then
+    * |∩| / |∪| from per-doc shingle-set sizes.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val sh = shingleTable(spark, dir, "doc")
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("i", "ni"), "i")
+      .join(sizes.toDF("j", "nj"), "j")
+      .withColumn("jac", col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
+      .orderBy("i", "j")
+  }
+
+  /** MinHash signature per doc: k independent min-hashes, realized as
+    * `min(md5(seed || '|' || shingle))` — md5 hex strings compare
+    * identically in Spark and DuckDB, making the signature (and thus
+    * the whole LSH pipeline) oracle-checkable.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String, idName: String): DataFrame = {
+    val sh = shingleTable(spark, dir, idName)
+    val aggs = (0 until MinhashK).map { s =>
+      min(md5(concat_ws("|", lit(s.toString), col("sg")))).as(s"m$s")
+    }
+    sh.groupBy(idName).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded signature: `Bands` band keys per doc, each the md5 of its
+    * band's 4 signature rows.
+    */
+  private def banded(sig: DataFrame, idName: String): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until MinhashK / Bands).map(r => col(s"m${b * (MinhashK / Bands) + r}")): _*)).as("bh"))
+    }
+    sig.select(col(idName), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idName), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** MinHash LSH near-dup detection: band-bucket join → distinct
+    * candidate pairs → exact-Jaccard verify on candidates only.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val bands = banded(minhashSignatures(spark, dir, "doc"), "doc")
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+
+    val sh = shingleTable(spark, dir, "doc")
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    // verify stage: intersection counted over candidate pairs only
+    val inter = cands
+      .join(sh.toDF("i", "sg"), "i")
+      .join(sh.toDF("j2", "sg2"), col("j") === col("j2") && col("sg") === col("sg2"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("i", "ni"), "i")
+      .join(sizes.toDF("j", "nj"), "j")
+      .withColumn("jac", col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
+      .orderBy("i", "j")
+  }
+
+  /** SimHash per document (engine-native 64-bit LongType). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextExpressions.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+}

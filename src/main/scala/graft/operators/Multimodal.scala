@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CodecImpl
+
+/** Multimodal-column plumbing: media treated as opaque `BINARY`
+  * payloads with typed metadata, decoded by a batched per-partition
+  * stage — the Scala analog of a `mapInPandas` decode pipeline.
+  *
+  * The actual media decode is a STUB (no image/audio libs in this
+  * environment): `decodeStub` derives deterministic fake
+  * width/height/frame data from the payload bytes. Everything around
+  * it is real and load-bearing — the binary schema, the typed
+  * Dataset boundary, the batched iterator shape a native decoder
+  * would plug into, and the downstream relational surface.
+  */
+object Multimodal {
+
+  /** One media record: id + opaque payload. In the synthetic corpus the
+    * payload is the document text's bytes standing in for media bytes.
+    */
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Typed metadata as a real decoder would emit it. */
+  case class MediaMeta(
+      doc_id: Long,
+      nbytes: Long,
+      crc: Int,
+      width: Int,     // STUB: derived, stands in for decoded width
+      height: Int,    // STUB
+      n_frames: Int,  // STUB: frame count for video-like payloads
+      frame_crcs: Seq[Int]) // STUB: per-sampled-frame checksum
+
+  /** Media table over the synthetic corpus: text bytes as payload. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode of one payload: deterministic pseudo-metadata from
+    * the bytes. A real build replaces ONLY this function with a codec
+    * call (e.g. libjpeg/ffmpeg) — signature and surroundings stay.
+    */
+  def decodeStub(r: MediaRow): MediaMeta = {
+    val b = r.payload
+    val n = b.length
+    val crc = CodecImpl.crc16(b)
+    val width = 16 + (if (n > 0) (b(0) & 0xFF) % 240 else 0)
+    val height = 16 + (if (n > 1) (b(1) & 0xFF) % 240 else 0)
+    val nFrames = 1 + n % 16
+    // "frame sampling": every ceil(n/4) bytes window gets a checksum
+    val step = math.max(1, n / 4)
+    val frameCrcs = (0 until n by step).take(4)
+      .map(off => CodecImpl.crc16(java.util.Arrays.copyOfRange(b, off, math.min(n, off + step))))
+    MediaMeta(r.doc_id, n.toLong, crc, width, height, nFrames, frameCrcs)
+  }
+
+  /** Batched decode over partitions: payloads are processed in
+    * fixed-size batches (the `mapInPandas` batch shape) so a native
+    * decoder could amortize per-batch setup. Narrow operation — no
+    * shuffle; partitioning carries over from the scan.
+    */
+  def extractFeatures(spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup for a real codec would go here
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** Relational surface: oracle-checkable projection (byte lengths are
+    * engine-independent facts about the payload).
+    */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir)
+      .select(col("doc_id"), col("nbytes"))
+      .orderBy("doc_id")
+
+  /** Full stub-decoded feature table (engine-only; golden-checked in
+    * the spec, rows-only in the driver gate).
+    */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir)
+      .select(col("doc_id"), col("nbytes"), col("crc"), col("width"),
+        col("height"), col("n_frames"), array_max(col("frame_crcs")).as("max_frame_crc"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.TextExpressions
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing) exposed through the driver contract.
+  * Oracle SQL is provided wherever DuckDB can express the same
+  * computation value-identically (md5-based hashing, decimal-exact dot
+  * products); engine-native hashes (simhash, fnv1a, LSH buckets) are
+  * rows-only in the gate and golden-checked in the specs.
+  */
+object TrainingPack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Normalization fragment shared by every oracle query (must mirror
+    * TextOps.norm exactly).
+    */
+  private val N = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val TS = s"string_split($N, ' ')"
+  private val Stop = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+
+  // ------------------------------------------------------------- dedup
+
+  val ddExact: Q = (s, d) => Dedup.exact(s, d)
+
+  val ddNgramJaccard: Q = (s, d) => Dedup.ngramJaccard(s, d)
+
+  val ddMinhashLsh: Q = (s, d) => Dedup.minhashLsh(s, d)
+
+  val ddSimhash: Q = (s, d) => Dedup.simhash(s, d)
+
+  // -------------------------------------------------------- similarity
+
+  val annBruteForce: Q = (s, d) => Similarity.bruteForceTopK(s, d)
+
+  val annLsh: Q = (s, d) => Similarity.lshTopK(s, d)
+
+  val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDup(s, d)
+
+  // ----------------------------------------------------- text analysis
+
+  val txTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("n_words"))
+      .orderBy("doc_id")
+
+  /** Quality scoring in integer basis points (0..10000 per ratio) so
+    * every value is exact integer arithmetic — immune to the
+    * round(double) divergence between engines (Spark rounds the
+    * shortest-string BigDecimal, DuckDB the exact binary value).
+    * quality = 4*stop_bp + 3*(10000-punct_bp) + 3*min(10000, 100*n_tok).
+    */
+  val txQuality: Q = (s, d) => {
+    val ts = TextOps.tokens(col("text"))
+    val nTok = size(ts).cast("bigint")
+    val nChr = length(lower(col("text"))).cast("bigint")
+    val stop = TextOps.stopwordCount(ts).cast("bigint")
+    val punct = TextOps.punctCount(col("text")).cast("bigint")
+    // round-half-up of 10000*c/n in pure integers: (20000c + n) div 2n;
+    // floor(double) is exact here (numerators < 2^53)
+    def intDiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("bigint")
+    val stopBp = intDiv(stop * 20000 + nTok, nTok * 2)
+    val punctBp = intDiv(punct * 20000 + nChr, nChr * 2)
+    val lenBp = least(lit(10000L), nTok * 100)
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        stopBp.as("stop_bp"), punctBp.as("punct_bp"),
+        (stopBp * 4 + (lit(10000L) - punctBp) * 3 + lenBp * 3).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val txFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(TextOps.norm(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Engine-native text features: rolling hash + language ID (rows-only
+    * in the gate; semantics golden-checked in TrainingSpec).
+    */
+  val txNativeFeatures: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextExpressions.rolling_fingerprint(TextOps.norm(col("text"))).as("rfp"),
+        TextExpressions.lang_id(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------- multimodal
+
+  val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
+
+  val mmFeatures: Q = (s, d) => Multimodal.features(s, d)
+
+  // ---------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact_dedup"       -> ddExact,
+    "dd_ngram_jaccard"     -> ddNgramJaccard,
+    "dd_minhash_lsh"       -> ddMinhashLsh,
+    "dd_simhash"           -> ddSimhash,
+    "dd_embedding_neardup" -> ddEmbeddingNearDup,
+    "ann_topk_bruteforce"  -> annBruteForce,
+    "ann_topk_lsh"         -> annLsh,
+    "tx_token_count"       -> txTokenCount,
+    "tx_quality"           -> txQuality,
+    "tx_fingerprint"       -> txFingerprint,
+    "tx_native_features"   -> txNativeFeatures,
+    "mm_meta"              -> mmMeta,
+    "mm_features"          -> mmFeatures,
+  )
+
+  private val shCte =
+    s"""toks AS (
+       |  SELECT doc_id, $TS AS ts FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, list_aggregate(ts[i:i+4], 'string_agg', ' ') AS sg
+       |  FROM toks, unnest(range(1, len(ts)-3)) r(i)
+       |  WHERE len(ts) >= 5
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val dotDec =
+    "list_sum(list_transform(list_zip(%s, %s), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(28,12))))"
+  private val dotDbl =
+    "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact_dedup" ->
+      s"SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5($N) ORDER BY keep_id",
+
+    "dd_ngram_jaccard" ->
+      s"""WITH $shCte,
+         |inter AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS cnt
+         |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j, ROUND(CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt), 3) AS jac
+         |FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8
+         |ORDER BY i, j""".stripMargin,
+
+    "dd_minhash_lsh" -> {
+      val minhashes = (0 until Dedup.MinhashK)
+        .map(k => s"min(md5('$k' || '|' || sg)) AS m$k").mkString(", ")
+      val bands = (0 until Dedup.Bands).map { b =>
+        val cols = (0 until Dedup.MinhashK / Dedup.Bands)
+          .map(r => s"m${b * (Dedup.MinhashK / Dedup.Bands) + r}")
+        s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shCte,
+         |sig AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.i, c.j, count(*) AS cnt
+         |  FROM cand c JOIN sh s1 ON s1.doc_id = c.i JOIN sh s2 ON s2.doc_id = c.j AND s2.sg = s1.sg
+         |  GROUP BY 1, 2)
+         |SELECT i, j, ROUND(CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt), 3) AS jac
+         |FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8
+         |ORDER BY i, j""".stripMargin
+    },
+
+    "dd_embedding_neardup" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
+         |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM p)
+         |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d
+         |WHERE dot >= CAST('0.95' AS DECIMAL(38,12)) ORDER BY i, j""".stripMargin,
+
+    "ann_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |s AS (
+         |  SELECT q.query_id, c.vec_id, ${dotDec.format("q.qe", "c.embedding")} AS dot
+         |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, vec_id, CAST(ROUND(dot, 6) AS DOUBLE) AS score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "tx_token_count" ->
+      s"""SELECT doc_id, len($TS) AS n_tokens,
+         |len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lower(text) AS lt, $TS AS ts FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(ts, x -> x IN ($Stop))) AS BIGINT) AS stop,
+         |    CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct,
+         |    CAST(length(lt) AS BIGINT) AS n_chr
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  (stop * 20000 + n_tokens) // (n_tokens * 2) AS stop_bp,
+         |  (punct * 20000 + n_chr) // (n_chr * 2) AS punct_bp,
+         |  ((stop * 20000 + n_tokens) // (n_tokens * 2)) * 4
+         |    + (10000 - (punct * 20000 + n_chr) // (n_chr * 2)) * 3
+         |    + least(10000, n_tokens * 100) * 3 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_fingerprint" ->
+      s"SELECT doc_id, md5($N) AS fp FROM documents ORDER BY doc_id",
+
+    "mm_meta" ->
+      "SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents ORDER BY doc_id",
+  )
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextImpl
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Engine-native training-data operators: semantics that have no DuckDB
+  * analog, checked against planted structure in the synthetic corpus
+  * and against brute-force ground truth.
+  */
+class TrainingSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ------------------------------------------------------------ simhash
+
+  test("simhash: planted near-dup pairs are close in Hamming space, random pairs far") {
+    import spark.implicits._
+    val hashes = Dedup.simhash(spark, dir).as[(Long, Long)].collect().toMap
+    val nearDups = Dedup.ngramJaccard(spark, dir, 0.9)
+      .select("i", "j").as[(Long, Long)].collect()
+    assert(nearDups.nonEmpty, "corpus should contain planted near-dups")
+    val dupDists = nearDups.map { case (i, j) => TextImpl.hamming64(hashes(i), hashes(j)) }
+    // random non-dup pairs as the contrast set
+    val rnd = new scala.util.Random(7)
+    val ids = hashes.keys.toArray
+    val dupSet = nearDups.map { case (i, j) => (i, j) }.toSet
+    val randDists = (1 to 200).flatMap { _ =>
+      val i = ids(rnd.nextInt(ids.length)); val j = ids(rnd.nextInt(ids.length))
+      if (i < j && !dupSet.contains((i, j))) Some(TextImpl.hamming64(hashes(i), hashes(j))) else None
+    }
+    val avgDup = dupDists.sum.toDouble / dupDists.length
+    val avgRand = randDists.sum.toDouble / randDists.size
+    assert(dupDists.max < 16, s"near-dup hamming too large: ${dupDists.toSeq.sorted}")
+    // the synthetic vocab is tiny (~31 tokens) so even random docs share
+    // most tokens — assert separation, not an absolute gap
+    assert(avgRand > avgDup + 5, s"no hamming separation: dup=$avgDup rand=$avgRand")
+  }
+
+  // ---------------------------------------------------------------- LSH
+
+  test("minhash LSH finds every high-similarity pair the exact join finds") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccard(spark, dir, 0.9).select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, dir, 0.9).select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // at jac>=0.9, 4 bands x 4 rows: P(miss) = (1-0.9^4)^4 ≈ 1.5% per pair
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
+    // verify stage guarantees no false positives above threshold
+    assert((lsh diff exact).isEmpty)
+  }
+
+  test("hyperplane LSH top-k has reasonable recall of brute-force neighbors") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 8, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, dir, nQueries = 8, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // 16-bit buckets over 500 vectors are selective; near neighbors
+    // co-bucket far more often than chance
+    assert(recall >= 0.2, s"LSH recall too low: $recall")
+    assert(lsh.nonEmpty)
+  }
+
+  // ------------------------------------------------------------ lang id
+
+  test("lang_id identifies constructed multilingual snippets") {
+    assert(TextImpl.langId("the cat sat on the mat and it was happy") === "en")
+    assert(TextImpl.langId("der Hund und die Katze sind nicht im Haus") === "de")
+    assert(TextImpl.langId("el perro y el gato no están en la casa") === "es")
+    assert(TextImpl.langId("le chien et le chat ne sont pas dans la maison") === "fr")
+    assert(TextImpl.langId("你好世界这是一个测试文档") === "zh")
+    assert(TextImpl.langId("xyzzy qwerty plugh") === "und")
+    assert(TextImpl.langId("") === "und")
+  }
+
+  // -------------------------------------------------- rolling fingerprint
+
+  test("rolling fingerprint: deterministic, order-sensitive, spread") {
+    val a = TextImpl.rollingFingerprint("hello world")
+    assert(a === TextImpl.rollingFingerprint("hello world"))
+    assert(a !== TextImpl.rollingFingerprint("world hello"))
+    assert(TextImpl.rollingFingerprint("") === 0L)
+    // stays within the Mersenne modulus
+    assert(a >= 0 && a < 2305843009213693951L)
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  test("multimodal stub pipeline: typed metadata matches direct decode") {
+    import spark.implicits._
+    val viaSpark = Multimodal.features(spark, dir)
+      .filter(col("doc_id") < 5)
+      .as[(Long, Long, Int, Int, Int, Int, Int)].collect()
+    val direct = Multimodal.mediaTable(spark, dir)
+      .filter(col("doc_id") < 5).collect()
+      .sortBy(_.doc_id)
+      .map(Multimodal.decodeStub)
+    assert(viaSpark.length === 5)
+    viaSpark.zip(direct).foreach { case ((id, nb, crc, w, h, nf, maxFc), m) =>
+      assert(id === m.doc_id); assert(nb === m.nbytes); assert(crc === m.crc)
+      assert(w === m.width); assert(h === m.height); assert(nf === m.n_frames)
+      assert(maxFc === m.frame_crcs.max)
+    }
+  }
+
+  test("multimodal: batch boundaries don't change results") {
+    import spark.implicits._
+    val a = Multimodal.extractFeatures(spark, dir, batchSize = 1)
+      .select("doc_id", "crc").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val b = Multimodal.extractFeatures(spark, dir, batchSize = 500)
+      .select("doc_id", "crc").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+}
