@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{RelationalPack, TrainingPack}
+import graft.queries.{IngestPack, RelationalPack, TrainingPack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalPack.queries ++ TrainingPack.queries
+    RelationalPack.queries ++ TrainingPack.queries ++ IngestPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalPack.oracle ++ TrainingPack.oracle
+    RelationalPack.oracle ++ TrainingPack.oracle ++ IngestPack.oracle
 }

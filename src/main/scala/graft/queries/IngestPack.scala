@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dims
+import graft.functions.{CodecExpressions => CE}
+
+/** Reference-semantics ingest operators (SURVEY §2.2/2.3/2.4/2.8,
+  * honeycomb pipeline §3.3), expressed over deterministic derivations
+  * of the driver's `events` table so each stays DuckDB-oracle-checkable:
+  * IPv4 int⇄dotted, hex formatting, MAC canonicalization, route-flag
+  * bitmask decode, OS / TCP-state dimension decodes with
+  * unknown-fallback, static IP remap, longest-prefix gateway matching
+  * (/32→/8 precedence, first-wins), validation routing, and /proc-style
+  * text synth + re-parse. The TLV beacon round-trip is engine-native
+  * (rows-only in the gate; equality asserted in IngestSpec).
+  */
+object IngestPack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Derived deterministic IPv4 (Knuth multiplicative hash of the id,
+    * exact in BIGINT on both engines).
+    */
+  private def ipOf(c: Column): Column = (c * 2654435761L) % 4294967296L
+  private val IpOfSql = "((%s * 2654435761) %% 4294967296)"
+
+  private def octet(ip: Column, shift: Int): Column =
+    floor(ip.cast("double") / math.pow(256, shift).toLong).cast("bigint") % 256
+
+  /** int → dotted quad, pure integer arithmetic. */
+  private def dotted(ip: Column): Column =
+    concat_ws(".", octet(ip, 3), octet(ip, 2), octet(ip, 1), octet(ip, 0))
+  private def dottedSql(ip: String): String =
+    s"concat_ws('.', ($ip // 16777216) % 256, ($ip // 65536) % 256, ($ip // 256) % 256, $ip % 256)"
+
+  // ---------------------------------------------------------- formatting
+
+  /** IPv4 int ⇄ dotted-quad (`netstat_rn.c:118-124`, `decode_dns.c:87-92`). */
+  val ipv4Format: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), ipOf(col("event_id")).as("ip"))
+      .withColumn("dotted", dotted(col("ip")))
+      .orderBy("event_id")
+
+  /** Fixed-width uppercase hex of a port, with an engine-side
+    * parse-back tautology (`netstat_an.c:303-311` hex addr:port).
+    */
+  val hexFormat: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), (col("user_id") % 65536).as("port"))
+      .withColumn("hexport", lpad(hex(col("port")), 4, "0"))
+      // conv() round-trip must hold; keeps the parse path exercised
+      .filter(conv(col("hexport"), 16, 10).cast("bigint") === col("port"))
+      .orderBy("event_id")
+
+  /** MAC canonicalization via the engine's mac_format expression,
+    * oracle-matched by an independent SQL construction
+    * (`beacon.c:657-666`).
+    */
+  val macFormat: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"),
+        CE.mac_format(unhex(lpad(hex(col("user_id") * 131071 % 281474976710656L), 12, "0")))
+          .as("mac"))
+      .orderBy("event_id")
+
+  /** Route-flag bitmask → letters (U/G/H/D/M, `netstat_rn.c:129-158`). */
+  val flagsDecode: Q = (s, d) => {
+    val f = col("user_id") % 32
+    def bit(mask: Int, letter: String): Column =
+      when(f.bitwiseAND(lit(mask)) =!= 0, letter).otherwise("")
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"),
+        concat(bit(1, "U"), bit(2, "G"), bit(4, "H"), bit(8, "D"), bit(16, "M")).as("flags"))
+      .orderBy("event_id")
+  }
+
+  // ----------------------------------------------------- dimension joins
+
+  /** OS-code decode incl. legacy codes, unknown fallback
+    * (`honeycomb.py:252-286`); aggregated by decoded name.
+    */
+  val osDecode: Q = (s, d) =>
+    Tables.events(s, d)
+      .select((col("user_id") % 70).cast("int").as("os_code"))
+      .join(broadcast(Dims.osCodesDf(s)), Seq("os_code"), "left")
+      .groupBy(coalesce(col("os_name"), lit("Unknown")).as("os_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("os_name")
+
+  /** TCP-state decode (`netstat_an.c:348-389`). */
+  val tcpStateDecode: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), (col("event_id") % 13).cast("int").as("state_code"))
+      .join(broadcast(Dims.tcpStatesDf(s)), Seq("state_code"), "left")
+      .select(col("event_id"), col("state_code"),
+        coalesce(col("state_name"), lit("UNKNOWN")).as("state_name"))
+      .orderBy("event_id")
+
+  /** Static internal→public IP remap, identity on miss
+    * (`processRSI.py:364-385`).
+    */
+  val ipRemap: Q = (s, d) => {
+    val internal = concat(lit("10.1.1."), (col("event_id") % 15 + 1))
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), internal.as("internal_ip"))
+      .join(broadcast(Dims.ipRemapDf(s)), Seq("internal_ip"), "left")
+      .select(col("event_id"),
+        coalesce(col("public_ip"), col("internal_ip")).as("resolved_ip"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------- longest-prefix match
+
+  /** Gateway ↔ interface longest-prefix match with /32→/24→/16→/8
+    * precedence and first-wins tie-break (`processRSI.py:291-314`) —
+    * the reference's only non-equi join, realized as a rank join +
+    * ROW_NUMBER()=1.
+    */
+  val prefixMatch: Q = (s, d) => {
+    val iface = Tables.events(s, d).filter(col("event_id") < 2000)
+      .select(col("user_id"), col("event_id"), ipOf(col("event_id")).as("ip"))
+      .withColumn("dotted", dotted(col("ip")))
+    // gateway table built from an independent scan (self-join lineage
+    // would trip DetectAmbiguousSelfJoin)
+    val gw = Tables.events(s, d).filter(col("event_id") < 2000)
+      .groupBy("user_id").agg(min(col("event_id")).as("gid"))
+      .withColumn("gip", ipOf(col("gid") * 7))
+      .withColumn("gdotted", dotted(col("gip")))
+      .select("user_id", "gdotted")
+    // dotted strings joined on octet prefixes; rank 1 = /32 … 4 = /8
+    val joined = iface.join(gw, "user_id")
+      .withColumn("rank",
+        when(col("dotted") === col("gdotted"), 1)
+          .when(pfxStr(col("dotted"), 3) === pfxStr(col("gdotted"), 3), 2)
+          .when(pfxStr(col("dotted"), 2) === pfxStr(col("gdotted"), 2), 3)
+          .when(pfxStr(col("dotted"), 1) === pfxStr(col("gdotted"), 1), 4))
+      .filter(col("rank").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy("rank", "event_id")
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("rank"))
+      .orderBy("user_id")
+  }
+
+  /** First n octets of a dotted string. */
+  private def pfxStr(dotted: Column, n: Int): Column =
+    concat_ws(".", slice(split(dotted, "\\."), 1, n))
+
+  // --------------------------------------------------- validation routing
+
+  /** Good/bad record routing on the reference's validation predicates
+    * (port ∈ [1,65535], key length ≥ 8, jitter ∈ [0,30] —
+    * `client/main.c:141-147`, `trigger_payload.h:21`,
+    * `server/main.c:236-242`); counts per route.
+    */
+  val validationRoute: Q = (s, d) => {
+    val port = col("user_id") % 70000
+    val keyLen = col("event_id") % 24
+    val jitter = col("value") % 40
+    Tables.events(s, d)
+      .select(
+        when(port < 1 || port > 65535, "bad_port")
+          .when(keyLen < 8, "bad_key")
+          .when(jitter < 0 || jitter > 30, "bad_jitter")
+          .otherwise("good").as("route"))
+      .groupBy("route").agg(count(lit(1)).as("n"))
+      .orderBy("route")
+  }
+
+  // ------------------------------------------- /proc text synth + re-parse
+
+  /** Synthesize a `/proc/<pid>/stat`-format line per record and parse
+    * it back into typed columns (`process_list.c:182-227`): the text
+    * scan path of §2.1, exercised end-to-end in SQL on both engines.
+    */
+  val procParse: Q = (s, d) => {
+    val line = format_string("%d (%s) %s %d %d %d",
+      col("event_id").cast("int"), col("event_type"), lit("S"),
+      (col("user_id") % 32768).cast("int"), (col("user_id") % 100).cast("int"),
+      (col("event_id") % 100).cast("int"))
+    val re = "^(\\d+) \\((.*)\\) (\\S+) (\\d+) (\\d+) (\\d+)$"
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), line.as("line"))
+      .select(col("event_id"),
+        regexp_extract(col("line"), re, 1).cast("bigint").as("pid"),
+        regexp_extract(col("line"), re, 2).as("command"),
+        regexp_extract(col("line"), re, 3).as("state"),
+        regexp_extract(col("line"), re, 4).cast("bigint").as("ppid"),
+        regexp_extract(col("line"), re, 5).cast("bigint").as("pgrp"),
+        regexp_extract(col("line"), re, 6).cast("bigint").as("sess"))
+      .orderBy("event_id")
+  }
+
+  // -------------------------------------------------- TLV beacon roundtrip
+
+  /** Engine-native beacon assembly: per record, TLV-encode
+    * (mac, uptime, next-beacon) fields, decode back, and surface the
+    * re-extracted values (equality with the inputs is asserted in
+    * IngestSpec; the driver gate records rows). Mirrors
+    * `beacon.c:384-446` / `honeycomb.py:216-249`.
+    */
+  val tlvRoundtrip: Q = (s, d) => {
+    val mac = CE.mac_format(unhex(lpad(hex(col("user_id") * 131071 % 281474976710656L), 12, "0")))
+    val blob = CE.tlv_encode(array(
+      struct(lit(1).as("type"), mac.cast("binary").as("value")),
+      struct(lit(2).as("type"), col("user_id").cast("string").cast("binary").as("value")),
+      struct(lit(7).as("type"), (col("event_id") % 86400).cast("string").cast("binary").as("value"))))
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), CE.tlv_decode(blob).as("fields"))
+      .select(col("event_id"),
+        element_at(col("fields"), 1).getField("value").cast("string").as("mac"),
+        element_at(col("fields"), 2).getField("value").cast("string").cast("bigint").as("uptime"),
+        element_at(col("fields"), 3).getField("value").cast("string").cast("bigint").as("next_beacon"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "ig_ipv4_format"     -> ipv4Format,
+    "ig_hex_format"      -> hexFormat,
+    "ig_mac_format"      -> macFormat,
+    "ig_flags_decode"    -> flagsDecode,
+    "ig_os_decode"       -> osDecode,
+    "ig_tcp_state"       -> tcpStateDecode,
+    "ig_ip_remap"        -> ipRemap,
+    "ig_prefix_match"    -> prefixMatch,
+    "ig_validation"      -> validationRoute,
+    "ig_proc_parse"      -> procParse,
+    "ig_tlv_roundtrip"   -> tlvRoundtrip,
+  )
+
+  private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
+    rows.map { case (a, b) =>
+      val av = a match { case s: String => s"'$s'"; case x => x.toString }
+      val bv = b match { case s: String => s"'$s'"; case x => x.toString }
+      s"($av, $bv)"
+    }.mkString(s"(VALUES ", ", ", s") AS t($c1, $c2)")
+
+  private val ip = IpOfSql.format("event_id")
+
+  val oracle: Map[String, String] = Map(
+    "ig_ipv4_format" ->
+      s"""SELECT event_id, $ip AS ip, ${dottedSql(ip)} AS dotted
+         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+
+    "ig_hex_format" ->
+      s"""SELECT event_id, user_id % 65536 AS port,
+         |lpad(upper(to_hex(user_id % 65536)), 4, '0') AS hexport
+         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+
+    "ig_mac_format" -> {
+      val h = "lpad(to_hex(user_id * 131071 % 281474976710656), 12, '0')"
+      s"""SELECT event_id, lower(concat_ws('-', substr($h,1,2), substr($h,3,2),
+         |substr($h,5,2), substr($h,7,2), substr($h,9,2), substr($h,11,2))) AS mac
+         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
+    },
+
+    "ig_flags_decode" ->
+      s"""SELECT event_id, concat(
+         |  CASE WHEN (user_id % 32) & 1 <> 0 THEN 'U' ELSE '' END,
+         |  CASE WHEN (user_id % 32) & 2 <> 0 THEN 'G' ELSE '' END,
+         |  CASE WHEN (user_id % 32) & 4 <> 0 THEN 'H' ELSE '' END,
+         |  CASE WHEN (user_id % 32) & 8 <> 0 THEN 'D' ELSE '' END,
+         |  CASE WHEN (user_id % 32) & 16 <> 0 THEN 'M' ELSE '' END) AS flags
+         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+
+    "ig_os_decode" ->
+      s"""SELECT COALESCE(os_name, 'Unknown') AS os_name, COUNT(*) AS n
+         |FROM (SELECT CAST(user_id % 70 AS INT) AS os_code FROM events) e
+         |LEFT JOIN ${valuesSql(Dims.osCodes, "code", "os_name")} ON e.os_code = t.code
+         |GROUP BY 1 ORDER BY os_name""".stripMargin,
+
+    "ig_tcp_state" ->
+      s"""SELECT event_id, CAST(event_id % 13 AS INT) AS state_code,
+         |COALESCE(state_name, 'UNKNOWN') AS state_name
+         |FROM events LEFT JOIN ${valuesSql(Dims.tcpStates, "code", "state_name")}
+         |  ON CAST(event_id % 13 AS INT) = t.code
+         |WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+
+    "ig_ip_remap" ->
+      s"""SELECT event_id, COALESCE(public_ip, internal_ip) AS resolved_ip
+         |FROM (SELECT event_id, concat('10.1.1.', event_id % 15 + 1) AS internal_ip
+         |      FROM events WHERE event_id < 300) e
+         |LEFT JOIN ${valuesSql(Dims.ipRemap, "internal_ip2", "public_ip")}
+         |  ON e.internal_ip = t.internal_ip2
+         |ORDER BY event_id""".stripMargin,
+
+    "ig_prefix_match" -> {
+      val gip = IpOfSql.format("(gid * 7)")
+      s"""WITH e AS (SELECT * FROM events WHERE event_id < 2000),
+         |iface AS (SELECT user_id, event_id, ${dottedSql(ip)} AS dotted FROM e),
+         |gw AS (
+         |  SELECT user_id, ${dottedSql(gip)} AS gdotted
+         |  FROM (SELECT user_id, min(event_id) AS gid FROM e GROUP BY user_id)),
+         |j AS (
+         |  SELECT i.user_id, i.event_id,
+         |    CASE WHEN i.dotted = g.gdotted THEN 1
+         |         WHEN array_to_string((string_split(i.dotted,'.'))[1:3],'.') = array_to_string((string_split(g.gdotted,'.'))[1:3],'.') THEN 2
+         |         WHEN array_to_string((string_split(i.dotted,'.'))[1:2],'.') = array_to_string((string_split(g.gdotted,'.'))[1:2],'.') THEN 3
+         |         WHEN string_split(i.dotted,'.')[1] = string_split(g.gdotted,'.')[1] THEN 4
+         |    END AS rank
+         |  FROM iface i JOIN gw g ON i.user_id = g.user_id),
+         |r AS (
+         |  SELECT user_id, event_id, rank,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rank, event_id) AS rn
+         |  FROM j WHERE rank IS NOT NULL)
+         |SELECT user_id, event_id, rank FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+    },
+
+    "ig_validation" ->
+      s"""SELECT CASE WHEN user_id % 70000 < 1 OR user_id % 70000 > 65535 THEN 'bad_port'
+         |            WHEN event_id % 24 < 8 THEN 'bad_key'
+         |            WHEN value % 40 < 0 OR value % 40 > 30 THEN 'bad_jitter'
+         |            ELSE 'good' END AS route, COUNT(*) AS n
+         |FROM events GROUP BY 1 ORDER BY route""".stripMargin,
+
+    "ig_proc_parse" -> {
+      val line = "printf('%d (%s) %s %d %d %d', CAST(event_id AS INT), event_type, 'S', " +
+        "CAST(user_id % 32768 AS INT), CAST(user_id % 100 AS INT), CAST(event_id % 100 AS INT))"
+      val re = "^(\\d+) \\((.*)\\) (\\S+) (\\d+) (\\d+) (\\d+)$"
+      s"""WITH l AS (SELECT event_id, $line AS line FROM events WHERE event_id < 300)
+         |SELECT event_id,
+         |  CAST(regexp_extract(line, '$re', 1) AS BIGINT) AS pid,
+         |  regexp_extract(line, '$re', 2) AS command,
+         |  regexp_extract(line, '$re', 3) AS state,
+         |  CAST(regexp_extract(line, '$re', 4) AS BIGINT) AS ppid,
+         |  CAST(regexp_extract(line, '$re', 5) AS BIGINT) AS pgrp,
+         |  CAST(regexp_extract(line, '$re', 6) AS BIGINT) AS sess
+         |FROM l ORDER BY event_id""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.IngestPack
+
+/** Reference-semantics ingest operators: engine-only invariants that
+  * the driver gate records rows-only for.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("TLV beacon round-trip re-extracts the original fields") {
+    import spark.implicits._
+    val got = IngestPack.tlvRoundtrip(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length === 300)
+    // recompute expectations from the same derivations
+    val events = Tables.events(spark, dir).filter(col("event_id") < 300)
+      .select("event_id", "user_id").as[(Long, Long)].collect().toMap
+    got.foreach { case (eid, mac, uptime, nextBeacon) =>
+      val uid = events(eid)
+      val macHex = f"${uid * 131071 % 281474976710656L}%012x"
+      val expMac = macHex.grouped(2).mkString("-")
+      assert(mac === expMac, s"event $eid")
+      assert(uptime === uid)
+      assert(nextBeacon === eid % 86400)
+    }
+  }
+
+  test("prefix match: every selected row is the best-rank, first-wins match") {
+    import spark.implicits._
+    val out = IngestPack.prefixMatch(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    // one row per user at most, rank within 1..4
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.forall(r => r._3 >= 1 && r._3 <= 4))
+  }
+
+  test("validation routing covers all routes and partitions the table") {
+    import spark.implicits._
+    val routes = IngestPack.validationRoute(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val total = Tables.events(spark, dir).count()
+    assert(routes.values.sum === total)
+    assert(routes.keySet.subsetOf(Set("good", "bad_port", "bad_key", "bad_jitter")))
+  }
+
+  test("os decode: unknown codes fall back, knowns decode") {
+    import spark.implicits._
+    val names = IngestPack.osDecode(spark, dir).as[(String, Long)].collect().toMap
+    assert(names.contains("Unknown"))
+    assert(names.keys.exists(_ != "Unknown"))
+  }
+}
