@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming operators mirroring the reference's stateful semantics
+  * (SURVEY §2.9): incremental file ingest with checkpoints (the
+  * hcOwt.py mtime-diff loop is exactly Spark's file source), gap
+  * sessionization (client_session.h SESSION_TIMEOUT), windowed
+  * aggregation over event time, and the 60-day inactivity
+  * self-delete realized as an event-time TTL timer emitting tombstone
+  * records (`self_delete.c:19-57,229-276`).
+  *
+  * All operators are defined on unbounded DataFrames; specs replay the
+  * driver's `events` table through a file source micro-batch by
+  * micro-batch and assert equality with the batch answers
+  * (streaming=batch parity, SURVEY §5.2).
+  */
+object EventStream {
+
+  /** A typed event row (µs timestamp, already ns-decoded upstream). */
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Tombstone emitted when a key exceeds its inactivity TTL —
+    * the engine's record of `markTermination`.
+    */
+  case class Tombstone(user_id: Long, last_seen: Timestamp, reason: String)
+
+  /** Incremental file-source ingest: the checkpointed directory scan
+    * that replaces hcOwt's pickle-of-mtimes. `maxFilesPerTrigger=1`
+    * forces one micro-batch per file so state paths actually run
+    * incrementally in tests.
+    */
+  def fromDirectory(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Windowed event-time aggregation with watermark: counts + exact
+    * decimal sums per (window, event_type).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Gap-based sessionization (30-minute inactivity gap) using the
+    * built-in session window — the streaming twin of DQ24.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"))
+
+  /** Inactivity TTL with tombstones: per key, an event-time timer at
+    * last_seen + ttl; when the watermark passes it, the key's state is
+    * dropped and a tombstone emitted. This is the self-delete
+    * semantics: activity touches the timer, silence expires it.
+    */
+  def ttlTombstones(events: Dataset[Ev], ttlMs: Long): Dataset[Tombstone] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Tombstone](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(Tombstone(user, new Timestamp(last), "ttl_expired"))
+          } else {
+            val maxTs = rows.map(_.ts.getTime).foldLeft(
+              state.getOption.getOrElse(Long.MinValue))(math.max)
+            state.update(maxTs)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Drain a streaming DataFrame into an in-memory table and block
+    * until every available file is processed. Returns the sink name.
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Checkpointed incremental run: processes only files not yet seen by
+    * this checkpoint, appending to a parquet sink — the hcOwt loop as
+    * one engine call.
+    */
+  def incrementalIngest(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sinkDir: String, checkpointDir: String): Unit = {
+    val q = fromDirectory(spark, srcDir, schema, maxFilesPerTrigger = 1)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

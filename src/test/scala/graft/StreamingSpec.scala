@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+import graft.operators.Reassembly
+
+/** Streaming = batch parity (SURVEY §5.2): the events table replayed
+  * file-by-file through the streaming operators must equal the batch
+  * answers; TTL tombstones must match the batch-derived expiry set;
+  * incremental ingest must be exactly-once across checkpointed runs.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** events split into several parquet files landing one-by-one with
+    * ascending modification times, so the file source replays them in
+    * event-time order (the file source orders by mtime; equal mtimes
+    * would arrive shuffled and everything before the first-processed
+    * file's watermark would be dropped as late).
+    */
+  private lazy val splitDir: String = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Files.createTempDirectory("events_split").toString
+    val sliced = Tables.events(spark, dir)
+      .withColumn("slice", ntile(5).over(Window.orderBy("ts")))
+    for (i <- 1 to 5) {
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(p)
+      Thread.sleep(1100) // distinct mtimes even on coarse filesystems
+    }
+    p
+  }
+
+  private def batchEvents: DataFrame = spark.read.parquet(splitDir)
+
+  test("windowed aggregation: streaming result equals batch result") {
+    val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+    EventStream.runToMemory(EventStream.windowedCounts(stream), "win_stream")
+    val got = spark.table("win_stream")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val want = EventStream.windowedCounts(batchEvents)
+      .orderBy("w_start", "event_type").collect().toSeq
+    // streaming append emits only finalized (watermark-passed) windows;
+    // every emitted window must match its batch twin, and only the tail
+    // (last watermark interval) may be withheld
+    assert(got.nonEmpty)
+    val wantMap = want.map(r => (r.getTimestamp(0), r.getString(1)) -> r).toMap
+    got.foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(wantMap.contains(k), s"spurious window $k")
+      assert(wantMap(k) === r)
+    }
+    assert(got.size >= want.size - 10, s"too many withheld windows: ${want.size - got.size}")
+  }
+
+  test("gap sessionization: streaming session count per user equals batch DQ24") {
+    import spark.implicits._
+    val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+    EventStream.runToMemory(EventStream.sessionCounts(stream), "sess_stream")
+    val streamed = spark.table("sess_stream")
+      .groupBy("user_id").agg(count(lit(1)).as("sessions"))
+      .as[(Long, Long)].collect().toMap
+    val batch = queries.RelationalPack.dq24(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // sessions whose gap window is still open at end-of-stream are
+    // withheld by append mode; allow at most one open session per user
+    batch.foreach { case (u, n) =>
+      val s = streamed.getOrElse(u, 0L)
+      assert(s == n || s == n - 1, s"user $u: streamed $s vs batch $n")
+    }
+    val exact = batch.count { case (u, n) => streamed.getOrElse(u, 0L) == n }
+    assert(exact >= batch.size / 2, s"only $exact/${batch.size} users fully flushed")
+  }
+
+  test("TTL tombstones match the batch-derived expiry set") {
+    import spark.implicits._
+    val ttlMs = 5L * 24 * 3600 * 1000 // 5 days (60d scaled to the corpus)
+    val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+      .as[EventStream.Ev]
+    val q = EventStream.ttlTombstones(stream, ttlMs)
+    EventStream.runToMemory(q.toDF(), "ttl_stream")
+    val tombstoned = spark.table("ttl_stream")
+      .select("user_id").as[Long].collect().toSet
+
+    // batch expectation: users whose last event is older than
+    // final-watermark - ttl must have expired
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val watermark = maxTs - 3600 * 1000L // 1h watermark delay
+    val expected = batchEvents.groupBy("user_id").agg(max(col("ts")).as("last"))
+      .filter(col("last").cast("long") * 1000 + ttlMs < watermark)
+      .select("user_id").as[Long].collect().toSet
+    assert(expected.subsetOf(tombstoned),
+      s"missing tombstones: ${(expected diff tombstoned).take(5)}")
+    // no user tombstoned while still active inside the TTL at EOS is
+    // *guaranteed* wrong only if its timer could not yet have fired
+    val active = batchEvents.groupBy("user_id").agg(max(col("ts")).as("last"))
+      .filter(col("last").cast("long") * 1000 + ttlMs >= maxTs)
+      .select("user_id").as[Long].collect().toSet
+    assert((tombstoned intersect active).isEmpty, "active users tombstoned")
+  }
+
+  test("incremental ingest: checkpoint processes each file exactly once") {
+    val src = Files.createTempDirectory("inc_src").toString
+    val sink = Files.createTempDirectory("inc_sink").toString
+    val ckpt = Files.createTempDirectory("inc_ckpt").toString
+    val ev = batchEvents
+
+    // round 1: two files land
+    ev.filter(col("event_id") < 300).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(col("event_id") >= 300 && col("event_id") < 600).coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStream.incrementalIngest(spark, src, ev.schema, sink, ckpt)
+    val after1 = spark.read.parquet(sink).count()
+
+    // round 2: one more file lands; re-run with same checkpoint
+    ev.filter(col("event_id") >= 600).coalesce(1).write.mode("append").parquet(src)
+    EventStream.incrementalIngest(spark, src, ev.schema, sink, ckpt)
+    val after2 = spark.read.parquet(sink).count()
+
+    val total = ev.count()
+    assert(after2 === total, s"expected $total rows, got $after2 (round1=$after1)")
+    assert(after1 < total)
+  }
+
+  test("chunk reassembly: round trip, duplicate-tolerant, chunk-size invariant") {
+    import spark.implicits._
+    val blobs = Seq(
+      ("s1", Array.tabulate[Byte](10000)(i => (i * 31).toByte)),
+      ("s2", Array.tabulate[Byte](4052)(i => i.toByte)),
+      ("s3", Array.tabulate[Byte](17)(i => (i + 1).toByte))
+    ).toDF("stream_id", "blob")
+    for (chunkSize <- Seq(1000, 4052)) {
+      val chunks = Reassembly.chunk(blobs, chunkSize)
+      val withDups = chunks.union(chunks.limit(2)) // retransmits
+      val out = Reassembly.reassemble(withDups)
+        .select("stream_id", "blob", "contiguous", "total_bytes")
+        .as[(String, Array[Byte], Boolean, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val want = blobs.as[(String, Array[Byte])].collect().toMap
+      want.foreach { case (id, blob) =>
+        val (_, got, contiguous, total) = out(id)
+        assert(contiguous, s"$id not contiguous @ $chunkSize")
+        assert(total === blob.length)
+        assert(got.sameElements(blob), s"$id blob mismatch @ $chunkSize")
+      }
+    }
+  }
+
+  test("missing chunk is detected by the resume-accounting invariant") {
+    import spark.implicits._
+    val blobs = Seq(("s1", Array.tabulate[Byte](9000)(_.toByte))).toDF("stream_id", "blob")
+    val chunks = Reassembly.chunk(blobs, 1000).filter(col("offset") =!= 3000L)
+    import spark.implicits._
+    val r = Reassembly.reassemble(chunks)
+      .select("contiguous").as[Boolean].head()
+    assert(!r)
+  }
+}
