@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dims, Surveys}
+import graft.functions.{CodecExpressions => CE}
+
+/** The flagship end-to-end ingest DAG (SURVEY §3.3): beacon records →
+  * TLV decode → survey child-table parsing → dimension enrichment →
+  * longest-prefix gateway match → good/bad routing → partitioned
+  * parquet, mirroring honeycomb's listen→parse→RSI→processRSI→archive
+  * pipeline as one declarative Spark job.
+  *
+  * The corpus is generated deterministically from the driver's events
+  * table (beacon per event; implant per user) with real TLV-encoded
+  * payloads, so the decode path is exercised byte-for-byte. A slice of
+  * beacons carries an unknown TLV type — the parse_error channel
+  * (`honeycomb.py:246-247`) that routes to the bad sink.
+  *
+  * Scale: every stage is a narrow projection or a broadcast join
+  * except the survey explodes (linear) and the final write; output is
+  * partitioned by beacon date (daily pruning) — at 100 TB you'd add
+  * bucketing by implant for co-located session joins.
+  */
+object BeaconPipeline {
+
+  private def octet(ip: Column, shift: Int): Column =
+    floor(ip.cast("double") / math.pow(256, shift).toLong).cast("bigint") % 256
+
+  private def hexByte(c: Column): Column = lpad(hex(c), 2, "0")
+
+  /** /proc/net-style little-endian hex addr "0100007F:1F90". */
+  private def hexAddr(ip: Column, port: Column): Column =
+    concat(hexByte(octet(ip, 0)), hexByte(octet(ip, 1)),
+      hexByte(octet(ip, 2)), hexByte(octet(ip, 3)),
+      lit(":"), lpad(hex(port), 4, "0"))
+
+  /** Deterministic beacon corpus derived from events (one beacon per
+    * event; one implant per user). ~10% of beacons get an unknown TLV
+    * type; ~10% are version 22 (pre-compression wire version).
+    */
+  def syntheticBeacons(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val uid = col("user_id")
+    val eid = col("event_id")
+    val ip = (eid * 2654435761L) % 4294967296L
+    val gwIp = (uid * 16843009L + 167772161L) % 4294967296L
+    val macHex = lpad(hex(uid * 131071 % 281474976710656L), 12, "0")
+    val mac = lower(concat_ws("-", (0 until 6).map(i => substring(macHex, 1 + 2 * i, 2)): _*))
+    val dialect = when(uid % 3 === 0, "linux").when(uid % 3 === 1, "solaris").otherwise("mikrotik")
+
+    val procBlob = concat(
+      format_string("%d (beacond) S %d %d %d", (eid % 32768).cast("int"),
+        (uid % 1000).cast("int"), (uid % 100).cast("int"), (eid % 100).cast("int")),
+      lit("\n"),
+      format_string("%d (survey) R %d %d %d", ((eid + 1) % 32768).cast("int"),
+        (eid % 32768).cast("int"), (uid % 100).cast("int"), (eid % 100).cast("int")))
+
+    val netstatAn = concat(
+      lit("  0: "), hexAddr(ip, uid % 65536), lit(" "), hexAddr(gwIp, lit(443)),
+      lit(" "), hexByte((eid % 11 + 1).cast("int")), lit(" "),
+      hexByte(eid % 256), lit(":"), hexByte(uid % 256))
+
+    val netstatRn = concat(
+      lit("eth0 "), hexByte(octet(ip, 0)), hexByte(octet(ip, 1)), hexByte(octet(ip, 2)),
+      hexByte(octet(ip, 3)), lit(" "),
+      hexByte(octet(gwIp, 0)), hexByte(octet(gwIp, 1)), hexByte(octet(gwIp, 2)),
+      hexByte(octet(gwIp, 3)),
+      lit(" 0003 0 0 0 00FFFFFF 1500 0 0"))
+
+    val ipconfig = when(dialect === "linux", concat(
+        lit("eth0      Link encap:Ethernet  HWaddr "), upper(translate(mac, "-", ":")),
+        lit("\n          inet addr:"), dottedIp(ip), lit("  Mask:255.255.255.0")))
+      .when(dialect === "solaris", concat(
+        lit("e1000g0: flags=1000843<UP> mtu 1500\n\tinet "), dottedIp(ip),
+        lit(" netmask ffffff00\n\tether "), translate(mac, "-", ":")))
+      .otherwise(concat(
+        lit("0 R name=\"ether1\" mac-address="), upper(translate(mac, "-", ":")),
+        lit(" address="), dottedIp(ip), lit("/24")))
+
+    val knownTlv = array(
+      struct(lit(1).as("type"), mac.cast("binary").as("value")),
+      struct(lit(2).as("type"), (uid * 37 % 864000).cast("string").cast("binary").as("value")),
+      struct(lit(3).as("type"), procBlob.cast("binary").as("value")),
+      struct(lit(4).as("type"), ipconfig.cast("binary").as("value")),
+      struct(lit(5).as("type"), netstatRn.cast("binary").as("value")),
+      struct(lit(6).as("type"), netstatAn.cast("binary").as("value")),
+      struct(lit(7).as("type"), (eid % 86400).cast("string").cast("binary").as("value")))
+    val withUnknown = concat(knownTlv,
+      array(struct(lit(99).as("type"), lit("??").cast("binary").as("value"))))
+
+    e.select(
+      concat(lit("imp-"), uid).as("implant_id"),
+      col("ts").as("beacon_ts"),
+      when(eid % 10 === 0, 22).otherwise(29).as("version"),
+      (uid % 70).cast("int").as("os_code"),
+      dialect.as("dialect"),
+      CE.tlv_encode(when(eid % 10 === 3, withUnknown).otherwise(knownTlv)).as("raw_tlv"))
+  }
+
+  private def dottedIp(ip: Column): Column =
+    concat_ws(".", octet(ip, 3), octet(ip, 2), octet(ip, 1), octet(ip, 0))
+
+  /** Decoded beacon: TLV fields back to named columns (version-aware —
+    * `honeycomb.py:209-213` gates bz2 on version ≥ 23; storage codecs
+    * are the parquet layer's job here, so the gate only tags the row).
+    */
+  def decode(beacons: DataFrame): DataFrame = {
+    val fields = CE.tlv_decode(col("raw_tlv"))
+    def field(t: Int): Column =
+      element_at(filter(fields, f => f.getField("type") === t), 1).getField("value")
+    beacons.select(
+      col("implant_id"), col("beacon_ts"), col("version"), col("os_code"), col("dialect"),
+      field(1).cast("string").as("mac"),
+      field(2).cast("string").cast("bigint").as("uptime_s"),
+      field(3).cast("string").as("proc_blob"),
+      field(4).cast("string").as("ipconfig_blob"),
+      field(5).cast("string").as("netstat_rn_blob"),
+      field(6).cast("string").as("netstat_an_blob"),
+      field(7).cast("string").cast("int").as("next_beacon_s"),
+      (size(filter(fields, f => f.getField("type") > 7 || f.getField("type") < 1)) > 0)
+        .as("parse_error"))
+  }
+
+  /** Full pipeline result: enriched beacons + child tables. */
+  final case class Result(
+      good: DataFrame, bad: DataFrame,
+      processes: DataFrame, sockets: DataFrame, routes: DataFrame, interfaces: DataFrame)
+
+  def build(spark: SparkSession, dir: String): Result = {
+    val decoded = decode(syntheticBeacons(spark, dir))
+
+    val enriched = decoded
+      .join(broadcast(Dims.osCodesDf(spark)), Seq("os_code"), "left")
+      .withColumn("os_name", coalesce(col("os_name"), lit("Unknown")))
+      .withColumn("d", col("beacon_ts").cast("date"))
+
+    val bad = enriched.filter(col("parse_error") || col("uptime_s") < 0)
+    val good = enriched.filter(!(col("parse_error") || col("uptime_s") < 0))
+
+    val processes = Surveys.parseProcessList(good, "proc_blob")
+    val sockets = Surveys.parseSockets(good, "netstat_an_blob", "tcp")
+      .join(broadcast(Dims.tcpStatesDf(spark)), Seq("state_code"), "left")
+      .withColumn("state", coalesce(col("state_name"), lit("UNKNOWN")))
+      .drop("state_name")
+    val routes = Surveys.parseRoutes(good, "netstat_rn_blob")
+    val interfaces = Surveys.parseInterfaces(
+      good.withColumnRenamed("ipconfig_blob", "blob"), "blob")
+
+    Result(good, bad, processes, sockets, routes, interfaces)
+  }
+
+  /** Run end-to-end and land partitioned parquet (daily partitions;
+    * good/bad routed to separate sinks like processRSI's good/bad
+    * dirs).
+    */
+  def run(spark: SparkSession, dir: String, outDir: String): Result = {
+    val r = build(spark, dir)
+    r.good.drop("raw_tlv").write.mode("overwrite")
+      .partitionBy("d").parquet(s"$outDir/beacons_good")
+    r.bad.drop("raw_tlv").write.mode("overwrite")
+      .partitionBy("d").parquet(s"$outDir/beacons_bad")
+    r.processes.write.mode("overwrite").parquet(s"$outDir/processes")
+    r.sockets.write.mode("overwrite").parquet(s"$outDir/sockets")
+    r.routes.write.mode("overwrite").parquet(s"$outDir/routes")
+    r.interfaces.write.mode("overwrite").parquet(s"$outDir/interfaces")
+    r
+  }
+}

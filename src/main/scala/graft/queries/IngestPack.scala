@@ -226,9 +226,26 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  // -------------------------------------------------- end-to-end DAG
+
+  /** The full beacon ingest DAG (SURVEY §3.3) summarized: per-OS
+    * good-route counts plus the bad-channel count (rows-only in the
+    * gate; the DAG's internals are asserted in BeaconPipelineSpec).
+    */
+  val beaconDag: Q = (s, d) => {
+    val r = graft.plans.BeaconPipeline.build(s, d)
+    r.good.groupBy("os_name").agg(count(lit(1)).as("n"))
+      .withColumn("route", lit("good"))
+      .unionByName(
+        r.bad.groupBy(lit("(any)").as("os_name")).agg(count(lit(1)).as("n"))
+          .withColumn("route", lit("bad")))
+      .orderBy("route", "os_name")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "ig_beacon_dag"      -> beaconDag,
     "ig_ipv4_format"     -> ipv4Format,
     "ig_hex_format"      -> hexFormat,
     "ig_mac_format"      -> macFormat,

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.BeaconPipeline
+
+/** End-to-end ingest DAG over the synthetic beacon corpus: decode,
+  * child tables, enrichment, routing, partitioned landing.
+  */
+class BeaconPipelineSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("pipeline routes every beacon to exactly one sink; error channel = unknown TLV") {
+    val r = BeaconPipeline.build(spark, dir)
+    val total = Tables.events(spark, dir).count()
+    val good = r.good.count(); val bad = r.bad.count()
+    assert(good + bad === total)
+    // eid % 10 == 3 injects the unknown TLV type
+    val expectedBad = Tables.events(spark, dir)
+      .filter(col("event_id") % 10 === 3).count()
+    assert(bad === expectedBad)
+    assert(r.bad.filter(!col("parse_error")).count() === 0)
+  }
+
+  test("TLV decode reproduces the derived fields byte-for-byte") {
+    import spark.implicits._
+    val got = BeaconPipeline.decode(BeaconPipeline.syntheticBeacons(spark, dir))
+      .filter(!col("parse_error"))
+      .select("implant_id", "mac", "uptime_s")
+      .as[(String, String, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (imp, mac, up) =>
+      val uid = imp.stripPrefix("imp-").toLong
+      assert(mac === f"${uid * 131071 % 281474976710656L}%012x".grouped(2).mkString("-"))
+      assert(up === uid * 37 % 864000)
+    }
+  }
+
+  test("survey child tables parse typed rows out of the text blobs") {
+    val r = BeaconPipeline.build(spark, dir)
+    val goodN = r.good.count()
+    // two proc lines per beacon
+    assert(r.processes.count() === goodN * 2)
+    assert(r.processes.filter(col("command") === "beacond").count() === goodN)
+    // one socket line per beacon, state decoded via the dim
+    assert(r.sockets.count() === goodN)
+    assert(r.sockets.filter(col("state") === "UNKNOWN").count() === 0)
+    assert(r.sockets.filter(col("local_ip").rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$")).count() === goodN)
+    // one route per beacon with decoded flags (0003 = UG)
+    assert(r.routes.count() === goodN)
+    assert(r.routes.filter(col("flags") === "UG").count() === goodN)
+    // every dialect yields its interface row
+    assert(r.interfaces.count() === goodN)
+    assert(r.interfaces.select("dialect").distinct().count() === 3)
+    assert(r.interfaces.filter(col("mac").rlike("^([0-9a-f]{2}:){5}[0-9a-f]{2}$")).count() === goodN)
+  }
+
+  test("partitioned landing: daily partitions prune") {
+    val out = Files.createTempDirectory("beacon_out").toString
+    BeaconPipeline.run(spark, dir, out)
+    val days = new java.io.File(s"$out/beacons_good").listFiles()
+      .filter(_.getName.startsWith("d=")).map(_.getName)
+    assert(days.length > 5, s"expected daily partitions, got ${days.toSeq}")
+    // partition pruning: a single-day read scans one partition
+    val oneDay = spark.read.parquet(s"$out/beacons_good")
+      .filter(col("d") === days.head.stripPrefix("d="))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(oneDay.count() > 0)
+    assert(!plan.contains("PartitionFilters: []"), "partition filter not pushed")
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{RelationalPack, TrainingPack}
+
+/** Physical-plan quality gates: the properties that keep these
+  * operators viable at 100 TB — filters reaching the parquet scan,
+  * dimension joins broadcast (not shuffled), top-k avoiding a global
+  * sort, and column pruning at the scan. A query that silently loses
+  * one of these still returns correct rows at sf0.01 and then dies at
+  * scale; these tests pin the plan shape, not the answer.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    executedPlan(df).toString
+
+  test("DQ1: filters are pushed to the parquet scan") {
+    val plan = planString(RelationalPack.dq01(spark, dir))
+    assert(plan.contains("PushedFilters:"), plan)
+    // plan toString truncates long filter lists — match prefixes
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity.*"),
+      s"l_quantity filter not pushed:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(l_returnfl.*"),
+      s"l_returnflag filter not pushed:\n$plan")
+  }
+
+  test("DQ1: scan reads only the referenced columns") {
+    val plan = planString(RelationalPack.dq01(spark, dir))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"),
+      readSchema)
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"unpruned columns in scan: $readSchema")
+  }
+
+  test("DQ13: dimension join broadcasts; no shuffle of the nation side") {
+    val plan = planString(RelationalPack.dq13(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("DQ25: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planString(RelationalPack.dq25(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not take-ordered:\n$plan")
+  }
+
+  test("DQ19: aggregation is partial (map-side combine before the shuffle)") {
+    val plan = executedPlan(RelationalPack.dq19(spark, dir))
+    // partial + final HashAggregate pair around one exchange
+    val s = plan.toString
+    val aggs = "HashAggregate".r.findAllIn(s).length
+    assert(aggs >= 2, s"no partial aggregation:\n$s")
+  }
+
+  test("whole-stage codegen covers the relational hot path") {
+    val plan = planString(RelationalPack.dq01(spark, dir))
+    assert(plan.contains("*("), s"no WholeStageCodegen spans:\n$plan")
+  }
+
+  test("embedding near-dup: decimal verify runs only after the cheap prefilter") {
+    val df = TrainingPack.ddEmbeddingNearDup(spark, dir)
+    val s = df.queryExecution.optimizedPlan.toString
+    // dot_f32 prefilter must appear in a Filter/Join condition, decimal in the projection
+    assert(s.contains("dot_f32"), s"prefilter gone from plan:\n$s")
+  }
+
+  test("ingest dims stay broadcast even at larger scale factors") {
+    val plan = planString(queries.IngestPack.osDecode(spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("BroadcastHashJoin"), s"os dim not broadcast:\n$plan")
+    assert(!hasShuffleBeforeJoin(plan), s"dim side shuffled:\n$plan")
+  }
+
+  private def hasShuffleBeforeJoin(plan: String): Boolean =
+    plan.linesIterator.exists(l => l.contains("SortMergeJoin"))
+
+  test("shuffle partition count respects the session setting (not the 200 default)") {
+    val plan = executedPlan(RelationalPack.dq19(spark, dir))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    // AQE may coalesce below the setting, never above it
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
+    assert(exchanges.forall(_.outputPartitioning.numPartitions <= 4),
+      exchanges.map(_.outputPartitioning).mkString(", "))
+  }
+}
