@@ -226,6 +226,75 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  // -------------------------------------------------------- key gate
+
+  /** Hashed-key-match semi-join (`trigger_listen.c:221-232`): a record
+    * is accepted iff the double-hash of its key exists in the implant
+    * key set. sha256 here (DuckDB has no sha1; the engine also ships
+    * sha1 via Spark's builtin — semantics identical).
+    */
+  val keyGate: Q = (s, d) => {
+    val keys = Tables.events(s, d)
+      .filter(col("user_id") % 7 === 0)
+      .select(sha2(sha2(concat(lit("key-"), col("user_id")), 256), 256).as("key_hash"))
+      .distinct()
+    Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .withColumn("key_hash", sha2(sha2(concat(lit("key-"), col("user_id")), 256), 256))
+      .join(broadcast(keys), Seq("key_hash"), "left_semi")
+      .select("event_id")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------- RSI XML round-trip
+
+  /** RSI-document semantics (`honeycomb.py:318-385` writes XML;
+    * `processRSI.py:54-117` re-extracts): build the document per
+    * record, then recover fields with xpath — the engine's
+    * semi-structured path. Oracle recovers the same values with
+    * regexp (DuckDB has no xpath); values are identical.
+    */
+  val rsiRoundtrip: Q = (s, d) => {
+    val xml = concat(
+      lit("<ToolHandlerFile><header><ID>"), col("event_id"),
+      lit("</ID><byteCount>"), col("user_id"),
+      lit("</byteCount></header><beacon><deviceStats>"), col("event_type"),
+      lit("</deviceStats></beacon></ToolHandlerFile>"))
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), xml.as("doc"))
+      .select(col("event_id"),
+        expr("xpath_string(doc, '/ToolHandlerFile/header/ID')").cast("bigint").as("rid"),
+        expr("xpath_string(doc, '/ToolHandlerFile/header/byteCount')").cast("bigint").as("bytes"),
+        expr("xpath_string(doc, '/ToolHandlerFile/beacon/deviceStats')").as("stats"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------- session stats
+
+  /** Command-session analytics (§1.1 #2): gap-sessionize (1h idle =
+    * SESSION_TIMEOUT, client_session.h:12) and aggregate per session —
+    * event count and exact byte totals, first/last timestamps as epoch
+    * micros.
+    */
+  val sessionStats: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 3600L * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_cmds"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("bytes"),
+        unix_micros(min(col("ts"))).as("started"),
+        unix_micros(max(col("ts"))).as("ended"))
+      .orderBy("user_id", "session_no")
+  }
+
   // -------------------------------------------------- end-to-end DAG
 
   /** The full beacon ingest DAG (SURVEY §3.3) summarized: per-OS
@@ -246,6 +315,9 @@ object IngestPack {
 
   val queries: Map[String, Q] = Map(
     "ig_beacon_dag"      -> beaconDag,
+    "ig_key_gate"        -> keyGate,
+    "ig_rsi_roundtrip"   -> rsiRoundtrip,
+    "ig_session_stats"   -> sessionStats,
     "ig_ipv4_format"     -> ipv4Format,
     "ig_hex_format"      -> hexFormat,
     "ig_mac_format"      -> macFormat,
@@ -269,6 +341,43 @@ object IngestPack {
   private val ip = IpOfSql.format("event_id")
 
   val oracle: Map[String, String] = Map(
+    "ig_key_gate" ->
+      s"""SELECT event_id FROM events e
+         |WHERE event_id < 2000 AND EXISTS (
+         |  SELECT 1 FROM events k WHERE k.user_id % 7 = 0
+         |  AND sha256(sha256('key-' || k.user_id)) = sha256(sha256('key-' || e.user_id)))
+         |ORDER BY event_id""".stripMargin,
+
+    "ig_rsi_roundtrip" ->
+      s"""WITH x AS (
+         |  SELECT event_id,
+         |    concat('<ToolHandlerFile><header><ID>', event_id,
+         |      '</ID><byteCount>', user_id,
+         |      '</byteCount></header><beacon><deviceStats>', event_type,
+         |      '</deviceStats></beacon></ToolHandlerFile>') AS doc
+         |  FROM events WHERE event_id < 300)
+         |SELECT event_id,
+         |  CAST(regexp_extract(doc, '<ID>(\\d+)</ID>', 1) AS BIGINT) AS rid,
+         |  CAST(regexp_extract(doc, '<byteCount>(\\d+)</byteCount>', 1) AS BIGINT) AS bytes,
+         |  regexp_extract(doc, '<deviceStats>([^<]*)</deviceStats>', 1) AS stats
+         |FROM x ORDER BY event_id""".stripMargin,
+
+    "ig_session_stats" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |      OR ts - LAG(ts) OVER w > INTERVAL '1' HOUR THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_no
+         |  FROM g)
+         |SELECT user_id, session_no, COUNT(*) AS n_cmds,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS bytes,
+         |  epoch_us(MIN(ts)) AS started, epoch_us(MAX(ts)) AS ended
+         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
     "ig_ipv4_format" ->
       s"""SELECT event_id, $ip AS ip, ${dottedSql(ip)} AS dotted
          |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,

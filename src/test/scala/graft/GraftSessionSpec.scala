@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Library bootstrap: function registration across packs, and the
+  * salting utilities' exactness.
+  */
+class GraftSessionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("registerAll exposes every pack's functions to SQL") {
+    GraftSession.registerAll(spark)
+    val r = spark.sql(
+      """SELECT crc16_ccitt(CAST('123456789' AS BINARY)) AS a,
+        |       simhash64(array('x','y')) AS b,
+        |       dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c,
+        |       lang_id('the cat and the dog') AS d
+        |""".stripMargin).head()
+    assert(r.getInt(0) === 0x29B1)
+    assert(r.getDouble(2) === 11.0)
+    assert(r.getString(3) === "en")
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    import spark.implicits._
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val plain = df.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val salted = Skew.saltedAgg(df, $"user_id", $"event_id", 8)(
+      Seq(count(lit(1)).as("pn")), Seq(sum($"pn").as("n")))
+      .as[(Long, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val left = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", ($"user_id" % 25).cast("int").as("n_nationkey"))
+    val right = Tables.nation(spark, "/root/testdata/sf0.001")
+    val plain = left.join(right, Seq("n_nationkey"))
+      .select($"event_id", $"n_name").as[(Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, "n_nationkey", 8)
+      .select($"event_id", $"n_name").as[(Long, String)].collect().toSet
+    assert(salted === plain)
+  }
+}
