@@ -80,5 +80,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("rolling_fingerprint", es => TE.RollingFingerprint(es.head))
     inject("lang_id", es => TE.LangId(es.head))
     inject("dot_f32", es => VE.DotF32(es(0), es(1)))
+    inject("dot_f32_dec", es => VE.DotF32Dec(es(0), es(1)))
   }
 }

@@ -23,12 +23,12 @@ import graft.functions.TextImpl
   */
 object Similarity {
 
-  /** Exact decimal dot product of two float-array columns. */
+  /** Exact decimal dot product of two float-array columns (native
+    * kernel; value-identical to
+    * `SUM(CAST(x*y AS DECIMAL(28,12)))` in both engines).
+    */
   def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(28,12)")),
-      lit(0).cast("decimal(38,12)"),
-      (acc, x) => (acc + x).cast("decimal(38,12)"))
+    graft.functions.VectorExpressions.dot_f32_dec(a, b)
 
   /** Fast double dot product — native expression with a primitive
     * loop (graft.functions.VectorExpressions.DotF32); same IEEE fold

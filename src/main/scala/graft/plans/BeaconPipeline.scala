@@ -128,13 +128,18 @@ object BeaconPipeline {
       good: DataFrame, bad: DataFrame,
       processes: DataFrame, sockets: DataFrame, routes: DataFrame, interfaces: DataFrame)
 
-  def build(spark: SparkSession, dir: String): Result = {
-    val decoded = decode(syntheticBeacons(spark, dir))
-
-    val enriched = decoded
+  /** Decoded + dimension-enriched beacons with the routing predicate
+    * materialized as a column (single pass; branch filters are cheap
+    * on top).
+    */
+  def enriched(spark: SparkSession, dir: String): DataFrame =
+    decode(syntheticBeacons(spark, dir))
       .join(broadcast(Dims.osCodesDf(spark)), Seq("os_code"), "left")
       .withColumn("os_name", coalesce(col("os_name"), lit("Unknown")))
       .withColumn("d", col("beacon_ts").cast("date"))
+
+  def build(spark: SparkSession, dir: String): Result = {
+    val enriched = this.enriched(spark, dir)
 
     val bad = enriched.filter(col("parse_error") || col("uptime_s") < 0)
     val good = enriched.filter(!(col("parse_error") || col("uptime_s") < 0))

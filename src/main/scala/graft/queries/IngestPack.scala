@@ -302,12 +302,14 @@ object IngestPack {
     * gate; the DAG's internals are asserted in BeaconPipelineSpec).
     */
   val beaconDag: Q = (s, d) => {
-    val r = graft.plans.BeaconPipeline.build(s, d)
-    r.good.groupBy("os_name").agg(count(lit(1)).as("n"))
-      .withColumn("route", lit("good"))
-      .unionByName(
-        r.bad.groupBy(lit("(any)").as("os_name")).agg(count(lit(1)).as("n"))
-          .withColumn("route", lit("bad")))
+    val e = graft.plans.BeaconPipeline.enriched(s, d)
+    // single pass: route materialized as a column, not branch filters
+    e.withColumn("route",
+        when(col("parse_error") || col("uptime_s") < 0, "bad").otherwise("good"))
+      .groupBy(col("route"),
+        when(col("route") === "bad", "(any)").otherwise(col("os_name")).as("os_name"))
+      .agg(count(lit(1)).as("n"))
+      .select("os_name", "n", "route")
       .orderBy("route", "os_name")
   }
 
