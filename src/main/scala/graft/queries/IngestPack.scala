@@ -295,6 +295,18 @@ object IngestPack {
       .orderBy("user_id", "session_no")
   }
 
+  // ------------------------------------------------ profile validation
+
+  /** Trigger-profile fixture validation (ilm-client good-/bad- files,
+    * FIXTURES §2.6): parse the pipe-delimited corpus and emit one
+    * verdict per line.
+    */
+  val profileValidation: Q = (s, _) =>
+    graft.operators.Profiles.validate(
+      graft.operators.Profiles.parse(graft.operators.Profiles.fixturesDf(s), "line"))
+      .select("line", "verdict")
+      .orderBy("line")
+
   // -------------------------------------------------- end-to-end DAG
 
   /** The full beacon ingest DAG (SURVEY §3.3) summarized: per-OS
@@ -318,6 +330,7 @@ object IngestPack {
   val queries: Map[String, Q] = Map(
     "ig_beacon_dag"      -> beaconDag,
     "ig_key_gate"        -> keyGate,
+    "ig_profile_valid"   -> profileValidation,
     "ig_rsi_roundtrip"   -> rsiRoundtrip,
     "ig_session_stats"   -> sessionStats,
     "ig_ipv4_format"     -> ipv4Format,
@@ -343,6 +356,35 @@ object IngestPack {
   private val ip = IpOfSql.format("event_id")
 
   val oracle: Map[String, String] = Map(
+    "ig_profile_valid" -> {
+      val values = graft.operators.Profiles.fixtures
+        .map { case (l, _) => s"('$l')" }.mkString(", ")
+      val protos = graft.operators.Profiles.protocols.map(p => s"'$p'").mkString(", ")
+      val ipOk = (f: String) =>
+        s"""(regexp_matches($f, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$$')
+           | AND CAST(string_split($f,'.')[1] AS INT) BETWEEN 0 AND 255
+           | AND CAST(string_split($f,'.')[2] AS INT) BETWEEN 0 AND 255
+           | AND CAST(string_split($f,'.')[3] AS INT) BETWEEN 0 AND 255
+           | AND CAST(string_split($f,'.')[4] AS INT) BETWEEN 0 AND 255)""".stripMargin
+      s"""WITH t(line) AS (VALUES $values),
+         |p AS (SELECT line,
+         |  string_split(line,'|')[1] AS cip,
+         |  CAST(string_split(line,'|')[2] AS INT) AS cport,
+         |  string_split(line,'|')[3] AS tip,
+         |  string_split(line,'|')[4] AS proto,
+         |  CAST(string_split(line,'|')[5] AS INT) AS delay
+         |FROM t)
+         |SELECT line,
+         |  CASE WHEN cport NOT BETWEEN 1 AND 65535 THEN 'bad_callback_port'
+         |       WHEN NOT ${ipOk("cip")} THEN 'bad_callback_address'
+         |       WHEN NOT ${ipOk("tip")} THEN 'bad_target_address'
+         |       WHEN proto NOT IN ($protos) THEN 'bad_protocol'
+         |       WHEN proto IN ('raw-tcp','raw-udp') AND (delay IS NULL OR delay <= 0)
+         |         THEN 'bad_raw_port'
+         |       ELSE 'good' END AS verdict
+         |FROM p ORDER BY line""".stripMargin
+    },
+
     "ig_key_gate" ->
       s"""SELECT event_id FROM events e
          |WHERE event_id < 2000 AND EXISTS (
