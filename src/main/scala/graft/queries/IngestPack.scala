@@ -295,6 +295,21 @@ object IngestPack {
       .orderBy("user_id", "session_no")
   }
 
+  // ----------------------------------------------------- as-of join
+
+  /** As-of join (§2.4 declared surface): each event matched with the
+    * customer's latest order at event time.
+    */
+  val asofJoin: Q = (s, d) =>
+    graft.operators.AsOf.join(
+      Tables.events(s, d).filter(col("event_id") < 1000),
+      Tables.orders(s, d),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate",
+      leftUnique = "event_id", rightTieBreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey"))
+      .orderBy("event_id")
+
   // ------------------------------------------------ profile validation
 
   /** Trigger-profile fixture validation (ilm-client good-/bad- files,
@@ -331,6 +346,7 @@ object IngestPack {
     "ig_beacon_dag"      -> beaconDag,
     "ig_key_gate"        -> keyGate,
     "ig_profile_valid"   -> profileValidation,
+    "ig_asof_join"       -> asofJoin,
     "ig_rsi_roundtrip"   -> rsiRoundtrip,
     "ig_session_stats"   -> sessionStats,
     "ig_ipv4_format"     -> ipv4Format,
@@ -356,6 +372,15 @@ object IngestPack {
   private val ip = IpOfSql.format("event_id")
 
   val oracle: Map[String, String] = Map(
+    "ig_asof_join" ->
+      s"""WITH m AS (
+         |  SELECT e.event_id, o.o_orderkey,
+         |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+         |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+         |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 1000) e
+         |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         |SELECT event_id, o_orderkey FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "ig_profile_valid" -> {
       val values = graft.operators.Profiles.fixtures
         .map { case (l, _) => s"('$l')" }.mkString(", ")

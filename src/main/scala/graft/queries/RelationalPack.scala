@@ -268,6 +268,28 @@ object RelationalPack {
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
   }
 
+  /** CUBE twin of DQ22 (declared §2.5 surface). */
+  val dq22Cube: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("dq22_nation")
+    Tables.region(s, d).createOrReplaceTempView("dq22_region")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS c
+        |FROM dq22_nation JOIN dq22_region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Explicit GROUPING SETS twin of DQ22. */
+  val dq22Gsets: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("dq22_nation")
+    Tables.region(s, d).createOrReplaceTempView("dq22_region")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS c
+        |FROM dq22_nation JOIN dq22_region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
   // --------------------------------------------------------------- DQ23
   /** LAG inter-arrival (§2.6 next-beacon prediction). */
   val dq23: Q = (s, d) => {
@@ -368,6 +390,8 @@ object RelationalPack {
     "dq20_ordered_string_agg"  -> dq20,
     "dq21_count_distinct"      -> dq21,
     "dq22_rollup"              -> dq22,
+    "dq22_cube"                -> dq22Cube,
+    "dq22_gsets"               -> dq22Gsets,
     "dq23_lag_interarrival"    -> dq23,
     "dq24_sessionization"      -> dq24,
     "dq25_topk"                -> dq25,
@@ -425,6 +449,10 @@ object RelationalPack {
       "SELECT COUNT(DISTINCT o_custkey) AS buyers FROM orders",
     "dq22_rollup" ->
       "SELECT r_name, n_name, COUNT(*) AS c FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST",
+    "dq22_cube" ->
+      "SELECT r_name, n_name, COUNT(*) AS c FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY CUBE (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST",
+    "dq22_gsets" ->
+      "SELECT r_name, n_name, COUNT(*) AS c FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY GROUPING SETS ((r_name), (n_name), ()) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST",
     "dq23_lag_interarrival" ->
       "SELECT event_id, CAST(ts AS DATE) AS d, LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id FROM events WHERE user_id <= 5 ORDER BY user_id, ts, event_id",
     "dq24_sessionization" ->

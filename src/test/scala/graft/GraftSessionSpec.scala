@@ -42,6 +42,15 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("approx_count_distinct tracks exact distinct within rsd") {
+    import spark.implicits._
+    val df = Tables.orders(spark, "/root/testdata/sf0.01")
+    val exact = df.select(countDistinct($"o_custkey")).head().getLong(0)
+    val approx = df.select(approx_count_distinct($"o_custkey", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val left = Tables.events(spark, "/root/testdata/sf0.001")
