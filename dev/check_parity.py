@@ -24,8 +24,8 @@ def norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, float):
-        return round(v, 9)
+    # floats compared EXACTLY (bitwise) — the driver hashes raw values,
+    # so any engine divergence must fail here too
     return v
 
 def main(sf_dir, out_dir):

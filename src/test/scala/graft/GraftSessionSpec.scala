@@ -31,6 +31,26 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getString(3) === "en")
   }
 
+  test("GraftExtensions injects functions at session build time") {
+    val active = SparkSession.getActiveSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val crc = s2.sql("SELECT crc16_ccitt(CAST('123456789' AS BINARY)) AS c")
+        .head().getInt(0)
+      assert(crc === 0x29B1)
+    } finally {
+      active.foreach { s =>
+        SparkSession.setActiveSession(s); SparkSession.setDefaultSession(s)
+      }
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val df = Tables.events(spark, "/root/testdata/sf0.001")
