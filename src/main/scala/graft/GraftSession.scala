@@ -79,6 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("fnv1a64", es => TE.Fnv1a64(es.head))
     inject("rolling_fingerprint", es => TE.RollingFingerprint(es.head))
     inject("lang_id", es => TE.LangId(es.head))
+    inject("argv_tokenize", es => TE.ArgvTokenize(es.head))
+    inject("expand_env", es => TE.ExpandEnv(es(0), es(1)))
     inject("dot_f32", es => VE.DotF32(es(0), es(1)))
     inject("dot_f32_dec", es => VE.DotF32Dec(es(0), es(1)))
   }

@@ -57,10 +57,39 @@ object TextExpressions {
     override def prettyName: String = "lang_id"
   }
 
+  case class ArgvTokenize(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        TextImpl.argvTokenize(v.asInstanceOf[UTF8String].toString)
+          .map(UTF8String.fromString).toArray[Any])
+    override protected def withNewChildInternal(c: Expression): ArgvTokenize = copy(c)
+    override def prettyName: String = "argv_tokenize"
+  }
+
+  /** Env expansion against a constant environment (foldable when the
+    * path is a literal).
+    */
+  case class ExpandEnv(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(p: Any, m: Any): Any = {
+      val md = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val env = (0 until md.numElements()).map { i =>
+        md.keyArray().getUTF8String(i).toString -> md.valueArray().getUTF8String(i).toString
+      }.toMap
+      UTF8String.fromString(TextImpl.expandEnv(p.asInstanceOf[UTF8String].toString, env))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ExpandEnv = copy(l, r)
+    override def prettyName: String = "expand_env"
+  }
+
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def argv_tokenize(line: Column): Column = c(ArgvTokenize(e(line)))
+  def expand_env(path: Column, env: Column): Column = c(ExpandEnv(e(path), e(env)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
   def fnv1a64(s: Column): Column = c(Fnv1a64(e(s)))
   def rolling_fingerprint(s: Column): Column = c(RollingFingerprint(e(s)))
@@ -75,5 +104,7 @@ object TextExpressions {
     one("fnv1a64", es => Fnv1a64(es.head))
     one("rolling_fingerprint", es => RollingFingerprint(es.head))
     one("lang_id", es => LangId(es.head))
+    one("argv_tokenize", es => ArgvTokenize(es.head))
+    one("expand_env", es => ExpandEnv(es(0), es(1)))
   }
 }

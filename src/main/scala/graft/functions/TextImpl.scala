@@ -69,6 +69,41 @@ object TextImpl {
     h
   }
 
+  /** Quote-aware argv tokenization (`client/parser.c:34-107` BuildArgv
+    * semantics): whitespace separates tokens; single or double quotes
+    * group a token (quotes stripped); an unterminated quote runs to
+    * end of input.
+    */
+  def argvTokenize(line: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var inTok = false
+    def flush(): Unit = { if (inTok) { out += cur.toString; cur.clear(); inTok = false } }
+    line.foreach { c =>
+      if (quote != 0) {
+        if (c == quote) quote = 0 else { cur.append(c); inTok = true }
+      } else if (c == '"' || c == '\'') { quote = c; inTok = true }
+      else if (c.isWhitespace) flush()
+      else { cur.append(c); inTok = true }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Env-var path expansion (`server/client_session.c:632-639` is a
+    * stub that copies input; the engine implements what it intends):
+    * `$NAME` and `${NAME}` replaced from the given map; unknown vars
+    * expand to empty, `$$` escapes a literal `$`.
+    */
+  def expandEnv(path: String, env: Map[String, String]): String = {
+    val re = "\\$(\\$|\\{([A-Za-z_][A-Za-z0-9_]*)\\}|([A-Za-z_][A-Za-z0-9_]*))".r
+    re.replaceAllIn(path, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (m.group(1) == "$") "$"
+        else env.getOrElse(Option(m.group(2)).getOrElse(m.group(3)), "")))
+  }
+
   /** Stopword/char-class profiles for the language identifier. Small,
     * public-knowledge function-word lists.
     */

@@ -130,4 +130,39 @@ object Dedup {
       .select(col("doc_id"),
         TextExpressions.simhash64(TextOps.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
+
+  /** SimHash near-dup pairs via banded Hamming join: a pair within
+    * Hamming distance d must agree exactly on ≥1 of (d+1) disjoint
+    * 16-bit bands (pigeonhole), so candidates come from 4 equi-joins
+    * on a band value — shuffle key = (band, value), never the pair —
+    * then the exact Hamming check filters. Complete for d ≤ 3 with 4
+    * bands; the engine-native twin of minhashLsh.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit bands are only complete for d <= 3")
+    def sig(idName: String): DataFrame = {
+      val ts = TextOps.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as(idName),
+          TextExpressions.simhash64(ts).as(s"sh_$idName"))
+    }
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }
+    def banded(idName: String): DataFrame =
+      sig(idName).withColumnRenamed(s"sh_$idName", "sh")
+        .select(col(idName), col("sh"),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col(idName), col("sh").as(s"sh_$idName"),
+          col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val bi = banded("i")
+    val bj = banded("j")
+    bi.join(bj, bi("band") === bj("band") && bi("bv") === bj("bv") && col("i") < col("j"))
+      .select(col("i"), col("j"),
+        TextExpressions.hamming64(col("sh_i"), col("sh_j")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+      .orderBy("i", "j")
+  }
 }

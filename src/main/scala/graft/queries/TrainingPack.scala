@@ -34,6 +34,8 @@ object TrainingPack {
 
   val ddSimhash: Q = (s, d) => Dedup.simhash(s, d)
 
+  val ddSimhashPairs: Q = (s, d) => Dedup.simhashPairs(s, d)
+
   // -------------------------------------------------------- similarity
 
   val annBruteForce: Q = (s, d) => Similarity.bruteForceTopK(s, d)
@@ -105,6 +107,7 @@ object TrainingPack {
     "dd_ngram_jaccard"     -> ddNgramJaccard,
     "dd_minhash_lsh"       -> ddMinhashLsh,
     "dd_simhash"           -> ddSimhash,
+    "dd_simhash_pairs"     -> ddSimhashPairs,
     "dd_embedding_neardup" -> ddEmbeddingNearDup,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,

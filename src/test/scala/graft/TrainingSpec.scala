@@ -73,6 +73,18 @@ class TrainingSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("simhash banded pairs: complete for d<=3 vs brute force") {
+    import spark.implicits._
+    val hashes = Dedup.simhash(spark, dir).as[(Long, Long)].collect()
+    val brute = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes
+      if i < j && TextImpl.hamming64(hi, hj) <= 3
+    } yield (i, j)).toSet
+    val banded = Dedup.simhashPairs(spark, dir, 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
   // ------------------------------------------------------------ lang id
 
   test("lang_id identifies constructed multilingual snippets") {
@@ -83,6 +95,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(TextImpl.langId("你好世界这是一个测试文档") === "zh")
     assert(TextImpl.langId("xyzzy qwerty plugh") === "und")
     assert(TextImpl.langId("") === "und")
+  }
+
+  test("argv tokenize: quote-aware splitting (parser.c:34-107)") {
+    assert(TextImpl.argvTokenize("""upload "my file.txt" /tmp/dest""") ===
+      Seq("upload", "my file.txt", "/tmp/dest"))
+    assert(TextImpl.argvTokenize("a 'b c' d") === Seq("a", "b c", "d"))
+    assert(TextImpl.argvTokenize("  spaced   out  ") === Seq("spaced", "out"))
+    assert(TextImpl.argvTokenize("""empty "" token""") === Seq("empty", "", "token"))
+    assert(TextImpl.argvTokenize("unterminated 'quote runs") ===
+      Seq("unterminated", "quote runs"))
+    assert(TextImpl.argvTokenize("") === Seq())
+  }
+
+  test("expand_env: $VAR, ${VAR}, unknown->empty, $$ literal") {
+    val env = Map("HOME" -> "/root", "TMP" -> "/tmp")
+    assert(TextImpl.expandEnv("$HOME/data", env) === "/root/data")
+    assert(TextImpl.expandEnv("${TMP}/x and $HOME", env) === "/tmp/x and /root")
+    assert(TextImpl.expandEnv("$MISSING/x", env) === "/x")
+    assert(TextImpl.expandEnv("cost: $$5", env) === "cost: $5")
+    assert(TextImpl.expandEnv("no vars", env) === "no vars")
   }
 
   // -------------------------------------------------- rolling fingerprint
