@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.graft.ColumnBridge
@@ -17,45 +17,63 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CodecExpressions {
 
+  /** Static call targets for generated code (UTF8String bridging where
+    * the pure impl returns JVM strings).
+    */
+  object CodecBridge {
+    def macFormat(b: Array[Byte]): UTF8String =
+      UTF8String.fromString(CodecImpl.macFormat(b))
+  }
+  private val Impl = "graft.functions.CodecImpl"
+  private val Bridge = "graft.functions.CodecExpressions.CodecBridge"
+
   abstract class BinaryCodec extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
   }
 
-  case class Crc16(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class Crc16(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullSafeEval(v: Any): Any = CodecImpl.crc16(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Impl.crc16($b)")
     override protected def withNewChildInternal(c: Expression): Crc16 = copy(c)
     override def prettyName: String = "crc16_ccitt"
   }
 
-  case class IpCksum(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class IpCksum(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullSafeEval(v: Any): Any = CodecImpl.ipCksum(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Impl.ipCksum($b)")
     override protected def withNewChildInternal(c: Expression): IpCksum = copy(c)
     override def prettyName: String = "ip_cksum"
   }
 
-  case class XteaEncrypt(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class XteaEncrypt(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(d: Any, k: Any): Any =
       CodecImpl.xteaEncrypt(d.asInstanceOf[Array[Byte]], k.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (d, k) => s"$Impl.xteaEncrypt($d, $k)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): XteaEncrypt = copy(l, r)
     override def prettyName: String = "xtea_encrypt"
   }
 
-  case class XteaDecrypt(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class XteaDecrypt(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(d: Any, k: Any): Any =
       CodecImpl.xteaDecrypt(d.asInstanceOf[Array[Byte]], k.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (d, k) => s"$Impl.xteaDecrypt($d, $k)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): XteaDecrypt = copy(l, r)
     override def prettyName: String = "xtea_decrypt"
   }
 
-  case class SizeDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SizeDecode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = CodecImpl.sizeDecode(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Impl.sizeDecode($b)")
     override protected def withNewChildInternal(c: Expression): SizeDecode = copy(c)
     override def prettyName: String = "size_decode"
   }
@@ -67,14 +85,20 @@ object CodecExpressions {
     override def prettyName: String = "size_encode"
   }
 
-  case class KeyExtract(child: Expression) extends BinaryCodec {
+  case class KeyExtract(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any = CodecImpl.keyExtract(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Impl.keyExtract($b)")
     override protected def withNewChildInternal(c: Expression): KeyExtract = copy(c)
     override def prettyName: String = "key_extract"
   }
 
-  case class SeedXor(child: Expression) extends BinaryCodec {
+  case class SeedXor(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any = CodecImpl.seedXor(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Impl.seedXor($b)")
     override protected def withNewChildInternal(c: Expression): SeedXor = copy(c)
     override def prettyName: String = "seed_xor"
   }
@@ -108,10 +132,12 @@ object CodecExpressions {
     override def prettyName: String = "dns_name_encode"
   }
 
-  case class MacFormat(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class MacFormat(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any =
       UTF8String.fromString(CodecImpl.macFormat(v.asInstanceOf[Array[Byte]]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Bridge.macFormat($b)")
     override protected def withNewChildInternal(c: Expression): MacFormat = copy(c)
     override def prettyName: String = "mac_format"
   }
