@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Command-session replay (SURVEY §3.2): the 9-opcode session state
+  * machine (`server/client_session.c:456-575`) folded over ordered
+  * command streams — per session, running byte accounting per
+  * direction, termination on EXIT/SHUTDOWN, unknown opcodes ignored
+  * (the reference's `default: continue`).
+  *
+  * Batch realization: groupByKey + sorted in-group fold (mapGroups) —
+  * one shuffle on session_id, state O(1) per session. The streaming
+  * twin is the same fold inside flatMapGroupsWithState.
+  */
+object Sessions {
+
+  // opcodes (client_session.h:64-72)
+  val Upload = 1; val Execute = 2; val Download = 4; val Delete = 5
+  val Shutdown = 6; val Shell = 8; val Exit = 10
+  val known: Set[Int] = Set(Upload, Execute, Download, Delete, Shutdown, Shell, Exit)
+
+  case class Command(session_id: String, seq: Int, opcode: Int, path: String, size: Long)
+
+  case class SessionSummary(
+      session_id: String,
+      n_commands: Int,
+      n_ignored: Int,       // unknown opcodes skipped, not fatal
+      bytes_up: Long,       // UPLOAD accounting (received += ..., client_session.c:157-181)
+      bytes_down: Long,     // DOWNLOAD accounting
+      executed: Int,
+      deleted: Int,
+      terminated: Boolean,  // EXIT/SHUTDOWN seen
+      last_seq: Int)        // commands after termination are not applied
+
+  /** Fold one ordered command stream into its summary. */
+  def replayOne(sessionId: String, cmds: Iterator[Command]): SessionSummary = {
+    var n = 0; var ignored = 0; var up = 0L; var down = 0L
+    var exec = 0; var del = 0; var term = false; var lastSeq = -1
+    cmds.toSeq.sortBy(_.seq).foreach { c =>
+      n += 1
+      if (!term) {
+        lastSeq = c.seq
+        c.opcode match {
+          case Upload   => up += c.size
+          case Download => down += c.size
+          case Execute | Shell => exec += 1
+          case Delete   => del += 1
+          case Shutdown | Exit => term = true
+          case _        => ignored += 1 // unknown → ignored (continue)
+        }
+      }
+    }
+    SessionSummary(sessionId, n, ignored, up, down, exec, del, term, lastSeq)
+  }
+
+  def replay(commands: Dataset[Command]): Dataset[SessionSummary] = {
+    val spark = commands.sparkSession
+    import spark.implicits._
+    commands.groupByKey(_.session_id).mapGroups((id, it) => replayOne(id, it))
+  }
+
+  /** Deterministic command corpus derived from the events table (for
+    * specs and the gate query): session per user, seq per event,
+    * opcode cycling through the reference set plus an unknown code.
+    */
+  def syntheticCommands(spark: SparkSession, dir: String): Dataset[Command] = {
+    import spark.implicits._
+    val ops = Seq(Upload, Execute, Download, Delete, Shell, 7 /*unknown*/, Upload, Exit)
+    graft.Tables.events(spark, dir)
+      .select(
+        concat(lit("sess-"), col("user_id")).as("session_id"),
+        col("event_id").cast("int").as("seq"),
+        element_at(typedLit(ops), (pmod(col("event_id"), lit(ops.size)) + 1).cast("int"))
+          .as("opcode"),
+        concat(lit("/path/"), col("event_id")).as("path"),
+        (col("user_id") % 4096).as("size"))
+      .as[Command]
+  }
+}

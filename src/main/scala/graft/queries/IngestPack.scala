@@ -295,6 +295,18 @@ object IngestPack {
       .orderBy("user_id", "session_no")
   }
 
+  // ------------------------------------------------- session replay
+
+  /** Command-session state machine (§3.2): replay the synthetic
+    * command corpus per session — byte accounting per direction,
+    * unknown opcodes ignored, EXIT/SHUTDOWN stops application.
+    */
+  val sessionReplay: Q = (s, d) =>
+    graft.operators.Sessions.replay(
+      graft.operators.Sessions.syntheticCommands(s, d))
+      .toDF()
+      .orderBy("session_id")
+
   // ----------------------------------------------------- as-of join
 
   /** As-of join (§2.4 declared surface): each event matched with the
@@ -347,6 +359,7 @@ object IngestPack {
     "ig_key_gate"        -> keyGate,
     "ig_profile_valid"   -> profileValidation,
     "ig_asof_join"       -> asofJoin,
+    "ig_session_replay"  -> sessionReplay,
     "ig_rsi_roundtrip"   -> rsiRoundtrip,
     "ig_session_stats"   -> sessionStats,
     "ig_ipv4_format"     -> ipv4Format,
@@ -372,6 +385,31 @@ object IngestPack {
   private val ip = IpOfSql.format("event_id")
 
   val oracle: Map[String, String] = Map(
+    "ig_session_replay" ->
+      s"""WITH c AS (
+         |  SELECT 'sess-' || user_id AS session_id, CAST(event_id AS INT) AS seq,
+         |    CASE MOD(event_id, 8) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+         |      WHEN 3 THEN 5 WHEN 4 THEN 8 WHEN 5 THEN 7 WHEN 6 THEN 1
+         |      ELSE 10 END AS opcode,
+         |    user_id % 4096 AS size
+         |  FROM events),
+         |t AS (SELECT session_id,
+         |        MIN(CASE WHEN opcode IN (6, 10) THEN seq END) AS term_seq
+         |      FROM c GROUP BY 1),
+         |j AS (SELECT c.*, COALESCE(t.term_seq, 2147483647) AS tseq
+         |      FROM c JOIN t USING (session_id))
+         |SELECT session_id,
+         |  CAST(COUNT(*) AS INT) AS n_commands,
+         |  CAST(COUNT(*) FILTER (WHERE seq <= tseq
+         |    AND opcode NOT IN (1,2,4,5,6,8,10)) AS INT) AS n_ignored,
+         |  COALESCE(SUM(size) FILTER (WHERE opcode = 1 AND seq <= tseq), 0) AS bytes_up,
+         |  COALESCE(SUM(size) FILTER (WHERE opcode = 4 AND seq <= tseq), 0) AS bytes_down,
+         |  CAST(COUNT(*) FILTER (WHERE opcode IN (2, 8) AND seq <= tseq) AS INT) AS executed,
+         |  CAST(COUNT(*) FILTER (WHERE opcode = 5 AND seq <= tseq) AS INT) AS deleted,
+         |  (MIN(tseq) < 2147483647) AS terminated,
+         |  CAST(MAX(CASE WHEN seq <= tseq THEN seq END) AS INT) AS last_seq
+         |FROM j GROUP BY session_id ORDER BY session_id""".stripMargin,
+
     "ig_asof_join" ->
       s"""WITH m AS (
          |  SELECT e.event_id, o.o_orderkey,

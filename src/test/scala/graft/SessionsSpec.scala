@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sessions
+import graft.operators.Sessions.Command
+
+/** Command-session state machine semantics (§3.2). */
+class SessionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("replay folds opcodes with byte accounting, ignore-unknown, EXIT stop") {
+    val cmds = Seq(
+      Command("s", 1, Sessions.Upload, "/a", 100),
+      Command("s", 2, Sessions.Download, "/b", 40),
+      Command("s", 3, 99, "/junk", 7),          // unknown → ignored
+      Command("s", 4, Sessions.Execute, "/bin/x", 0),
+      Command("s", 5, Sessions.Upload, "/c", 11),
+      Command("s", 6, Sessions.Exit, "", 0),
+      Command("s", 7, Sessions.Upload, "/late", 999)) // after EXIT: not applied
+    val r = Sessions.replayOne("s", cmds.iterator)
+    assert(r.bytes_up === 111)
+    assert(r.bytes_down === 40)
+    assert(r.n_ignored === 1)
+    assert(r.executed === 1)
+    assert(r.terminated)
+    assert(r.last_seq === 6)
+    assert(r.n_commands === 7)
+  }
+
+  test("replay is order-insensitive in input, ordered by seq in semantics") {
+    val cmds = Seq(
+      Command("s", 2, Sessions.Exit, "", 0),
+      Command("s", 1, Sessions.Upload, "/a", 50))
+    val r = Sessions.replayOne("s", scala.util.Random.shuffle(cmds).iterator)
+    assert(r.bytes_up === 50 && r.terminated)
+  }
+
+  test("distributed replay equals local fold per session") {
+    import spark.implicits._
+    val ds = Sessions.syntheticCommands(spark, "/root/testdata/sf0.001")
+    val dist = Sessions.replay(ds).collect().map(s => s.session_id -> s).toMap
+    val local = ds.collect().groupBy(_.session_id).map { case (id, cs) =>
+      id -> Sessions.replayOne(id, cs.iterator)
+    }
+    assert(dist === local)
+    assert(dist.nonEmpty)
+  }
+}
