@@ -364,6 +364,41 @@ object RelationalPack {
       .select("event_id", "mavg")
   }
 
+  // ------------------------------------------------------- DQ29–31 (breadth)
+
+  /** Supplier-side revenue by nation: the supplier dimension's twin of
+    * DQ13, completing star-schema coverage.
+    */
+  val dq29: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(r2(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+
+  /** Part-dimension aggregation with a LIKE predicate pushdown. */
+  val dq30: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_type").startsWith("STANDARD") || col("p_size") < 10)
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), r2(sum(dec(col("l_quantity")))).as("qty"))
+      .orderBy("p_brand")
+
+  /** Cross-table id join documents ↔ embeddings (the corpus and its
+    * vector sidecar share the id domain): per-language vector norms.
+    */
+  val dq31: Q = (s, d) =>
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        r2(sum(dec(graft.functions.VectorExpressions.dot_f32(col("embedding"), col("embedding")))))
+          .as("norm_sum"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -399,6 +434,9 @@ object RelationalPack {
     "dq26_except"              -> dq26Except,
     "dq27_json_scalar"         -> dq27,
     "dq28_window_frame"        -> dq28,
+    "dq29_supplier_revenue"    -> dq29,
+    "dq30_part_brand"          -> dq30,
+    "dq31_doc_embedding"       -> dq31,
   )
 
   /** DuckDB-dialect oracle SQL, value-equivalent per SURVEY §2.11. */
@@ -467,5 +505,11 @@ object RelationalPack {
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events WHERE event_id < 100 ORDER BY event_id",
     "dq28_window_frame" ->
       "SELECT event_id, CAST(ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS mavg FROM events WHERE user_id <= 3 ORDER BY user_id, ts, event_id",
+    "dq29_supplier_revenue" ->
+      "SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_lines FROM supplier JOIN lineitem ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "dq30_part_brand" ->
+      "SELECT p_brand, COUNT(*) AS n, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty FROM part JOIN lineitem ON p_partkey = l_partkey WHERE p_type LIKE 'STANDARD%' OR p_size < 10 GROUP BY p_brand ORDER BY p_brand",
+    "dq31_doc_embedding" ->
+      "SELECT lang, COUNT(*) AS n, CAST(ROUND(SUM(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(18,6))), 2) AS DOUBLE) AS norm_sum FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang ORDER BY lang",
   )
 }
