@@ -80,7 +80,10 @@ object Dedup {
       .select(col("sg") +: (0 until MinhashK).map { s =>
         md5(concat_ws("|", lit(s.toString), col("sg"))).as(s"h$s")
       }: _*)
-    val aggs = (0 until MinhashK).map(s => min(col(s"h$s")).as(s"m$s"))
+    // per-doc shingle-set size rides along with the signature — the
+    // verify stage needs it and this saves a whole shingle pass
+    val aggs = (0 until MinhashK).map(s => min(col(s"h$s")).as(s"m$s")) :+
+      count(lit(1)).as("n")
     sh.join(dict, "sg")
       .groupBy(idName).agg(aggs.head, aggs.tail: _*)
   }
@@ -102,14 +105,15 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String,
       threshold: Double = JaccardThreshold): DataFrame = {
-    val bands = banded(minhashSignatures(spark, dir, "doc"), "doc")
+    val sig = minhashSignatures(spark, dir, "doc")
+    val bands = banded(sig, "doc")
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
 
     val sh = shingleTable(spark, dir, "doc")
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val sizes = sig.select("doc", "n")
     // verify stage: intersection counted over candidate pairs only
     val inter = cands
       .join(sh.toDF("i", "sg"), "i")

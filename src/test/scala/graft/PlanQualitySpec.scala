@@ -85,6 +85,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(s.contains("dot_f32"), s"prefilter gone from plan:\n$s")
   }
 
+  test("dedup candidate generation never degrades to a cartesian product") {
+    import graft.operators.Dedup
+    for (df <- Seq(Dedup.ngramJaccard(spark, dir), Dedup.minhashLsh(spark, dir),
+        Dedup.simhashPairs(spark, dir))) {
+      val s = planString(df)
+      assert(!s.contains("CartesianProduct"), s"cartesian in dedup plan:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"BNLJ in dedup plan:\n$s")
+    }
+  }
+
   test("ingest dims stay broadcast even at larger scale factors") {
     val plan = planString(queries.IngestPack.osDecode(spark, "/root/testdata/sf0.01"))
     assert(plan.contains("BroadcastHashJoin"), s"os dim not broadcast:\n$plan")
