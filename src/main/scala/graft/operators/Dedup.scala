@@ -103,10 +103,25 @@ object Dedup {
   /** MinHash LSH near-dup detection: band-bucket join → distinct
     * candidate pairs → exact-Jaccard verify on candidates only.
     */
+  /** @param maxBucket optional guardrail for adversarial corpora: band
+    *   buckets larger than this are dropped from candidate generation
+    *   (Σ bucket² explodes on pathological buckets at scale; dropping
+    *   an over-full bucket loses only pairs that other bands can still
+    *   recover). None (default) = exact LSH semantics, what the oracle
+    *   checks.
+    */
   def minhashLsh(spark: SparkSession, dir: String,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold,
+      maxBucket: Option[Int] = None): DataFrame = {
     val sig = minhashSignatures(spark, dir, "doc")
-    val bands = banded(sig, "doc")
+    val bandsRaw = banded(sig, "doc")
+    val bands = maxBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+        bandsRaw.withColumn("_bsz", count(lit(1)).over(w))
+          .filter(col("_bsz") <= cap).drop("_bsz")
+      case None => bandsRaw
+    }
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc"))

@@ -66,6 +66,20 @@ class BeaconPipelineSpec extends AnyFunSuite {
     assert(r.interfaces.filter(col("mac").rlike("^([0-9a-f]{2}:){5}[0-9a-f]{2}$")).count() === goodN)
   }
 
+  test("survey parsers skip malformed lines instead of failing") {
+    import spark.implicits._
+    val junk = Seq(
+      ("imp-x", new java.sql.Timestamp(0L),
+        "garbage line\n123 no parens here\n77 (ok) S 1 2 3\n\n  \nnot: a: socket"),
+    ).toDF("implant_id", "beacon_ts", "blob")
+    val procs = graft.operators.Surveys.parseProcessList(junk, "blob").collect()
+    assert(procs.length === 1 && procs.head.getAs[Int]("pid") === 77)
+    val socks = graft.operators.Surveys.parseSockets(junk, "blob", "tcp").collect()
+    assert(socks.isEmpty)
+    val routes = graft.operators.Surveys.parseRoutes(junk, "blob").collect()
+    assert(routes.isEmpty)
+  }
+
   test("partitioned landing: daily partitions prune") {
     val out = Files.createTempDirectory("beacon_out").toString
     BeaconPipeline.run(spark, dir, out)

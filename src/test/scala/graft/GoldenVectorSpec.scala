@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CodecImpl
+
+/** Frozen golden vectors (tsv files under src/test/resources/golden,
+  * FIXTURES.md §3): the committed regression baseline for every codec.
+  * A change in any implementation that shifts a single byte fails here.
+  */
+class GoldenVectorSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    if (s.isEmpty) Array.empty
+    else s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def hexOf(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02x").mkString
+
+  private def vectors(name: String): Seq[Array[String]] = {
+    val in = getClass.getResourceAsStream(s"/golden/$name")
+    require(in != null, s"missing golden resource $name")
+    scala.io.Source.fromInputStream(in).getLines()
+      .filter(_.nonEmpty).map(_.split("\t", -1)).toSeq
+  }
+
+  test("crc16.tsv") {
+    vectors("crc16.tsv").foreach { case Array(in, want) =>
+      assert(f"${CodecImpl.crc16(hex(in))}%04x" === want, in)
+    }
+  }
+
+  test("xtea.tsv") {
+    vectors("xtea.tsv").foreach { case Array(k, pt, ct) =>
+      assert(hexOf(CodecImpl.xteaEncrypt(hex(pt), hex(k))) === ct, pt)
+      val padded = hex(pt) ++ Array.fill[Byte]((8 - hex(pt).length % 8) % 8)(0)
+      assert(CodecImpl.xteaDecrypt(hex(ct), hex(k)).sameElements(padded), pt)
+    }
+  }
+
+  test("size_preamble.tsv") {
+    vectors("size_preamble.tsv").foreach { case Array(n, buf) =>
+      assert(hexOf(CodecImpl.sizeEncode(n.toLong)) === buf, n)
+      assert(CodecImpl.sizeDecode(hex(buf)) === n.toLong, n)
+    }
+  }
+
+  test("key_extract.tsv") {
+    vectors("key_extract.tsv").foreach { case Array(buf, key) =>
+      assert(hexOf(CodecImpl.keyExtract(hex(buf))) === key, buf)
+    }
+  }
+
+  test("payload_xor.tsv") {
+    vectors("payload_xor.tsv").foreach { case Array(p, obf) =>
+      assert(hexOf(CodecImpl.seedXor(hex(p))) === obf, p)
+      // involution modulo the zero-seed promotion
+      assert(hexOf(CodecImpl.seedUnxor(hex(obf))).drop(2) === p.drop(2), p)
+    }
+  }
+
+  test("tlv.tsv") {
+    vectors("tlv.tsv").foreach { case Array(spec, enc) =>
+      val fields = if (spec.isEmpty) Seq.empty
+        else spec.split(",").toSeq.map { f =>
+          val Array(t, v) = f.split(":", -1); (t.toInt, hex(v))
+        }
+      assert(hexOf(CodecImpl.tlvEncode(fields)) === enc, spec)
+      val back = CodecImpl.tlvDecode(hex(enc))
+      assert(back.map(_._1) === fields.map(_._1), spec)
+    }
+  }
+
+  test("b64.tsv matches java and the reference RFC1113 table") {
+    vectors("b64.tsv").foreach { case Array(in, b64) =>
+      assert(java.util.Base64.getEncoder.encodeToString(hex(in)) === b64, in)
+    }
+  }
+
+  test("dns_name.tsv") {
+    vectors("dns_name.tsv").foreach { case Array(pkt, off, name) =>
+      assert(CodecImpl.dnsNameDecode(hex(pkt), off.toInt) === name, pkt)
+    }
+  }
+
+  test("mac_fmt.tsv") {
+    vectors("mac_fmt.tsv").foreach { case Array(m, want) =>
+      assert(CodecImpl.macFormat(hex(m)) === want, m)
+    }
+  }
+
+  test("cksum.tsv") {
+    vectors("cksum.tsv").foreach { case Array(in, want) =>
+      assert(f"${CodecImpl.ipCksum(hex(in))}%04x" === want, in)
+    }
+  }
+}

@@ -60,6 +60,18 @@ class TrainingSpec extends AnyFunSuite {
     assert((lsh diff exact).isEmpty)
   }
 
+  test("minhash LSH bucket cap only ever removes candidates, never invents them") {
+    import spark.implicits._
+    val exact = Dedup.minhashLsh(spark, dir, 0.9).select("i", "j").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLsh(spark, dir, 0.9, maxBucket = Some(2))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact))
+    // a generous cap changes nothing on this corpus
+    val generous = Dedup.minhashLsh(spark, dir, 0.9, maxBucket = Some(100000))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(generous === exact)
+  }
+
   test("hyperplane LSH top-k has reasonable recall of brute-force neighbors") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 8, k = 10)
