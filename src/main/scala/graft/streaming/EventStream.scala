@@ -94,6 +94,17 @@ object EventStream {
       }
   }
 
+  /** Streaming exact-dedup: drop duplicate keys with bounded state —
+    * duplicates arriving within the watermark window are suppressed,
+    * state for keys older than the watermark is evicted (the
+    * unbounded-state trap of plain dropDuplicates on a stream).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Drain a streaming DataFrame into an in-memory table and block
     * until every available file is processed. Returns the sink name.
     */

@@ -135,6 +135,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(after1 < total)
   }
 
+  test("streaming dedup suppresses within-watermark duplicates") {
+    import spark.implicits._
+    // inject duplicates: each file re-lands a slice of the previous one
+    val p = Files.createTempDirectory("dup_events").toString
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_id") < 400).coalesce(1).write.mode("append").parquet(p)
+    Thread.sleep(1100)
+    ev.filter(col("event_id") >= 380 && col("event_id") < 700).coalesce(1)
+      .write.mode("append").parquet(p) // 20 duplicated ids
+    val schema = spark.read.parquet(p).schema
+    val stream = EventStream.fromDirectory(spark, p, schema)
+    EventStream.runToMemory(
+      EventStream.dedupStream(stream, Seq("event_id")), "dedup_stream")
+    val got = spark.table("dedup_stream").select("event_id").as[Long].collect()
+    assert(got.length === got.distinct.length, "duplicates leaked through")
+    assert(got.length === 700, s"expected 700 unique ids, got ${got.length}")
+  }
+
+  test("streaming beacon DAG equals the batch pipeline") {
+    import graft.plans.BeaconPipeline
+    // land the synthetic beacon corpus, then run decode+enrich+route as
+    // a streaming job over it
+    val src = Files.createTempDirectory("beacon_stream").toString
+    val beacons = BeaconPipeline.syntheticBeacons(spark, dir)
+    beacons.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(beacons.schema).parquet(src)
+    val routed = BeaconPipeline.decode(stream)
+      .withColumn("route",
+        when(col("parse_error") || col("uptime_s") < 0, "bad").otherwise("good"))
+    EventStream.runToMemory(routed, "beacon_stream")
+    val got = spark.table("beacon_stream")
+      .groupBy("route").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = BeaconPipeline.build(spark, dir)
+    assert(got("good") === batch.good.count())
+    assert(got("bad") === batch.bad.count())
+    // decoded field parity on a sample
+    val sGot = spark.table("beacon_stream").filter(col("route") === "good")
+      .select("implant_id", "mac").orderBy("implant_id", "mac").limit(50).collect().toSeq
+    val sWant = batch.good
+      .select("implant_id", "mac").orderBy("implant_id", "mac").limit(50).collect().toSeq
+    assert(sGot === sWant)
+  }
+
   test("chunk reassembly: round trip, duplicate-tolerant, chunk-size invariant") {
     import spark.implicits._
     val blobs = Seq(
