@@ -23,6 +23,27 @@ object CodecExpressions {
   object CodecBridge {
     def macFormat(b: Array[Byte]): UTF8String =
       UTF8String.fromString(CodecImpl.macFormat(b))
+
+    def dnsNameDecode(dns: Array[Byte], offset: Int): UTF8String =
+      UTF8String.fromString(CodecImpl.dnsNameDecode(dns, offset))
+
+    def dnsNameEncode(name: UTF8String): Array[Byte] =
+      CodecImpl.dnsNameEncode(name.toString)
+
+    def tlvDecode(buf: Array[Byte]): ArrayData = {
+      val entries = CodecImpl.tlvDecode(buf)
+      new GenericArrayData(entries.map { case (t, bytes) =>
+        InternalRow(t, bytes)
+      }.toArray[Any])
+    }
+
+    def tlvEncode(arr: ArrayData): Array[Byte] = {
+      val fields = (0 until arr.numElements()).map { i =>
+        val row = arr.getStruct(i, 2)
+        (row.getInt(0), row.getBinary(1))
+      }
+      CodecImpl.tlvEncode(fields)
+    }
   }
   private val Impl = "graft.functions.CodecImpl"
   private val Bridge = "graft.functions.CodecExpressions.CodecBridge"
@@ -104,30 +125,36 @@ object CodecExpressions {
   }
 
   case class SlidingXor(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(d: Any, k: Any, o: Any): Any =
       CodecImpl.slidingXor(d.asInstanceOf[Array[Byte]], k.asInstanceOf[Array[Byte]],
         o.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (d, k, o) => s"$Impl.slidingXor($d, $k, $o)")
     override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): SlidingXor =
       copy(a, b, c)
     override def prettyName: String = "sliding_xor"
   }
 
   case class DnsNameDecode(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(d: Any, o: Any): Any =
       UTF8String.fromString(
         CodecImpl.dnsNameDecode(d.asInstanceOf[Array[Byte]], o.asInstanceOf[Int]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (d, o) => s"$Bridge.dnsNameDecode($d, $o)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DnsNameDecode = copy(l, r)
     override def prettyName: String = "dns_name_decode"
   }
 
-  case class DnsNameEncode(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class DnsNameEncode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any =
       CodecImpl.dnsNameEncode(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, n => s"$Bridge.dnsNameEncode($n)")
     override protected def withNewChildInternal(c: Expression): DnsNameEncode = copy(c)
     override def prettyName: String = "dns_name_encode"
   }
@@ -149,29 +176,23 @@ object CodecExpressions {
   /** `tlv_decode(BINARY) → ARRAY<STRUCT<type INT, value BINARY>>`
     * (SURVEY §4.2); explode downstream for per-field rows.
     */
-  case class TlvDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class TlvDecode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(tlvEntryType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val entries = CodecImpl.tlvDecode(v.asInstanceOf[Array[Byte]])
-      new GenericArrayData(entries.map { case (t, bytes) =>
-        InternalRow(t, bytes)
-      }.toArray[Any])
-    }
+    override def nullSafeEval(v: Any): Any =
+      CodecBridge.tlvDecode(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Bridge.tlvDecode($b)")
     override protected def withNewChildInternal(c: Expression): TlvDecode = copy(c)
     override def prettyName: String = "tlv_decode"
   }
 
   /** `tlv_encode(ARRAY<STRUCT<type INT, value BINARY>>) → BINARY`. */
-  case class TlvEncode(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class TlvEncode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = BinaryType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val fields = (0 until arr.numElements()).map { i =>
-        val row = arr.getStruct(i, 2)
-        (row.getInt(0), row.getBinary(1))
-      }
-      CodecImpl.tlvEncode(fields)
-    }
+    override def nullSafeEval(v: Any): Any =
+      CodecBridge.tlvEncode(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$Bridge.tlvEncode($a)")
     override protected def withNewChildInternal(c: Expression): TlvEncode = copy(c)
     override def prettyName: String = "tlv_encode"
   }
