@@ -94,6 +94,34 @@ object TrainingPack {
         TextExpressions.lang_id(col("text")).as("lang_guess"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split: md5 of the id maps each doc
+    * to a stable bucket (~80/10/10 by hex prefix range) — reproducible
+    * across engines, partitions, and reruns, unlike rand() sampling.
+    */
+  val txSampleSplit: Q = (s, d) => {
+    val h = md5(concat(lit("split|"), col("doc_id")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus statistics per language: doc counts, exact token totals,
+    * min/max lengths — the dataset-card numbers a training pipeline
+    * reports.
+    */
+  val txCorpusStats: Q = (s, d) => {
+    val ts = TextOps.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("lang"), size(ts).cast("bigint").as("n_tok"), col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+  }
+
   // -------------------------------------------------------- multimodal
 
   val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
@@ -115,6 +143,8 @@ object TrainingPack {
     "tx_quality"           -> txQuality,
     "tx_fingerprint"       -> txFingerprint,
     "tx_native_features"   -> txNativeFeatures,
+    "tx_sample_split"      -> txSampleSplit,
+    "tx_corpus_stats"      -> txCorpusStats,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
   )
@@ -220,5 +250,18 @@ object TrainingPack {
 
     "mm_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents ORDER BY doc_id",
+
+    "tx_sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN md5('split|' || doc_id) < 'cc' THEN 'train'
+         |       WHEN md5('split|' || doc_id) < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_corpus_stats" ->
+      s"""SELECT lang, COUNT(*) AS docs,
+         |  SUM(CAST(len($TS) AS BIGINT)) AS total_tokens,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
