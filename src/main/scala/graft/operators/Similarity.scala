@@ -76,6 +76,30 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** Scale path for all-pairs near-dup: candidates restricted to
+    * hyperplane-bucket collisions (8 planes → 256 buckets so highly
+    * similar vectors co-bucket with high probability), then the same
+    * exact decimal verify. Shuffles on the bucket key, never the
+    * cross product; recall vs the exact operator is measured in
+    * TrainingSpec, precision is exact by construction.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val signs = hyperplaneSigns(nPlanes, 64)
+    def side(idName: String, vName: String): DataFrame =
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id").as(idName), col("embedding").as(vName))
+        .withColumn(s"bucket_$idName", lshSignature(col(vName), signs))
+    val a = side("i", "va")
+    val b = side("j", "vb")
+    a.join(b, col("bucket_i") === col("bucket_j") && col("i") < col("j"))
+      .filter(dotDouble(col("va"), col("vb")) >= threshold - 0.01)
+      .withColumn("dot", dotDecimal(col("va"), col("vb")))
+      .filter(col("dot") >= threshold)
+      .select(col("i"), col("j"), round(col("dot"), 6).cast("double").as("cos"))
+      .orderBy("i", "j")
+  }
+
   /** Deterministic ±1 hyperplane matrix: sign(p)(i) from the engine's
     * own fnv1a64 of "p|i" — reproducible across sessions, no RNG.
     */

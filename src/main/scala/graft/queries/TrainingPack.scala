@@ -44,6 +44,8 @@ object TrainingPack {
 
   val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDup(s, d)
 
+  val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
+
   // ----------------------------------------------------- text analysis
 
   val txTokenCount: Q = (s, d) =>
@@ -137,6 +139,7 @@ object TrainingPack {
     "dd_simhash"           -> ddSimhash,
     "dd_simhash_pairs"     -> ddSimhashPairs,
     "dd_embedding_neardup" -> ddEmbeddingNearDup,
+    "dd_embedding_neardup_lsh" -> ddEmbeddingNearDupLsh,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "tx_token_count"       -> txTokenCount,

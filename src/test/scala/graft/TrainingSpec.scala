@@ -97,6 +97,22 @@ class TrainingSpec extends AnyFunSuite {
     assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("embedding near-dup LSH: exact precision, measured recall") {
+    import spark.implicits._
+    val exact = Similarity.embeddingNearDup(spark, dir, 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupLsh(spark, dir, 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact operator rejects")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      // near-identical vectors (cos >= 0.95) co-bucket under 8 planes
+      // with prob >= (1 - acos(0.95)/pi)^8 ≈ 0.52; planted dups are
+      // much closer than 0.95 so empirical recall is far higher
+      assert(recall >= 0.5, s"recall $recall over ${exact.size} pairs")
+    }
+  }
+
   // ------------------------------------------------------------ lang id
 
   test("lang_id identifies constructed multilingual snippets") {
