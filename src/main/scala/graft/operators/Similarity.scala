@@ -124,18 +124,30 @@ object Similarity {
     * returned (recall measured against brute force in the spec).
     */
   def lshTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 8, k: Int = 10, nPlanes: Int = 16): DataFrame = {
+      nQueries: Int = 8, k: Int = 10, nPlanes: Int = 16,
+      multiProbe: Boolean = false): DataFrame = {
     val signs = hyperplaneSigns(nPlanes, 64)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", lshSignature(col("embedding"), signs))
+    // multi-probe: a query also visits every bucket one sign-flip away
+    // (nPlanes+1 probes) — recall of near-boundary neighbors without
+    // growing the corpus side
+    val probes =
+      if (multiProbe)
+        explode(concat(array(col("bucket")),
+          array((0 until nPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1 << p))): _*)))
+      else col("bucket")
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        probes.as("bucket"))
     val corpus = emb.select(col("vec_id"), col("embedding").as("v"), col("bucket").as("cbucket"))
     val scored = queries.join(corpus,
         col("bucket") === col("cbucket") && col("query_id") =!= col("vec_id"))
       .withColumn("dot", dotDecimal(col("q"), col("v")))
+    val deduped = if (multiProbe) scored.dropDuplicates("query_id", "vec_id") else scored
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    deduped.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("dot"), 6).cast("double").as("score"))

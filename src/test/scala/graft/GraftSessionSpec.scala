@@ -51,6 +51,35 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("typed OrderedConcat aggregator equals the window-sorted string agg (DQ20)") {
+    import spark.implicits._
+    val agg = new graft.functions.OrderedConcat(",").toColumn
+    val typedResult = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey", $"l_linenumber".cast("int"), $"l_returnflag")
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("flags"))
+      .collect().toMap
+    val dq20 = queries.RelationalPack.dq20(spark, "/root/testdata/sf0.001")
+      .as[(Long, String)].collect().toMap
+    dq20.foreach { case (k, v) => assert(typedResult(k) === v, s"order $k") }
+  }
+
+  test("multi-probe LSH top-k recall >= single-probe recall") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val brute = Similarity.bruteForceTopK(spark, "/root/testdata/sf0.001")
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(spark, "/root/testdata/sf0.001")
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshTopK(spark, "/root/testdata/sf0.001", multiProbe = true)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rs = (brute intersect single).size.toDouble / brute.size
+    val rm = (brute intersect multi).size.toDouble / brute.size
+    assert(rm >= rs, s"multi-probe recall $rm < single $rs")
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val df = Tables.events(spark, "/root/testdata/sf0.001")
