@@ -316,6 +316,18 @@ object RelationalPack {
       .orderBy("user_id")
   }
 
+  /** DQ24 twin via the native session_window operator (same 30-min gap
+    * semantics, realized by Spark's built-in session windows instead
+    * of lag arithmetic) — counts sessions per user.
+    */
+  val dq24SessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("sessions"))
+      .orderBy("user_id")
+
   // --------------------------------------------------------------- DQ25
   /** Top-k (§2.7): ORDER BY + LIMIT → TakeOrderedAndProject, no full sort. */
   val dq25: Q = (s, d) =>
@@ -429,6 +441,7 @@ object RelationalPack {
     "dq22_gsets"               -> dq22Gsets,
     "dq23_lag_interarrival"    -> dq23,
     "dq24_sessionization"      -> dq24,
+    "dq24_session_window"      -> dq24SessionWindow,
     "dq25_topk"                -> dq25,
     "dq26_intersect"           -> dq26Intersect,
     "dq26_except"              -> dq26Except,
@@ -495,6 +508,10 @@ object RelationalPack {
       "SELECT event_id, CAST(ts AS DATE) AS d, LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id FROM events WHERE user_id <= 5 ORDER BY user_id, ts, event_id",
     "dq24_sessionization" ->
       "WITH g AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s, event_id FROM events) SELECT user_id, SUM(new_s) AS sessions FROM g GROUP BY user_id ORDER BY user_id",
+    // session_window's boundary is exclusive (a gap of exactly 30min
+    // starts a new session), hence >= rather than DQ24's >
+    "dq24_session_window" ->
+      "WITH g AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s, event_id FROM events) SELECT user_id, SUM(new_s) AS sessions FROM g GROUP BY user_id ORDER BY user_id",
     "dq25_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "dq26_intersect" ->
