@@ -124,6 +124,31 @@ object TrainingPack {
       .orderBy("lang")
   }
 
+  /** Keyword extraction: top-5 terms per language ranked by an exact
+    * integer tf·idf-style score (term frequency scaled down by corpus
+    * document frequency; integer arithmetic so both engines agree
+    * bit-for-bit — no libm log divergence).
+    */
+  val txTopTerms: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val df = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score",
+        floor((col("tf") * 1000000).cast("double") / col("df")).cast("bigint"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "tok", "score")
+      .orderBy("lang", "rank")
+  }
+
   // -------------------------------------------------------- multimodal
 
   val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
@@ -148,6 +173,7 @@ object TrainingPack {
     "tx_native_features"   -> txNativeFeatures,
     "tx_sample_split"      -> txSampleSplit,
     "tx_corpus_stats"      -> txCorpusStats,
+    "tx_top_terms"         -> txTopTerms,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
   )
@@ -266,5 +292,22 @@ object TrainingPack {
          |  SUM(CAST(len($TS) AS BIGINT)) AS total_tokens,
          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tx_top_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($TS) AS tok FROM documents),
+         |tf AS (SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |docf AS (
+         |  SELECT tok, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+         |scored AS (
+         |  SELECT lang, tok, tf, (tf * 1000000) // df AS score
+         |  FROM tf JOIN docf USING (tok)),
+         |r AS (
+         |  SELECT lang, tok, score,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rank
+         |  FROM scored)
+         |SELECT lang, rank, tok, score FROM r WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin,
   )
 }
