@@ -376,6 +376,28 @@ object RelationalPack {
       .select("event_id", "mavg")
   }
 
+  /** Multi-key sort with explicit NULL ordering (§2.7 declared
+    * surface); NULLIF manufactures nulls in the synthetic data.
+    */
+  val dq32: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 500)
+      .select(col("event_id"),
+        nullif(col("event_type"), lit("error")).as("et"),
+        (col("user_id") % 3).as("grp"))
+      .orderBy(col("et").desc_nulls_last, col("grp").asc_nulls_first, col("event_id"))
+
+  /** Percentile statistics (exact interpolated percentiles over
+    * integer inputs — both engines interpolate the same two exact
+    * values, so doubles agree bitwise).
+    */
+  val dq33: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("median_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"))
+      .orderBy("lang")
+
   // ------------------------------------------------------- DQ29–31 (breadth)
 
   /** Supplier-side revenue by nation: the supplier dimension's twin of
@@ -450,6 +472,8 @@ object RelationalPack {
     "dq29_supplier_revenue"    -> dq29,
     "dq30_part_brand"          -> dq30,
     "dq31_doc_embedding"       -> dq31,
+    "dq32_null_ordering"       -> dq32,
+    "dq33_percentiles"         -> dq33,
   )
 
   /** DuckDB-dialect oracle SQL, value-equivalent per SURVEY §2.11. */
@@ -528,5 +552,9 @@ object RelationalPack {
       "SELECT p_brand, COUNT(*) AS n, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty FROM part JOIN lineitem ON p_partkey = l_partkey WHERE p_type LIKE 'STANDARD%' OR p_size < 10 GROUP BY p_brand ORDER BY p_brand",
     "dq31_doc_embedding" ->
       "SELECT lang, COUNT(*) AS n, CAST(ROUND(SUM(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(18,6))), 2) AS DOUBLE) AS norm_sum FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang ORDER BY lang",
+    "dq32_null_ordering" ->
+      "SELECT event_id, NULLIF(event_type, 'error') AS et, user_id % 3 AS grp FROM events WHERE event_id < 500 ORDER BY et DESC NULLS LAST, grp ASC NULLS FIRST, event_id",
+    "dq33_percentiles" ->
+      "SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars FROM documents GROUP BY lang ORDER BY lang",
   )
 }
