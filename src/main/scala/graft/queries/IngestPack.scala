@@ -295,6 +295,25 @@ object IngestPack {
       .orderBy("user_id", "session_no")
   }
 
+  // ------------------------------------------------- config upsert
+
+  /** Config-patcher semantics as an upsert (§2.1): base configs from
+    * even events, updates from odd events; latest version per key
+    * wins, updates beating base on ties.
+    */
+  val configUpsert: Q = (s, d) => {
+    // version = event_id div 2 so an even/odd pair can collide at the
+    // same version, exercising the updates-beat-base tiebreak; within
+    // a (key, version, source) the row is unique → deterministic
+    def configs(parity: Int) = Tables.events(s, d)
+      .filter(col("event_id") % 2 === parity && col("event_id") < 2000)
+      .select((col("user_id") % 100).as("key"),
+        expr("event_id div 2").as("version"),
+        col("event_type").as("payload"))
+    graft.operators.Configs.upsert(configs(0), configs(1), "key", "version")
+      .orderBy("key")
+  }
+
   // ------------------------------------------------- session replay
 
   /** Command-session state machine (§3.2): replay the synthetic
@@ -360,6 +379,7 @@ object IngestPack {
     "ig_profile_valid"   -> profileValidation,
     "ig_asof_join"       -> asofJoin,
     "ig_session_replay"  -> sessionReplay,
+    "ig_config_upsert"   -> configUpsert,
     "ig_rsi_roundtrip"   -> rsiRoundtrip,
     "ig_session_stats"   -> sessionStats,
     "ig_ipv4_format"     -> ipv4Format,
@@ -385,6 +405,15 @@ object IngestPack {
   private val ip = IpOfSql.format("event_id")
 
   val oracle: Map[String, String] = Map(
+    "ig_config_upsert" ->
+      s"""WITH c AS (
+         |  SELECT user_id % 100 AS key, event_id // 2 AS version,
+         |    event_type AS payload, CAST(MOD(event_id, 2) AS INT) AS src
+         |  FROM events WHERE event_id < 2000),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+         |        ORDER BY version DESC, src DESC) AS rn FROM c)
+         |SELECT key, version, payload FROM r WHERE rn = 1 ORDER BY key""".stripMargin,
+
     "ig_session_replay" ->
       s"""WITH c AS (
          |  SELECT 'sess-' || user_id AS session_id, CAST(event_id AS INT) AS seq,
