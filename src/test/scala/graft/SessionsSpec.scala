@@ -42,6 +42,36 @@ class SessionsSpec extends AnyFunSuite {
     assert(r.bytes_up === 50 && r.terminated)
   }
 
+  test("streaming replay converges to the batch summaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // land commands as seq-ordered files (the transport's ACK ordering)
+    val p = java.nio.file.Files.createTempDirectory("cmds").toString
+    val cmds = Sessions.syntheticCommands(spark, dir)
+    for ((lo, hi) <- Seq((0, 300), (300, 600), (600, Int.MaxValue))) {
+      cmds.filter(col("seq") >= lo && col("seq") < hi)
+        .coalesce(1).write.mode("append").parquet(p)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(cmds.schema)
+      .option("maxFilesPerTrigger", 1).parquet(p).as[Sessions.Command]
+    val q = Sessions.replayStream(stream).toDF()
+      .writeStream.format("memory").queryName("sess_replay")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Update mode emits one row per touched session per batch; the
+    // LAST emission per session is its final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("session_id").orderBy(col("n_commands").desc)
+    val last = spark.table("sess_replay")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .as[Sessions.SessionSummary].collect().map(s => s.session_id -> s).toMap
+    val batch = Sessions.replay(cmds).collect().map(s => s.session_id -> s).toMap
+    assert(last === batch)
+  }
+
   test("distributed replay equals local fold per session") {
     import spark.implicits._
     val ds = Sessions.syntheticCommands(spark, "/root/testdata/sf0.001")
