@@ -137,6 +137,12 @@ object BeaconPipeline {
       .join(broadcast(Dims.osCodesDf(spark)), Seq("os_code"), "left")
       .withColumn("os_name", coalesce(col("os_name"), lit("Unknown")))
       .withColumn("d", col("beacon_ts").cast("date"))
+      // pipeline observability: row/error counters ride the plan for
+      // free (no extra pass) and surface in QueryExecution.observedMetrics
+      .observe("ingest_metrics",
+        count(lit(1)).as("rows"),
+        sum(when(col("parse_error"), 1L).otherwise(0L)).as("parse_errors"),
+        sum(when(col("os_name") === "Unknown", 1L).otherwise(0L)).as("unknown_os"))
 
   def build(spark: SparkSession, dir: String): Result = {
     val enriched = this.enriched(spark, dir)

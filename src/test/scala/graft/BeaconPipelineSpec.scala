@@ -66,6 +66,19 @@ class BeaconPipelineSpec extends AnyFunSuite {
     assert(r.interfaces.filter(col("mac").rlike("^([0-9a-f]{2}:){5}[0-9a-f]{2}$")).count() === goodN)
   }
 
+  test("observed ingest metrics match the routed counts") {
+    val df = BeaconPipeline.enriched(spark, dir)
+    // collect() executes THIS plan (count() would spawn a child query
+    // execution and the metrics would attach there instead)
+    val total = df.collect().length.toLong
+    val m = df.queryExecution.observedMetrics("ingest_metrics")
+    assert(m.getAs[Long]("rows") === total)
+    val expectedErrors = Tables.events(spark, dir)
+      .filter(col("event_id") % 10 === 3).count()
+    assert(m.getAs[Long]("parse_errors") === expectedErrors)
+    assert(m.getAs[Long]("unknown_os") > 0)
+  }
+
   test("survey parsers skip malformed lines instead of failing") {
     import spark.implicits._
     val junk = Seq(
