@@ -295,6 +295,17 @@ object IngestPack {
       .orderBy("user_id", "session_no")
   }
 
+  // ------------------------------------------------ trigger pipeline
+
+  /** Trigger gate chain end-to-end (rows-only: the crc-positioned
+    * payload recovery has no SQL analog; TriggerPipelineSpec proves
+    * the verdicts against the planted channels).
+    */
+  val triggerPipeline: Q = (s, d) =>
+    graft.plans.TriggerPipeline.run(s, d)
+      .groupBy("verdict").agg(count(lit(1)).as("n"))
+      .orderBy("verdict")
+
   // ------------------------------------------------- config upsert
 
   /** Config-patcher semantics as an upsert (§2.1): base configs from
@@ -380,6 +391,7 @@ object IngestPack {
     "ig_asof_join"       -> asofJoin,
     "ig_session_replay"  -> sessionReplay,
     "ig_config_upsert"   -> configUpsert,
+    "ig_trigger_gates"   -> triggerPipeline,
     "ig_rsi_roundtrip"   -> rsiRoundtrip,
     "ig_session_stats"   -> sessionStats,
     "ig_ipv4_format"     -> ipv4Format,
