@@ -149,6 +149,24 @@ object TrainingPack {
       .orderBy("lang", "rank")
   }
 
+  /** Greedy sequence packing: documents assigned in id order to
+    * fixed-capacity context windows (4096 tokens) by running token
+    * sum — the streaming packing a pretraining dataloader applies,
+    * as a window cumsum (integer-exact, partition-order-free).
+    */
+  val txSequencePacking: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // global-order window: fine for a corpus shard; at scale pack per
+    // shard key (the dataloader's natural unit) to keep it parallel
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before").cast("double") / 4096).cast("bigint"))
+      .select("doc_id", "n_tok", "bin")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
@@ -174,6 +192,7 @@ object TrainingPack {
     "tx_sample_split"      -> txSampleSplit,
     "tx_corpus_stats"      -> txCorpusStats,
     "tx_top_terms"         -> txTopTerms,
+    "tx_sequence_packing"  -> txSequencePacking,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
   )
@@ -279,6 +298,17 @@ object TrainingPack {
 
     "mm_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents ORDER BY doc_id",
+
+    "tx_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($TS) AS BIGINT) AS n_tok FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tok, cum_before // 4096 AS bin
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "tx_sample_split" ->
       s"""SELECT doc_id,
