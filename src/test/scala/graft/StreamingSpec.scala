@@ -203,6 +203,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ack sink: ledger matches landed bytes; checkpoint re-run adds nothing") {
+    import graft.streaming.AckSink
+    val data = Files.createTempDirectory("ack_data").toString
+    val ledger = Files.createTempDirectory("ack_ledger").toString
+    val ckpt = Files.createTempDirectory("ack_ckpt").toString
+    val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+      .select(col("event_id"), col("props"))
+    AckSink.run(stream, data, ledger, ckpt, bytesOf = "props")
+    val landed = spark.read.parquet(data)
+    val led = spark.read.parquet(ledger)
+    assert(landed.count() === batchEvents.count())
+    assert(led.agg(org.apache.spark.sql.functions.sum("rows")).head().getLong(0)
+      === batchEvents.count())
+    val ledBytes = led.agg(org.apache.spark.sql.functions.sum("bytes")).head().getLong(0)
+    val realBytes = batchEvents
+      .agg(org.apache.spark.sql.functions.sum(length(col("props")).cast("long")))
+      .head().getLong(0)
+    assert(ledBytes === realBytes)
+    // re-run with the same checkpoint: no new batches, no duplicates
+    AckSink.run(EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+      .select(col("event_id"), col("props")), data, ledger, ckpt, "props")
+    assert(spark.read.parquet(data).count() === batchEvents.count())
+  }
+
   test("missing chunk is detected by the resume-accounting invariant") {
     import spark.implicits._
     val blobs = Seq(("s1", Array.tabulate[Byte](9000)(_.toByte))).toDF("stream_id", "blob")
