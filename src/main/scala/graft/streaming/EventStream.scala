@@ -94,6 +94,22 @@ object EventStream {
       }
   }
 
+  /** Next-beacon scheduling with jitter (`server/beacon.c:49-64,
+    * 153-161`): next = ts + interval·(1 + pct·u) with u ∈ [-1, 1),
+    * floored at 1 s. u derives from fnv1a64 of the seed column —
+    * deterministic (safe under task retries/speculation, unlike
+    * rand()) while uniform across keys. Returns epoch micros.
+    */
+  def nextBeaconMicros(ts: org.apache.spark.sql.Column,
+      seed: org.apache.spark.sql.Column,
+      intervalS: Long, jitterPct: Double): org.apache.spark.sql.Column = {
+    val h = graft.functions.TextExpressions.fnv1a64(seed.cast("string"))
+    // map 63 uniform bits to [-1, 1)
+    val u = (pmod(h, lit(1L << 62)).cast("double") / (1L << 61).toDouble) - 1.0
+    val deltaUs = (lit(intervalS * 1e6) * (lit(1.0) + lit(jitterPct) * u)).cast("bigint")
+    unix_micros(ts) + greatest(lit(1000000L), deltaUs)
+  }
+
   /** Streaming exact-dedup: drop duplicate keys with bounded state —
     * duplicates arriving within the watermark window are suppressed,
     * state for keys older than the watermark is evicted (the

@@ -203,6 +203,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("jitter schedule: bounds hold, deterministic, spread across keys") {
+    import spark.implicits._
+    val interval = 3600L; val pct = 0.30
+    val df = Tables.events(spark, dir)
+      .withColumn("next_us",
+        EventStream.nextBeaconMicros(col("ts"), col("event_id"), interval, pct))
+      .withColumn("delta_s",
+        (col("next_us") - unix_micros(col("ts"))).cast("double") / 1e6)
+    val deltas = df.select("delta_s").as[Double].collect()
+    // |jitter| <= pct * interval (SURVEY §5.2 property), floor respected
+    assert(deltas.forall(d => d >= 1.0 && d >= interval * (1 - pct) - 1e-6
+      && d <= interval * (1 + pct) + 1e-6))
+    assert(deltas.distinct.length > deltas.length / 2, "jitter not spread")
+    // deterministic: same inputs, same schedule
+    val again = df.select("delta_s").as[Double].collect()
+    assert(deltas.toSeq === again.toSeq)
+  }
+
   test("ack sink: ledger matches landed bytes; checkpoint re-run adds nothing") {
     import graft.streaming.AckSink
     val data = Files.createTempDirectory("ack_data").toString
