@@ -1,0 +1,70 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.functions.{CodecExpressions => CE, TextExpressions => TE}
+import graft.operators.{Dedup, Similarity}
+import graft.plans.BeaconPipeline
+
+/** Runnable tour of the engine surface:
+  * `sbt "runMain graft.examples.Quickstart [dataDir] [outDir]"`.
+  * Exercises the SQL registry, the Column API, dedup/similarity
+  * operators and the end-to-end ingest DAG against the test tables.
+  */
+object Quickstart {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_out").toString)
+
+    val spark = GraftSession.getOrCreate("graft-quickstart")
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.registerAll(spark, dataDir)
+
+    // 1. SQL surface: engine functions are ordinary SQL functions
+    println("== codec functions from SQL ==")
+    spark.sql(
+      """SELECT doc_id,
+        |       crc16_ccitt(CAST(text AS BINARY)) AS crc,
+        |       lang_id(text) AS lang_guess,
+        |       rolling_fingerprint(text) AS fp
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).show()
+
+    // 2. Column API: TLV beacon decode
+    println("== TLV round trip (Column API) ==")
+    Tables.documents(spark, dataDir).limit(3)
+      .select(col("doc_id"),
+        CE.tlv_decode(CE.tlv_encode(array(
+          struct(lit(1).as("type"), col("lang").cast("binary").as("value")),
+          struct(lit(2).as("type"), col("source").cast("binary").as("value"))))).as("fields"))
+      .select(col("doc_id"), expr("transform(fields, f -> f.type)").as("types"))
+      .show()
+
+    // 3. Near-duplicate detection (MinHash + LSH, verified)
+    println("== near-dup pairs (minhash LSH) ==")
+    Dedup.minhashLsh(spark, dataDir).show(5)
+
+    // 4. Similarity search (exact decimal scores)
+    println("== cosine top-3 for the first 2 vectors ==")
+    Similarity.bruteForceTopK(spark, dataDir, nQueries = 2, k = 3).show()
+
+    // 5. SimHash fingerprints + Hamming distance from SQL
+    println("== simhash neighbors of doc 0 ==")
+    spark.sql(
+      """WITH h AS (SELECT doc_id,
+        |  simhash64(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id, b.doc_id AS other, hamming64(a.sh, b.sh) AS dist
+        |FROM h a JOIN h b ON a.doc_id = 0 AND b.doc_id <> 0
+        |ORDER BY dist, other LIMIT 5""".stripMargin).show()
+
+    // 6. End-to-end ingest DAG with partitioned landing
+    println(s"== beacon ingest DAG -> $outDir ==")
+    val r = BeaconPipeline.run(spark, dataDir, outDir)
+    println(s"good=${r.good.count()} bad=${r.bad.count()} " +
+      s"processes=${r.processes.count()} sockets=${r.sockets.count()}")
+
+    val unused = TE // keep import surface visible in the example
+    spark.stop()
+  }
+}

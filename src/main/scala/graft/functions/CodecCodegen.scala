@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Top-level codegen targets for the codec expressions (generated Java
+  * cannot address Scala nested objects — only top-level objects get
+  * static forwarders; a nested path fails janino compilation and the
+  * stage silently drops to interpreted mode).
+  */
+object CodecCodegen {
+
+  def macFormat(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(CodecImpl.macFormat(b))
+
+  def dnsNameDecode(dns: Array[Byte], offset: Int): UTF8String =
+    UTF8String.fromString(CodecImpl.dnsNameDecode(dns, offset))
+
+  def dnsNameEncode(name: UTF8String): Array[Byte] =
+    CodecImpl.dnsNameEncode(name.toString)
+
+  def tlvDecode(buf: Array[Byte]): ArrayData = {
+    val entries = CodecImpl.tlvDecode(buf)
+    new GenericArrayData(entries.map { case (t, bytes) =>
+      InternalRow(t, bytes)
+    }.toArray[Any])
+  }
+
+  def tlvEncode(arr: ArrayData): Array[Byte] = {
+    val fields = (0 until arr.numElements()).map { i =>
+      val row = arr.getStruct(i, 2)
+      (row.getInt(0), row.getBinary(1))
+    }
+    CodecImpl.tlvEncode(fields)
+  }
+}

@@ -17,36 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CodecExpressions {
 
-  /** Static call targets for generated code (UTF8String bridging where
-    * the pure impl returns JVM strings).
-    */
-  object CodecBridge {
-    def macFormat(b: Array[Byte]): UTF8String =
-      UTF8String.fromString(CodecImpl.macFormat(b))
-
-    def dnsNameDecode(dns: Array[Byte], offset: Int): UTF8String =
-      UTF8String.fromString(CodecImpl.dnsNameDecode(dns, offset))
-
-    def dnsNameEncode(name: UTF8String): Array[Byte] =
-      CodecImpl.dnsNameEncode(name.toString)
-
-    def tlvDecode(buf: Array[Byte]): ArrayData = {
-      val entries = CodecImpl.tlvDecode(buf)
-      new GenericArrayData(entries.map { case (t, bytes) =>
-        InternalRow(t, bytes)
-      }.toArray[Any])
-    }
-
-    def tlvEncode(arr: ArrayData): Array[Byte] = {
-      val fields = (0 until arr.numElements()).map { i =>
-        val row = arr.getStruct(i, 2)
-        (row.getInt(0), row.getBinary(1))
-      }
-      CodecImpl.tlvEncode(fields)
-    }
-  }
   private val Impl = "graft.functions.CodecImpl"
-  private val Bridge = "graft.functions.CodecExpressions.CodecBridge"
+  private val Bridge = "graft.functions.CodecCodegen"
 
   abstract class BinaryCodec extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -179,7 +151,7 @@ object CodecExpressions {
   case class TlvDecode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(tlvEntryType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      CodecBridge.tlvDecode(v.asInstanceOf[Array[Byte]])
+      CodecCodegen.tlvDecode(v.asInstanceOf[Array[Byte]])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, b => s"$Bridge.tlvDecode($b)")
     override protected def withNewChildInternal(c: Expression): TlvDecode = copy(c)
@@ -190,7 +162,7 @@ object CodecExpressions {
   case class TlvEncode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any =
-      CodecBridge.tlvEncode(v.asInstanceOf[ArrayData])
+      CodecCodegen.tlvEncode(v.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, a => s"$Bridge.tlvEncode($a)")
     override protected def withNewChildInternal(c: Expression): TlvEncode = copy(c)

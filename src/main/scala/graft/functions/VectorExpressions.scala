@@ -24,30 +24,14 @@ object VectorExpressions {
     override def dataType: DataType = DoubleType
 
     override def nullSafeEval(a: Any, b: Any): Any =
-      DotF32.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.VectorExpressions.DotF32.dot($a, $b)")
+        s"graft.functions.VectorKernels.dot($a, $b)")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 = copy(l, r)
     override def prettyName: String = "dot_f32"
-  }
-
-  object DotF32 {
-    /** Shared by interpreted eval and generated code. */
-    def dot(a: ArrayData, b: ArrayData): Double = {
-      val xs = a.toFloatArray()
-      val ys = b.toFloatArray()
-      val n = math.min(xs.length, ys.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        s += xs(i).toDouble * ys(i).toDouble
-        i += 1
-      }
-      s
-    }
   }
 
   /** `dot_f32_dec(ARRAY<FLOAT>, ARRAY<FLOAT>) → DECIMAL(38,12)` —
@@ -62,32 +46,14 @@ object VectorExpressions {
     override def dataType: DataType = DecimalType(38, 12)
 
     override def nullSafeEval(a: Any, b: Any): Any =
-      DotF32Dec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      VectorKernels.dotDec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.VectorExpressions.DotF32Dec.dot($a, $b)")
+        s"graft.functions.VectorKernels.dotDec($a, $b)")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32Dec = copy(l, r)
     override def prettyName: String = "dot_f32_dec"
-  }
-
-  object DotF32Dec {
-    def dot(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
-      val xs = a.toFloatArray()
-      val ys = b.toFloatArray()
-      val n = math.min(xs.length, ys.length)
-      var acc = java.math.BigDecimal.ZERO
-      var i = 0
-      while (i < n) {
-        val p = xs(i).toDouble * ys(i).toDouble
-        // BigDecimal.valueOf = shortest-string, matching Cast-to-decimal
-        acc = acc.add(java.math.BigDecimal.valueOf(p)
-          .setScale(12, java.math.RoundingMode.HALF_UP))
-        i += 1
-      }
-      org.apache.spark.sql.types.Decimal(acc, 38, 12)
-    }
   }
 
   private def c(e: Expression): Column = ColumnBridge.column(e)

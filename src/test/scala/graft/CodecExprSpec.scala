@@ -61,6 +61,28 @@ class CodecExprSpec extends AnyFunSuite {
     assert(row.getInt(3) === 0x220D)
   }
 
+  test("generated code for the kernels compiles (no silent interpreted fallback)") {
+    import spark.implicits._
+    // with fallback disabled, a janino compile error fails the query
+    // instead of silently degrading the stage to interpreted mode
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val s = emb.select(
+        graft.functions.VectorExpressions.dot_f32(col("embedding"), col("embedding")).as("d"),
+        graft.functions.VectorExpressions.dot_f32_dec(col("embedding"), col("embedding")).as("dd"))
+        .agg(sum(col("d"))).head().getDouble(0)
+      assert(s > 0)
+      val mac = Seq(Tuple1(Array.tabulate[Byte](6)(_.toByte))).toDF("b")
+        .select(CE.mac_format(col("b")),
+          CE.crc16_ccitt(col("b")),
+          CE.tlv_decode(CE.tlv_encode(array(
+            struct(lit(1).as("type"), col("b").as("value"))))))
+        .head()
+      assert(mac.getString(0) === "00-01-02-03-04-05")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("null in → null out (no NPE inside a plan)") {
     import spark.implicits._
     val got = Seq(Option.empty[Array[Byte]]).toDF("b")
