@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,8 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Catalyst expressions over [[CodecImpl]] — the engine's non-SQL
   * scalar surface (SURVEY §4.2). All are deterministic, null-safe
   * (null in → null out) and foldable under constant inputs, so
-  * Catalyst can constant-fold them; evaluation is interpreted
-  * (CodegenFallback) which is fine off the relational hot path.
+  * Catalyst can constant-fold them; all generate code via static
+  * calls into top-level objects ([[CodecImpl]]/[[CodecCodegen]]),
+  * keeping whole-stage codegen intact.
   */
 object CodecExpressions {
 
