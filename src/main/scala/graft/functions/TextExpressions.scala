@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -13,56 +13,63 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExpressions {
 
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val tokens = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
-      TextImpl.simhash64(tokens)
-    }
+    override def nullSafeEval(v: Any): Any =
+      TextCodegen.simhash64(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextCodegen.simhash64($a)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
     override def prettyName: String = "simhash64"
   }
 
   case class Hamming64(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def nullSafeEval(a: Any, b: Any): Any =
       TextImpl.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 = copy(l, r)
     override def prettyName: String = "hamming64"
   }
 
-  case class Fnv1a64(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class Fnv1a64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
-      TextImpl.fnv1a64(v.asInstanceOf[UTF8String].getBytes)
+      TextCodegen.fnv1a64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextCodegen.fnv1a64($a)")
     override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
     override def prettyName: String = "fnv1a64"
   }
 
-  case class RollingFingerprint(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class RollingFingerprint(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
-      TextImpl.rollingFingerprint(v.asInstanceOf[UTF8String].toString)
+      TextCodegen.rollingFingerprint(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextCodegen.rollingFingerprint($a)")
     override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(c)
     override def prettyName: String = "rolling_fingerprint"
   }
 
-  case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class LangId(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any =
-      UTF8String.fromString(TextImpl.langId(v.asInstanceOf[UTF8String].toString))
+      TextCodegen.langId(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextCodegen.langId($a)")
     override protected def withNewChildInternal(c: Expression): LangId = copy(c)
     override def prettyName: String = "lang_id"
   }
 
-  case class ArgvTokenize(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class ArgvTokenize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        TextImpl.argvTokenize(v.asInstanceOf[UTF8String].toString)
-          .map(UTF8String.fromString).toArray[Any])
+      TextCodegen.argvTokenize(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextCodegen.argvTokenize($a)")
     override protected def withNewChildInternal(c: Expression): ArgvTokenize = copy(c)
     override def prettyName: String = "argv_tokenize"
   }
@@ -71,15 +78,13 @@ object TextExpressions {
     * path is a literal).
     */
   case class ExpandEnv(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = StringType
-    override def nullSafeEval(p: Any, m: Any): Any = {
-      val md = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
-      val env = (0 until md.numElements()).map { i =>
-        md.keyArray().getUTF8String(i).toString -> md.valueArray().getUTF8String(i).toString
-      }.toMap
-      UTF8String.fromString(TextImpl.expandEnv(p.asInstanceOf[UTF8String].toString, env))
-    }
+    override def nullSafeEval(p: Any, m: Any): Any =
+      TextCodegen.expandEnv(p.asInstanceOf[UTF8String],
+        m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextCodegen.expandEnv($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): ExpandEnv = copy(l, r)
     override def prettyName: String = "expand_env"
   }

@@ -80,6 +80,15 @@ class CodecExprSpec extends AnyFunSuite {
             struct(lit(1).as("type"), col("b").as("value"))))))
         .head()
       assert(mac.getString(0) === "00-01-02-03-04-05")
+      // text expressions generate code too
+      val txt = Seq(("the cat and the dog", "a 'b c' d")).toDF("t", "line")
+        .select(graft.functions.TextExpressions.lang_id(col("t")),
+          graft.functions.TextExpressions.rolling_fingerprint(col("t")),
+          graft.functions.TextExpressions.simhash64(split(col("t"), " ")),
+          graft.functions.TextExpressions.argv_tokenize(col("line")))
+        .head()
+      assert(txt.getString(0) === "en")
+      assert(txt.getSeq[String](3) === Seq("a", "b c", "d"))
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
