@@ -398,6 +398,19 @@ object RelationalPack {
         expr("percentile(n_chars, 0.9)").as("p90_chars"))
       .orderBy("lang")
 
+  /** Scalar subquery surface: rows above 90% of the global max,
+    * realized as a broadcast of the 1-row aggregate (no driver-side
+    * collect; the idiomatic distributed scalar-subquery plan).
+    */
+  val dq34: Q = (s, d) => {
+    val mx = Tables.orders(s, d).agg(max(col("o_totalprice")).as("mx"))
+    Tables.orders(s, d)
+      .crossJoin(broadcast(mx))
+      .filter(col("o_totalprice") > col("mx") * 0.9)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------- DQ29–31 (breadth)
 
   /** Supplier-side revenue by nation: the supplier dimension's twin of
@@ -474,6 +487,7 @@ object RelationalPack {
     "dq31_doc_embedding"       -> dq31,
     "dq32_null_ordering"       -> dq32,
     "dq33_percentiles"         -> dq33,
+    "dq34_scalar_subquery"     -> dq34,
   )
 
   /** DuckDB-dialect oracle SQL, value-equivalent per SURVEY §2.11. */
@@ -556,5 +570,7 @@ object RelationalPack {
       "SELECT event_id, NULLIF(event_type, 'error') AS et, user_id % 3 AS grp FROM events WHERE event_id < 500 ORDER BY et DESC NULLS LAST, grp ASC NULLS FIRST, event_id",
     "dq33_percentiles" ->
       "SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars FROM documents GROUP BY lang ORDER BY lang",
+    "dq34_scalar_subquery" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9 ORDER BY o_orderkey",
   )
 }
