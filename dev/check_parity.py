@@ -15,6 +15,29 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def type_key(t):
+    # Arrow-type normalization for cross-engine compare. The driver hashes
+    # the PYTHON value of each cell, so only type differences that change
+    # the Python object matter: DuckDB SUM(int)->HUGEINT surfaces as
+    # decimal128(38,0) -> Decimal(5) != int 5 (r1/r2's six hash-fails),
+    # while int32 5 == int64 5. Collapse arrow types to their Python kind.
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{type_key(t.value_type)}>"
+    return str(t)
+
 def norm(v):
     # normalize values for comparison across engines
     import datetime, decimal
@@ -46,15 +69,24 @@ def main(sf_dir, out_dir):
         spark_rows = [tuple(norm(r[c]) for c in cols)
                       for r in spark_tbl.to_pylist()]
         try:
-            duck = con.execute(oracle[name])
-            dcols = [d[0] for d in duck.description]
+            duck_tbl = con.execute(oracle[name]).arrow()
+            dcols = list(duck_tbl.column_names)
             order = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            duck_rows = [tuple(norm(r[i]) for i in order)
-                         for r in duck.fetchall()]
+            duck_rows = [tuple(norm(r[dcols[i]]) for i in order)
+                         for r in duck_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_bad += 1; continue
         if sorted(cols) != sorted(dcols):
             print(f"FAIL {name}: cols spark={cols} duck={sorted(dcols)}")
+            n_bad += 1; continue
+        type_bad = []
+        for c in cols:
+            st = type_key(spark_tbl.schema.field(c).type)
+            dt = type_key(duck_tbl.schema.field(c).type)
+            if st != dt:
+                type_bad.append(f"{c}: spark={st} duck={dt}")
+        if type_bad:
+            print(f"FAIL {name}: arrow type mismatch " + "; ".join(type_bad))
             n_bad += 1; continue
         if spark_rows == duck_rows:
             print(f"ok   {name}  rows={len(spark_rows)}"); n_ok += 1

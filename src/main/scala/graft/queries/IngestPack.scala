@@ -443,8 +443,8 @@ object IngestPack {
          |  CAST(COUNT(*) AS INT) AS n_commands,
          |  CAST(COUNT(*) FILTER (WHERE seq <= tseq
          |    AND opcode NOT IN (1,2,4,5,6,8,10)) AS INT) AS n_ignored,
-         |  COALESCE(SUM(size) FILTER (WHERE opcode = 1 AND seq <= tseq), 0) AS bytes_up,
-         |  COALESCE(SUM(size) FILTER (WHERE opcode = 4 AND seq <= tseq), 0) AS bytes_down,
+         |  CAST(COALESCE(SUM(size) FILTER (WHERE opcode = 1 AND seq <= tseq), 0) AS BIGINT) AS bytes_up,
+         |  CAST(COALESCE(SUM(size) FILTER (WHERE opcode = 4 AND seq <= tseq), 0) AS BIGINT) AS bytes_down,
          |  CAST(COUNT(*) FILTER (WHERE opcode IN (2, 8) AND seq <= tseq) AS INT) AS executed,
          |  CAST(COUNT(*) FILTER (WHERE opcode = 5 AND seq <= tseq) AS INT) AS deleted,
          |  (MIN(tseq) < 2147483647) AS terminated,
@@ -518,8 +518,8 @@ object IngestPack {
          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |s AS (
          |  SELECT user_id, ts, value,
-         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS UNBOUNDED PRECEDING) AS session_no
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
          |  FROM g)
          |SELECT user_id, session_no, COUNT(*) AS n_cmds,
          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS bytes,

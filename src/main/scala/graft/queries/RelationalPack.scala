@@ -545,11 +545,11 @@ object RelationalPack {
     "dq23_lag_interarrival" ->
       "SELECT event_id, CAST(ts AS DATE) AS d, LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id FROM events WHERE user_id <= 5 ORDER BY user_id, ts, event_id",
     "dq24_sessionization" ->
-      "WITH g AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s, event_id FROM events) SELECT user_id, SUM(new_s) AS sessions FROM g GROUP BY user_id ORDER BY user_id",
+      "WITH g AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s, event_id FROM events) SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS sessions FROM g GROUP BY user_id ORDER BY user_id",
     // session_window's boundary is exclusive (a gap of exactly 30min
     // starts a new session), hence >= rather than DQ24's >
     "dq24_session_window" ->
-      "WITH g AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s, event_id FROM events) SELECT user_id, SUM(new_s) AS sessions FROM g GROUP BY user_id ORDER BY user_id",
+      "WITH g AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s, event_id FROM events) SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS sessions FROM g GROUP BY user_id ORDER BY user_id",
     "dq25_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "dq26_intersect" ->

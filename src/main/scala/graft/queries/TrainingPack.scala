@@ -304,10 +304,10 @@ object TrainingPack {
          |  SELECT doc_id, CAST(len($TS) AS BIGINT) AS n_tok FROM documents),
          |c AS (
          |  SELECT doc_id, n_tok,
-         |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM t)
-         |SELECT doc_id, n_tok, cum_before // 4096 AS bin
+         |SELECT doc_id, n_tok, CAST(cum_before // 4096 AS BIGINT) AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "tx_sample_split" ->
@@ -319,7 +319,7 @@ object TrainingPack {
 
     "tx_corpus_stats" ->
       s"""SELECT lang, COUNT(*) AS docs,
-         |  SUM(CAST(len($TS) AS BIGINT)) AS total_tokens,
+         |  CAST(SUM(CAST(len($TS) AS BIGINT)) AS BIGINT) AS total_tokens,
          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
