@@ -12,9 +12,13 @@ import org.apache.spark.sql.streaming.Trigger
   * receiver-side "bytes_sent += recv_sz" accounting.
   *
   * Exactly-once by idempotence: foreachBatch may replay a batch after
-  * failure (at-least-once), so both the data write and the ledger
-  * append are keyed by batchId and skipped when already present —
-  * replays become no-ops instead of duplicates.
+  * failure (at-least-once). The replay guard keys on the LAST artifact
+  * of the batch — the ledger's `_SUCCESS` marker — not the first: data
+  * lands before the ledger, so guarding on the data path would turn a
+  * crash between the two writes into a permanently missing ledger row.
+  * A replay of an incompletely committed batch rewrites the data
+  * (Overwrite → idempotent) and then the ledger; a replay of a fully
+  * committed batch is a no-op.
   */
 object AckSink {
 
@@ -26,7 +30,11 @@ object AckSink {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dataPath = s"$dataDir/batch=$batchId"
-        if (!Files.exists(Paths.get(dataPath))) { // idempotent replay guard
+        val ledgerPath = s"$ledgerDir/batch=$batchId"
+        // Replay guard on the ledger's _SUCCESS marker — the final,
+        // atomically-committed artifact. Anything short of it means the
+        // batch never fully committed; redo both writes (Overwrite).
+        if (!Files.exists(Paths.get(ledgerPath, "_SUCCESS"))) {
           val withBytes = batch.withColumn("_nbytes", length(col(bytesOf)).cast("long"))
           withBytes.write.mode(SaveMode.Overwrite).parquet(dataPath)
           val spark = batch.sparkSession
@@ -34,7 +42,7 @@ object AckSink {
           val stats = withBytes.agg(count(lit(1)), coalesce(sum(col("_nbytes")), lit(0L)))
             .as[(Long, Long)].head()
           Seq((batchId, stats._1, stats._2)).toDF("batch_id", "rows", "bytes")
-            .write.mode(SaveMode.Overwrite).parquet(s"$ledgerDir/batch=$batchId")
+            .write.mode(SaveMode.Overwrite).parquet(ledgerPath)
         }
         ()
       }

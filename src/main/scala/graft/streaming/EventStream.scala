@@ -88,7 +88,12 @@ object EventStream {
             val maxTs = rows.map(_.ts.getTime).foldLeft(
               state.getOption.getOrElse(Long.MinValue))(math.max)
             state.update(maxTs)
-            state.setTimeoutTimestamp(maxTs + ttlMs)
+            // For an allowed-late event (within the watermark delay) with a
+            // small TTL, maxTs + ttlMs can land below the current watermark;
+            // Spark rejects such timeouts and kills the query. Clamp to just
+            // past the watermark so the key expires on the next advance.
+            val timeoutAt = math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(timeoutAt)
             Iterator.empty
           }
       }

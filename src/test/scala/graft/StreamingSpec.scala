@@ -245,6 +245,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(data).count() === batchEvents.count())
   }
 
+  test("ack sink: replay after a crash between data and ledger writes completes the ledger") {
+    import graft.streaming.AckSink
+    val data = Files.createTempDirectory("ack2_data").toString
+    val ledger = Files.createTempDirectory("ack2_ledger").toString
+    val ckpt = Files.createTempDirectory("ack2_ckpt").toString
+    // Simulate a prior attempt that crashed after the data write but
+    // before the ledger write: batch 0's data dir exists (holding stale
+    // rows), there is no ledger row, and the checkpoint never committed
+    // the batch — so the restart replays batchId 0.
+    import spark.implicits._
+    Seq((-1L, "stale")).toDF("event_id", "props")
+      .write.mode("overwrite").parquet(s"$data/batch=0")
+    AckSink.run(EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+      .select(col("event_id"), col("props")), data, ledger, ckpt, "props")
+    // the replayed batch must overwrite the stale data and land its ledger row
+    val landed = spark.read.parquet(data)
+    assert(landed.count() === batchEvents.count())
+    assert(landed.filter(col("event_id") === -1L).count() === 0L,
+      "stale partial data from the crashed attempt survived the replay")
+    val led = spark.read.parquet(ledger)
+    assert(led.agg(org.apache.spark.sql.functions.sum("rows")).head().getLong(0)
+      === batchEvents.count(), "ledger incomplete after replay")
+  }
+
+  test("TTL timer survives a late-but-allowed event (watermark clamp)") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val day = 86400000L
+    def ev(id: Long, user: Long, tsMs: Long) =
+      EventStream.Ev(id, new java.sql.Timestamp(tsMs), user, "t", 0.0, "")
+    val p = Files.createTempDirectory("late_ttl").toString
+    // batch 1: watermark after this batch = base+2h - 1h = base+1h
+    Seq(ev(1, 1, base), ev(2, 2, base + 2 * 3600 * 1000)).toDF()
+      .coalesce(1).write.mode("append").parquet(p)
+    Thread.sleep(1100)
+    // batch 2: a LATE event (flatMapGroupsWithState hands late rows to
+    // the function) with a tiny TTL — unclamped, maxTs + ttl lands far
+    // below the current watermark and setTimeoutTimestamp kills the query
+    Seq(ev(3, 3, base - day)).toDF().coalesce(1).write.mode("append").parquet(p)
+    Thread.sleep(1100)
+    // batch 3: advance the watermark past everything -> user 3 expires
+    Seq(ev(4, 4, base + 30 * day)).toDF().coalesce(1).write.mode("append").parquet(p)
+
+    val schema = spark.read.parquet(p).schema
+    val stream = EventStream.fromDirectory(spark, p, schema).as[EventStream.Ev]
+    val q = EventStream.ttlTombstones(stream, ttlMs = 1000L)
+    EventStream.runToMemory(q.toDF(), "late_ttl_stream") // must not throw
+    val got = spark.table("late_ttl_stream").select("user_id").as[Long].collect().toSet
+    assert(got.contains(3L), s"late-event key was not expired: $got")
+  }
+
   test("missing chunk is detected by the resume-accounting invariant") {
     import spark.implicits._
     val blobs = Seq(("s1", Array.tabulate[Byte](9000)(_.toByte))).toDF("stream_id", "blob")
