@@ -27,10 +27,17 @@ object Bench {
     try SparkEntry.queries.head._2(spark, sfDir).count() // warmup
     catch { case _: Throwable => () }
 
+    // median of 3 runs per query: single-shot timings swing 2-5x from
+    // JIT/GC/page-cache noise at sub-second scale, which makes
+    // round-over-round per-query deltas unadjudicable
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,9 +37,20 @@ object Tables {
     * so both engines see identical values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // scope the legacy flag to this read: schema inference captures it
+    // eagerly at read.parquet(), so restoring right after does not
+    // affect this DataFrame's execution but keeps the session conf
+    // clean for any later nanos-parquet read
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.read.parquet(path(dir, "events"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Register every table as a temp view (`spark.sql` convenience). */

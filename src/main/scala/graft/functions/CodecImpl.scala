@@ -116,7 +116,11 @@ object CodecImpl {
     while (i <= n) {
       val c = ((buf(i) & 0xFF) ^ XorKey).toChar
       if (c < '0' || c > '9') return -1L
-      v = v * 10 + (c - '0')
+      val d = c - '0'
+      // a 19-digit value can exceed Long.MaxValue; wrap-around would
+      // return garbage instead of the malformed sentinel
+      if (v > (Long.MaxValue - d) / 10) return -1L
+      v = v * 10 + d
       i += 1
     }
     v
@@ -273,10 +277,13 @@ object CodecImpl {
     out.toByteArray
   }
 
-  /** TLV decode: walk `(type:u16be, len:u16be, bytes)` until the zero
-    * TLV (`honeycomb.py:216-249`). Truncated input throws; unknown
-    * types are returned as-is (validation is a separate filter, like
-    * the reference's parse_error flag).
+  /** TLV decode: walk `(type:u16be, len:u16be, bytes)` until a
+    * terminator TLV (`honeycomb.py:216-218`: the loop runs only while
+    * BOTH type and length are nonzero, so a header with type=0 OR
+    * length=0 ends the walk — a zero-length field is a terminator,
+    * never emitted). Truncated input throws; unknown types are
+    * returned as-is (validation is a separate filter, like the
+    * reference's parse_error flag).
     */
   def tlvDecode(buf: Array[Byte]): Seq[(Int, Array[Byte])] = {
     val out = Seq.newBuilder[(Int, Array[Byte])]
@@ -286,7 +293,7 @@ object CodecImpl {
       ((buf(o) & 0xFF) << 8) | (buf(o + 1) & 0xFF)
     }
     var t = u16(pos); var len = u16(pos + 2)
-    while (t != 0 || len != 0) {
+    while (t != 0 && len != 0) {
       pos += 4
       require(pos + len <= buf.length, "truncated TLV value")
       out += ((t, java.util.Arrays.copyOfRange(buf, pos, pos + len)))

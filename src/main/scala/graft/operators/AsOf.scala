@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: each left row matched with the single right row that is
   * latest-not-after its timestamp (event ↔ latest config at event
@@ -10,32 +11,65 @@ import org.apache.spark.sql.functions._
   * patched-config semantics reads "the config in force when the record
   * happened").
   *
-  * Realized by composing built-ins (preference order (a) of the build
-  * rules): equi-join on the key, range filter, then first-wins via
-  * ROW_NUMBER over (key, left timestamp). The shuffle key is the join
-  * key; at scale this is one shuffle plus a per-key sort — the same
-  * cost envelope as a sort-merge join. For heavily duplicated right
-  * sides, pre-aggregate the right table to its per-(key, ts) latest
-  * row first.
+  * Realized as a union-merge, not a range join: both streams are
+  * tagged and unioned, shuffled ONCE on the equality key, sorted by
+  * (ts, tag, tie-break) within each key, and every left row reads the
+  * last right row seen so far (`last(_, ignoreNulls)` over the
+  * running window). Cost is linear in |left| + |right| per key — one
+  * shuffle plus a per-key sort, the same envelope as a sort-merge
+  * join. The naive alternative (left range-join then ROW_NUMBER()=1)
+  * first materializes every (event, earlier-config) pair, which is
+  * |events/key| x |configs/key| — quadratic on hot keys and a
+  * non-starter at 100 TB.
   */
 object AsOf {
 
   /** leftKey/rightKey: equality keys; leftTs/rightTs: event time.
     * Every left row survives (left outer as-of); unmatched rows carry
-    * nulls.
+    * nulls. Ties on rightTs resolve to the greatest rightTieBreak,
+    * matching `ORDER BY rightTs DESC, tieBreak DESC ... ROW_NUMBER()=1`.
     */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      leftUnique: String, rightTieBreak: Seq[String] = Nil): DataFrame = {
-    val matched = left.join(right,
-        col(leftKey) === col(rightKey) && col(rightTs) <= col(leftTs), "left")
-    val ordering = col(rightTs).desc_nulls_last +:
-      rightTieBreak.map(c => col(c).desc_nulls_last)
-    val w = Window.partitionBy(col(leftUnique)).orderBy(ordering: _*)
-    matched
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val tbType = StructType(rightTieBreak.map(c => right.schema(c)))
+    // degenerate no-tie-break case: a constant keeps the sort key shape
+    val tbOf: Column = if (rightTieBreak.isEmpty) lit(0)
+      else struct(rightTieBreak.map(col): _*).cast(tbType)
+    val tbNull: Column = if (rightTieBreak.isEmpty) lit(0)
+      else lit(null).cast(tbType)
+    // right rows with a null key or null ts can never match under the
+    // reference comparison semantics (NULL <= ts is not true) — drop
+    // them before the merge instead of letting them pollute a key group
+    val rightRows = right
+      .where(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("_k"),
+        col(rightTs).cast(left.schema(leftTs).dataType).as("_ts"),
+        lit(0).as("_tag"),
+        tbOf.as("_tb"),
+        lit(null).cast(lType).as("_lv"),
+        struct(right.columns.map(col): _*).as("_rv"))
+    val leftRows = left.select(
+      col(leftKey).as("_k"),
+      col(leftTs).as("_ts"),
+      lit(1).as("_tag"),
+      tbNull.as("_tb"),
+      struct(left.columns.map(col): _*).as("_lv"),
+      lit(null).cast(rType).as("_rv"))
+    // ascending merge order: at equal ts a right row sorts before a
+    // left row (tag 0 < 1), so a config stamped exactly at event time
+    // is visible (rightTs <= leftTs); among right rows at the same ts
+    // the greatest tie-break sorts last and therefore wins last()
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts").asc, col("_tag").asc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightRows.unionByName(leftRows)
+      .withColumn("_match", last(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1)
+      .select(col("_lv.*"), col("_match.*"))
   }
 }

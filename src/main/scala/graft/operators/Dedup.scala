@@ -47,12 +47,27 @@ object Dedup {
   /** Exact Jaccard over candidate pairs that share ≥1 shingle:
     * inverted-index join on the shingle (shuffle key = shingle), then
     * |∩| / |∪| from per-doc shingle-set sizes.
+    *
+    * @param maxBucket guardrail for corpus-frequent shingles: postings
+    *   lists larger than this are dropped from candidate generation
+    *   before the self-join (Σ bucket² goes quadratic on a stop-shingle
+    *   at scale; a pair sharing only over-frequent shingles carries no
+    *   dedup signal anyway — the standard stop-shingle cut). None =
+    *   exact inverted-index semantics, what the oracle checks.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold,
+      maxBucket: Option[Int] = None): DataFrame = {
     val sh = shingleTable(spark, dir, "doc")
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val postings = maxBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sg")
+        sh.withColumn("_psz", count(lit(1)).over(w))
+          .filter(col("_psz") <= cap).drop("_psz")
+      case None => sh
+    }
+    val inter = postings.as("a").join(postings.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
       .agg(count(lit(1)).as("c"))

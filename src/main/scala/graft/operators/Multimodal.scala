@@ -75,11 +75,14 @@ object Multimodal {
   }
 
   /** Relational surface: oracle-checkable projection (byte lengths are
-    * engine-independent facts about the payload).
+    * engine-independent facts about the payload). Pure vectorized
+    * scan+project — metadata that is a property of the raw bytes never
+    * pays for the decode stage; only `features` runs the decoder.
     */
   def meta(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir)
-      .select(col("doc_id"), col("nbytes"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("bigint").as("nbytes"))
       .orderBy("doc_id")
 
   /** Full stub-decoded feature table (engine-only; golden-checked in

@@ -348,7 +348,7 @@ object IngestPack {
       Tables.orders(s, d),
       leftKey = "user_id", rightKey = "o_custkey",
       leftTs = "ts", rightTs = "o_orderdate",
-      leftUnique = "event_id", rightTieBreak = Seq("o_orderkey"))
+      rightTieBreak = Seq("o_orderkey"))
       .select(col("event_id"), col("o_orderkey"))
       .orderBy("event_id")
 

@@ -153,17 +153,24 @@ object TrainingPack {
     * fixed-capacity context windows (4096 tokens) by running token
     * sum — the streaming packing a pretraining dataloader applies,
     * as a window cumsum (integer-exact, partition-order-free).
+    *
+    * Packing runs WITHIN a shard (the dataloader's natural unit, here
+    * `doc_id % 8`): the window partitions by shard, so every shard
+    * packs in its own task in parallel. A global-order window would
+    * funnel the whole corpus through one task — a non-starter at
+    * 100 TB; bin ids are per-shard, exactly as each dataloader worker
+    * numbers its own context windows.
     */
   val txSequencePacking: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    // global-order window: fine for a corpus shard; at scale pack per
-    // shard key (the dataloader's natural unit) to keep it parallel
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, d)
-      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("bin", floor(col("cum_before").cast("double") / 4096).cast("bigint"))
-      .select("doc_id", "n_tok", "bin")
+      .select("doc_id", "shard", "n_tok", "bin")
       .orderBy("doc_id")
   }
 
@@ -301,13 +308,14 @@ object TrainingPack {
 
     "tx_sequence_packing" ->
       s"""WITH t AS (
-         |  SELECT doc_id, CAST(len($TS) AS BIGINT) AS n_tok FROM documents),
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len($TS) AS BIGINT) AS n_tok FROM documents),
          |c AS (
-         |  SELECT doc_id, n_tok,
-         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |  SELECT doc_id, shard, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM t)
-         |SELECT doc_id, n_tok, CAST(cum_before // 4096 AS BIGINT) AS bin
+         |SELECT doc_id, shard, n_tok, CAST(cum_before // 4096 AS BIGINT) AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "tx_sample_split" ->

@@ -112,6 +112,15 @@ class CodecImplSpec extends AnyFunSuite {
     val bad = CodecImpl.sizeEncode(777L); bad(2) = 0xFF.toByte // non-digit
     assert(CodecImpl.sizeDecode(bad) === -1L)
   }
+  test("size preamble: 19-digit overflow → -1, Long.MaxValue itself decodes") {
+    def preamble(digits: String): Array[Byte] =
+      ((digits.length ^ 5).toByte +: digits.map(c => (c ^ 5).toByte)).toArray
+    // 9223372036854775808 = Long.MaxValue + 1: 19 digits, must not wrap
+    assert(CodecImpl.sizeDecode(preamble("9223372036854775808")) === -1L)
+    assert(CodecImpl.sizeDecode(preamble("9999999999999999999")) === -1L)
+    assert(CodecImpl.sizeDecode(preamble("9223372036854775807")) === Long.MaxValue)
+    assert(CodecImpl.sizeDecode(CodecImpl.sizeEncode(Long.MaxValue)) === Long.MaxValue)
+  }
 
   // ------------------------------------------------------- key extract
 
@@ -218,10 +227,20 @@ class CodecImplSpec extends AnyFunSuite {
   test("tlv: truncated input throws") {
     intercept[IllegalArgumentException](CodecImpl.tlvDecode(hex("000100ff")))
   }
+  test("tlv: zero-length TLV terminates the walk (honeycomb.py:218)") {
+    // type=1 len=0 header, then a type-7 field that must NOT be read
+    val blob = hex("00010000") ++ hex("0007000131") ++ hex("00000000")
+    assert(CodecImpl.tlvDecode(blob) === Seq.empty)
+    // type=0 with nonzero length terminates too (either-zero rule)
+    val blob2 = hex("0001000161") ++ hex("00000005")
+    assert(CodecImpl.tlvDecode(blob2).map(_._1) === Seq(1))
+  }
   test("tlv: round trip property") {
     for (_ <- 1 to 100) {
+      // values are non-empty: a zero-length field is a terminator on
+      // decode (reference semantics), so it cannot round-trip
       val fields = (0 until rnd.nextInt(8)).map { _ =>
-        (1 + rnd.nextInt(0xFFFF), randBytes(rnd.nextInt(50)))
+        (1 + rnd.nextInt(0xFFFF), randBytes(1 + rnd.nextInt(49)))
       }
       val back = CodecImpl.tlvDecode(CodecImpl.tlvEncode(fields))
       assert(back.map(_._1) === fields.map(_._1))

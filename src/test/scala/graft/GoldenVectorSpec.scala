@@ -58,14 +58,21 @@ class GoldenVectorSpec extends AnyFunSuite {
   }
 
   test("tlv.tsv") {
-    vectors("tlv.tsv").foreach { case Array(spec, enc) =>
-      val fields = if (spec.isEmpty) Seq.empty
-        else spec.split(",").toSeq.map { f =>
-          val Array(t, v) = f.split(":", -1); (t.toInt, hex(v))
-        }
-      assert(hexOf(CodecImpl.tlvEncode(fields)) === enc, spec)
+    // columns: encode spec, wire bytes, decode spec — they differ when
+    // the stream embeds a zero-length TLV, which the reference decoder
+    // treats as a terminator (honeycomb.py:218: the walk runs only
+    // while type != 0 AND length != 0)
+    def parse(spec: String): Seq[(Int, Array[Byte])] =
+      if (spec.isEmpty) Seq.empty
+      else spec.split(",").toSeq.map { f =>
+        val Array(t, v) = f.split(":", -1); (t.toInt, hex(v))
+      }
+    vectors("tlv.tsv").foreach { case Array(encSpec, enc, decSpec) =>
+      assert(hexOf(CodecImpl.tlvEncode(parse(encSpec))) === enc, encSpec)
       val back = CodecImpl.tlvDecode(hex(enc))
-      assert(back.map(_._1) === fields.map(_._1), spec)
+      val want = parse(decSpec)
+      assert(back.map(_._1) === want.map(_._1), decSpec)
+      assert(back.zip(want).forall { case ((_, a), (_, b)) => a.sameElements(b) }, decSpec)
     }
   }
 

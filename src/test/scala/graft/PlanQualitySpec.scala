@@ -104,6 +104,19 @@ class PlanQualitySpec extends AnyFunSuite {
   private def hasShuffleBeforeJoin(plan: String): Boolean =
     plan.linesIterator.exists(l => l.contains("SortMergeJoin"))
 
+  test("sequence packing parallelizes: no single-partition exchange or global sort") {
+    // a Window.orderBy with no partition key plans as
+    // `Exchange SinglePartition` + one task sorting the whole corpus —
+    // the per-shard window must never reintroduce that
+    val df = TrainingPack.txSequencePacking(spark, dir)
+    // string match, not collect: AQE hides finished exchanges inside
+    // ShuffleQueryStage leaf nodes
+    val plan = planString(df)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in packing plan:\n$plan")
+    assert(plan.contains("Window"), s"window gone from packing plan:\n$plan")
+  }
+
   test("shuffle partition count respects the session setting (not the 200 default)") {
     val plan = executedPlan(RelationalPack.dq19(spark, dir))
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
