@@ -20,8 +20,10 @@ import graft.functions.{CodecExpressions => CE}
   *
   * Scale: every stage is a narrow projection or a broadcast join
   * except the survey explodes (linear) and the final write; output is
-  * partitioned by beacon date (daily pruning) — at 100 TB you'd add
-  * bucketing by implant for co-located session joins.
+  * partitioned by beacon date (daily pruning); at 100 TB the landing
+  * tables additionally bucket by implant for co-located session joins
+  * (`plans/BucketedLayout.scala`, shuffle-free paths pinned by
+  * BucketedLayoutSpec).
   */
 object BeaconPipeline {
 

@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed table layout: the 100 TB landing format for per-implant
+  * analytics (DESIGN §5's deferred item, closing `honeycomb`'s
+  * archive layer with co-located access paths).
+  *
+  * Writing the beacon/session tables `bucketBy(implant)` and
+  * `sortBy(ts)` pins every implant's rows to one bucket file per
+  * bucket id, so the two queries a session pipeline runs hottest —
+  * per-implant aggregation and the beacon↔session equi-join — read
+  * pre-partitioned data and plan WITHOUT a shuffle: Spark's scan
+  * reports the bucket spec as its output partitioning, and
+  * EnsureRequirements inserts no Exchange (and no Sort when the sort
+  * columns prefix-match). At 1000 executors that is the difference
+  * between a full-corpus shuffle per query and none.
+  *
+  * Requires a catalog-backed table (bucket metadata does not survive
+  * in bare parquet paths) — any metastore works; the spec exercises
+  * the session catalog.
+  */
+object BucketedLayout {
+
+  /** Land `df` as a bucketed, per-bucket-sorted managed table. */
+  def write(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCols: Seq[String]): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Per-key aggregation over a bucketed table: count + byte total per
+    * bucket key. On a table bucketed by `key` this plans with zero
+    * Exchange nodes — the map side IS the reduce side.
+    */
+  def keyedAgg(spark: SparkSession, table: String, key: String,
+      valueCol: String): DataFrame =
+    spark.table(table)
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+
+  /** Equi-join of two tables bucketed on the same key with the same
+    * bucket count: both sides arrive co-partitioned, so the join plans
+    * as a sort-merge with no Exchange on either side.
+    */
+  def coLocatedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

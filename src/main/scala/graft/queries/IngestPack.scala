@@ -364,6 +364,47 @@ object IngestPack {
       .select("line", "verdict")
       .orderBy("line")
 
+  /** UNION surface (§2.7): the good and bad verdict streams are routed
+    * apart (mirroring the reference's good-/bad- fixture file split),
+    * reassembled with UNION ALL, then UNION'd (distinct) against the
+    * unsplit corpus — the duplicates introduced by the reassembly must
+    * collapse back to exactly one row per line.
+    */
+  val profileUnion: Q = (s, _) => {
+    val v = graft.operators.Profiles.validate(
+      graft.operators.Profiles.parse(graft.operators.Profiles.fixturesDf(s), "line"))
+      .select("line", "verdict")
+    val good = v.filter(col("verdict") === "good")
+    val bad = v.filter(col("verdict") =!= "good")
+    good.union(bad) // UNION ALL: routed streams reassembled
+      .union(v)     // duplicates every line once
+      .distinct()   // UNION (distinct) semantics
+      .orderBy("line")
+  }
+
+  // ------------------------------------------------ header-once emission
+
+  /** Header-once survey formatting (§2.6, `process_list.c:110,208-218`):
+    * per process block only the first rendered line carries the column
+    * header — a rank-gated conditional projection, not a stateful scan.
+    */
+  val headerOnce: Q = (s, d) => {
+    val header = "pid   state ppid  pgrp  session command"
+    val body = format_string("%-5d %-5s %-5d %-5d %-7d %s",
+      col("event_id").cast("int"), lit("S"),
+      (col("user_id") % 32768).cast("int"), (col("user_id") % 100).cast("int"),
+      (col("event_id") % 100).cast("int"), col("event_type"))
+    graft.operators.Emission.headerOnce(
+      Tables.events(s, d)
+        .filter(col("event_id") < 300)
+        .select(col("event_id"), (col("user_id") % 20).as("block"),
+          col("user_id"), col("event_type")),
+      partitionCols = Seq("block"), orderCols = Seq("event_id"),
+      header = lit(header), body = body, out = "line")
+      .select("block", "event_id", "line")
+      .orderBy("block", "event_id")
+  }
+
   // -------------------------------------------------- end-to-end DAG
 
   /** The full beacon ingest DAG (SURVEY §3.3) summarized: per-OS
@@ -388,6 +429,8 @@ object IngestPack {
     "ig_beacon_dag"      -> beaconDag,
     "ig_key_gate"        -> keyGate,
     "ig_profile_valid"   -> profileValidation,
+    "ig_profile_union"   -> profileUnion,
+    "ig_header_once"     -> headerOnce,
     "ig_asof_join"       -> asofJoin,
     "ig_session_replay"  -> sessionReplay,
     "ig_config_upsert"   -> configUpsert,
@@ -415,6 +458,39 @@ object IngestPack {
     }.mkString(s"(VALUES ", ", ", s") AS t($c1, $c2)")
 
   private val ip = IpOfSql.format("event_id")
+
+  /** Shared CTE chain: fixture lines → parsed fields → verdict, the
+    * DuckDB mirror of Profiles.parse + Profiles.validate. Ends with a
+    * relation `v(line, verdict)`.
+    */
+  private lazy val profileVerdictCte: String = {
+    val values = graft.operators.Profiles.fixtures
+      .map { case (l, _) => s"('$l')" }.mkString(", ")
+    val protos = graft.operators.Profiles.protocols.map(p => s"'$p'").mkString(", ")
+    val ipOk = (f: String) =>
+      s"""(regexp_matches($f, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$$')
+         | AND CAST(string_split($f,'.')[1] AS INT) BETWEEN 0 AND 255
+         | AND CAST(string_split($f,'.')[2] AS INT) BETWEEN 0 AND 255
+         | AND CAST(string_split($f,'.')[3] AS INT) BETWEEN 0 AND 255
+         | AND CAST(string_split($f,'.')[4] AS INT) BETWEEN 0 AND 255)""".stripMargin
+    s"""t(line) AS (VALUES $values),
+       |p AS (SELECT line,
+       |  string_split(line,'|')[1] AS cip,
+       |  CAST(string_split(line,'|')[2] AS INT) AS cport,
+       |  string_split(line,'|')[3] AS tip,
+       |  string_split(line,'|')[4] AS proto,
+       |  CAST(string_split(line,'|')[5] AS INT) AS delay
+       |FROM t),
+       |v AS (SELECT line,
+       |  CASE WHEN cport NOT BETWEEN 1 AND 65535 THEN 'bad_callback_port'
+       |       WHEN NOT ${ipOk("cip")} THEN 'bad_callback_address'
+       |       WHEN NOT ${ipOk("tip")} THEN 'bad_target_address'
+       |       WHEN proto NOT IN ($protos) THEN 'bad_protocol'
+       |       WHEN proto IN ('raw-tcp','raw-udp') AND (delay IS NULL OR delay <= 0)
+       |         THEN 'bad_raw_port'
+       |       ELSE 'good' END AS verdict
+       |FROM p)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "ig_config_upsert" ->
@@ -460,33 +536,34 @@ object IngestPack {
          |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
          |SELECT event_id, o_orderkey FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
-    "ig_profile_valid" -> {
-      val values = graft.operators.Profiles.fixtures
-        .map { case (l, _) => s"('$l')" }.mkString(", ")
-      val protos = graft.operators.Profiles.protocols.map(p => s"'$p'").mkString(", ")
-      val ipOk = (f: String) =>
-        s"""(regexp_matches($f, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$$')
-           | AND CAST(string_split($f,'.')[1] AS INT) BETWEEN 0 AND 255
-           | AND CAST(string_split($f,'.')[2] AS INT) BETWEEN 0 AND 255
-           | AND CAST(string_split($f,'.')[3] AS INT) BETWEEN 0 AND 255
-           | AND CAST(string_split($f,'.')[4] AS INT) BETWEEN 0 AND 255)""".stripMargin
-      s"""WITH t(line) AS (VALUES $values),
-         |p AS (SELECT line,
-         |  string_split(line,'|')[1] AS cip,
-         |  CAST(string_split(line,'|')[2] AS INT) AS cport,
-         |  string_split(line,'|')[3] AS tip,
-         |  string_split(line,'|')[4] AS proto,
-         |  CAST(string_split(line,'|')[5] AS INT) AS delay
-         |FROM t)
-         |SELECT line,
-         |  CASE WHEN cport NOT BETWEEN 1 AND 65535 THEN 'bad_callback_port'
-         |       WHEN NOT ${ipOk("cip")} THEN 'bad_callback_address'
-         |       WHEN NOT ${ipOk("tip")} THEN 'bad_target_address'
-         |       WHEN proto NOT IN ($protos) THEN 'bad_protocol'
-         |       WHEN proto IN ('raw-tcp','raw-udp') AND (delay IS NULL OR delay <= 0)
-         |         THEN 'bad_raw_port'
-         |       ELSE 'good' END AS verdict
-         |FROM p ORDER BY line""".stripMargin
+    "ig_profile_valid" ->
+      s"""WITH $profileVerdictCte
+         |SELECT line, verdict FROM v ORDER BY line""".stripMargin,
+
+    "ig_profile_union" ->
+      s"""WITH $profileVerdictCte
+         |SELECT line, verdict FROM (
+         |  SELECT line, verdict FROM v WHERE verdict = 'good'
+         |  UNION ALL SELECT line, verdict FROM v WHERE verdict <> 'good'
+         |  UNION SELECT line, verdict FROM v)
+         |ORDER BY line""".stripMargin,
+
+    "ig_header_once" -> {
+      val body = "printf('%-5d %-5s %-5d %-5d %-7d %s', CAST(event_id AS INT), 'S', " +
+        "CAST(user_id % 32768 AS INT), CAST(user_id % 100 AS INT), " +
+        "CAST(event_id % 100 AS INT), event_type)"
+      s"""WITH l AS (
+         |  SELECT user_id % 20 AS block, event_id, $body AS body
+         |  FROM events WHERE event_id < 300),
+         |r AS (
+         |  SELECT block, event_id, body,
+         |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY event_id) AS rn
+         |  FROM l)
+         |SELECT block, event_id,
+         |  CASE WHEN rn = 1
+         |    THEN 'pid   state ppid  pgrp  session command' || chr(10) || body
+         |    ELSE body END AS line
+         |FROM r ORDER BY block, event_id""".stripMargin
     },
 
     "ig_key_gate" ->

@@ -62,4 +62,24 @@ class IngestSpec extends AnyFunSuite {
     assert(names.contains("Unknown"))
     assert(names.keys.exists(_ != "Unknown"))
   }
+
+  test("header-once: exactly one header per block, on its first row") {
+    import spark.implicits._
+    val out = IngestPack.headerOnce(spark, dir)
+      .as[(Long, Long, String)].collect()
+    val byBlock = out.groupBy(_._1)
+    byBlock.foreach { case (block, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3.startsWith("pid   state"), s"block $block first row")
+      assert(sorted.head._3.contains("\n"), s"block $block header newline")
+      assert(sorted.tail.forall(!_._3.contains("\n")), s"block $block extra header")
+    }
+  }
+
+  test("profile union: distinct collapses the routed duplicates") {
+    import spark.implicits._
+    val union = IngestPack.profileUnion(spark, dir).as[(String, String)].collect()
+    val valid = IngestPack.profileValidation(spark, dir).as[(String, String)].collect()
+    assert(union.sorted.toSeq === valid.sorted.toSeq)
+  }
 }
