@@ -20,6 +20,13 @@ object CodecCodegen {
   def dnsNameEncode(name: UTF8String): Array[Byte] =
     CodecImpl.dnsNameEncode(name.toString)
 
+  def bthpStrip(buf: Array[Byte]): InternalRow = {
+    val h = CodecImpl.bthpStrip(buf)
+    def s(v: String): UTF8String = if (v == null) null else UTF8String.fromString(v)
+    InternalRow(h.ver, h.typ, h.hdrLen, h.dataLen, h.proxyId,
+      s(h.beaconIp), s(h.dstIp), s(h.proxyIp), h.payload)
+  }
+
   def tlvDecode(buf: Array[Byte]): ArrayData = {
     val entries = CodecImpl.tlvDecode(buf)
     new GenericArrayData(entries.map { case (t, bytes) =>

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -169,6 +170,59 @@ object CodecExpressions {
     override def prettyName: String = "tlv_encode"
   }
 
+  val bthpType: StructType = StructType(Seq(
+    StructField("ver", IntegerType, nullable = false),
+    StructField("type", IntegerType, nullable = false),
+    StructField("hdr_len", IntegerType, nullable = false),
+    StructField("data_len", LongType, nullable = false),
+    StructField("proxy_id", LongType, nullable = false),
+    StructField("beacon_ip", StringType),
+    StructField("dst_ip", StringType),
+    StructField("proxy_ip", StringType),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** `bthp_strip(BINARY) → STRUCT<...>`: proxy-envelope removal
+    * (`honeycomb.py:138-183`), the framing stage in front of the
+    * beacon listener (SURVEY §3.3).
+    */
+  case class BthpStrip(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = bthpType
+    override def nullSafeEval(v: Any): Any =
+      CodecCodegen.bthpStrip(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Bridge.bthpStrip($b)")
+    override protected def withNewChildInternal(c: Expression): BthpStrip = copy(c)
+    override def prettyName: String = "bthp_strip"
+  }
+
+  /** `bthp_frame(payload BINARY, proxy_id BIGINT, beacon_ip STRING,
+    * dst_ip STRING) → BINARY`: the envelope writer
+    * (`honeycomb.py:120-135`), here mainly the round-trip twin of
+    * `bthp_strip`. Null payload → null; null IPs are simply omitted
+    * from the additional headers (reference behavior for absent data).
+    */
+  case class BthpFrame(children: Seq[Expression]) extends Expression with CodegenFallback {
+    require(children.length == 4, "bthp_frame(payload, proxy_id, beacon_ip, dst_ip)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val payload = children(0).eval(input)
+      val proxyId = children(1).eval(input)
+      if (payload == null || proxyId == null) null
+      else {
+        def ip(i: Int): String = children(i).eval(input) match {
+          case null => null
+          case s: UTF8String => s.toString
+        }
+        CodecImpl.bthpFrame(payload.asInstanceOf[Array[Byte]],
+          proxyId.asInstanceOf[Long], ip(2), ip(3))
+      }
+    }
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BthpFrame =
+      copy(cs)
+    override def prettyName: String = "bthp_frame"
+  }
+
   // ------------------------------------------------------- Column API
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -189,6 +243,9 @@ object CodecExpressions {
   def mac_format(col: Column): Column = c(MacFormat(e(col)))
   def tlv_decode(col: Column): Column = c(TlvDecode(e(col)))
   def tlv_encode(col: Column): Column = c(TlvEncode(e(col)))
+  def bthp_strip(col: Column): Column = c(BthpStrip(e(col)))
+  def bthp_frame(payload: Column, proxyId: Column, beaconIp: Column, dstIp: Column): Column =
+    c(BthpFrame(Seq(e(payload), e(proxyId), e(beaconIp), e(dstIp))))
 
   /** SQL registration so the functions are usable from `spark.sql`. */
   def register(spark: SparkSession): Unit = {
@@ -209,5 +266,7 @@ object CodecExpressions {
     one("mac_format", es => MacFormat(es.head))
     one("tlv_decode", es => TlvDecode(es.head))
     one("tlv_encode", es => TlvEncode(es.head))
+    one("bthp_strip", es => BthpStrip(es.head))
+    one("bthp_frame", es => BthpFrame(es))
   }
 }

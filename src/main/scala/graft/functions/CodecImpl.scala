@@ -303,6 +303,83 @@ object CodecImpl {
     out.result()
   }
 
+  /** Parsed BTHP proxy envelope (`honeycomb.py:16-28,67-68`): main
+    * header `>BBHII` (ver, type, hdrLen, dataLen, proxyId), then
+    * additional headers `>BB` (type, len) carrying IPs — 2=beacon,
+    * 3=destination, 6=proxy — until the (0,0) terminator, then the
+    * framed payload.
+    */
+  final case class Bthp(
+      ver: Int, typ: Int, hdrLen: Int, dataLen: Long, proxyId: Long,
+      beaconIp: String, dstIp: String, proxyIp: String,
+      payload: Array[Byte])
+
+  private def inet(b: Array[Byte], off: Int): String =
+    s"${b(off) & 0xFF}.${b(off + 1) & 0xFF}.${b(off + 2) & 0xFF}.${b(off + 3) & 0xFF}"
+
+  /** Strip the BTHP framing from a proxied packet
+    * (`honeycomb.py:138-183`: `parse_bthp_packet` +
+    * `remove_bthp_addl_hdr`). Unknown additional-header types are
+    * skipped, exactly as the reference advances past them without
+    * storing a value; truncated input throws.
+    */
+  def bthpStrip(buf: Array[Byte]): Bthp = {
+    require(buf.length >= 12, "truncated BTHP main header")
+    def u8(o: Int): Int = buf(o) & 0xFF
+    val ver = u8(0); val typ = u8(1)
+    val hdrLen = (u8(2) << 8) | u8(3)
+    val dataLen = ((u8(4).toLong << 24) | (u8(5) << 16) | (u8(6) << 8) | u8(7))
+    val proxyId = ((u8(8).toLong << 24) | (u8(9) << 16) | (u8(10) << 8) | u8(11))
+    var off = 12
+    var beaconIp: String = null; var dstIp: String = null; var proxyIp: String = null
+    var done = false
+    while (!done) {
+      require(off + 2 <= buf.length, "truncated BTHP additional header")
+      val t = u8(off); val len = u8(off + 1)
+      off += 2
+      if (t == 0 && len == 0) done = true
+      else {
+        require(off + len <= buf.length, "truncated BTHP additional value")
+        t match {
+          case 2 if len == 4 => beaconIp = inet(buf, off)
+          case 3 if len == 4 => dstIp = inet(buf, off)
+          case 6 if len == 4 => proxyIp = inet(buf, off)
+          case _ => () // unknown type: skip, like the reference
+        }
+        off += len
+      }
+    }
+    Bthp(ver, typ, hdrLen, dataLen, proxyId, beaconIp, dstIp, proxyIp,
+      java.util.Arrays.copyOfRange(buf, off, buf.length))
+  }
+
+  /** Frame a payload in a BTHP envelope (`honeycomb.py:120-135`
+    * `create_return_packet`, generalized to carry the IP additional
+    * headers the parser reads back). hdrLen counts every header byte
+    * including the terminator, as the reference's fixed 14 does for
+    * its header-only packet.
+    */
+  def bthpFrame(payload: Array[Byte], proxyId: Long,
+      beaconIp: String = null, dstIp: String = null,
+      proxyIp: String = null): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val addls = Seq(2 -> beaconIp, 3 -> dstIp, 6 -> proxyIp).filter(_._2 != null)
+    val hdrLen = 12 + addls.size * 6 + 2
+    out.write(1); out.write(2) // version 1, type 2 (return packet)
+    out.write(hdrLen >>> 8); out.write(hdrLen & 0xFF)
+    out.write((payload.length >>> 24) & 0xFF); out.write((payload.length >>> 16) & 0xFF)
+    out.write((payload.length >>> 8) & 0xFF); out.write(payload.length & 0xFF)
+    out.write(((proxyId >>> 24) & 0xFF).toInt); out.write(((proxyId >>> 16) & 0xFF).toInt)
+    out.write(((proxyId >>> 8) & 0xFF).toInt); out.write((proxyId & 0xFF).toInt)
+    addls.foreach { case (t, ip) =>
+      out.write(t); out.write(4)
+      ip.split("\\.").foreach(o => out.write(o.toInt & 0xFF))
+    }
+    out.write(0); out.write(0) // terminator
+    out.write(payload)
+    out.toByteArray
+  }
+
   /** MAC canonicalization: 6 bytes → lowercase `%02x-` join
     * (`server/beacon.c:657-666`).
     */

@@ -226,6 +226,33 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  // ----------------------------------------------- BTHP proxy envelope
+
+  /** BTHP framing-header strip (§3.3 front stage,
+    * `honeycomb.py:138-183`): frame a payload per record with derived
+    * proxy metadata, strip it back with the engine expression, and
+    * surface the recovered fields — the oracle reconstructs the same
+    * values from the derivations directly, so any parse drift
+    * hash-fails.
+    */
+  val bthpStrip: Q = (s, d) => {
+    val framed = CE.bthp_frame(
+      col("event_type").cast("binary"),
+      col("user_id") % 4294967296L,
+      dotted(ipOf(col("event_id"))),
+      dotted((col("user_id") * 2654435761L) % 4294967296L))
+    Tables.events(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), CE.bthp_strip(framed).as("h"))
+      .select(col("event_id"),
+        col("h.proxy_id").as("proxy_id"),
+        col("h.beacon_ip").as("beacon_ip"),
+        col("h.dst_ip").as("dst_ip"),
+        col("h.data_len").as("data_len"),
+        col("h.payload").cast("string").as("payload_text"))
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------- key gate
 
   /** Hashed-key-match semi-join (`trigger_listen.c:221-232`): a record
@@ -431,6 +458,7 @@ object IngestPack {
     "ig_profile_valid"   -> profileValidation,
     "ig_profile_union"   -> profileUnion,
     "ig_header_once"     -> headerOnce,
+    "ig_bthp_strip"      -> bthpStrip,
     "ig_asof_join"       -> asofJoin,
     "ig_session_replay"  -> sessionReplay,
     "ig_config_upsert"   -> configUpsert,
@@ -547,6 +575,17 @@ object IngestPack {
          |  UNION ALL SELECT line, verdict FROM v WHERE verdict <> 'good'
          |  UNION SELECT line, verdict FROM v)
          |ORDER BY line""".stripMargin,
+
+    "ig_bthp_strip" -> {
+      val dst = "((user_id * 2654435761) % 4294967296)"
+      s"""SELECT event_id,
+         |  user_id % 4294967296 AS proxy_id,
+         |  ${dottedSql(ip)} AS beacon_ip,
+         |  ${dottedSql(dst)} AS dst_ip,
+         |  CAST(octet_length(encode(event_type)) AS BIGINT) AS data_len,
+         |  event_type AS payload_text
+         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
+    },
 
     "ig_header_once" -> {
       val body = "printf('%-5d %-5s %-5d %-5d %-7d %s', CAST(event_id AS INT), 'S', " +

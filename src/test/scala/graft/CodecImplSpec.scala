@@ -248,6 +248,48 @@ class CodecImplSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------------- bthp
+
+  test("bthp: golden frame bytes (honeycomb.py:120-135)") {
+    val framed = CodecImpl.bthpFrame("hi".getBytes, 0xCAFEL, beaconIp = "1.2.3.4")
+    // ver=1 type=2 hdrLen=20 dataLen=2 proxyId=0xCAFE addl(2,4,1.2.3.4) term
+    val want = hex("0102" + "0014" + "00000002" + "0000cafe" +
+      "0204" + "01020304" + "0000") ++ "hi".getBytes
+    assert(framed.sameElements(want))
+  }
+  test("bthp: strip recovers header fields and payload (honeycomb.py:138-183)") {
+    val framed = CodecImpl.bthpFrame("payload-bytes".getBytes, 4242L,
+      beaconIp = "10.0.0.1", dstIp = "172.16.5.9", proxyIp = "192.168.1.254")
+    val h = CodecImpl.bthpStrip(framed)
+    assert(h.ver === 1 && h.typ === 2)
+    assert(h.dataLen === 13L && h.proxyId === 4242L)
+    assert(h.hdrLen === 12 + 3 * 6 + 2)
+    assert(h.beaconIp === "10.0.0.1" && h.dstIp === "172.16.5.9" &&
+      h.proxyIp === "192.168.1.254")
+    assert(new String(h.payload) === "payload-bytes")
+  }
+  test("bthp: header-only packet (reference's fixed hdrLen 14) strips clean") {
+    val framed = CodecImpl.bthpFrame("x".getBytes, 7L)
+    assert(framed(2) === 0.toByte && framed(3) === 14.toByte)
+    val h = CodecImpl.bthpStrip(framed)
+    assert(h.beaconIp === null && h.dstIp === null && h.proxyIp === null)
+    assert(new String(h.payload) === "x")
+  }
+  test("bthp: unknown additional-header types are skipped, not stored") {
+    // main hdr + addl(type=9, len=3, zzz) + addl(2,4,ip) + term + payload
+    val buf = hex("0102" + "0017" + "00000001" + "00000001") ++
+      hex("0903") ++ "zzz".getBytes ++ hex("0204" + "7f000001" + "0000") ++ "p".getBytes
+    val h = CodecImpl.bthpStrip(buf)
+    assert(h.beaconIp === "127.0.0.1")
+    assert(new String(h.payload) === "p")
+  }
+  test("bthp: truncated input throws") {
+    intercept[IllegalArgumentException](CodecImpl.bthpStrip(hex("010200")))
+    // main header but the addl stream runs off the end
+    intercept[IllegalArgumentException](
+      CodecImpl.bthpStrip(hex("0102" + "000e" + "00000000" + "00000000" + "02")))
+  }
+
   // --------------------------------------------------------------- mac
 
   test("mac format: golden (beacon.c:657-666)") {
