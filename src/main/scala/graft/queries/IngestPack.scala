@@ -226,6 +226,40 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  // ------------------------------------------------ trigger scheduling
+
+  /** Delayed trigger with variance (§2.9, `trigger_listen.c:79-98`):
+    * delay + deterministic variance in [-30, 30], clamped to the
+    * 1-second minimum, scheduled per implant.
+    */
+  val triggerDelay: Q = (s, d) =>
+    graft.operators.Triggers.scheduleActions(
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("user_id") % 120).as("delay_s")),
+      idCol = "event_id", implantCol = "user_id",
+      tsCol = "ts", delayCol = "delay_s")
+      .select(col("event_id"), col("delay_s"), col("variance"),
+        col("calc_delay"), col("action_us"), col("fire_order"))
+      .orderBy("event_id")
+
+  /** Fork-per-trigger (§2.9, `trigger_listen.c:243-253`): each
+    * trigger's callback runs as its own task; one slice of callbacks
+    * throws in-task and must surface as `fork_failed` without harming
+    * the rest — the oracle recomputes both paths arithmetically.
+    */
+  val forkCallbacks: Q = (s, d) => {
+    val cb = (id: Long) => {
+      if (id % 13 == 0) throw new IllegalStateException(s"callback $id refused")
+      graft.operators.Triggers.CallbackResult(id, "ok", (id % 7 + 1) * 512L)
+    }
+    graft.operators.Triggers.forkPerTrigger(
+      s, Tables.events(s, d).filter(col("event_id") < 300), "event_id", cb)
+      .toDF()
+      .orderBy("trigger_id")
+  }
+
   // ----------------------------------------------- BTHP proxy envelope
 
   /** BTHP framing-header strip (§3.3 front stage,
@@ -459,6 +493,8 @@ object IngestPack {
     "ig_profile_union"   -> profileUnion,
     "ig_header_once"     -> headerOnce,
     "ig_bthp_strip"      -> bthpStrip,
+    "ig_trigger_delay"   -> triggerDelay,
+    "ig_fork_callbacks"  -> forkCallbacks,
     "ig_asof_join"       -> asofJoin,
     "ig_session_replay"  -> sessionReplay,
     "ig_config_upsert"   -> configUpsert,
@@ -575,6 +611,28 @@ object IngestPack {
          |  UNION ALL SELECT line, verdict FROM v WHERE verdict <> 'good'
          |  UNION SELECT line, verdict FROM v)
          |ORDER BY line""".stripMargin,
+
+    "ig_trigger_delay" ->
+      s"""WITH t AS (
+         |  SELECT event_id, user_id, ts, user_id % 120 AS delay_s,
+         |    (event_id % 61) - 30 AS variance
+         |  FROM events WHERE event_id < 2000),
+         |c AS (
+         |  SELECT event_id, user_id, delay_s, variance,
+         |    greatest(1, delay_s + variance) AS calc_delay,
+         |    epoch_us(ts) + greatest(1, delay_s + variance) * 1000000 AS action_us
+         |  FROM t)
+         |SELECT event_id, delay_s, variance, calc_delay, action_us,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY action_us, event_id) AS INT) AS fire_order
+         |FROM c ORDER BY event_id""".stripMargin,
+
+    "ig_fork_callbacks" ->
+      s"""SELECT event_id AS trigger_id,
+         |  CASE WHEN event_id % 13 = 0 THEN 'fork_failed' ELSE 'ok' END AS status,
+         |  CAST(CASE WHEN event_id % 13 = 0 THEN 0
+         |       ELSE (event_id % 7 + 1) * 512 END AS BIGINT) AS bytes_sent
+         |FROM events WHERE event_id < 300 ORDER BY trigger_id""".stripMargin,
 
     "ig_bthp_strip" -> {
       val dst = "((user_id * 2654435761) % 4294967296)"

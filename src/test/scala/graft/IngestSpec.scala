@@ -76,6 +76,31 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("trigger delay: variance bounded by ±30, 1-second minimum clamp") {
+    import spark.implicits._
+    val rows = IngestPack.triggerDelay(spark, dir)
+      .select("delay_s", "variance", "calc_delay")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (delay, v, calc) =>
+      assert(v >= -30 && v <= 30)
+      assert(calc === math.max(1L, delay + v))
+    }
+    // the clamp must actually fire somewhere (delay 0..119, variance to -30)
+    assert(rows.exists { case (d, v, _) => d + v < 1 })
+  }
+
+  test("fork-per-trigger: a failing callback isolates as fork_failed") {
+    import spark.implicits._
+    val rows = IngestPack.forkCallbacks(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(rows.length === 300)
+    rows.foreach { case (id, status, bytes) =>
+      if (id % 13 == 0) assert(status === "fork_failed" && bytes === 0L, s"id $id")
+      else assert(status === "ok" && bytes === (id % 7 + 1) * 512L, s"id $id")
+    }
+  }
+
   test("profile union: distinct collapses the routed duplicates") {
     import spark.implicits._
     val union = IngestPack.profileUnion(spark, dir).as[(String, String)].collect()
