@@ -72,6 +72,18 @@ class TrainingSpec extends AnyFunSuite {
     assert(generous === exact)
   }
 
+  test("ngram-Jaccard postings cap only ever removes pairs, never invents them") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccard(spark, dir, 0.9).select("i", "j").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccard(spark, dir, 0.9, maxBucket = Some(2))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact))
+    // a generous cap changes nothing on this corpus
+    val generous = Dedup.ngramJaccard(spark, dir, 0.9, maxBucket = Some(100000))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(generous === exact)
+  }
+
   test("hyperplane LSH top-k has reasonable recall of brute-force neighbors") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 8, k = 10)
