@@ -74,6 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("mac_format", es => CE.MacFormat(es.head))
     inject("tlv_decode", es => CE.TlvDecode(es.head))
     inject("tlv_encode", es => CE.TlvEncode(es.head))
+    inject("bthp_strip", es => CE.BthpStrip(es.head))
+    inject("bthp_frame", es => CE.BthpFrame(es))
     inject("simhash64", es => TE.SimHash64(es.head))
     inject("hamming64", es => TE.Hamming64(es(0), es(1)))
     inject("fnv1a64", es => TE.Fnv1a64(es.head))

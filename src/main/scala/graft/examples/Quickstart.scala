@@ -58,7 +58,15 @@ object Quickstart {
         |FROM h a JOIN h b ON a.doc_id = 0 AND b.doc_id <> 0
         |ORDER BY dist, other LIMIT 5""".stripMargin).show()
 
-    // 6. End-to-end ingest DAG with partitioned landing
+    // 6. BTHP proxy-envelope strip from SQL
+    println("== bthp strip ==")
+    spark.sql(
+      """SELECT h.proxy_id, h.beacon_ip, CAST(h.payload AS STRING) AS payload
+        |FROM (SELECT bthp_strip(bthp_frame(CAST(source AS BINARY), doc_id,
+        |        '10.0.0.1', NULL)) AS h
+        |      FROM documents ORDER BY doc_id LIMIT 3)""".stripMargin).show()
+
+    // 7. End-to-end ingest DAG with partitioned landing
     println(s"== beacon ingest DAG -> $outDir ==")
     val r = BeaconPipeline.run(spark, dataDir, outDir)
     println(s"good=${r.good.count()} bad=${r.bad.count()} " +

@@ -26,6 +26,25 @@ class CodecExprSpec extends AnyFunSuite {
     assert(got(0) === 0x29B1)
   }
 
+  test("bthp frame/strip round-trips through a plan, SQL registration included") {
+    import spark.implicits._
+    val row = Seq(("message-bytes", 77L)).toDF("msg", "pid")
+      .select(CE.bthp_strip(CE.bthp_frame(col("msg").cast("binary"), col("pid"),
+        lit("10.1.2.3"), lit(null).cast("string"))).as("h"))
+      .select(col("h.proxy_id"), col("h.beacon_ip"), col("h.dst_ip"),
+        col("h.payload").cast("string"))
+      .head()
+    assert(row.getLong(0) === 77L)
+    assert(row.getString(1) === "10.1.2.3")
+    assert(row.isNullAt(2))
+    assert(row.getString(3) === "message-bytes")
+    graft.functions.CodecExpressions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT bthp_strip(bthp_frame(CAST('x' AS BINARY), 5L, '9.8.7.6', NULL)).proxy_id AS p")
+      .head().getLong(0)
+    assert(viaSql === 5L)
+  }
+
   test("xtea encrypt/decrypt round-trips through a plan") {
     import spark.implicits._
     val key = Array.tabulate[Byte](16)(_.toByte)
