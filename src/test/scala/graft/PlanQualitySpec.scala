@@ -117,6 +117,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"window gone from packing plan:\n$plan")
   }
 
+  test("whole-surface sweep: no unapproved cartesian/BNLJ/single-partition plan") {
+    // every driver-gate query, checked for the three shapes that kill a
+    // 100 TB run; the allowlists are the audited exceptions where the
+    // shape is bounded by construction — any NEW query that picks one
+    // of these plans up must be reviewed and listed here or fixed
+    val bnljOk = Set(
+      "ann_topk_bruteforce",  // non-equi self-pair over a bounded (8-row) query set
+      "dd_embedding_neardup", // deliberate exact n^2 baseline; LSH twin is the scale path
+      "dq34_scalar_subquery") // 1-row broadcast aggregate crossed into the fact side
+    val singlePartOk = Set(
+      "dq09_validation",      // global scalar aggregate (1-row result)
+      "dq21_count_distinct",  // global count-distinct (1-row result)
+      "dq34_scalar_subquery") // the scalar aggregate itself
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      val s = fn(spark, dir).queryExecution.executedPlan.toString
+      Seq(
+        Option.when(s.contains("CartesianProduct"))(s"$n: CartesianProduct"),
+        Option.when(s.contains("BroadcastNestedLoopJoin") && !bnljOk(n))(s"$n: BNLJ"),
+        Option.when(s.contains("Exchange SinglePartition") && !singlePartOk(n))(
+          s"$n: SinglePartition")).flatten
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("shuffle partition count respects the session setting (not the 200 default)") {
     val plan = executedPlan(RelationalPack.dq19(spark, dir))
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
