@@ -66,6 +66,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= want.size - 10, s"too many withheld windows: ${want.size - got.size}")
   }
 
+  test("trigger schedule computes identically on a stream (stateless column logic)") {
+    import graft.operators.Triggers
+    def schedule(df: DataFrame): DataFrame =
+      Triggers.scheduleActions(
+        df.select(col("event_id"), col("user_id"), col("ts"),
+          (col("user_id") % 120).as("delay_s")),
+        idCol = "event_id", implantCol = "user_id", tsCol = "ts", delayCol = "delay_s")
+    // fire_order needs a rank window (batch/mapGroupsWithState
+    // territory); the schedule itself — variance, clamp, action time —
+    // is stateless column logic and runs 1:1 on the stream
+    val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("user_id") % 120).as("delay_s"))
+      .withColumn("variance", Triggers.variance(col("event_id")))
+      .withColumn("calc_delay", greatest(lit(1L), col("delay_s") + col("variance")))
+      .withColumn("action_us", unix_micros(col("ts")) + col("calc_delay") * 1000000L)
+      .select("event_id", "variance", "calc_delay", "action_us")
+    EventStream.runToMemory(stream, "trig_stream")
+    val got = spark.table("trig_stream").orderBy("event_id").collect().toSeq
+    val want = schedule(batchEvents)
+      .select("event_id", "variance", "calc_delay", "action_us")
+      .orderBy("event_id").collect().toSeq
+    assert(got === want)
+  }
+
   test("gap sessionization: streaming session count per user equals batch DQ24") {
     import spark.implicits._
     val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
