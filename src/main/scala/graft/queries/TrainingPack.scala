@@ -174,6 +174,52 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** PII redaction (training-data scrubbing): emails → <EMAIL>,
+    * IPv4s → <IP>, long digit runs → <NUM>, applied in that fixed
+    * order. The corpus carries no PII, so each doc is salted with
+    * deterministic synthetic identifiers first (synth-then-process,
+    * like the /proc line gate) — the redaction itself is the operator
+    * under test, and the per-kind counts come from the pre-redaction
+    * text.
+    */
+  val txRedact: Q = (s, d) => {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val numRe = "\\d{6,}"
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example"), (col("doc_id") % 7).cast("string"), lit(".com from "),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      (col("doc_id") * 7 % 256).cast("string"), lit("."),
+      (col("doc_id") * 13 % 256).cast("string"), lit(".9 ref "),
+      (col("doc_id") * 1000003 + 1000000).cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), numRe, "<NUM>").as("redacted"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("raw"), lit(numRe), lit(0))).as("n_nums"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination detection: train docs sharing ≥3 distinct
+    * 5-gram shingles with the benchmark slice (every 5th doc) are
+    * flagged. Inverted-index join on the shingle with the benchmark
+    * vocabulary broadcast — at 100 TB the benchmark set stays small by
+    * definition, so no fact-side shuffle at all.
+    */
+  val txContamination: Q = (s, d) => {
+    val sh = Dedup.shingleTable(s, d, "doc_id")
+    val bench = sh.filter(col("doc_id") % 5 === 0).select("sg").distinct()
+    sh.filter(col("doc_id") % 5 =!= 0)
+      .join(broadcast(bench), "sg")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
@@ -200,6 +246,8 @@ object TrainingPack {
     "tx_corpus_stats"      -> txCorpusStats,
     "tx_top_terms"         -> txTopTerms,
     "tx_sequence_packing"  -> txSequencePacking,
+    "tx_redact"            -> txRedact,
+    "tx_contamination"     -> txContamination,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
   )
@@ -317,6 +365,36 @@ object TrainingPack {
          |  FROM t)
          |SELECT doc_id, shard, n_tok, CAST(cum_before // 4096 AS BIGINT) AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "tx_redact" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val numRe = "\\d{6,}"
+      s"""WITH r AS (
+         |  SELECT doc_id, text || ' contact user' || doc_id || '@example' ||
+         |    (doc_id % 7) || '.com from ' || (doc_id % 256) || '.' ||
+         |    (doc_id * 7 % 256) || '.' || (doc_id * 13 % 256) || '.9 ref ' ||
+         |    (doc_id * 1000003 + 1000000) AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+         |    '$numRe', '<NUM>', 'g') AS redacted,
+         |  len(regexp_extract_all(raw, '$emailRe')) AS n_emails,
+         |  len(regexp_extract_all(raw, '$ipRe')) AS n_ips,
+         |  len(regexp_extract_all(raw, '$numRe')) AS n_nums
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_contamination" ->
+      s"""WITH $shCte,
+         |bench AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 5 = 0),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_shared
+         |  FROM sh s JOIN bench b ON s.sg = b.sg
+         |  WHERE s.doc_id % 5 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3
+         |ORDER BY doc_id""".stripMargin,
 
     "tx_sample_split" ->
       s"""SELECT doc_id,

@@ -127,6 +127,39 @@ class TrainingSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ lang id
 
+  test("redaction scrubs every planted identifier and counts them") {
+    import spark.implicits._
+    val rows = graft.queries.TrainingPack.txRedact(spark, dir)
+      .as[(Long, String, Int, Int, Int)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (id, red, emails, ips, nums) =>
+      assert(emails === 1 && ips === 1 && nums === 1, s"doc $id counts")
+      assert(!red.contains("@"), s"doc $id leaked an email")
+      assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<NUM>"),
+        s"doc $id missing a placeholder")
+      assert(!red.matches("(?s).*\\d{6,}.*"), s"doc $id leaked a long number")
+    }
+  }
+
+  test("contamination flags only train docs that truly share benchmark shingles") {
+    import spark.implicits._
+    val flagged = graft.queries.TrainingPack.txContamination(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(flagged.nonEmpty)
+    // never flags the benchmark slice itself; threshold respected
+    flagged.foreach { case (id, n) =>
+      assert(id % 5 != 0, s"benchmark doc $id flagged")
+      assert(n >= 3)
+    }
+    // every flagged doc's shingle set really intersects the benchmark's
+    val sh = graft.operators.Dedup.shingleTable(spark, dir, "doc_id")
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val bench = sh.filter(_._1 % 5 == 0).values.flatten.toSet
+    flagged.foreach { case (id, n) =>
+      assert((sh(id) intersect bench).size.toLong === n, s"doc $id count mismatch")
+    }
+  }
+
   test("lang_id identifies constructed multilingual snippets") {
     assert(TextImpl.langId("the cat sat on the mat and it was happy") === "en")
     assert(TextImpl.langId("der Hund und die Katze sind nicht im Haus") === "de")
