@@ -220,6 +220,23 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** Per-language sampling thresholds for the stratified-sample gate:
+    * md5-prefix cuts ≈ 80% en, 50% de, 30% fr, 20% everything else.
+    */
+  val StratThresholds = Map("en" -> "cc", "de" -> "80", "fr" -> "4c")
+  val StratDefault = "33"
+
+  /** Deterministic stratified sampling by language (per-stratum keep
+    * rates, engine-portable md5 decision — see operators/Sampling).
+    */
+  val txStratifiedSample: Q = (s, d) =>
+    graft.operators.Sampling.stratified(
+      Tables.documents(s, d).select("doc_id", "lang"),
+      stratumCol = "lang", idCol = "doc_id",
+      thresholds = StratThresholds, defaultThreshold = StratDefault)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   // -------------------------------------------------------- multimodal
 
   val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
@@ -248,6 +265,7 @@ object TrainingPack {
     "tx_sequence_packing"  -> txSequencePacking,
     "tx_redact"            -> txRedact,
     "tx_contamination"     -> txContamination,
+    "tx_stratified_sample" -> txStratifiedSample,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
   )
@@ -395,6 +413,14 @@ object TrainingPack {
          |  WHERE s.doc_id % 5 <> 0 GROUP BY 1)
          |SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3
          |ORDER BY doc_id""".stripMargin,
+
+    "tx_stratified_sample" -> {
+      val cuts = StratThresholds.map { case (l, c) => s"('$l', '$c')" }.mkString(", ")
+      s"""SELECT doc_id, lang FROM documents d
+         |LEFT JOIN (VALUES $cuts) t(lang2, cut) ON d.lang = t.lang2
+         |WHERE md5('strat|' || doc_id) < COALESCE(cut, '$StratDefault')
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "tx_sample_split" ->
       s"""SELECT doc_id,

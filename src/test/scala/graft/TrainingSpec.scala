@@ -160,6 +160,26 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: per-stratum keep rates track the thresholds, deterministic") {
+    import spark.implicits._
+    import graft.queries.TrainingPack
+    val total = Tables.documents(spark, dir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = TrainingPack.txStratifiedSample(spark, dir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    def expectedRate(lang: String): Double =
+      Integer.parseInt(TrainingPack.StratThresholds.getOrElse(lang, TrainingPack.StratDefault), 16) / 256.0
+    total.foreach { case (lang, n) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      val want = expectedRate(lang)
+      assert(math.abs(rate - want) < 0.15, s"$lang rate $rate vs $want over $n docs")
+    }
+    // deterministic: a rerun keeps exactly the same rows
+    val a = TrainingPack.txStratifiedSample(spark, dir).as[(Long, String)].collect().toSeq
+    val b = TrainingPack.txStratifiedSample(spark, dir).as[(Long, String)].collect().toSeq
+    assert(a === b)
+  }
+
   test("lang_id identifies constructed multilingual snippets") {
     assert(TextImpl.langId("the cat sat on the mat and it was happy") === "en")
     assert(TextImpl.langId("der Hund und die Katze sind nicht im Haus") === "de")
