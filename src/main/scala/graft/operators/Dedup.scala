@@ -85,8 +85,13 @@ object Dedup {
     * identically in Spark and DuckDB, making the signature (and thus
     * the whole LSH pipeline) oracle-checkable.
     */
-  def minhashSignatures(spark: SparkSession, dir: String, idName: String): DataFrame = {
-    val sh = shingleTable(spark, dir, idName)
+  def minhashSignatures(spark: SparkSession, dir: String, idName: String): DataFrame =
+    minhashSignaturesFrom(shingleTable(spark, dir, idName), idName)
+
+  /** Signature computation over an existing (possibly persisted)
+    * shingle table.
+    */
+  def minhashSignaturesFrom(sh: DataFrame, idName: String): DataFrame = {
     // hash dictionary: the k md5s are computed once per DISTINCT
     // shingle (the corpus vocabulary is much smaller than the shingle
     // stream), then joined back — 10x fewer md5 evaluations, value-
@@ -125,10 +130,24 @@ object Dedup {
     *   recover). None (default) = exact LSH semantics, what the oracle
     *   checks.
     */
+  /** @param materialize persist the shingle and signature tables for
+    *   the run (MEMORY_AND_DISK; blocks are reclaimed by Spark's
+    *   ContextCleaner once the plan is unreferenced). The pipeline
+    *   reads the shingle stream three times and the signatures three
+    *   times; without materialization every reuse recomputes the
+    *   whole subtree from the scan — at 100 TB that is 4 extra passes
+    *   over the corpus, which is why a production run lands the
+    *   signature table before LSH. Values are identical either way.
+    */
   def minhashLsh(spark: SparkSession, dir: String,
       threshold: Double = JaccardThreshold,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val sig = minhashSignatures(spark, dir, "doc")
+      maxBucket: Option[Int] = None,
+      materialize: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val shM = mat(shingleTable(spark, dir, "doc"))
+    val sig = mat(minhashSignaturesFrom(shM, "doc"))
     val bandsRaw = banded(sig, "doc")
     val bands = maxBucket match {
       case Some(cap) =>
@@ -142,12 +161,12 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
 
-    val sh = shingleTable(spark, dir, "doc")
     val sizes = sig.select("doc", "n")
-    // verify stage: intersection counted over candidate pairs only
+    // verify stage: intersection counted over candidate pairs only,
+    // reading the (materialized) shingle table, not a fresh scan
     val inter = cands
-      .join(sh.toDF("i", "sg"), "i")
-      .join(sh.toDF("j2", "sg2"), col("j") === col("j2") && col("sg") === col("sg2"))
+      .join(shM.toDF("i", "sg"), "i")
+      .join(shM.toDF("j2", "sg2"), col("j") === col("j2") && col("sg") === col("sg2"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
     inter
       .join(sizes.toDF("i", "ni"), "i")
