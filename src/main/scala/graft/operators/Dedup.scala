@@ -57,8 +57,15 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       threshold: Double = JaccardThreshold,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val sh = shingleTable(spark, dir, "doc")
+      maxBucket: Option[Int] = None,
+      materialize: Boolean = true): DataFrame = {
+    // the shingle stream feeds the sizes aggregate and both sides of
+    // the inverted-index self-join; materialize it once (same
+    // rationale and cleanup story as minhashLsh)
+    val shRaw = shingleTable(spark, dir, "doc")
+    val sh = if (materialize)
+      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shRaw
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val postings = maxBucket match {
       case Some(cap) =>
