@@ -211,7 +211,10 @@ object TrainingPack {
     * definition, so no fact-side shuffle at all.
     */
   val txContamination: Q = (s, d) => {
+    // shingles feed both the benchmark vocabulary and the train-side
+    // probe; materialize once (same cleanup story as Dedup)
     val sh = Dedup.shingleTable(s, d, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(col("doc_id") % 5 === 0).select("sg").distinct()
     sh.filter(col("doc_id") % 5 =!= 0)
       .join(broadcast(bench), "sg")
