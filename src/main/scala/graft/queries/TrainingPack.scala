@@ -240,6 +240,85 @@ object TrainingPack {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** The full training-data curation pipeline, composed end-to-end as
+    * ONE declarative DAG — the flagship of the training surface, every
+    * stage an operator that also ships standalone:
+    *
+    *   1. exact dedup        — keep min doc_id per md5(norm) group
+    *   2. near-dup removal   — drop the j of every Jaccard≥0.8 pair
+    *                           whose i survived stage 1
+    *   3. quality gate       — integer-bp score ≥ 42000
+    *   4. language gate      — drop zh (no latin-token signal)
+    *   5. decontamination    — drop the benchmark holdout (every 5th
+    *                           doc) and any doc sharing ≥3 shingles
+    *                           with it
+    *   6. stratified sample  — per-lang md5 cuts
+    *   7. sequence packing   — per-shard 4096-token bins
+    *
+    * Everything is md5/integer-exact, so the WHOLE pipeline is one
+    * DuckDB-oracle-checked query: a drift in any stage breaks the
+    * final hash. Scale shape: stages 1/3/4/6 are narrow or one
+    * shuffle; 2/5 shuffle on the shingle key; 7 packs per shard.
+    */
+  val txPipeline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+
+    // 1. exact dedup
+    val wFp = Window.partitionBy("fp")
+    val keep1 = docs
+      .select(col("doc_id"), col("lang"), col("text"), md5(TextOps.norm(col("text"))).as("fp"))
+      .withColumn("_m", min("doc_id").over(wFp))
+      .filter(col("doc_id") === col("_m")).drop("_m", "fp")
+
+    // 2. near-dup removal: pairs over the full corpus, drop j where i survived
+    val pairs = Dedup.ngramJaccard(s, d)
+    val dropJ = pairs
+      .join(keep1.select(col("doc_id").as("i")), "i")
+      .select(col("j").as("doc_id")).distinct()
+    val keep2 = keep1.join(dropJ, Seq("doc_id"), "left_anti")
+
+    // 3+4. quality and language gates (same integer-bp formula as tx_quality)
+    val ts = TextOps.tokens(col("text"))
+    val nTok = size(ts).cast("bigint")
+    val nChr = length(lower(col("text"))).cast("bigint")
+    val stop = TextOps.stopwordCount(ts).cast("bigint")
+    val punct = TextOps.punctCount(col("text")).cast("bigint")
+    def intDiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("bigint")
+    val stopBp = intDiv(stop * 20000 + nTok, nTok * 2)
+    val punctBp = intDiv(punct * 20000 + nChr, nChr * 2)
+    val quality = stopBp * 4 + (lit(10000L) - punctBp) * 3 +
+      least(lit(10000L), nTok * 100) * 3
+    val keep4 = keep2
+      .withColumn("n_tok", nTok).withColumn("_q", quality)
+      .filter(col("_q") >= 42000 && col("lang") =!= "zh").drop("_q", "text")
+
+    // 5. decontamination vs the benchmark holdout (every 5th doc)
+    val sh = Dedup.shingleTable(s, d, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = sh.filter(col("doc_id") % 5 === 0).select("sg").distinct()
+    val contaminated = sh.join(broadcast(bench), "sg")
+      .groupBy("doc_id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 3).select("doc_id")
+    val keep5 = keep4.filter(col("doc_id") % 5 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 6. stratified sample
+    val keep6 = graft.operators.Sampling.stratified(
+      keep5, "lang", "doc_id", StratThresholds, StratDefault)
+
+    // 7. per-shard sequence packing
+    val wPack = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keep6
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wPack), lit(0L)))
+      .withColumn("bin", floor(col("cum_before").cast("double") / 4096).cast("bigint"))
+      .select("doc_id", "lang", "shard", "n_tok", "bin")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
@@ -269,6 +348,7 @@ object TrainingPack {
     "tx_redact"            -> txRedact,
     "tx_contamination"     -> txContamination,
     "tx_stratified_sample" -> txStratifiedSample,
+    "tx_pipeline"          -> txPipeline,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
   )
@@ -416,6 +496,61 @@ object TrainingPack {
          |  WHERE s.doc_id % 5 <> 0 GROUP BY 1)
          |SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3
          |ORDER BY doc_id""".stripMargin,
+
+    "tx_pipeline" -> {
+      val cuts = StratThresholds.map { case (l, c) => s"('$l', '$c')" }.mkString(", ")
+      s"""WITH $shCte,
+         |fp AS (SELECT doc_id, lang, md5($N) AS fp FROM documents),
+         |keep1 AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY fp) AS m FROM fp)
+         |  WHERE doc_id = m),
+         |inter AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS cnt
+         |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i, j FROM inter
+         |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |  WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8),
+         |keep2 AS (
+         |  SELECT doc_id, lang FROM keep1
+         |  WHERE doc_id NOT IN (
+         |    SELECT j FROM pairs WHERE i IN (SELECT doc_id FROM keep1))),
+         |m AS (
+         |  SELECT doc_id, CAST(len($TS) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter($TS, x -> x IN ($Stop))) AS BIGINT) AS stop,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct,
+         |    CAST(length(lower(text)) AS BIGINT) AS n_chr
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, n_tok,
+         |    ((stop * 20000 + n_tok) // (n_tok * 2)) * 4
+         |      + (10000 - (punct * 20000 + n_chr) // (n_chr * 2)) * 3
+         |      + least(10000, n_tok * 100) * 3 AS quality
+         |  FROM m),
+         |keep4 AS (
+         |  SELECT k.doc_id, k.lang, q.n_tok FROM keep2 k JOIN q USING (doc_id)
+         |  WHERE q.quality >= 42000 AND k.lang <> 'zh'),
+         |bench AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 5 = 0),
+         |contaminated AS (
+         |  SELECT s.doc_id FROM sh s JOIN bench b ON s.sg = b.sg
+         |  GROUP BY 1 HAVING count(*) >= 3),
+         |keep5 AS (
+         |  SELECT * FROM keep4 WHERE doc_id % 5 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |keep6 AS (
+         |  SELECT k.* FROM keep5 k
+         |  LEFT JOIN (VALUES $cuts) t(lang2, cut) ON k.lang = t.lang2
+         |  WHERE md5('strat|' || doc_id) < COALESCE(cut, '$StratDefault')),
+         |c AS (
+         |  SELECT doc_id, lang, doc_id % 8 AS shard, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM keep6)
+         |SELECT doc_id, lang, shard, n_tok, CAST(cum_before // 4096 AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "tx_stratified_sample" -> {
       val cuts = StratThresholds.map { case (l, c) => s"('$l', '$c')" }.mkString(", ")

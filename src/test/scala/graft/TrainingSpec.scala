@@ -180,6 +180,38 @@ class TrainingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("curation pipeline: every stage's contract holds on the survivors") {
+    import spark.implicits._
+    import graft.queries.TrainingPack
+    val out = TrainingPack.txPipeline(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.length < 500, s"${out.length} survivors")
+    val ids = out.map(_._1).toSet
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val textOf = docs.map(d => d._1 -> d._3).toMap
+    out.foreach { case (id, lang, shard, nTok, bin) =>
+      assert(lang != "zh", s"doc $id kept zh")
+      assert(id % 5 != 0, s"doc $id is benchmark holdout")
+      assert(shard === id % 8)
+      assert(bin >= 0 && nTok > 0)
+    }
+    // exact dedup honored: no two survivors share normalized text
+    val norms = out.map(o => textOf(o._1).toLowerCase.replaceAll("\\s+", " ").trim)
+    assert(norms.distinct.length === norms.length, "exact dupes survived")
+    // near-dup removal honored: no surviving jaccard>=0.8 pair
+    val pairs = graft.operators.Dedup.ngramJaccard(spark, dir)
+      .select("i", "j").as[(Long, Long)].collect()
+    pairs.foreach { case (i, j) =>
+      assert(!(ids(i) && ids(j)), s"near-dup pair ($i,$j) both survived")
+    }
+    // per-shard bins are non-decreasing in doc order
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val bins = rows.sortBy(_._1).map(_._5)
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("lang_id identifies constructed multilingual snippets") {
     assert(TextImpl.langId("the cat sat on the mat and it was happy") === "en")
     assert(TextImpl.langId("der Hund und die Katze sind nicht im Haus") === "de")
