@@ -612,6 +612,43 @@ object IngestPack {
          |  UNION SELECT line, verdict FROM v)
          |ORDER BY line""".stripMargin,
 
+    // The three synth-roundtrip DAG gates: their outputs derive
+    // arithmetically from the same event columns the synthesizers use,
+    // so the oracle recomputes them directly — the engine's whole
+    // encode→decode chain (TLV framing, XOR/crc recovery, dim joins)
+    // must round-trip exactly for the hashes to match.
+    "ig_tlv_roundtrip" -> {
+      val h = "lpad(to_hex(user_id * 131071 % 281474976710656), 12, '0')"
+      s"""SELECT event_id,
+         |  lower(concat_ws('-', substr($h,1,2), substr($h,3,2), substr($h,5,2),
+         |    substr($h,7,2), substr($h,9,2), substr($h,11,2))) AS mac,
+         |  user_id AS uptime,
+         |  event_id % 86400 AS next_beacon
+         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
+    },
+
+    "ig_beacon_dag" ->
+      s"""WITH b AS (
+         |  SELECT CASE WHEN event_id % 10 = 3 THEN 'bad' ELSE 'good' END AS route,
+         |    CAST(user_id % 70 AS INT) AS os_code
+         |  FROM events),
+         |j AS (
+         |  SELECT route, CASE WHEN route = 'bad' THEN '(any)'
+         |    ELSE COALESCE(os_name, 'Unknown') END AS os_name
+         |  FROM b LEFT JOIN ${valuesSql(Dims.osCodes, "code", "os_name")}
+         |    ON b.os_code = t.code)
+         |SELECT os_name, COUNT(*) AS n, route FROM j
+         |GROUP BY route, os_name ORDER BY route, os_name""".stripMargin,
+
+    "ig_trigger_gates" ->
+      s"""WITH v AS (
+         |  SELECT CASE WHEN event_id % 7 = 6 THEN 'bad_crc'
+         |    WHEN (user_id % 7) % 2 = 1 THEN 'unknown_key'
+         |    ELSE 'accepted' END AS verdict
+         |  FROM events)
+         |SELECT verdict, COUNT(*) AS n FROM v
+         |GROUP BY verdict ORDER BY verdict""".stripMargin,
+
     "ig_trigger_delay" ->
       s"""WITH t AS (
          |  SELECT event_id, user_id, ts, user_id % 120 AS delay_s,
