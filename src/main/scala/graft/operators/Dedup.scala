@@ -36,6 +36,25 @@ object Dedup {
       .select(col(idName), explode(TextOps.shingles(col("ts"), ShingleN)).as("sg"))
   }
 
+  /** Incremental exact dedup: a new batch deduped within itself
+    * (min doc_id per fingerprint wins) and against a historical
+    * fingerprint catalog — the shape a production pipeline runs per
+    * ingest batch instead of re-deduping the whole corpus. The
+    * catalog join is an anti-join on the fingerprint: at 100 TB the
+    * catalog is one row per distinct historical doc, so it shuffles
+    * (or, landed bucketed by fp via BucketedLayout, joins
+    * shuffle-free); the batch side is the small one.
+    */
+  def exactIncremental(batch: DataFrame, catalogFp: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    batch
+      .withColumn("fp", md5(TextOps.norm(col("text"))))
+      .withColumn("_m", min("doc_id").over(w))
+      .filter(col("doc_id") === col("_m"))
+      .join(catalogFp.select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+  }
+
   /** Exact dedup: survivors per md5(normalized text) group. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -28,6 +28,35 @@ object TrainingPack {
 
   val ddExact: Q = (s, d) => Dedup.exact(s, d)
 
+  /** Incremental exact dedup: docs < 250 are the historical catalog,
+    * the rest the new ingest batch. The corpus has no natural exact
+    * duplicates, so the batch plants them deterministically: every 5th
+    * batch doc copies the text of its (doc_id − 250) history twin
+    * (catalog collision), and doc_id % 11 == 7 docs copy a fellow
+    * unmodified batch doc 13 ids back — 13 shifts the mod-11
+    * residue, so a copy source is never itself modified (within-batch
+    * collision) — both
+    * drop paths of the operator are exercised and oracle-checked.
+    */
+  val ddIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val catalog = docs.filter(col("doc_id") < 250)
+      .select(md5(TextOps.norm(col("text"))).as("fp")).distinct()
+    val hist = docs.select((col("doc_id") + 250).as("doc_id"), col("text").as("h_text"))
+    val prev = docs.select((col("doc_id") + 13).as("doc_id"), col("text").as("w_text"))
+    val batch = docs.filter(col("doc_id") >= 250)
+      .join(hist, Seq("doc_id"), "left")
+      .join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("h_text"))
+          .when(col("doc_id") % 11 === 7 && (col("doc_id") - 13) % 5 =!= 0 &&
+            col("doc_id") - 13 >= 250, col("w_text"))
+          .otherwise(col("text")).as("text"))
+    Dedup.exactIncremental(batch, catalog)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val ddNgramJaccard: Q = (s, d) => Dedup.ngramJaccard(s, d)
 
   val ddMinhashLsh: Q = (s, d) => Dedup.minhashLsh(s, d)
@@ -329,6 +358,7 @@ object TrainingPack {
 
   val queries: Map[String, Q] = Map(
     "dd_exact_dedup"       -> ddExact,
+    "dd_incremental_dedup" -> ddIncremental,
     "dd_ngram_jaccard"     -> ddNgramJaccard,
     "dd_minhash_lsh"       -> ddMinhashLsh,
     "dd_simhash"           -> ddSimhash,
@@ -370,6 +400,29 @@ object TrainingPack {
   val oracle: Map[String, String] = Map(
     "dd_exact_dedup" ->
       s"SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5($N) ORDER BY keep_id",
+
+    "dd_incremental_dedup" -> {
+      val normOf = (t: String) => s"trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))"
+      s"""WITH hist AS (
+         |  SELECT DISTINCT md5(${normOf("text")}) AS fp FROM documents WHERE doc_id < 250),
+         |b AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 5 = 0 THEN h.text
+         |         WHEN d.doc_id % 11 = 7 AND (d.doc_id - 13) % 5 <> 0
+         |           AND d.doc_id - 13 >= 250 THEN w.text
+         |         ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN documents h ON h.doc_id = d.doc_id - 250
+         |  LEFT JOIN documents w ON w.doc_id = d.doc_id - 13
+         |  WHERE d.doc_id >= 250),
+         |f AS (SELECT doc_id, md5(${normOf("text")}) AS fp FROM b),
+         |keep AS (
+         |  SELECT doc_id, fp FROM (
+         |    SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS m FROM f)
+         |  WHERE doc_id = m)
+         |SELECT doc_id FROM keep WHERE fp NOT IN (SELECT fp FROM hist)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "dd_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -48,6 +48,21 @@ class TrainingSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- LSH
 
+  test("incremental dedup drops catalog collisions and within-batch dupes, keeps the rest") {
+    import spark.implicits._
+    val kept = graft.queries.TrainingPack.ddIncremental(spark, dir)
+      .as[Long].collect().toSet
+    val batchIds = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 250).select("doc_id").as[Long].collect()
+    assert(kept.nonEmpty && kept.size < batchIds.length)
+    batchIds.foreach { id =>
+      if (id % 5 == 0) assert(!kept(id), s"catalog collision $id survived")
+      else if (id % 11 == 7 && (id - 13) % 5 != 0 && id - 13 >= 250)
+        assert(!kept(id), s"within-batch dupe $id survived (source ${id - 13})")
+      else assert(kept(id), s"unique doc $id was dropped")
+    }
+  }
+
   test("minhash LSH finds every high-similarity pair the exact join finds") {
     import spark.implicits._
     val exact = Dedup.ngramJaccard(spark, dir, 0.9).select("i", "j").as[(Long, Long)].collect().toSet
