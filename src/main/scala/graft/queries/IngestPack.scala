@@ -640,14 +640,13 @@ object IngestPack {
          |SELECT os_name, COUNT(*) AS n, route FROM j
          |GROUP BY route, os_name ORDER BY route, os_name""".stripMargin,
 
-    "ig_trigger_gates" ->
-      s"""WITH v AS (
-         |  SELECT CASE WHEN event_id % 7 = 6 THEN 'bad_crc'
-         |    WHEN (user_id % 7) % 2 = 1 THEN 'unknown_key'
-         |    ELSE 'accepted' END AS verdict
-         |  FROM events)
-         |SELECT verdict, COUNT(*) AS n FROM v
-         |GROUP BY verdict ORDER BY verdict""".stripMargin,
+    // ig_trigger_gates deliberately has NO oracle: the tamper slice's
+    // verdict is NOT purely arithmetic — a tampered crc changes the
+    // recovery offset, and ~1/65536 of recovered garbage payloads
+    // crc-collide with the tampered value and route to bad_validator
+    // instead of bad_crc (observed at sf0.1). DuckDB has no crc16, so
+    // SQL cannot reproduce the collision path; TriggerPipelineSpec
+    // pins the verdicts against the planted channels instead.
 
     "ig_trigger_delay" ->
       s"""WITH t AS (
