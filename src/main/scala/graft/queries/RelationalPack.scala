@@ -398,6 +398,21 @@ object RelationalPack {
         expr("percentile(n_chars, 0.9)").as("p90_chars"))
       .orderBy("lang")
 
+  /** Ranking-function surface: ntile buckets plus percent_rank /
+    * cume_dist (small-integer ratios — IEEE division is correctly
+    * rounded, so both engines produce bit-identical doubles).
+    */
+  val dq35: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .filter(col("user_id") <= 5)
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Scalar subquery surface: rows above 90% of the global max,
     * realized as a broadcast of the 1-row aggregate (no driver-side
     * collect; the idiomatic distributed scalar-subquery plan).
@@ -488,6 +503,7 @@ object RelationalPack {
     "dq32_null_ordering"       -> dq32,
     "dq33_percentiles"         -> dq33,
     "dq34_scalar_subquery"     -> dq34,
+    "dq35_rank_functions"      -> dq35,
   )
 
   /** DuckDB-dialect oracle SQL, value-equivalent per SURVEY §2.11. */
@@ -572,5 +588,13 @@ object RelationalPack {
       "SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars FROM documents GROUP BY lang ORDER BY lang",
     "dq34_scalar_subquery" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9 ORDER BY o_orderkey",
+    "dq35_rank_functions" ->
+      """SELECT user_id, event_id,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM events WHERE user_id <= 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -348,6 +348,24 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance screening: Levenshtein between each doc's prefix
+    * and its successor's — the fuzzy-match primitive a curation
+    * pipeline uses for title/URL near-matching. Unit-cost
+    * levenshtein has identical semantics in both engines; prefixes
+    * keep the O(n·m) row cost bounded, the way production fuzzy
+    * matching always caps compare length.
+    */
+  val txEditDistance: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val next = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("next_text"))
+    docs.join(next, "doc_id")
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 40),
+          substring(col("next_text"), 1, 40)).as("dist"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
@@ -379,6 +397,7 @@ object TrainingPack {
     "tx_contamination"     -> txContamination,
     "tx_stratified_sample" -> txStratifiedSample,
     "tx_pipeline"          -> txPipeline,
+    "tx_edit_distance"     -> txEditDistance,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
   )
@@ -612,6 +631,12 @@ object TrainingPack {
          |WHERE md5('strat|' || doc_id) < COALESCE(cut, '$StratDefault')
          |ORDER BY doc_id""".stripMargin
     },
+
+    "tx_edit_distance" ->
+      s"""SELECT d.doc_id,
+         |  levenshtein(substr(d.text, 1, 40), substr(n.text, 1, 40)) AS dist
+         |FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+         |ORDER BY d.doc_id""".stripMargin,
 
     "tx_sample_split" ->
       s"""SELECT doc_id,
