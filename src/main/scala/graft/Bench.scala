@@ -37,6 +37,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // drop this query's persisted subtrees (dedup shingles/signatures
+      // etc.) so cache blocks don't pile up and skew later queries
+      spark.catalog.clearCache()
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

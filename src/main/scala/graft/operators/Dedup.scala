@@ -157,8 +157,12 @@ object Dedup {
     *   checks.
     */
   /** @param materialize persist the shingle and signature tables for
-    *   the run (MEMORY_AND_DISK; blocks are reclaimed by Spark's
-    *   ContextCleaner once the plan is unreferenced). The pipeline
+    *   the run (MEMORY_AND_DISK). Persisted plans stay registered in
+    *   the session's CacheManager until unpersist()/session end —
+    *   growth across repeated calls is bounded by plan-canonicalization
+    *   dedupe, and the Verify/Bench harnesses clearCache() between
+    *   queries; a long-lived service should unpersist after its
+    *   terminal action (or land the signature table). The pipeline
     *   reads the shingle stream three times and the signatures three
     *   times; without materialization every reuse recomputes the
     *   whole subtree from the scan — at 100 TB that is 4 extra passes

@@ -235,21 +235,20 @@ object TrainingPack {
 
   /** Benchmark-contamination detection: train docs sharing ≥3 distinct
     * 5-gram shingles with the benchmark slice (every 5th doc) are
-    * flagged. Inverted-index join on the shingle with the benchmark
-    * vocabulary broadcast — at 100 TB the benchmark set stays small by
-    * definition, so no fact-side shuffle at all.
+    * flagged. The operator itself (`Decontaminate.overlap`) takes the
+    * benchmark table as an argument and leaves the join strategy to
+    * Spark: a real benchmark set is small and gets broadcast by the
+    * size estimate / AQE, while an oversized one falls back to a
+    * shuffle join instead of a forced-broadcast OOM.
     */
   val txContamination: Q = (s, d) => {
     // shingles feed both the benchmark vocabulary and the train-side
     // probe; materialize once (same cleanup story as Dedup)
     val sh = Dedup.shingleTable(s, d, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bench = sh.filter(col("doc_id") % 5 === 0).select("sg").distinct()
-    sh.filter(col("doc_id") % 5 =!= 0)
-      .join(broadcast(bench), "sg")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
-      .orderBy("doc_id")
+    val bench = sh.filter(col("doc_id") % 5 === 0)
+    graft.operators.Decontaminate.overlap(
+      sh.filter(col("doc_id") % 5 =!= 0), bench, minShared = 3)
   }
 
   /** Per-language sampling thresholds for the stratified-sample gate:
@@ -275,7 +274,11 @@ object TrainingPack {
     *
     *   1. exact dedup        — keep min doc_id per md5(norm) group
     *   2. near-dup removal   — drop the j of every Jaccard≥0.8 pair
-    *                           whose i survived stage 1
+    *                           whose i survived stage 1; the candidate
+    *                           join runs with the stop-shingle cap
+    *                           (`PipelineMaxBucket`, mirrored in the
+    *                           oracle), so a corpus-frequent shingle
+    *                           cannot send Σ bucket² quadratic at scale
     *   3. quality gate       — integer-bp score ≥ 42000
     *   4. language gate      — drop zh (no latin-token signal)
     *   5. decontamination    — drop the benchmark holdout (every 5th
@@ -289,6 +292,14 @@ object TrainingPack {
     * final hash. Scale shape: stages 1/3/4/6 are narrow or one
     * shuffle; 2/5 shuffle on the shingle key; 7 packs per shard.
     */
+  /** Stop-shingle cap for the pipeline's near-dup stage: postings
+    * lists above this size are dropped from candidate generation
+    * (boilerplate shingles carry no dedup signal; Σ bucket² stays
+    * bounded). Mirrored verbatim in the DuckDB oracle, so the gate
+    * hash-checks the CAPPED semantics — the shape that survives 100 TB.
+    */
+  val PipelineMaxBucket = 64
+
   val txPipeline: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
@@ -301,7 +312,7 @@ object TrainingPack {
       .filter(col("doc_id") === col("_m")).drop("_m", "fp")
 
     // 2. near-dup removal: pairs over the full corpus, drop j where i survived
-    val pairs = Dedup.ngramJaccard(s, d)
+    val pairs = Dedup.ngramJaccard(s, d, maxBucket = Some(PipelineMaxBucket))
     val dropJ = pairs
       .join(keep1.select(col("doc_id").as("i")), "i")
       .select(col("j").as("doc_id")).distinct()
@@ -323,13 +334,14 @@ object TrainingPack {
       .withColumn("n_tok", nTok).withColumn("_q", quality)
       .filter(col("_q") >= 42000 && col("lang") =!= "zh").drop("_q", "text")
 
-    // 5. decontamination vs the benchmark holdout (every 5th doc)
+    // 5. decontamination vs the benchmark holdout (every 5th doc) —
+    // same hint-free operator as tx_contamination: broadcast only when
+    // the benchmark side's measured size warrants it
     val sh = Dedup.shingleTable(s, d, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bench = sh.filter(col("doc_id") % 5 === 0).select("sg").distinct()
-    val contaminated = sh.join(broadcast(bench), "sg")
-      .groupBy("doc_id").agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= 3).select("doc_id")
+    val contaminated = graft.operators.Decontaminate.overlap(
+        sh, sh.filter(col("doc_id") % 5 === 0), minShared = 3)
+      .select("doc_id")
     val keep5 = keep4.filter(col("doc_id") % 5 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
@@ -577,9 +589,13 @@ object TrainingPack {
          |  SELECT doc_id, lang FROM (
          |    SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY fp) AS m FROM fp)
          |  WHERE doc_id = m),
+         |post AS (
+         |  SELECT doc_id, sg FROM (
+         |    SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS psz FROM sh)
+         |  WHERE psz <= $PipelineMaxBucket),
          |inter AS (
          |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS cnt
-         |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |  FROM post a JOIN post b ON a.sg = b.sg AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |pairs AS (
          |  SELECT i, j FROM inter

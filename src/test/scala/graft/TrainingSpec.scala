@@ -175,6 +175,28 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination never forces a broadcast: with thresholds off the benchmark join shuffles") {
+    // simulate a corpus-proportional benchmark side: if the operator
+    // carried a broadcast() hint, the plan would broadcast regardless
+    // of size config and OOM at 100x; hint-free, disabling the size
+    // thresholds must yield a non-broadcast join
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = graft.queries.TrainingPack.txContamination(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"benchmark join still broadcasts with thresholds disabled:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stratified sample: per-stratum keep rates track the thresholds, deterministic") {
     import spark.implicits._
     import graft.queries.TrainingPack
