@@ -164,6 +164,56 @@ object BeaconPipeline {
     Result(good, bad, processes, sockets, routes, interfaces)
   }
 
+  /** Land the query-layer tables of the beacon DAG BUCKETED by implant
+    * (reference analog: honeycomb's archive layer feeding per-implant
+    * queries) — the 100 TB landing format `BucketedLayout` proves in
+    * isolation, wired into the flagship pipeline:
+    *
+    *  - `graft_beacons_b<sf>`:  good beacons, bucketBy(implant_id),
+    *    per-bucket sorted by (implant_id, beacon_us);
+    *  - `graft_sessions_b<sf>`: gap-sessionized (1h idle) session
+    *    bounds per implant, same bucket spec.
+    *
+    * Sessionization pays its one per-implant shuffle HERE, at landing;
+    * every downstream beacon↔session join and per-implant aggregation
+    * then reads co-partitioned buckets and plans with zero Exchange
+    * (pinned by BucketedLayoutSpec on the landed tables). Tables are
+    * external under java.io.tmpdir, names suffixed by the scale dir so
+    * concurrent scale factors never collide.
+    *
+    * @return (beaconsTable, sessionsTable)
+    */
+  def landBucketed(spark: SparkSession, dir: String,
+      nBuckets: Int = 8): (String, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val beaconsT = s"graft_beacons_b_$suffix"
+    val sessionsT = s"graft_sessions_b_$suffix"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+
+    val good = enriched(spark, dir)
+      .filter(!(col("parse_error") || col("uptime_s") < 0))
+      .select(col("implant_id"), unix_micros(col("beacon_ts")).as("beacon_us"),
+        col("uptime_s"), col("version"))
+    BucketedLayout.write(good, beaconsT, "implant_id", nBuckets,
+      Seq("implant_id", "beacon_us"), Some(s"$base/$beaconsT"))
+
+    val w = Window.partitionBy("implant_id").orderBy("beacon_us")
+    val sessions = good
+      .withColumn("prev_us", lag(col("beacon_us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("beacon_us") - col("prev_us") > 3600L * 1000000L, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("implant_id", "session_no")
+      .agg(min(col("beacon_us")).as("started"), max(col("beacon_us")).as("ended"))
+    BucketedLayout.write(sessions, sessionsT, "implant_id", nBuckets,
+      Seq("implant_id", "session_no"), Some(s"$base/$sessionsT"))
+
+    (beaconsT, sessionsT)
+  }
+
   /** Run end-to-end and land partitioned parquet (daily partitions;
     * good/bad routed to separate sinks like processRSI's good/bad
     * dirs).

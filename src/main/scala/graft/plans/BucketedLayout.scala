@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object BucketedLayout {
 
-  /** Land `df` as a bucketed, per-bucket-sorted managed table. */
+  /** Land `df` as a bucketed, per-bucket-sorted table. With `path` the
+    * table is external (files at a caller-chosen location, independent
+    * of the session's warehouse dir); otherwise managed.
+    */
   def write(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int, sortCols: Seq[String]): Unit =
-    df.write.mode("overwrite").format("parquet")
+      nBuckets: Int, sortCols: Seq[String], path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(sortCols.head, sortCols.tail: _*)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Per-key aggregation over a bucketed table: count + byte total per
     * bucket key. On a table bucketed by `key` this plans with zero

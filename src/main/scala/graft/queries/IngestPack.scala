@@ -356,6 +356,29 @@ object IngestPack {
       .orderBy("user_id", "session_no")
   }
 
+  // --------------------------------------------- bucketed session join
+
+  /** Beacon↔session analytics over the BUCKETED landing tables
+    * (`BeaconPipeline.landBucketed` — honeycomb's archive layer wired
+    * into the flagship DAG): per session, beacon count, count of
+    * pre-compression wire versions, and exact bounds. Both tables are
+    * bucketed by implant_id, so the join AND the aggregation read
+    * co-partitioned buckets and plan with zero hash Exchange — the
+    * landing pays sessionization's one shuffle once; every later query
+    * like this one is shuffle-free (plan pinned by BucketedLayoutSpec).
+    */
+  val bucketedSessions: Q = (s, d) => {
+    val (beaconsT, sessionsT) = graft.plans.BeaconPipeline.landBucketed(s, d)
+    s.table(beaconsT).join(s.table(sessionsT), "implant_id")
+      .filter(col("beacon_us").between(col("started"), col("ended")))
+      .groupBy("implant_id", "session_no")
+      .agg(count(lit(1)).as("n_beacons"),
+        sum(when(col("version") === 22, 1L).otherwise(0L)).as("n_v22"),
+        min(col("beacon_us")).as("started_us"),
+        max(col("beacon_us")).as("ended_us"))
+      .orderBy("implant_id", "session_no")
+  }
+
   // ------------------------------------------------ trigger pipeline
 
   /** Trigger gate chain end-to-end (rows-only: the crc-positioned
@@ -501,6 +524,7 @@ object IngestPack {
     "ig_trigger_gates"   -> triggerPipeline,
     "ig_rsi_roundtrip"   -> rsiRoundtrip,
     "ig_session_stats"   -> sessionStats,
+    "ig_bucketed_sessions" -> bucketedSessions,
     "ig_ipv4_format"     -> ipv4Format,
     "ig_hex_format"      -> hexFormat,
     "ig_mac_format"      -> macFormat,
@@ -735,6 +759,29 @@ object IngestPack {
          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS bytes,
          |  epoch_us(MIN(ts)) AS started, epoch_us(MAX(ts)) AS ended
          |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    // recomputes the landed-tables join/agg directly from the beacon
+    // corpus' arithmetic derivation (good = no unknown-TLV slice)
+    "ig_bucketed_sessions" ->
+      s"""WITH good AS (
+         |  SELECT 'imp-' || user_id AS implant_id, epoch_us(ts) AS beacon_us,
+         |    CASE WHEN event_id % 10 = 0 THEN 22 ELSE 29 END AS version
+         |  FROM events WHERE event_id % 10 <> 3),
+         |g AS (
+         |  SELECT implant_id, beacon_us, version,
+         |    CASE WHEN LAG(beacon_us) OVER w IS NULL
+         |      OR beacon_us - LAG(beacon_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM good WINDOW w AS (PARTITION BY implant_id ORDER BY beacon_us)),
+         |s AS (
+         |  SELECT implant_id, beacon_us, version,
+         |    CAST(SUM(new_s) OVER (PARTITION BY implant_id ORDER BY beacon_us
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+         |  FROM g)
+         |SELECT implant_id, session_no, COUNT(*) AS n_beacons,
+         |  CAST(SUM(CASE WHEN version = 22 THEN 1 ELSE 0 END) AS BIGINT) AS n_v22,
+         |  MIN(beacon_us) AS started_us, MAX(beacon_us) AS ended_us
+         |FROM s GROUP BY implant_id, session_no
+         |ORDER BY implant_id, session_no""".stripMargin,
 
     "ig_ipv4_format" ->
       s"""SELECT event_id, $ip AS ip, ${dottedSql(ip)} AS dotted

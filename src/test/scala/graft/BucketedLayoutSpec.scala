@@ -57,6 +57,27 @@ class BucketedLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("flagship landing: beacon-session gate over landBucketed tables plans zero hash exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    try {
+      val df = graft.queries.IngestPack.bucketedSessions(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      // the one allowed Exchange is the final orderBy's rangepartitioning;
+      // join + aggregation must ride the bucket co-partitioning
+      assert(!plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Exchange SinglePartition")
+        && !plan.contains("BroadcastExchange"),
+        s"shuffle on landed bucketed tables:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS graft_beacons_b_$suffix")
+      spark.sql(s"DROP TABLE IF EXISTS graft_sessions_b_$suffix")
+    }
+  }
+
   test("co-located join of same-bucketed tables plans without a shuffle") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
