@@ -214,38 +214,47 @@ object Dedup {
         TextExpressions.simhash64(TextOps.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
-  /** SimHash near-dup pairs via banded Hamming join: a pair within
-    * Hamming distance d must agree exactly on ≥1 of (d+1) disjoint
-    * 16-bit bands (pigeonhole), so candidates come from 4 equi-joins
-    * on a band value — shuffle key = (band, value), never the pair —
-    * then the exact Hamming check filters. Complete for d ≤ 3 with 4
-    * bands; the engine-native twin of minhashLsh.
+  /** Banded-Hamming pair join over ANY signature table `(doc_id, sh)`:
+    * a pair within Hamming distance d agrees exactly on ≥1 of (d+1)
+    * disjoint 16-bit bands (pigeonhole), so candidates come from 4
+    * equi-joins on a band value — shuffle key = (band, value), never
+    * the pair — then the exact Hamming check filters. Complete for
+    * d ≤ 3 with 4 bands, unconditionally (any 64-bit signatures).
+    *
+    * The pair step is signature-agnostic, which is what makes it
+    * oracle-checkable: the dd_simhash_pairs gate feeds it
+    * engine-portable md5-derived signatures DuckDB recomputes and
+    * verifies exhaustively (xor + bit_count), while the fnv1a-native
+    * composition below stays spec-pinned against brute force.
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairsFrom(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit bands are only complete for d <= 3")
-    def sig(idName: String): DataFrame = {
-      val ts = TextOps.tokens(col("text"))
-      Tables.documents(spark, dir)
-        .select(col("doc_id").as(idName),
-          TextExpressions.simhash64(ts).as(s"sh_$idName"))
-    }
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
     }
-    def banded(idName: String): DataFrame =
-      sig(idName).withColumnRenamed(s"sh_$idName", "sh")
-        .select(col(idName), col("sh"),
-          explode(array(bandCols: _*)).as("bk"))
-        .select(col(idName), col("sh").as(s"sh_$idName"),
-          col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val bi = banded("i")
-    val bj = banded("j")
-    bi.join(bj, bi("band") === bj("band") && bi("bv") === bj("bv") && col("i") < col("j"))
-      .select(col("i"), col("j"),
-        TextExpressions.hamming64(col("sh_i"), col("sh_j")).as("dist"))
+    val banded = sig
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        TextExpressions.hamming64(col("a.sh"), col("b.sh")).as("dist"))
       .distinct()
       .filter(col("dist") <= maxHamming)
       .orderBy("i", "j")
+  }
+
+  /** SimHash near-dup pairs over the engine-native fnv1a signatures —
+    * the banded pair join composed with `simhash` (the engine-native
+    * twin of minhashLsh).
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val ts = TextOps.tokens(col("text"))
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextExpressions.simhash64(ts).as("sh"))
+    simhashPairsFrom(sig, maxHamming)
   }
 }

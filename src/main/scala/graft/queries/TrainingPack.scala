@@ -63,7 +63,31 @@ object TrainingPack {
 
   val ddSimhash: Q = (s, d) => Dedup.simhash(s, d)
 
-  val ddSimhashPairs: Q = (s, d) => Dedup.simhashPairs(s, d)
+  /** Engine-portable planted signature table for the banded-Hamming
+    * pair gate: per doc, a 60-bit base hash shared by its group
+    * (md5-derived, so DuckDB computes the identical value) XOR a
+    * deterministic run-of-bits mask — within a group, pair distances
+    * sweep 0..14, so the d≤3 cut is exercised from both sides. 60
+    * bits keeps every value positive in both engines' BIGINT.
+    */
+  private def plantedSimSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      conv(substring(md5(concat(lit("simbase|"), (col("doc_id") % 40).cast("string"))), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseXOR(expr(
+          "shiftleft(shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 7 AS INT)) - 1, CAST((doc_id * 13) % 50 AS INT))"))
+        .as("sh"))
+
+  /** The banded-Hamming PAIR step, hash-checked end-to-end: Spark runs
+    * the real banded operator (4 equi-joins, never the pair shuffle)
+    * over the portable signatures; DuckDB recomputes the signatures
+    * and verifies ALL pairs exhaustively (xor + bit_count) — equality
+    * holds because 4 disjoint 16-bit bands are pigeonhole-complete for
+    * d ≤ 3. The fnv1a-native composition stays a rows-only gate
+    * (dd_simhash) + brute-force spec.
+    */
+  val ddSimhashPairs: Q = (s, d) =>
+    Dedup.simhashPairsFrom(plantedSimSignatures(s, d))
 
   // -------------------------------------------------------- similarity
 
@@ -487,6 +511,28 @@ object TrainingPack {
          |SELECT i, j, ROUND(CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt), 3) AS jac
          |FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8
+         |ORDER BY i, j""".stripMargin
+    },
+
+    // exhaustive all-pairs verify of the banded pair step: recompute
+    // the portable signatures (15-hex-digit md5 prefix as BIGINT, same
+    // group-base-xor-mask plant) and keep every pair at Hamming <= 3
+    "dd_simhash_pairs" -> {
+      val hexVal = (1 to 15).map { k =>
+        val p = BigInt(16).pow(15 - k)
+        s"(strpos('0123456789abcdef', substr(h,$k,1))-1)*$p"
+      }.mkString(" + ")
+      s"""WITH hb AS (
+         |  SELECT doc_id, md5('simbase|' || (doc_id % 40)) AS h FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    xor($hexVal,
+         |      ((CAST(1 AS BIGINT) << CAST(doc_id % 7 AS INT)) - 1)
+         |        << CAST((doc_id * 13) % 50 AS INT)) AS sh
+         |  FROM hb)
+         |SELECT a.doc_id AS i, b.doc_id AS j, bit_count(xor(a.sh, b.sh)) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY i, j""".stripMargin
     },
 
