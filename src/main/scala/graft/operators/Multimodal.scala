@@ -41,14 +41,20 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode of one payload: deterministic pseudo-metadata from
-    * the bytes. A real build replaces ONLY this function with a codec
-    * call (e.g. libjpeg/ffmpeg) — signature and surroundings stay.
+  /** Row shape at the decode seam: payload plus the byte-level facts
+    * (nbytes, crc) already computed by codegen'd expressions — the
+    * opaque stage only ever computes what genuinely needs a codec.
     */
-  def decodeStub(r: MediaRow): MediaMeta = {
-    val b = r.payload
+  case class MediaPre(doc_id: Long, payload: Array[Byte], nbytes: Long, crc: Int)
+
+  /** STUB decode of the payload proper: deterministic pseudo
+    * width/height/frame data from the bytes. A real build replaces
+    * ONLY this function with a codec call (e.g. libjpeg/ffmpeg) —
+    * signature and surroundings stay. Byte-level facts arrive
+    * precomputed; nothing here recomputes what an expression can.
+    */
+  def decodeFrames(doc_id: Long, b: Array[Byte], nbytes: Long, crc: Int): MediaMeta = {
     val n = b.length
-    val crc = CodecImpl.crc16(b)
     val width = 16 + (if (n > 0) (b(0) & 0xFF) % 240 else 0)
     val height = 16 + (if (n > 1) (b(1) & 0xFF) % 240 else 0)
     val nFrames = 1 + n % 16
@@ -56,22 +62,37 @@ object Multimodal {
     val step = math.max(1, n / 4)
     val frameCrcs = (0 until n by step).take(4)
       .map(off => CodecImpl.crc16(java.util.Arrays.copyOfRange(b, off, math.min(n, off + step))))
-    MediaMeta(r.doc_id, n.toLong, crc, width, height, nFrames, frameCrcs)
+    MediaMeta(doc_id, nbytes, crc, width, height, nFrames, frameCrcs)
   }
+
+  /** Whole-record reference decode (spec ground truth): the same
+    * result the split pipeline produces, computed directly.
+    */
+  def decodeStub(r: MediaRow): MediaMeta =
+    decodeFrames(r.doc_id, r.payload, r.payload.length.toLong, CodecImpl.crc16(r.payload))
 
   /** Batched decode over partitions: payloads are processed in
     * fixed-size batches (the `mapInPandas` batch shape) so a native
     * decoder could amortize per-batch setup. Narrow operation — no
-    * shuffle; partitioning carries over from the scan.
+    * shuffle; partitioning carries over from the scan. nbytes and crc
+    * are vectorized codegen'd expressions in the projection FEEDING
+    * the seam (`octet_length`, `crc16_ccitt`); only the true decode
+    * crosses the object boundary.
     */
   def extractFeatures(spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[MediaMeta] = {
     import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup for a real codec would go here
-        batch.iterator.map(decodeStub)
+    val payload = col("text").cast("binary")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("payload"),
+        octet_length(payload).cast("bigint").as("nbytes"),
+        graft.functions.CodecExpressions.crc16_ccitt(payload).as("crc"))
+      .as[MediaPre]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch setup for a real codec would go here
+          batch.iterator.map(r => decodeFrames(r.doc_id, r.payload, r.nbytes, r.crc))
+        }
       }
-    }
   }
 
   /** Relational surface: oracle-checkable projection (byte lengths are

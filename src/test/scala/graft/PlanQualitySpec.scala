@@ -85,6 +85,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(s.contains("dot_f32"), s"prefilter gone from plan:\n$s")
   }
 
+  test("mm_features: byte-level facts ride codegen'd expressions into the decode seam") {
+    val s = TrainingPack.mmFeatures(spark, dir).queryExecution.optimizedPlan.toString
+    assert(s.contains("crc16_ccitt") && s.contains("octet_length"),
+      s"nbytes/crc not computed by expressions before mapPartitions:\n$s")
+  }
+
   test("dedup candidate generation never degrades to a cartesian product") {
     import graft.operators.Dedup
     for (df <- Seq(Dedup.ngramJaccard(spark, dir), Dedup.minhashLsh(spark, dir),
