@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // nanos parquet (events.ts) reads as raw BIGINT everywhere; set
+      // once at build so concurrent readers never race a conf toggle
+      // (Tables.events still self-heals on foreign sessions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the session and register all engine functions. */

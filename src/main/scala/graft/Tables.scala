@@ -37,19 +37,24 @@ object Tables {
     * so both engines see identical values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // scope the legacy flag to this read: schema inference captures it
-    // eagerly at read.parquet(), so restoring right after does not
-    // affect this DataFrame's execution but keeps the session conf
-    // clean for any later nanos-parquet read
+    // GraftSession sets the legacy flag at build; on a foreign session
+    // scope it to this read (schema inference captures it eagerly at
+    // read.parquet(), so restoring right after doesn't affect this
+    // DataFrame). The toggle mutates shared session conf, so it's
+    // serialized per session — two threads interleaving set/restore
+    // could otherwise strand the flag off mid-read.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try {
-      spark.read.parquet(path(dir, "events"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    def read() = spark.read.parquet(path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (spark.conf.getOption(key).contains("true")) read()
+    else spark.synchronized {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try read()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 

@@ -201,8 +201,15 @@ object CodecExpressions {
     * `bthp_strip`. Null payload → null; null IPs are simply omitted
     * from the additional headers (reference behavior for absent data).
     */
-  case class BthpFrame(children: Seq[Expression]) extends Expression with CodegenFallback {
+  case class BthpFrame(children: Seq[Expression]) extends Expression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+      with CodegenFallback {
     require(children.length == 4, "bthp_frame(payload, proxy_id, beacon_ip, dst_ip)")
+    // declared input types buy implicit casts (INT literal proxy ids
+    // coerce to BIGINT) and analysis-time errors instead of a runtime
+    // ClassCastException in eval
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType, LongType, StringType, StringType)
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def eval(input: InternalRow): Any = {

@@ -33,6 +33,22 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       rightTieBreak: Seq[String] = Nil): DataFrame = {
+    // merge on the WIDER common timestamp type: casting right to the
+    // left type would truncate (right TIMESTAMP vs left DATE makes a
+    // later-in-the-day config visible), silently changing the
+    // rightTs <= leftTs contract. A date paired with either timestamp
+    // flavor widens to that timestamp type; TIMESTAMP vs TIMESTAMP_NTZ
+    // (equal microsecond precision, no truncation either way) keeps
+    // the left type. Anything else is a caller error at plan time.
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val tsType = (left.schema(leftTs).dataType, right.schema(rightTs).dataType) match {
+      case (a, b) if a == b => a
+      case (DateType, t @ (TimestampType | TimestampNTZType)) => t
+      case (t @ (TimestampType | TimestampNTZType), DateType) => t
+      case (a @ (TimestampType | TimestampNTZType), TimestampType | TimestampNTZType) => a
+      case (a, b) => throw new IllegalArgumentException(
+        s"as-of timestamp types must match or widen date->timestamp, got $a vs $b")
+    }
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val tbType = StructType(rightTieBreak.map(c => right.schema(c)))
@@ -48,14 +64,14 @@ object AsOf {
       .where(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .select(
         col(rightKey).as("_k"),
-        col(rightTs).cast(left.schema(leftTs).dataType).as("_ts"),
+        col(rightTs).cast(tsType).as("_ts"),
         lit(0).as("_tag"),
         tbOf.as("_tb"),
         lit(null).cast(lType).as("_lv"),
         struct(right.columns.map(col): _*).as("_rv"))
     val leftRows = left.select(
       col(leftKey).as("_k"),
-      col(leftTs).as("_ts"),
+      col(leftTs).cast(tsType).as("_ts"),
       lit(1).as("_tag"),
       tbNull.as("_tb"),
       struct(left.columns.map(col): _*).as("_lv"),

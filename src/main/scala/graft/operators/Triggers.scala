@@ -39,17 +39,18 @@ object Triggers {
   final case class CallbackResult(trigger_id: Long, status: String, bytes_sent: Long)
 
   /** Fork-per-trigger (`server/trigger_listen.c:243-253`): each
-    * accepted trigger's callback runs as its own unit of work — here a
-    * per-group task via `groupByKey.mapGroups`, the engine's fork. A
-    * callback that fails yields a `fork_failed` row and the rest of
-    * the batch proceeds, mirroring the reference's
+    * accepted trigger MESSAGE forks its own callback — a typed map,
+    * one invocation per row, so duplicate trigger ids fork duplicate
+    * callbacks exactly as the reference does (no silent per-id
+    * collapse). A callback that fails yields a `fork_failed` row and
+    * the rest of the batch proceeds, mirroring the reference's
     * "if the fork fails ... continue" contract.
     */
   def forkPerTrigger(spark: SparkSession, triggers: DataFrame, idCol: String,
       callback: Long => CallbackResult): Dataset[CallbackResult] = {
     import spark.implicits._
     triggers.select(col(idCol).cast("long")).as[Long]
-      .groupByKey(identity).mapGroups { (id, _) =>
+      .map { id =>
         try callback(id)
         catch { case _: Exception => CallbackResult(id, "fork_failed", 0L) }
       }

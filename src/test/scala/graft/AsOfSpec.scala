@@ -64,6 +64,24 @@ class AsOfSpec extends AnyFunSuite {
     assert(run(l, r) === Seq(1L -> Some("good"), 2L -> None))
   }
 
+  test("mixed ts types merge on the WIDER type: date events never see same-day-later configs") {
+    // left DATE, right TIMESTAMP: casting right down to DATE would make
+    // a config stamped 12:00 visible to the day's 00:00 event — the
+    // widening contract keeps rightTs <= leftTs on the timestamp line
+    val l = Seq((1L, 7L, "2024-03-02"))
+      .toDF("event_id", "key", "d").select(col("event_id"), col("key"),
+        col("d").cast("date").as("ts"))
+    val r = Seq((7L, "2024-03-02 12:00:00", "late"), (7L, "2024-03-01 23:00:00", "early"))
+      .toDF("cfg_key", "t", "payload")
+      .select(col("cfg_key"), col("t").cast("timestamp").as("cfg_ts"), col("payload"))
+    val out = AsOf.join(l, r, "key", "cfg_key", "ts", "cfg_ts")
+      .select("event_id", "payload").as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq((1L, Some("early"))))
+    // incompatible type combinations are a plan-time error, not a cast
+    val bad = Seq((1L, 7L, 5L)).toDF("event_id", "key", "ts")
+    intercept[IllegalArgumentException] { AsOf.join(bad, r, "key", "cfg_key", "ts", "cfg_ts") }
+  }
+
   test("hot key stays linear: 10k events x 1k configs on ONE key") {
     // the quadratic plan would build 10M intermediate rows for this
     // key; union-merge sorts 11k rows once

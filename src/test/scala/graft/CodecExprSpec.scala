@@ -43,6 +43,12 @@ class CodecExprSpec extends AnyFunSuite {
       "SELECT bthp_strip(bthp_frame(CAST('x' AS BINARY), 5L, '9.8.7.6', NULL)).proxy_id AS p")
       .head().getLong(0)
     assert(viaSql === 5L)
+    // ExpectsInputTypes: an INT-literal proxy id coerces to BIGINT at
+    // analysis instead of ClassCastException-ing at runtime
+    val intLit = spark.sql(
+      "SELECT bthp_strip(bthp_frame(CAST('x' AS BINARY), 5, '9.8.7.6', NULL)).proxy_id AS p")
+      .head().getLong(0)
+    assert(intLit === 5L)
   }
 
   test("xtea encrypt/decrypt round-trips through a plan") {
