@@ -8,6 +8,11 @@ import graft.operators.Sessions.Command
 /** Command-session state machine semantics (§3.2). */
 class SessionsSpec extends AnyFunSuite {
 
+  // env-overridable scale: the verify recipe re-runs the streaming =
+  // batch convergence at sf0.1 (cross-scale insurance)
+  private val dir =
+    sys.env.getOrElse("SPARK_GRAFT_SPEC_SF_DIR", "/root/testdata/sf0.001")
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -45,7 +50,6 @@ class SessionsSpec extends AnyFunSuite {
   test("streaming replay converges to the batch summaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val dir = "/root/testdata/sf0.001"
     // land commands as seq-ordered files (the transport's ACK ordering)
     val p = java.nio.file.Files.createTempDirectory("cmds").toString
     val cmds = Sessions.syntheticCommands(spark, dir)
@@ -74,7 +78,7 @@ class SessionsSpec extends AnyFunSuite {
 
   test("distributed replay equals local fold per session") {
     import spark.implicits._
-    val ds = Sessions.syntheticCommands(spark, "/root/testdata/sf0.001")
+    val ds = Sessions.syntheticCommands(spark, dir)
     val dist = Sessions.replay(ds).collect().map(s => s.session_id -> s).toMap
     val local = ds.collect().groupBy(_.session_id).map { case (id, cs) =>
       id -> Sessions.replayOne(id, cs.iterator)

@@ -15,7 +15,11 @@ import graft.operators.Reassembly
   */
 class StreamingSpec extends AnyFunSuite {
 
-  private val dir = "/root/testdata/sf0.001"
+  // default scale keeps the suite fast; the verify recipe re-runs the
+  // whole suite at sf0.1 via this override (synth-roundtrip parity can
+  // pass at small scale and fail at 10x — see the repo's gotchas)
+  private val dir =
+    sys.env.getOrElse("SPARK_GRAFT_SPEC_SF_DIR", "/root/testdata/sf0.001")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -91,23 +95,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
-  test("gap sessionization: streaming session count per user equals batch DQ24") {
+  test("gap sessionization: streaming emits exactly the watermark-finalized batch sessions") {
     import spark.implicits._
     val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
     EventStream.runToMemory(EventStream.sessionCounts(stream), "sess_stream")
     val streamed = spark.table("sess_stream")
       .groupBy("user_id").agg(count(lit(1)).as("sessions"))
       .as[(Long, Long)].collect().toMap
-    val batch = queries.RelationalPack.dq24(spark, dir)
-      .as[(Long, Long)].collect().toMap
-    // sessions whose gap window is still open at end-of-stream are
-    // withheld by append mode; allow at most one open session per user
-    batch.foreach { case (u, n) =>
+    // batch twin of the SAME operator (session_window), with each
+    // session's end: append mode emits a session once the final
+    // watermark (max ts - 1h) passes its end, so the expected count
+    // per user is the number of sessions ending before the watermark —
+    // NOT "all but one": at higher densities several whole sessions
+    // can sit inside the last watermark hour (caught at sf0.1)
+    val wmUs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0) -
+      3600L * 1000000L
+    val ends = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.end")).as("end_us"))
+      .as[(Long, Long)].collect()
+    val strictFinal = ends.filter(_._2 < wmUs).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val looseFinal = ends.filter(_._2 <= wmUs).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val users = ends.map(_._1).distinct
+    assert(streamed.nonEmpty)
+    users.foreach { u =>
       val s = streamed.getOrElse(u, 0L)
-      assert(s == n || s == n - 1, s"user $u: streamed $s vs batch $n")
+      val lo = strictFinal.getOrElse(u, 0L); val hi = looseFinal.getOrElse(u, 0L)
+      assert(s >= lo && s <= hi, s"user $u: streamed $s, watermark-finalized [$lo,$hi]")
     }
-    val exact = batch.count { case (u, n) => streamed.getOrElse(u, 0L) == n }
-    assert(exact >= batch.size / 2, s"only $exact/${batch.size} users fully flushed")
   }
 
   test("TTL tombstones match the batch-derived expiry set") {
