@@ -198,8 +198,12 @@ object BeaconPipeline {
     BucketedLayout.write(good, beaconsT, "implant_id", nBuckets,
       Seq("implant_id", "beacon_us"), Some(s"$base/$beaconsT"))
 
+    // sessions derive FROM the landed archive, not from a second run
+    // of the decode DAG: the narrow bucketed scan replaces the whole
+    // synth+TLV subtree, and the sessionization window reads buckets
+    // already co-partitioned on implant_id
     val w = Window.partitionBy("implant_id").orderBy("beacon_us")
-    val sessions = good
+    val sessions = spark.table(beaconsT)
       .withColumn("prev_us", lag(col("beacon_us"), 1).over(w))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
