@@ -514,6 +514,37 @@ object TrainingPack {
          |ORDER BY i, j""".stripMargin
     },
 
+    // full engine-native SimHash recomputed in SQL: fnv1a64 as a
+    // list_reduce fold over each distinct token's UTF-8 bytes (HUGEINT
+    // arithmetic mod 2^64 — validated byte-for-byte vs the JVM impl,
+    // multibyte and empty tokens included), then 64 per-bit +1/-1
+    // occurrence votes per doc; ties vote 0 like the JVM's acc > 0
+    "dd_simhash" -> {
+      val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+      val fnv =
+        """list_reduce(
+          |  list_prepend(CAST('14695981039346656037' AS HUGEINT),
+          |    list_transform(range(1, octet_length(encode(t))+1),
+          |      i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1))-1)*16
+          |              + (strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i, 1))-1) AS HUGEINT))),
+          |  (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+          |             * 1099511628211) % """.stripMargin + two64 + ")"
+      val bits = (0 until 64).map { b =>
+        val p = s"CAST('${BigInt(1) << b}' AS HUGEINT)"
+        s"CASE WHEN SUM(CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN $p ELSE CAST(0 AS HUGEINT) END"
+      }.mkString("\n  + ")
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+         |dict AS (SELECT t, $fnv AS h FROM (SELECT DISTINCT t FROM tok)),
+         |votes AS (SELECT doc_id, h FROM tok JOIN dict USING (t)),
+         |agg AS (
+         |  SELECT doc_id, $bits AS uh
+         |  FROM votes GROUP BY doc_id)
+         |SELECT doc_id, CAST(CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+         |  THEN uh - $two64 ELSE uh END AS BIGINT) AS simhash
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
     // exhaustive all-pairs verify of the banded pair step: recompute
     // the portable signatures (15-hex-digit md5 prefix as BIGINT, same
     // group-base-xor-mask plant) and keep every pair at Hamming <= 3
