@@ -183,12 +183,15 @@ object TrainingPack {
     * bit-for-bit — no libm log divergence).
     */
   val txTopTerms: Q = (s, d) => {
+    // one tokenize+explode pass feeds BOTH frequency tables (same
+    // materialize-shared-subtree pattern as Dedup; harnesses
+    // clearCache between queries)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
-    val df = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val df = toks.select("doc_id", "tok")
       .distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
