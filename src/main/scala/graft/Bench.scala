@@ -37,8 +37,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      // drop this query's persisted subtrees (dedup shingles/signatures
-      // etc.) so cache blocks don't pile up and skew later queries
+      // release this query's persisted subtrees (dedup shingles,
+      // exploded tokens) so cache blocks don't pile up and skew later
+      // queries
+      Shared.releaseAll(spark)
       spark.catalog.clearCache()
       name -> times(times.length / 2)
     }

@@ -21,8 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query persisted subtrees are single-use here; drop them so
-      // the 90-query sweep's cache footprint stays flat
+      // per-query persisted subtrees are single-use here; release the
+      // registered ones and drop anything else so the 90-query sweep's
+      // cache footprint stays flat
+      Shared.releaseAll(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

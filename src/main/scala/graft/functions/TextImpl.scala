@@ -51,20 +51,24 @@ object TextImpl {
   /** Polynomial rolling-hash fingerprint of a string (base 257 modulo
     * 2^61-1): order-sensitive document fingerprint, cheap to combine
     * incrementally — the "rolling hash" of SURVEY's text-analysis set.
+    * Folds Unicode CODE POINTS (not UTF-16 units), so the value is a
+    * property of the text itself and any engine that enumerates
+    * codepoints (e.g. DuckDB's unicode(substr(s,i,1))) reproduces it.
     */
   def rollingFingerprint(s: String): Long = {
     val Mod = 2305843009213693951L // 2^61 - 1 (Mersenne)
     var h = 0L
     var i = 0
     while (i < s.length) {
-      // (h*257 + c) mod 2^61-1 via 128-bit multiply: with
+      val cp = s.codePointAt(i)
+      // (h*257 + cp) mod 2^61-1 via 128-bit multiply: with
       // x = hi*2^64 + lo and 2^61 ≡ 1 (mod M), fold the >=2^61 part in
       val lo = h * 257L
       val hi = Math.multiplyHigh(h, 257L) // < 2^8 since h < 2^61
-      var sum = (lo & Mod) + ((lo >>> 61) | (hi << 3)) + s.charAt(i).toInt
+      var sum = (lo & Mod) + ((lo >>> 61) | (hi << 3)) + cp
       while (sum >= Mod) sum -= Mod
       h = sum
-      i += 1
+      i += Character.charCount(cp)
     }
     h
   }
@@ -104,10 +108,17 @@ object TextImpl {
         else env.getOrElse(Option(m.group(2)).getOrElse(m.group(3)), "")))
   }
 
-  /** Stopword/char-class profiles for the language identifier. Small,
-    * public-knowledge function-word lists.
+  /** Tie-break precedence of the language identifier (earliest wins on
+    * equal profile-match counts) — shared with the DuckDB oracle's
+    * CASE chain.
     */
-  private val profiles: Map[String, Set[String]] = Map(
+  val langOrder: Seq[String] = Seq("en", "de", "es", "fr")
+
+  /** Stopword/char-class profiles for the language identifier. Small,
+    * public-knowledge function-word lists (public so the oracle SQL
+    * embeds the identical word sets).
+    */
+  val profiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
       "with", "as", "on", "be", "at", "by", "this", "have", "from", "or"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
@@ -137,14 +148,16 @@ object TextImpl {
       }
       i += 1
     }
-    if (letters > 0 && cjk.toDouble / letters > 0.3) return "zh"
+    // ratio > 0.3 as an exact integer cross-multiply — no double
+    // rounding at the boundary, and any SQL engine reproduces it
+    if (letters > 0 && cjk * 10 > letters * 3) return "zh"
     val tokens = text.toLowerCase.split("[^\\p{L}']+").filter(_.nonEmpty)
     if (tokens.isEmpty) return "und"
-    val scores = Seq("en", "de", "es", "fr").map { lang =>
+    val scores = langOrder.map { lang =>
       val prof = profiles(lang)
       lang -> tokens.count(prof.contains)
     }
-    val (best, cnt) = scores.maxBy { case (l, c) => (c, -Seq("en", "de", "es", "fr").indexOf(l)) }
+    val (best, cnt) = scores.maxBy { case (l, c) => (c, -langOrder.indexOf(l)) }
     if (cnt == 0) "und" else best
   }
 }

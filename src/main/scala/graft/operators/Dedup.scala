@@ -82,9 +82,7 @@ object Dedup {
     // the inverted-index self-join; materialize it once (same
     // rationale and cleanup story as minhashLsh)
     val shRaw = shingleTable(spark, dir, "doc")
-    val sh = if (materialize)
-      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else shRaw
+    val sh = if (materialize) graft.Shared.materialize(shRaw) else shRaw
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val postings = maxBucket match {
       case Some(cap) =>
@@ -157,12 +155,12 @@ object Dedup {
     *   checks.
     */
   /** @param materialize persist the shingle and signature tables for
-    *   the run (MEMORY_AND_DISK). Persisted plans stay registered in
-    *   the session's CacheManager until unpersist()/session end —
-    *   growth across repeated calls is bounded by plan-canonicalization
-    *   dedupe, and the Verify/Bench harnesses clearCache() between
-    *   queries; a long-lived service should unpersist after its
-    *   terminal action (or land the signature table). The pipeline
+    *   the run (MEMORY_AND_DISK) through [[graft.Shared.materialize]].
+    *   Pinned plans stay registered in the session's CacheManager
+    *   until released — callers run their terminal action, then
+    *   `Shared.releaseAll(spark)` (what Verify/Bench do per query; a
+    *   long-lived service does the same per unit of work, or lands
+    *   the signature table instead). The pipeline
     *   reads the shingle stream three times and the signatures three
     *   times; without materialization every reuse recomputes the
     *   whole subtree from the scan — at 100 TB that is 4 extra passes
@@ -174,8 +172,7 @@ object Dedup {
       maxBucket: Option[Int] = None,
       materialize: Boolean = true): DataFrame = {
     def mat(df: DataFrame): DataFrame =
-      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materialize) graft.Shared.materialize(df) else df
     val shM = mat(shingleTable(spark, dir, "doc"))
     val sig = mat(minhashSignaturesFrom(shM, "doc"))
     val bandsRaw = banded(sig, "doc")

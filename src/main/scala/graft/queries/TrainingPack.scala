@@ -4,14 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
-import graft.functions.TextExpressions
+import graft.functions.{TextExpressions, TextImpl}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) exposed through the driver contract.
   * Oracle SQL is provided wherever DuckDB can express the same
-  * computation value-identically (md5-based hashing, decimal-exact dot
-  * products); engine-native hashes (simhash, fnv1a, LSH buckets) are
-  * rows-only in the gate and golden-checked in the specs.
+  * computation value-identically — including the engine-native hashes
+  * (fnv1a64 SimHash, hyperplane LSH buckets, CRC-16, the rolling
+  * fingerprint), each re-derived in SQL from the same constants the
+  * engine uses. The only rows-only gates left are the ones whose
+  * values genuinely cannot be reproduced in SQL (see IngestPack's
+  * trigger gate).
   */
 object TrainingPack {
 
@@ -95,6 +98,14 @@ object TrainingPack {
 
   val annLsh: Q = (s, d) => Similarity.lshTopK(s, d)
 
+  /** Multi-probe twin of ann_topk_lsh: each query also visits every
+    * bucket one sign-flip away. On this corpus the clusters are
+    * bucket-aligned (adjacent buckets are empty — measured in
+    * TrainingSpec), so results coincide with single-probe; the gate
+    * exists to hash-check the probe expansion end-to-end.
+    */
+  val annLshMp: Q = (s, d) => Similarity.lshTopK(s, d, multiProbe = true)
+
   val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDup(s, d)
 
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
@@ -139,8 +150,11 @@ object TrainingPack {
       .select(col("doc_id"), md5(TextOps.norm(col("text"))).as("fp"))
       .orderBy("doc_id")
 
-  /** Engine-native text features: rolling hash + language ID (rows-only
-    * in the gate; semantics golden-checked in TrainingSpec).
+  /** Engine-native text features: rolling hash + language ID — both
+    * hash-checked: the rolling fingerprint folds code points mod
+    * 2^61-1 (HUGEINT list_reduce in the oracle) and the language
+    * profiles/tie order are shared constants with the oracle's CASE
+    * chain.
     */
   val txNativeFeatures: Q = (s, d) =>
     Tables.documents(s, d)
@@ -186,10 +200,9 @@ object TrainingPack {
     // one tokenize+explode pass feeds BOTH frequency tables (same
     // materialize-shared-subtree pattern as Dedup; harnesses
     // clearCache between queries)
-    val toks = Tables.documents(s, d)
+    val toks = graft.Shared.materialize(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(TextOps.tokens(col("text"))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        explode(TextOps.tokens(col("text"))).as("tok")))
     val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
     val df = toks.select("doc_id", "tok")
       .distinct()
@@ -271,8 +284,7 @@ object TrainingPack {
   val txContamination: Q = (s, d) => {
     // shingles feed both the benchmark vocabulary and the train-side
     // probe; materialize once (same cleanup story as Dedup)
-    val sh = Dedup.shingleTable(s, d, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Shared.materialize(Dedup.shingleTable(s, d, "doc_id"))
     val bench = sh.filter(col("doc_id") % 5 === 0)
     graft.operators.Decontaminate.overlap(
       sh.filter(col("doc_id") % 5 =!= 0), bench, minShared = 3)
@@ -364,8 +376,7 @@ object TrainingPack {
     // 5. decontamination vs the benchmark holdout (every 5th doc) —
     // same hint-free operator as tx_contamination: broadcast only when
     // the benchmark side's measured size warrants it
-    val sh = Dedup.shingleTable(s, d, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Shared.materialize(Dedup.shingleTable(s, d, "doc_id"))
     val contaminated = graft.operators.Decontaminate.overlap(
         sh, sh.filter(col("doc_id") % 5 === 0), minShared = 3)
       .select("doc_id")
@@ -424,6 +435,7 @@ object TrainingPack {
     "dd_embedding_neardup_lsh" -> ddEmbeddingNearDupLsh,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
+    "ann_topk_lsh_mp"      -> annLshMp,
     "tx_token_count"       -> txTokenCount,
     "tx_quality"           -> txQuality,
     "tx_fingerprint"       -> txFingerprint,
@@ -454,6 +466,65 @@ object TrainingPack {
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(28,12))))"
   private val dotDbl =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  /** The engine's ±1 hyperplane matrix (Similarity.hyperplaneSigns —
+    * deterministic from fnv1a64) as a DuckDB list-of-lists literal.
+    */
+  private def planesLit(nPlanes: Int): String =
+    Similarity.hyperplaneSigns(nPlanes, 64)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** The hyperplane LSH signature in SQL: bit q set when the
+    * index-order double dot with plane q is positive. Safe to
+    * hash-check because DuckDB's list_sum folds in index order —
+    * bit-for-bit the engine's kernel loop (validated on the corpus:
+    * zero sign divergences across every vector × plane).
+    */
+  private def bucketSql(nPlanes: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, ${nPlanes + 1}), q ->
+       |    CASE WHEN list_sum(list_transform(list_zip(embedding, p[q]),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0
+       |    THEN 1 << (q - 1) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Shared shape of the single- and multi-probe ANN oracles: bucket
+    * every vector with the engine's signature, expand each query to
+    * its probe set, rank distinct candidates by the exact decimal dot.
+    */
+  private def annLshOracleSql(multiProbe: Boolean): String = {
+    val probes =
+      if (multiProbe)
+        "unnest(list_prepend(bucket, list_transform(range(0, 16), b -> xor(bucket, CAST(1 << b AS BIGINT)))))"
+      else "unnest([bucket])"
+    s"""WITH pl AS (SELECT ${planesLit(16)} AS p),
+       |emb AS (SELECT vec_id, embedding, ${bucketSql(16)} AS bucket FROM embeddings, pl),
+       |q AS (SELECT vec_id AS query_id, bucket FROM emb WHERE vec_id < 8),
+       |qp AS (SELECT query_id, $probes AS probe FROM q),
+       |cand AS (
+       |  SELECT DISTINCT qp.query_id, c.vec_id
+       |  FROM qp JOIN emb c ON c.bucket = qp.probe AND c.vec_id <> qp.query_id),
+       |s AS (
+       |  SELECT cand.query_id, cand.vec_id, ${dotDec.format("a.embedding", "b.embedding")} AS dot
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+       |    JOIN embeddings b ON b.vec_id = cand.vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, vec_id, CAST(ROUND(dot, 6) AS DOUBLE) AS score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** CRC-16/CCITT of the bytes spelled by hex string `hx`, as a
+    * nibble-LUT fold (4 bits per step — the same 16-entry table the
+    * reference's tiny CRC uses; value-identical to the engine's
+    * bitwise loop, standard check 0x29B1 on "123456789").
+    */
+  private val Crc16Lut =
+    "[0, 4129, 8258, 12387, 16516, 20645, 24774, 28903, 33032, 37161, 41290, 45419, 49548, 53677, 57806, 61935]"
+  private def crcSql(hx: String): String =
+    s"""list_reduce(list_prepend(65535, list_transform(range(1, length($hx) + 1),
+       |      i -> strpos('0123456789ABCDEF', substr($hx, i, 1)) - 1)),
+       |    (c, nb) -> xor((c * 16) % 65536, l[xor(c // 4096, nb) + 1]))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_exact_dedup" ->
@@ -590,6 +661,75 @@ object TrainingPack {
          |  FROM s)
          |SELECT query_id, rank, vec_id, CAST(ROUND(dot, 6) AS DOUBLE) AS score
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_lsh" -> annLshOracleSql(multiProbe = false),
+
+    "ann_topk_lsh_mp" -> annLshOracleSql(multiProbe = true),
+
+    // the LSH twin of dd_embedding_neardup: same signature-in-SQL as
+    // the ANN oracles, candidates restricted to bucket collisions
+    "dd_embedding_neardup_lsh" ->
+      s"""WITH pl AS (SELECT ${planesLit(8)} AS p),
+         |emb AS (SELECT vec_id, embedding, ${bucketSql(8)} AS bucket FROM embeddings, pl),
+         |c AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
+         |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM c)
+         |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d
+         |WHERE dot >= CAST('0.95' AS DECIMAL(38,12)) ORDER BY i, j""".stripMargin,
+
+    // the full stub decode recomputed from the payload bytes: CRC-16
+    // nibble folds over the hex spelling, byte-derived pseudo
+    // dimensions, the 4-window frame sampling of Multimodal.decodeFrames
+    "mm_features" ->
+      s"""WITH lut AS (SELECT $Crc16Lut AS l),
+         |b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+         |f AS (SELECT doc_id, hx, n, greatest(1, n // 4) AS step FROM b),
+         |m AS (
+         |  SELECT doc_id, CAST(n AS BIGINT) AS nbytes,
+         |    CAST(${crcSql("hx")} AS INT) AS crc,
+         |    CAST(16 + CASE WHEN n > 0 THEN (strpos('0123456789ABCDEF', substr(hx, 1, 1)) * 16
+         |      + strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 17) % 240 ELSE 0 END AS INT) AS width,
+         |    CAST(16 + CASE WHEN n > 1 THEN (strpos('0123456789ABCDEF', substr(hx, 3, 1)) * 16
+         |      + strpos('0123456789ABCDEF', substr(hx, 4, 1)) - 17) % 240 ELSE 0 END AS INT) AS height,
+         |    CAST(1 + n % 16 AS INT) AS n_frames,
+         |    CAST(list_max(list_transform(list_filter([0, 1, 2, 3], k -> k * step < n),
+         |      k -> ${crcSql("substr(hx, 2 * k * step + 1, 2 * (least(n, (k + 1) * step) - k * step))")})) AS INT) AS max_frame_crc
+         |  FROM f, lut)
+         |SELECT doc_id, nbytes, crc, width, height, n_frames, max_frame_crc FROM m ORDER BY doc_id""".stripMargin,
+
+    // engine-native text features recomputed in SQL: the rolling
+    // fingerprint is a HUGEINT fold of code points mod 2^61-1; the
+    // language CASE chain mirrors TextImpl.langId's profiles and tie
+    // order exactly (integer cross-multiply for the CJK ratio)
+    "tx_native_features" -> {
+      val counts = TextImpl.langOrder.map { l =>
+        val words = TextImpl.profiles(l).toSeq.sorted.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($words))) AS c_$l"
+      }.mkString(",\n         |    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $N AS nt,
+         |    len(regexp_extract_all(text, '\\p{L}')) AS letters,
+         |    len(regexp_extract_all(text, '[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]')) AS cjk,
+         |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}'']+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, nt, letters, cjk, len(toks) AS ntok,
+         |    $counts
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |    list_transform(range(1, length(nt) + 1), i -> CAST(unicode(substr(nt, i, 1)) AS HUGEINT))),
+         |    (h, cp) -> (h * 257 + cp) % CAST('2305843009213693951' AS HUGEINT)) AS BIGINT) AS rfp,
+         |  CASE WHEN letters > 0 AND cjk * 10 > letters * 3 THEN 'zh'
+         |       WHEN ntok = 0 OR (c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0) THEN 'und'
+         |       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |       WHEN c_es >= c_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_guess
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "tx_token_count" ->
       s"""SELECT doc_id, len($TS) AS n_tokens,
