@@ -381,9 +381,13 @@ object IngestPack {
 
   // ------------------------------------------------ trigger pipeline
 
-  /** Trigger gate chain end-to-end (rows-only: the crc-positioned
-    * payload recovery has no SQL analog; TriggerPipelineSpec proves
-    * the verdicts against the planted channels).
+  /** Trigger gate chain end-to-end, hash-checked: the oracle rebuilds
+    * every packet arithmetically (closed-form LCG pad, seed/sliding
+    * XOR over byte lists, CRC-16 as a nibble-LUT fold) and replays the
+    * decode on the STORED crc — so even the tamper slice's ~1/65536
+    * crc-collision verdicts (one lands in bad_validator at sf0.1) are
+    * reproduced exactly, garbage bytes and all. TriggerPipelineSpec
+    * additionally proves the verdicts against the planted channels.
     */
   val triggerPipeline: Q = (s, d) =>
     graft.plans.TriggerPipeline.run(s, d)
@@ -580,6 +584,101 @@ object IngestPack {
        |FROM p)""".stripMargin
   }
 
+  /** The ig_trigger_gates oracle: TriggerPipeline's packet synthesis
+    * and gate-chain decode, both replayed in DuckDB SQL over
+    * byte-value lists. Constants are derived from the same sources the
+    * engine uses (SHA-1 key digests via MessageDigest; the pad LCG in
+    * closed form: M_k = A^k, B_k = Σ A^i·C mod 2^64, so each pad byte
+    * is one multiply-add instead of an iterated fold — HUGEINT splits
+    * the 64×64-bit multiply at 2^32 to stay inside 128-bit range).
+    */
+  private lazy val triggerGatesOracleSql: String = {
+    import graft.plans.TriggerPipeline.{PadLen, PayloadLen}
+    val M64 = BigInt(1) << 64
+    val A = BigInt("6364136223846793005")
+    val C = BigInt("1442695040888963407")
+    val (ms, bs) = (1 to PadLen).foldLeft((List.empty[BigInt], List.empty[BigInt])) {
+      case ((mAcc, bAcc), _) =>
+        val m = mAcc.headOption.getOrElse(BigInt(1)) * A % M64
+        val b = (bAcc.headOption.getOrElse(BigInt(0)) * A + C) % M64
+        (m :: mAcc, b :: bAcc)
+    }
+    def hugeList(xs: List[BigInt]): String =
+      xs.reverse.map(v => s"'$v'").mkString("[", ", ", "]")
+    def keyBytes(k: Int): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s"key-$k".getBytes).map(b => b & 0xFF).mkString("[", ", ", "]")
+    val keyCase = "CASE user_id % 7 " +
+      (0 until 7).map(k => s"WHEN $k THEN ${keyBytes(k)}").mkString(" ") + " END"
+    val keyOk = (0 until 7 by 2).map(k => s"key2 = ${keyBytes(k)}").mkString(" OR ")
+    val lut =
+      "[0, 4129, 8258, 12387, 16516, 20645, 24774, 28903, 33032, 37161, 41290, 45419, 49548, 53677, 57806, 61935]"
+    def crcBytes(e: String): String =
+      s"""list_reduce(list_prepend(65535, flatten(list_transform($e, bb -> [bb // 16, bb % 16]))),
+         |      (c, nb) -> xor((c * 16) % 65536, l[xor(c // 4096, nb) + 1]))""".stripMargin
+    val offMod = PadLen - PayloadLen
+    s"""WITH lut AS (SELECT $lut AS l,
+       |  list_transform(${hugeList(ms)}, s -> CAST(s AS HUGEINT)) AS mm,
+       |  list_transform(${hugeList(bs)}, s -> CAST(s AS HUGEINT)) AS bb2),
+       |e AS (SELECT event_id AS eid, user_id FROM events),
+       |syn AS (
+       |  SELECT eid,
+       |    ((eid % 255) + 1) AS seed,
+       |    (eid * 2654435761) % 4294967296 AS ip,
+       |    (eid * 131) % 65535 + 1 AS port,
+       |    (eid % 500) * 127 AS val,
+       |    $keyCase AS keyb,
+       |    CAST((CAST(eid AS HUGEINT) * $A + $C) % CAST('$M64' AS HUGEINT) AS HUGEINT) AS st0
+       |  FROM e, lut),
+       |pay AS (
+       |  SELECT eid, seed, st0,
+       |    list_concat([seed, ip // 16777216, (ip // 65536) % 256, (ip // 256) % 256, ip % 256,
+       |      port // 256, port % 256, val // 256, val % 256], keyb) AS p,
+       |    list_transform(range(1, ${PadLen + 1}), k ->
+       |      CAST(((mm[k] * (st0 // 4294967296)) % 4294967296 * 4294967296
+       |          + mm[k] * (st0 % 4294967296) + bb2[k]) % CAST('$M64' AS HUGEINT)
+       |          // CAST('${BigInt(1) << 56}' AS HUGEINT) AS BIGINT)) AS pad
+       |  FROM syn, lut),
+       |wire AS (
+       |  SELECT eid, p, pad, ${crcBytes("p")} AS crc
+       |  FROM pay, lut),
+       |pkt AS (
+       |  SELECT eid, p, pad, crc,
+       |    CASE WHEN eid % 7 = 6 THEN (crc // 256) * 256 + xor(crc % 256, 85) ELSE crc END AS stored,
+       |    list_concat([p[1]], list_transform(p[2:$PayloadLen], x -> xor(x, p[1]))) AS obf
+       |  FROM wire),
+       |emb AS (
+       |  SELECT eid, pad, stored,
+       |    list_transform(range(1, ${PayloadLen + 1}), i -> xor(obf[i], pad[((crc % $offMod + i - 1) % $PadLen) + 1])) AS win
+       |  FROM pkt),
+       |dec AS (
+       |  SELECT eid, stored,
+       |    list_transform(range(1, ${PayloadLen + 1}), i -> xor(win[i], pad[((stored % $offMod + i - 1) % $PadLen) + 1])) AS obf2
+       |  FROM emb),
+       |dec2 AS (
+       |  SELECT eid, stored,
+       |    CASE WHEN obf2[1] = 0 THEN 255 ELSE obf2[1] END AS s2, obf2
+       |  FROM dec),
+       |pay2 AS (
+       |  SELECT eid, stored,
+       |    list_concat([s2], list_transform(obf2[2:$PayloadLen], x -> xor(x, s2))) AS p2
+       |  FROM dec2),
+       |chk AS (
+       |  SELECT eid, stored, p2,
+       |    ${crcBytes("p2")} AS crc2,
+       |    p2[8] * 256 + p2[9] AS val2,
+       |    p2[10:$PayloadLen] AS key2
+       |  FROM pay2, lut),
+       |v AS (
+       |  SELECT eid,
+       |    CASE WHEN crc2 <> stored THEN 'bad_crc'
+       |         WHEN val2 % 127 <> 0 THEN 'bad_validator'
+       |         WHEN NOT ($keyOk) THEN 'unknown_key'
+       |         ELSE 'accepted' END AS verdict
+       |  FROM chk)
+       |SELECT verdict, count(*) AS n FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ig_config_upsert" ->
       s"""WITH c AS (
@@ -664,13 +763,14 @@ object IngestPack {
          |SELECT os_name, COUNT(*) AS n, route FROM j
          |GROUP BY route, os_name ORDER BY route, os_name""".stripMargin,
 
-    // ig_trigger_gates deliberately has NO oracle: the tamper slice's
-    // verdict is NOT purely arithmetic — a tampered crc changes the
-    // recovery offset, and ~1/65536 of recovered garbage payloads
-    // crc-collide with the tampered value and route to bad_validator
-    // instead of bad_crc (observed at sf0.1). DuckDB has no crc16, so
-    // SQL cannot reproduce the collision path; TriggerPipelineSpec
-    // pins the verdicts against the planted channels instead.
+    // the full trigger pipeline — synth AND decode — replayed in SQL
+    // over byte-value lists: a tampered crc changes the recovery
+    // offset, the deobfuscated garbage is re-CRC'd, and ~1/65536 of
+    // tampered packets crc-collide into bad_validator instead of
+    // bad_crc (exactly one at sf0.1) — all deterministic arithmetic
+    // once crc16 exists as a nibble-LUT list_reduce, so the collision
+    // channel itself is hash-checked
+    "ig_trigger_gates" -> triggerGatesOracleSql,
 
     "ig_trigger_delay" ->
       s"""WITH t AS (
