@@ -17,9 +17,10 @@ import graft.functions.TextImpl
   * ulp noise.
   *
   * Scale path: brute force is the per-query baseline (fine for a
-  * bounded query set); the LSH variant buckets by 16-bit hyperplane
-  * signature so the candidate join shuffles on the bucket key, not the
-  * cross product.
+  * bounded query set); the LSH variants bucket by L independent k-bit
+  * hyperplane signatures (bands-then-verify, like the MinHash
+  * pipeline) so the candidate join shuffles on the (table, bucket)
+  * key, not the cross product.
   */
 object Similarity {
 
@@ -63,10 +64,15 @@ object Similarity {
     * decimal threshold.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame =
+    embeddingNearDupFrom(Tables.embeddings(spark, dir), threshold)
+
+  /** Same operator over any (vec_id, embedding) table (spec seam). */
+  def embeddingNearDupFrom(embeddings: DataFrame,
       threshold: Double = 0.95): DataFrame = {
-    val a = Tables.embeddings(spark, dir)
+    val a = embeddings
       .select(col("vec_id").as("i"), col("embedding").as("va"))
-    val b = Tables.embeddings(spark, dir)
+    val b = embeddings
       .select(col("vec_id").as("j"), col("embedding").as("vb"))
     a.join(b, col("i") < col("j"))
       .filter(dotDouble(col("va"), col("vb")) >= threshold - 0.01)
@@ -77,22 +83,36 @@ object Similarity {
   }
 
   /** Scale path for all-pairs near-dup: candidates restricted to
-    * hyperplane-bucket collisions (8 planes → 256 buckets so highly
-    * similar vectors co-bucket with high probability), then the same
-    * exact decimal verify. Shuffles on the bucket key, never the
-    * cross product; recall vs the exact operator is measured in
+    * hyperplane-bucket collisions in any of `nTables` independent
+    * 8-bit tables (for cos ≥ 0.95 pairs a table co-buckets with
+    * p ≈ 0.9^8 ≈ 0.43, so 4 tables reach ≈ 0.89 recall; planted
+    * near-identical pairs ≈ 1.0), then the same exact decimal verify.
+    * Shuffles on the (table, bucket) key, never the cross product;
+    * recall vs the exact operator is measured on planted pairs in
     * TrainingSpec, precision is exact by construction.
     */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
-      threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
-    val signs = hyperplaneSigns(nPlanes, 64)
-    def side(idName: String, vName: String): DataFrame =
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id").as(idName), col("embedding").as(vName))
-        .withColumn(s"bucket_$idName", lshSignature(col(vName), signs))
-    val a = side("i", "va")
-    val b = side("j", "vb")
-    a.join(b, col("bucket_i") === col("bucket_j") && col("i") < col("j"))
+      threshold: Double = 0.95, nPlanes: Int = 8, nTables: Int = 4): DataFrame =
+    embeddingNearDupLshFrom(Tables.embeddings(spark, dir), threshold, nPlanes, nTables)
+
+  /** Same operator over any (vec_id, embedding) table — the seam the
+    * planted-pair recall spec uses (the corpus has no natural ≥ 0.95
+    * pairs at any scale, so recall is only measurable on plants).
+    */
+  def embeddingNearDupLshFrom(embeddings: DataFrame,
+      threshold: Double = 0.95, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val signs = hyperplaneSigns(nPlanes * nTables, 64)
+    val tb = embeddings
+      .withColumn("tb", explode(tableBuckets(col("embedding"), signs, nPlanes, nTables)))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = tb.as("a").join(tb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    val va = embeddings.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val vb = embeddings.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    cand.join(va, "i").join(vb, "j")
       .filter(dotDouble(col("va"), col("vb")) >= threshold - 0.01)
       .withColumn("dot", dotDecimal(col("va"), col("vb")))
       .filter(col("dot") >= threshold)
@@ -100,16 +120,49 @@ object Similarity {
       .orderBy("i", "j")
   }
 
-  /** Deterministic ±1 hyperplane matrix: sign(p)(i) from the engine's
-    * own fnv1a64 of "p|i" — reproducible across sessions, no RNG.
+  /** MurmurHash3's public fmix64 avalanche finalizer. FNV-1a's final
+    * multiply barely diffuses the LAST byte into any single output
+    * bit on short keys — the round-9 audit found `fnv1a64("p|i") & 1`
+    * produced only TWO distinct plane rows out of 16 (every
+    * "hyperplane" was ± one fixed vector: 2 effective buckets, half
+    * the corpus in each, so the candidate join was n²/4 and
+    * multi-probe was structurally dead). The finalizer restores full
+    * avalanche; plane independence is pinned by TrainingSpec.
+    */
+  private def fmix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Deterministic ±1 hyperplane matrix: sign(p)(i) from the
+    * avalanched fnv1a64 of "p|i" — reproducible across sessions and
+    * engines (the oracle SQL embeds the same literals), no RNG.
     */
   def hyperplaneSigns(nPlanes: Int, dim: Int): Array[Array[Int]] =
     Array.tabulate(nPlanes, dim) { (p, i) =>
-      if ((TextImpl.fnv1a64(s"$p|$i") & 1L) == 0L) 1 else -1
+      if ((fmix64(TextImpl.fnv1a64(s"$p|$i")) & 1L) == 0L) 1 else -1
     }
 
-  /** 16-bit random-hyperplane signature of an embedding column: each
-    * bit is the sign of the dot with a ±1 plane (native dot kernel).
+  /** (table, bucket) pairs for one embedding: `nTables` independent
+    * `nPlanes`-bit signatures, table t using plane rows
+    * [t·nPlanes, (t+1)·nPlanes). Exploded, they key the banded
+    * candidate join — the same bands-then-verify shape as the MinHash
+    * pipeline. One k-bit table's recall on weakly-similar neighbors
+    * is near zero (p^k per pair); L tables give 1 − (1 − p^k)^L.
+    */
+  def tableBuckets(v: Column, signs: Array[Array[Int]],
+      nPlanes: Int, nTables: Int): Column =
+    array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshSignature(v, signs.slice(t * nPlanes, (t + 1) * nPlanes)).as("bkt"))
+    }: _*)
+
+  /** Random-hyperplane signature of an embedding column (one bit per
+    * plane row passed in): each bit is the sign of the dot with a ±1
+    * plane (native dot kernel).
     */
   def lshSignature(v: Column, signs: Array[Array[Int]]): Column = {
     val bits = signs.zipWithIndex.map { case (row, p) =>
@@ -119,35 +172,50 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** ANN via hyperplane LSH: bucket by signature, rank within bucket.
-    * Candidates missing from the query's bucket are simply not
-    * returned (recall measured against brute force in the spec).
+  /** ANN via multi-table hyperplane LSH: `nTables` independent
+    * `nPlanes`-bit signatures; candidates are the union of same-bucket
+    * vectors across tables, ranked by the exact decimal dot.
+    * Candidates missing from every probed bucket are simply not
+    * returned (recall measured against brute force in the spec:
+    * ≈ 0.25 single-probe / ≈ 0.86 multi-probe on this weakly-similar
+    * corpus at the 8×16 default).
     */
   def lshTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 8, k: Int = 10, nPlanes: Int = 16,
+      nQueries: Int = 8, k: Int = 10, nPlanes: Int = 8, nTables: Int = 16,
+      multiProbe: Boolean = false): DataFrame =
+    lshTopKFrom(Tables.embeddings(spark, dir), nQueries, k, nPlanes, nTables, multiProbe)
+
+  /** Same operator over any (vec_id, embedding) table — the seam the
+    * planted-neighbor spec uses to prove multi-probe recovers
+    * cross-bucket neighbors single-probe misses.
+    */
+  def lshTopKFrom(embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10, nPlanes: Int = 8, nTables: Int = 16,
       multiProbe: Boolean = false): DataFrame = {
-    val signs = hyperplaneSigns(nPlanes, 64)
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", lshSignature(col("embedding"), signs))
-    // multi-probe: a query also visits every bucket one sign-flip away
-    // (nPlanes+1 probes) — recall of near-boundary neighbors without
-    // growing the corpus side
+    val signs = hyperplaneSigns(nPlanes * nTables, 64)
+    val tb = embeddings
+      .withColumn("tb", explode(tableBuckets(col("embedding"), signs, nPlanes, nTables)))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val qBase = tb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bkt"))
+    // multi-probe: within each table, a query also visits every bucket
+    // one sign-flip away (nPlanes+1 probes per table) — recall of
+    // near-boundary neighbors without growing the corpus side
     val probes =
       if (multiProbe)
-        explode(concat(array(col("bucket")),
+        qBase.withColumn("bkt", explode(concat(array(col("bkt")),
           array((0 until nPlanes).map(p =>
-            col("bucket").bitwiseXOR(lit(1 << p))): _*)))
-      else col("bucket")
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        probes.as("bucket"))
-    val corpus = emb.select(col("vec_id"), col("embedding").as("v"), col("bucket").as("cbucket"))
-    val scored = queries.join(corpus,
-        col("bucket") === col("cbucket") && col("query_id") =!= col("vec_id"))
+            col("bkt").bitwiseXOR(lit(1 << p))): _*))))
+      else qBase
+    val cand = probes.join(tb, Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    val qv = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val cv = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val scored = cand.join(qv, "query_id").join(cv, "vec_id")
       .withColumn("dot", dotDecimal(col("q"), col("v")))
-    val deduped = if (multiProbe) scored.dropDuplicates("query_id", "vec_id") else scored
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
-    deduped.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("dot"), 6).cast("double").as("score"))

@@ -98,11 +98,11 @@ object TrainingPack {
 
   val annLsh: Q = (s, d) => Similarity.lshTopK(s, d)
 
-  /** Multi-probe twin of ann_topk_lsh: each query also visits every
-    * bucket one sign-flip away. On this corpus the clusters are
-    * bucket-aligned (adjacent buckets are empty — measured in
-    * TrainingSpec), so results coincide with single-probe; the gate
-    * exists to hash-check the probe expansion end-to-end.
+  /** Multi-probe twin of ann_topk_lsh: within each table a query also
+    * visits every bucket one sign-flip away — measured recall ≈ 0.86
+    * vs single-probe's ≈ 0.25 on this weakly-similar corpus
+    * (TrainingSpec pins the floors and a planted cross-bucket
+    * neighbor that only multi-probe recovers).
     */
   val annLshMp: Q = (s, d) => Similarity.lshTopK(s, d, multiProbe = true)
 
@@ -468,40 +468,46 @@ object TrainingPack {
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 
   /** The engine's ±1 hyperplane matrix (Similarity.hyperplaneSigns —
-    * deterministic from fnv1a64) as a DuckDB list-of-lists literal.
+    * deterministic from avalanched fnv1a64) as a DuckDB list-of-lists
+    * literal.
     */
   private def planesLit(nPlanes: Int): String =
     Similarity.hyperplaneSigns(nPlanes, 64)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
-  /** The hyperplane LSH signature in SQL: bit q set when the
-    * index-order double dot with plane q is positive. Safe to
-    * hash-check because DuckDB's list_sum folds in index order —
-    * bit-for-bit the engine's kernel loop (validated on the corpus:
-    * zero sign divergences across every vector × plane).
+  /** One (vec_id, tbl, bkt) row per table per vector — the engine's
+    * multi-table signature in SQL: bit q of table t's bucket is set
+    * when the index-order double dot with plane row t·k+q is
+    * positive. Safe to hash-check because DuckDB's list_sum folds in
+    * index order — bit-for-bit the engine's kernel loop (validated on
+    * the corpus: zero sign divergences across every vector × plane).
     */
-  private def bucketSql(nPlanes: Int): String =
-    s"""CAST(list_sum(list_transform(range(1, ${nPlanes + 1}), q ->
-       |    CASE WHEN list_sum(list_transform(list_zip(embedding, p[q]),
+  private def tableBucketsSql(nPlanes: Int, nTables: Int): String =
+    s"""SELECT vec_id, embedding, tbl,
+       |  CAST(list_sum(list_transform(range(1, ${nPlanes + 1}), q ->
+       |    CASE WHEN list_sum(list_transform(list_zip(embedding, p[tbl * $nPlanes + q]),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0
-       |    THEN 1 << (q - 1) ELSE 0 END)) AS BIGINT)""".stripMargin
+       |    THEN 1 << (q - 1) ELSE 0 END)) AS BIGINT) AS bkt
+       |  FROM embeddings, pl, (SELECT unnest(range(0, $nTables)) AS tbl)""".stripMargin
 
-  /** Shared shape of the single- and multi-probe ANN oracles: bucket
-    * every vector with the engine's signature, expand each query to
-    * its probe set, rank distinct candidates by the exact decimal dot.
+  /** Shared shape of the single- and multi-probe ANN oracles: L
+    * independent k-bit signatures per vector, each query expanded to
+    * its probe set per table, distinct candidates ranked by the exact
+    * decimal dot.
     */
   private def annLshOracleSql(multiProbe: Boolean): String = {
+    val (k, l) = (8, 16)
     val probes =
       if (multiProbe)
-        "unnest(list_prepend(bucket, list_transform(range(0, 16), b -> xor(bucket, CAST(1 << b AS BIGINT)))))"
-      else "unnest([bucket])"
-    s"""WITH pl AS (SELECT ${planesLit(16)} AS p),
-       |emb AS (SELECT vec_id, embedding, ${bucketSql(16)} AS bucket FROM embeddings, pl),
-       |q AS (SELECT vec_id AS query_id, bucket FROM emb WHERE vec_id < 8),
-       |qp AS (SELECT query_id, $probes AS probe FROM q),
+        s"unnest(list_prepend(bkt, list_transform(range(0, $k), b -> xor(bkt, CAST(1 << b AS BIGINT)))))"
+      else "unnest([bkt])"
+    s"""WITH pl AS (SELECT ${planesLit(k * l)} AS p),
+       |tb AS (${tableBucketsSql(k, l)}),
+       |q AS (SELECT vec_id AS query_id, tbl, bkt FROM tb WHERE vec_id < 8),
+       |qp AS (SELECT query_id, tbl, $probes AS bkt FROM q),
        |cand AS (
        |  SELECT DISTINCT qp.query_id, c.vec_id
-       |  FROM qp JOIN emb c ON c.bucket = qp.probe AND c.vec_id <> qp.query_id),
+       |  FROM qp JOIN tb c USING (tbl, bkt) WHERE c.vec_id <> qp.query_id),
        |s AS (
        |  SELECT cand.query_id, cand.vec_id, ${dotDec.format("a.embedding", "b.embedding")} AS dot
        |  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
@@ -666,14 +672,18 @@ object TrainingPack {
 
     "ann_topk_lsh_mp" -> annLshOracleSql(multiProbe = true),
 
-    // the LSH twin of dd_embedding_neardup: same signature-in-SQL as
-    // the ANN oracles, candidates restricted to bucket collisions
+    // the LSH twin of dd_embedding_neardup: same multi-table
+    // signature-in-SQL as the ANN oracles (8 bits × 4 tables),
+    // candidates restricted to (table, bucket) collisions
     "dd_embedding_neardup_lsh" ->
-      s"""WITH pl AS (SELECT ${planesLit(8)} AS p),
-         |emb AS (SELECT vec_id, embedding, ${bucketSql(8)} AS bucket FROM embeddings, pl),
+      s"""WITH pl AS (SELECT ${planesLit(8 * 4)} AS p),
+         |tb AS (${tableBucketsSql(8, 4)}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |  FROM tb a JOIN tb b USING (tbl, bkt) WHERE a.vec_id < b.vec_id),
          |c AS (
-         |  SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb
-         |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  SELECT i, j, a.embedding AS va, b.embedding AS vb
+         |  FROM cand JOIN embeddings a ON a.vec_id = i JOIN embeddings b ON b.vec_id = j
          |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
          |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM c)
          |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d

@@ -99,6 +99,22 @@ class TrainingSpec extends AnyFunSuite {
     assert(generous === exact)
   }
 
+  test("hyperplane planes are independent: no duplicate or negated rows") {
+    // round-9 regression pin: fnv1a64's last-byte avalanche is so
+    // weak on short keys that `& 1` of the raw hash gave only TWO
+    // distinct rows (sign(p)(i) separated into f(p) xor g(i)) — the
+    // fmix64 finalizer must keep every row distinct from every other
+    // row AND its negation, and roughly balanced
+    val signs = Similarity.hyperplaneSigns(128, 64)
+    val rows = signs.map(_.toSeq)
+    assert(rows.distinct.size === 128, "duplicate plane rows")
+    for (a <- 0 until 128; b <- (a + 1) until 128) {
+      val dot = (0 until 64).map(i => signs(a)(i) * signs(b)(i)).sum
+      assert(math.abs(dot) < 64, s"planes $a,$b identical or negated (dot=$dot)")
+    }
+    assert(signs.forall(r => math.abs(r.sum) < 64), "constant plane row")
+  }
+
   test("hyperplane LSH top-k: single- and multi-probe recall vs brute force") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 8, k = 10)
@@ -113,13 +129,82 @@ class TrainingSpec extends AnyFunSuite {
     // probe 0), so its recall can never be lower
     assert(multiRecall >= singleRecall,
       s"multi-probe recall $multiRecall < single-probe $singleRecall")
-    // measured on this corpus: 0.600 at sf0.001, 0.650 at sf0.01,
-    // 0.588 at sf0.1 — the synthetic clusters are bucket-aligned
-    // (sign-adjacent buckets are empty), so single == multi here and
-    // the floor is the honest measured bound, not a statistical hope
-    assert(multiRecall >= 0.6, s"multi-probe LSH recall too low: $multiRecall")
-    assert(singleRecall >= 0.55, s"single-probe LSH recall too low: $singleRecall")
+    // measured at the 8-bit x 16-table default on this corpus (whose
+    // 10th-nearest neighbors sit at cos ~0.25 — weakly similar, the
+    // hard case for LSH): single 0.25 / multi 0.86 at sf0.001,
+    // 0.35 / 0.93 at sf0.1. Floors are the measured bounds less a
+    // small margin, not a statistical hope.
+    assert(multiRecall >= 0.8, s"multi-probe LSH recall too low: $multiRecall")
+    assert(singleRecall >= 0.2, s"single-probe LSH recall too low: $singleRecall")
     assert(multi.nonEmpty)
+  }
+
+  test("multi-probe recovers a planted cross-bucket neighbor single-probe misses") {
+    import spark.implicits._
+    val (k, l) = (8, 16)
+    val signs = Similarity.hyperplaneSigns(k * l, 64)
+    def dot(v: Array[Float], p: Array[Int]): Double =
+      v.indices.map(i => v(i).toDouble * p(i)).sum
+    def bucket(v: Array[Float], t: Int): Int =
+      (0 until k).map(p => if (dot(v, signs(t * k + p)) > 0) 1 << p else 0).sum
+    def buckets(v: Array[Float]): Seq[Int] = (0 until l).map(t => bucket(v, t))
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rnd = new scala.util.Random(7)
+    def draw() = normalize(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    // plant a pair that shares NO bucket in any table (single-probe
+    // blind) but sits one sign-flip away in at least one table
+    // (multi-probe reach) — for seeded random pairs both hold with
+    // decent probability, so a short search always lands one
+    val planted = Iterator.continually((draw(), draw())).take(500).find { case (a, b) =>
+      val (ba, bb) = (buckets(a), buckets(b))
+      val noTableShared = (0 until l).forall(t => ba(t) != bb(t))
+      val oneBitSomewhere = (0 until l).exists(t => Integer.bitCount(ba(t) ^ bb(t)) == 1)
+      noTableShared && oneBitSomewhere
+    }
+    assert(planted.nonEmpty, "no qualifying pair in 500 seeded draws")
+    val (q, n) = planted.get
+    val fillers = (2L to 11L).map(id => (id, draw()))
+    val emb = ((0L, q) +: (1L, n) +: fillers).toDF("vec_id", "embedding")
+    def pairs(multiProbe: Boolean): Set[(Long, Long)] =
+      Similarity.lshTopKFrom(emb, nQueries = 1, k = 11, multiProbe = multiProbe)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val single = pairs(multiProbe = false)
+    val multi = pairs(multiProbe = true)
+    assert(!single.contains((0L, 1L)),
+      "planted neighbor unexpectedly co-bucketed — the plant is broken")
+    assert(multi.contains((0L, 1L)),
+      s"multi-probe failed to recover the 1-bit-away neighbor: $multi")
+  }
+
+  test("embedding near-dup LSH: planted near-identical pairs all recovered") {
+    import spark.implicits._
+    // the corpus has NO natural >=0.95-cos pairs at any scale (the
+    // exact operator returns 0 rows), so recall is only measurable on
+    // plants: 10 base vectors, each with a near-identical twin
+    // (cos >= ~0.99 after a tiny perturbation)
+    val rnd = new scala.util.Random(11)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def draw() = normalize(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val bases = (0 until 10).map(_ => draw())
+    val twins = bases.map(b => normalize(b.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)))
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      twins.zipWithIndex.map { case (v, i) => ((i + 10).toLong, v) }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.embeddingNearDupFrom(emb, 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupLshFrom(emb, 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // every planted twin pair qualifies and both operators agree
+    assert((0 until 10).forall(i => exact.contains((i.toLong, (i + 10).toLong))),
+      s"plant broken: exact=$exact")
+    assert(lsh === exact,
+      s"LSH missed ${(exact -- lsh).size} of ${exact.size} planted pairs: ${exact -- lsh}")
   }
 
   test("materialized shared subtrees release: cache empty after Shared.releaseAll") {
@@ -151,11 +236,11 @@ class TrainingSpec extends AnyFunSuite {
     val lsh = Similarity.embeddingNearDupLsh(spark, dir, 0.95)
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), "LSH produced a pair the exact operator rejects")
+    // this corpus has no >=0.95 pairs (exact is empty), so precision
+    // is the only corpus-level check — recall is pinned by the
+    // planted-pair test below
     if (exact.nonEmpty) {
       val recall = lsh.size.toDouble / exact.size
-      // near-identical vectors (cos >= 0.95) co-bucket under 8 planes
-      // with prob >= (1 - acos(0.95)/pi)^8 ≈ 0.52; planted dups are
-      // much closer than 0.95 so empirical recall is far higher
       assert(recall >= 0.5, s"recall $recall over ${exact.size} pairs")
     }
   }
