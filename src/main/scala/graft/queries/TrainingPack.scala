@@ -106,6 +106,11 @@ object TrainingPack {
     */
   val annLshMp: Q = (s, d) => Similarity.lshTopK(s, d, multiProbe = true)
 
+  /** IVF twin of the ANN surface: coarse-quantize by the nearest of
+    * 16 md5-sampled centroids, probe the 6 nearest cells per query.
+    */
+  val annIvf: Q = (s, d) => Similarity.ivfTopK(s, d)
+
   val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDup(s, d)
 
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
@@ -436,6 +441,7 @@ object TrainingPack {
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
+    "ann_topk_ivf"         -> annIvf,
     "tx_token_count"       -> txTokenCount,
     "tx_quality"           -> txQuality,
     "tx_fingerprint"       -> txFingerprint,
@@ -671,6 +677,41 @@ object TrainingPack {
     "ann_topk_lsh" -> annLshOracleSql(multiProbe = false),
 
     "ann_topk_lsh_mp" -> annLshOracleSql(multiProbe = true),
+
+    // IVF replayed in SQL: the same md5-sampled centroids, argmax
+    // decimal-dot assignment (cid tiebreak), nProbe nearest cells per
+    // query, exact decimal ranking of cell members
+    "ann_topk_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotDec.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM embeddings e, cents c)
+         |  WHERE r = 1),
+         |qp AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotDec.format("q.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM embeddings q, cents c WHERE q.vec_id < 8)
+         |  WHERE r <= 6),
+         |cand AS (
+         |  SELECT qp.query_id, a.vec_id FROM qp JOIN asg a USING (cid)
+         |  WHERE a.vec_id <> qp.query_id),
+         |s AS (
+         |  SELECT cand.query_id, cand.vec_id, ${dotDec.format("qa.embedding", "ca.embedding")} AS dot
+         |  FROM cand JOIN embeddings qa ON qa.vec_id = cand.query_id
+         |    JOIN embeddings ca ON ca.vec_id = cand.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, vec_id, CAST(ROUND(dot, 6) AS DOUBLE) AS score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // the LSH twin of dd_embedding_neardup: same multi-table
     // signature-in-SQL as the ANN oracles (8 bits × 4 tables),
