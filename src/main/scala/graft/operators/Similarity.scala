@@ -143,16 +143,20 @@ object Similarity {
       .withColumn("_h", md5(concat(lit("ivf|"), col("vec_id"))))
       .orderBy("_h", "vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // assignment/probe ranking uses the fast DOUBLE dot: it is
+    // bit-identical across engines (index-order fold, validated), so
+    // argmax + cid tiebreak is just as hash-safe as decimal at half
+    // the cost — only the returned score needs the exact decimal
     val wA = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid"))
     val assigned = embeddings.crossJoin(broadcast(cents))
-      .withColumn("cdot", dotDecimal(col("embedding"), col("ce")))
+      .withColumn("cdot", dotDouble(col("embedding"), col("ce")))
       .withColumn("_r", row_number().over(wA)).filter(col("_r") === 1)
       .select(col("vec_id"), col("cid"))
     val wQ = Window.partitionBy("query_id").orderBy(col("cdot").desc, col("cid"))
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
       .crossJoin(broadcast(cents))
-      .withColumn("cdot", dotDecimal(col("q"), col("ce")))
+      .withColumn("cdot", dotDouble(col("q"), col("ce")))
       .withColumn("_r", row_number().over(wQ)).filter(col("_r") <= nProbe)
       .select(col("query_id"), col("cid"))
     // cells are disjoint (one cid per vector) and probes distinct per

@@ -689,14 +689,14 @@ object TrainingPack {
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotDec.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
          |    FROM embeddings e, cents c)
          |  WHERE r = 1),
          |qp AS (
          |  SELECT query_id, cid FROM (
          |    SELECT q.vec_id AS query_id, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${dotDec.format("q.embedding", "c.ce")} DESC, c.cid) AS r
+         |        ORDER BY ${dotDbl.format("q.embedding", "c.ce")} DESC, c.cid) AS r
          |    FROM embeddings q, cents c WHERE q.vec_id < 8)
          |  WHERE r <= 6),
          |cand AS (
