@@ -146,12 +146,17 @@ object Similarity {
     // assignment/probe ranking uses the fast DOUBLE dot: it is
     // bit-identical across engines (index-order fold, validated), so
     // argmax + cid tiebreak is just as hash-safe as decimal at half
-    // the cost — only the returned score needs the exact decimal
-    val wA = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid"))
+    // the cost — only the returned score needs the exact decimal.
+    // The argmax is a lexicographic max(struct) aggregate, NOT a
+    // window: max gets map-side partial combine, so the shuffle
+    // carries one pre-combined row per vector per partition instead
+    // of all n×C scored rows (a corpus×centroids shuffle at 100 TB).
     val assigned = embeddings.crossJoin(broadcast(cents))
-      .withColumn("cdot", dotDouble(col("embedding"), col("ce")))
-      .withColumn("_r", row_number().over(wA)).filter(col("_r") === 1)
-      .select(col("vec_id"), col("cid"))
+      .select(col("vec_id"), struct(
+        dotDouble(col("embedding"), col("ce")).as("cdot"),
+        (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
+      .groupBy("vec_id").agg(max(col("s")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
     val wQ = Window.partitionBy("query_id").orderBy(col("cdot").desc, col("cid"))
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
