@@ -150,6 +150,45 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality signals (the Gopher-rule family a
+    * pretraining pipeline filters on): per doc, the fraction of
+    * word-3-gram occurrences that are duplicates of another 3-gram in
+    * the same doc, and the fraction of tokens taken by the single
+    * most frequent token (ties → lexicographically smallest token).
+    * Integer basis points throughout, so the gate hash-checks.
+    *
+    * Shape: the 3-gram stats are pure narrow array expressions (the
+    * shingle transform never leaves the row); only the top-token mode
+    * aggregates, and its argmax is a lexicographic min(struct) with
+    * map-side partial combine — no window, no corpus-wide sort.
+    */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+    val ts = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), ts.as("ts"))
+      .withColumn("n", size(col("ts")).cast("bigint"))
+      .withColumn("n3", greatest(lit(0L), col("n") - 2))
+      .withColumn("dup3", when(col("n") >= 3,
+        col("n") - 2 - size(TextOps.shingles(col("ts"), 3)).cast("bigint"))
+        .otherwise(lit(0L)))
+    val tf = base.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val top = tf
+      .select(col("doc_id"),
+        struct((-col("c")).as("nc"), col("tok").as("tok"), col("c").as("c")).as("s"))
+      .groupBy("doc_id").agg(min(col("s")).as("m"))
+      .select(col("doc_id"), col("m.tok").as("top_tok"), col("m.c").as("topc"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        when(col("n3") > 0,
+          floor((col("dup3") * 10000).cast("double") / col("n3")).cast("bigint"))
+          .otherwise(lit(0L)).as("dup3_bp"),
+        col("top_tok"),
+        floor((col("topc") * 10000).cast("double") / col("n")).cast("bigint").as("top1_bp"))
+      .orderBy("doc_id")
+  }
+
+  val txRepetition: Q = (s, d) => repetitionStats(Tables.documents(s, d))
+
   val txFingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), md5(TextOps.norm(col("text"))).as("fp"))
@@ -445,6 +484,7 @@ object TrainingPack {
     "tx_token_count"       -> txTokenCount,
     "tx_quality"           -> txQuality,
     "tx_fingerprint"       -> txFingerprint,
+    "tx_repetition"        -> txRepetition,
     "tx_native_features"   -> txNativeFeatures,
     "tx_sample_split"      -> txSampleSplit,
     "tx_corpus_stats"      -> txCorpusStats,
@@ -806,6 +846,30 @@ object TrainingPack {
 
     "tx_fingerprint" ->
       s"SELECT doc_id, md5($N) AS fp FROM documents ORDER BY doc_id",
+
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n,
+         |    CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 0 END AS n3,
+         |    CASE WHEN len(ts) >= 3 THEN len(ts) - 2
+         |      - len(list_distinct(list_transform(range(1, len(ts) - 1),
+         |          i -> list_aggregate(ts[i:i+2], 'string_agg', ' '))))
+         |      ELSE 0 END AS dup3
+         |  FROM t),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, tok, c FROM (
+         |    SELECT doc_id, tok, c,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS r
+         |    FROM tf)
+         |  WHERE r = 1)
+         |SELECT g.doc_id, n AS n_tokens,
+         |  CAST(CASE WHEN n3 > 0 THEN (dup3 * 10000) // n3 ELSE 0 END AS BIGINT) AS dup3_bp,
+         |  top.tok AS top_tok,
+         |  CAST((top.c * 10000) // n AS BIGINT) AS top1_bp
+         |FROM g JOIN top USING (doc_id) ORDER BY g.doc_id""".stripMargin,
 
     "mm_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents ORDER BY doc_id",

@@ -139,6 +139,23 @@ class TrainingSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
   }
 
+  test("repetition stats: planted duplicate 3-grams and dominant tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a a a"),   // 3 3-grams, all "a a a": dup3=2/3, top a 5/5
+      (1L, "b a b a"),     // n<5 but >=3: 2 3-grams distinct: dup3=0; tie a/b -> a
+      (2L, "x y"),         // n<3: no 3-grams
+      (3L, "w w z w w z w w z")) // 7 3-grams, 3 distinct -> dup3=4/7; w 6/9
+      .toDF("doc_id", "text")
+    val got = queries.TrainingPack.repetitionStats(docs)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 5L, 6666L, "a", 10000L),
+      (1L, 4L, 0L, "a", 5000L),
+      (2L, 2L, 0L, "x", 5000L),
+      (3L, 9L, 5714L, "w", 6666L)))
+  }
+
   test("IVF top-k: measured recall vs brute force at the 16x6 default") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 8, k = 10)
