@@ -204,6 +204,85 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Connected components over a near-dup pair set — the step that
+    * turns pairwise matches into an actionable dedup decision: pairs
+    * are not transitive (A~B and B~C does not imply the pair (A,C)
+    * was emitted), so per-pair dropping either strands documents or
+    * over-drops; the component is the real duplicate cluster, and one
+    * canonical survivor (the min id) is kept per component.
+    *
+    * Algorithm: alternating large-star / small-star (the published
+    * MapReduce CC formulation — Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014). Chosen over plain min-label
+    * propagation for the 100 TB story: label propagation needs
+    * O(diameter) rounds, and real boilerplate near-dup chains have
+    * long diameters; star rounds contract them in O(log² n) regardless
+    * of shape. Each round shuffles on a NODE id only (groupBy +
+    * equi-join back); document pairs are never the shuffle key, and
+    * the edge set never grows past one row per (node, current-min).
+    *
+    * Each round ends in an eager `localCheckpoint`: a star round
+    * references its input ~6 times (symmetrize, min-aggregate, join
+    * back), so without a hard lineage CUT the logical plan grows 6×
+    * per round and analysis/explain go exponential — persist alone
+    * does not truncate the logical plan. Checkpointed round RDDs are
+    * reclaimed by the ContextCleaner once the loop's references drop
+    * (they are NOT in the CacheManager, so Shared.releaseAll is not
+    * involved); at cluster scale the cut would be a reliable
+    * checkpoint directory instead — same contract, durable storage.
+    *
+    * @param pairs first two columns are the pair endpoints (any
+    *   orientation, duplicates and self-loops tolerated).
+    * @return (doc_id, cluster_id) — one row per node that appears in
+    *   ≥1 pair; cluster_id is the component's min doc_id.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 24): DataFrame = {
+    // canonical orientation everywhere: u > v, no self-loops
+    val e0 = pairs.select(
+        greatest(col(pairs.columns(0)), col(pairs.columns(1))).cast("long").as("u"),
+        least(col(pairs.columns(0)), col(pairs.columns(1))).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // large-star: every neighbor LARGER than u links to u's current
+    // min m(u) = min(Γ(u) ∪ {u}); output keeps u > v because m ≤ u < v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: every neighbor SMALLER than u (plus u itself) links
+    // to m(u) = min of those neighbors; again v > m keeps orientation
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val fromNbrs = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      fromNbrs.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    var cur = e0.localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // exact fixpoint test in ONE action (both sides are distinct
+      // sets, so an empty symmetric difference ⇔ equal edge sets)
+      converged = next.except(cur).union(cur.except(next)).limit(1).count() == 0
+      cur = next
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds")
+    // converged state is a set of stars: every edge is (member, root)
+    cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(cur.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+  }
+
   /** SimHash per document (engine-native 64-bit LongType). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

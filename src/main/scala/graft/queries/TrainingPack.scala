@@ -64,6 +64,17 @@ object TrainingPack {
 
   val ddMinhashLsh: Q = (s, d) => Dedup.minhashLsh(s, d)
 
+  /** Transitive near-dup clusters over the MinHash-LSH pair set:
+    * connected components (large-star/small-star rounds), one row per
+    * paired doc with its component-min cluster_id and the canonical
+    * keep decision. The oracle replays the full LSH pipeline in SQL
+    * and closes it transitively with a recursive CTE.
+    */
+  val ddNeardupClusters: Q = (s, d) =>
+    Dedup.connectedComponents(Dedup.minhashLsh(s, d).select("i", "j"))
+      .withColumn("keep", when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+      .orderBy("doc_id")
+
   val ddSimhash: Q = (s, d) => Dedup.simhash(s, d)
 
   /** Engine-portable planted signature table for the banded-Hamming
@@ -473,6 +484,7 @@ object TrainingPack {
     "dd_incremental_dedup" -> ddIncremental,
     "dd_ngram_jaccard"     -> ddNgramJaccard,
     "dd_minhash_lsh"       -> ddMinhashLsh,
+    "dd_neardup_clusters"  -> ddNeardupClusters,
     "dd_simhash"           -> ddSimhash,
     "dd_simhash_pairs"     -> ddSimhashPairs,
     "dd_embedding_neardup" -> ddEmbeddingNearDup,
@@ -507,6 +519,30 @@ object TrainingPack {
        |  FROM toks, unnest(range(1, len(ts)-3)) r(i)
        |  WHERE len(ts) >= 5
        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** MinHash-LSH candidate pipeline in SQL (signatures → bands →
+    * band-bucket candidates → shingle-intersection counts), shared by
+    * the pair gate and the transitive-cluster gate. Expects `sh` /
+    * `sizes` from [[shCte]]; yields `inter(i, j, cnt)`.
+    */
+  private val minhashPairCtes = {
+    val minhashes = (0 until Dedup.MinhashK)
+      .map(k => s"min(md5('$k' || '|' || sg)) AS m$k").mkString(", ")
+    val bands = (0 until Dedup.Bands).map { b =>
+      val cols = (0 until Dedup.MinhashK / Dedup.Bands)
+        .map(r => s"m${b * (Dedup.MinhashK / Dedup.Bands) + r}")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sig AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) AS cnt
+       |  FROM cand c JOIN sh s1 ON s1.doc_id = c.i JOIN sh s2 ON s2.doc_id = c.j AND s2.sg = s1.sg
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   private val dotDec =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(28,12))))"
@@ -616,29 +652,33 @@ object TrainingPack {
          |WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8
          |ORDER BY i, j""".stripMargin,
 
-    "dd_minhash_lsh" -> {
-      val minhashes = (0 until Dedup.MinhashK)
-        .map(k => s"min(md5('$k' || '|' || sg)) AS m$k").mkString(", ")
-      val bands = (0 until Dedup.Bands).map { b =>
-        val cols = (0 until Dedup.MinhashK / Dedup.Bands)
-          .map(r => s"m${b * (Dedup.MinhashK / Dedup.Bands) + r}")
-        s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS bh FROM sig"
-      }.mkString(" UNION ALL ")
+    "dd_minhash_lsh" ->
       s"""WITH $shCte,
-         |sig AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
-         |bands AS ($bands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.i, c.j, count(*) AS cnt
-         |  FROM cand c JOIN sh s1 ON s1.doc_id = c.i JOIN sh s2 ON s2.doc_id = c.j AND s2.sg = s1.sg
-         |  GROUP BY 1, 2)
+         |$minhashPairCtes
          |SELECT i, j, ROUND(CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt), 3) AS jac
          |FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8
-         |ORDER BY i, j""".stripMargin
-    },
+         |ORDER BY i, j""".stripMargin,
+
+    // LSH pairs closed transitively: min-reachable-id per node via a
+    // recursive CTE (UNION recursion dedupes, so cycles terminate) —
+    // the SQL ground truth for the alternating-star operator
+    "dd_neardup_clusters" ->
+      s"""WITH RECURSIVE $shCte,
+         |$minhashPairCtes,
+         |pairs AS (
+         |  SELECT i, j
+         |  FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |  WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8),
+         |nodes AS (SELECT i AS id FROM pairs UNION SELECT j FROM pairs),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, walk.r FROM walk JOIN edges e ON e.a = walk.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id,
+         |  CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // full engine-native SimHash recomputed in SQL: fnv1a64 as a
     // list_reduce fold over each distinct token's UTF-8 bytes (HUGEINT

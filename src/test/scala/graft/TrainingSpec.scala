@@ -87,6 +87,39 @@ class TrainingSpec extends AnyFunSuite {
     assert(generous === exact)
   }
 
+  test("connected components: chains, cycles, messy edges, and a union-find cross-check") {
+    import spark.implicits._
+    // a 64-node path has diameter 63: min-label propagation would need
+    // ~63 rounds; the alternating star rounds must converge inside the
+    // default cap (the reason the operator uses them)
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("i", "j")
+    val pathCc = Dedup.connectedComponents(path).as[(Long, Long)].collect()
+    assert(pathCc.length == 64 && pathCc.forall(_._2 == 0L), pathCc.toSeq.sorted.toString)
+    // cycle + second component, with reversed and duplicate input edges
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (12L, 10L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(messy).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L), cc.toString)
+    // the real gate pair set vs a driver-side union-find ground truth
+    val pairs = Dedup.minhashLsh(spark, dir).select("i", "j").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus should contain LSH near-dup pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ra, rb) = (find(i), find(j))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min root wins
+    }
+    val expected = pairs.flatMap { case (i, j) => Seq(i, j) }.distinct
+      .map(n => (n, find(n))).toMap
+    val got = Dedup.connectedComponents(pairs.toSeq.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"cc != union-find: ${got.toSeq.sorted} vs ${expected.toSeq.sorted}")
+    Shared.releaseAll(spark)
+  }
+
   test("ngram-Jaccard postings cap only ever removes pairs, never invents them") {
     import spark.implicits._
     val exact = Dedup.ngramJaccard(spark, dir, 0.9).select("i", "j").as[(Long, Long)].collect().toSet
