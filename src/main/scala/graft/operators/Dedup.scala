@@ -28,9 +28,16 @@ object Dedup {
     * (dodges DetectAmbiguousSelfJoin; the double scan is co-optimized
     * by the parquet reader cache, and at scale you'd checkpoint it).
     */
-  def shingleTable(spark: SparkSession, dir: String, idName: String): DataFrame = {
+  def shingleTable(spark: SparkSession, dir: String, idName: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir), idName)
+
+  /** Shingles of an arbitrary (doc_id, text, …) frame — the batch side
+    * of the incremental operators shingles modified/new documents, not
+    * a table scan.
+    */
+  def shinglesOf(docs: DataFrame, idName: String): DataFrame = {
     val ts = TextOps.tokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id").as(idName), ts.as("ts"))
       .filter(size(col("ts")) >= ShingleN)
       .select(col(idName), explode(TextOps.shingles(col("ts"), ShingleN)).as("sg"))
@@ -202,6 +209,48 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
       .orderBy("i", "j")
+  }
+
+  /** Incremental near-dup against a landed signature catalog — the
+    * per-ingest-batch shape of minhashLsh, mirroring
+    * [[exactIncremental]]: a new batch is screened against the
+    * HISTORICAL corpus without recomputing anything corpus-wide. In
+    * production the history side (band keys + shingle sets) is landed
+    * once (bucketed by band key via BucketedLayout, appended per
+    * batch); here both sides are shingle tables and the signatures are
+    * derived in-plan. Candidates come from the batch-bands ⋈
+    * history-bands equi-join — shuffle key = (band, band-hash), sized
+    * by the BATCH, not the corpus — and only candidate pairs are
+    * Jaccard-verified against history shingle sets. Within-batch
+    * near-dup is deliberately out of scope: that is plain
+    * [[minhashLsh]] applied to the batch.
+    *
+    * @return one row per batch doc with ≥1 catalog match at
+    *   `threshold`: (doc_id, n_matches, matched_id = min matching
+    *   history id, jac = best match score).
+    */
+  def minhashLshIncremental(batchSh: DataFrame, histSh: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val bSh = graft.Shared.materialize(batchSh.toDF("doc", "sg"))
+    val hSh = graft.Shared.materialize(histSh.toDF("doc", "sg"))
+    val bSig = graft.Shared.materialize(minhashSignaturesFrom(bSh, "doc"))
+    val hSig = graft.Shared.materialize(minhashSignaturesFrom(hSh, "doc"))
+    val cands = banded(bSig, "doc").toDF("b", "band", "bh")
+      .join(banded(hSig, "doc").toDF("h", "band", "bh"), Seq("band", "bh"))
+      .select("b", "h").distinct()
+    val inter = cands
+      .join(bSh.toDF("b", "sg"), "b")
+      .join(hSh.toDF("h2", "sg2"), col("h") === col("h2") && col("sg") === col("sg2"))
+      .groupBy("b", "h").agg(count(lit(1)).as("c"))
+    inter
+      .join(bSig.select(col("doc").as("b"), col("n").as("nb")), "b")
+      .join(hSig.select(col("doc").as("h"), col("n").as("nh")), "h")
+      .withColumn("jac", col("c").cast("double") / (col("nb") + col("nh") - col("c")))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("b").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("h")).as("matched_id"),
+        round(max(col("jac")), 3).as("jac"))
+      .orderBy("doc_id")
   }
 
   /** Connected components over a near-dup pair set — the step that

@@ -62,6 +62,27 @@ object TrainingPack {
 
   val ddNgramJaccard: Q = (s, d) => Dedup.ngramJaccard(s, d)
 
+  /** Incremental NEAR-dup against the landed corpus: even doc_ids are
+    * the historical catalog, odd ids the new ingest batch. The corpus
+    * has natural cross-parity near-dups; the batch additionally plants
+    * a guaranteed one at every scale — each odd doc with
+    * doc_id % 7 == 3 takes its even twin's text plus a trailing token
+    * (near, not exact: Jaccard ≈ 0.99) — so the catalog-hit drop path
+    * is always exercised.
+    */
+  val ddIncrementalNeardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val twin = docs.select((col("doc_id") + 1).as("doc_id"), col("text").as("h_text"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .join(twin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("h_text"), lit(" zz")))
+          .otherwise(col("text")).as("text"))
+    Dedup.minhashLshIncremental(
+      Dedup.shinglesOf(batch, "doc"), Dedup.shinglesOf(hist, "doc"))
+  }
+
   val ddMinhashLsh: Q = (s, d) => Dedup.minhashLsh(s, d)
 
   /** Transitive near-dup clusters over the MinHash-LSH pair set:
@@ -483,6 +504,7 @@ object TrainingPack {
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_ngram_jaccard"     -> ddNgramJaccard,
+    "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_minhash_lsh"       -> ddMinhashLsh,
     "dd_neardup_clusters"  -> ddNeardupClusters,
     "dd_simhash"           -> ddSimhash,
@@ -519,6 +541,28 @@ object TrainingPack {
        |  FROM toks, unnest(range(1, len(ts)-3)) r(i)
        |  WHERE len(ts) >= 5
        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** One side of the incremental-LSH oracle: tokenize → shingle →
+    * sizes/signature/bands CTEs over `src`, all names prefixed with
+    * `p` so the batch and history sides coexist in one query.
+    */
+  private def lshSideCtes(p: String, src: String): String = {
+    val minhashes = (0 until Dedup.MinhashK)
+      .map(k => s"min(md5('$k' || '|' || sg)) AS m$k").mkString(", ")
+    val bands = (0 until Dedup.Bands).map { b =>
+      val cols = (0 until Dedup.MinhashK / Dedup.Bands)
+        .map(r => s"m${b * (Dedup.MinhashK / Dedup.Bands) + r}")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS bh FROM ${p}sig"
+    }.mkString(" UNION ALL ")
+    s"""${p}toks AS (SELECT doc_id, $TS AS ts FROM $src),
+       |${p}sh AS (
+       |  SELECT DISTINCT doc_id, list_aggregate(ts[i:i+4], 'string_agg', ' ') AS sg
+       |  FROM ${p}toks, unnest(range(1, len(ts)-3)) r(i)
+       |  WHERE len(ts) >= 5),
+       |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY doc_id),
+       |${p}sig AS (SELECT doc_id, $minhashes FROM ${p}sh GROUP BY doc_id),
+       |${p}bands AS ($bands)""".stripMargin
+  }
 
   /** MinHash-LSH candidate pipeline in SQL (signatures → bands →
     * band-bucket candidates → shingle-intersection counts), shared by
@@ -651,6 +695,35 @@ object TrainingPack {
          |FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8
          |ORDER BY i, j""".stripMargin,
+
+    // the incremental pipeline replayed two-sided: batch (odd ids,
+    // with the planted even-twin near-dups) screened against the
+    // history catalog (even ids) — bands join, verify, per-doc rollup
+    "dd_incremental_neardup" ->
+      s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 7 = 3 THEN h.text || ' zz' ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN documents h ON h.doc_id = d.doc_id - 1
+         |  WHERE d.doc_id % 2 = 1),
+         |${lshSideCtes("b", "batch")},
+         |${lshSideCtes("h", "hist")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS b, c.doc_id AS h
+         |  FROM bbands a JOIN hbands c ON a.band = c.band AND a.bh = c.bh),
+         |inter AS (
+         |  SELECT c.b, c.h, count(*) AS cnt
+         |  FROM cand c JOIN bsh s1 ON s1.doc_id = c.b
+         |  JOIN hsh s2 ON s2.doc_id = c.h AND s2.sg = s1.sg
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT b, h, CAST(cnt AS DOUBLE) / (sb.n + sh2.n - cnt) AS jac
+         |  FROM inter JOIN bsizes sb ON sb.doc_id = b
+         |  JOIN hsizes sh2 ON sh2.doc_id = h)
+         |SELECT b AS doc_id, count(*) AS n_matches, min(h) AS matched_id,
+         |  ROUND(max(jac), 3) AS jac
+         |FROM scored WHERE jac >= 0.8
+         |GROUP BY b ORDER BY doc_id""".stripMargin,
 
     "dd_minhash_lsh" ->
       s"""WITH $shCte,

@@ -87,6 +87,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(generous === exact)
   }
 
+  test("incremental near-dup: planted twins flagged against the catalog, matches are history-side") {
+    import spark.implicits._
+    val res = graft.queries.TrainingPack.ddIncrementalNeardup(spark, dir).collect()
+    assert(res.nonEmpty, "no catalog matches found")
+    // flagged doc_ids are batch-side (odd), matches history-side (even),
+    // scores at or above the threshold
+    res.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, s"history doc flagged: $r")
+      assert(r.getLong(2) % 2 == 0, s"batch doc as catalog match: $r")
+      assert(r.getDouble(3) >= 0.8, s"sub-threshold match surfaced: $r")
+    }
+    // every planted twin (odd, % 7 == 3) must be caught
+    val flagged = res.map(_.getLong(0)).toSet
+    val maxId = Tables.documents(spark, dir).agg(max("doc_id")).as[Long].head()
+    val planted = (0L to maxId).filter(id => id % 2 == 1 && id % 7 == 3)
+    assert(planted.nonEmpty)
+    planted.foreach(id => assert(flagged(id), s"planted twin $id not flagged"))
+    Shared.releaseAll(spark)
+  }
+
   test("connected components: chains, cycles, messy edges, and a union-find cross-check") {
     import spark.implicits._
     // a 64-node path has diameter 63: min-label propagation would need
