@@ -388,12 +388,15 @@ object TrainingPack {
     * stage an operator that also ships standalone:
     *
     *   1. exact dedup        — keep min doc_id per md5(norm) group
-    *   2. near-dup removal   — drop the j of every Jaccard≥0.8 pair
-    *                           whose i survived stage 1; the candidate
-    *                           join runs with the stop-shingle cap
-    *                           (`PipelineMaxBucket`, mirrored in the
-    *                           oracle), so a corpus-frequent shingle
-    *                           cannot send Σ bucket² quadratic at scale
+    *   2. near-dup removal   — transitive: Jaccard≥0.8 pairs are
+    *                           closed into connected components
+    *                           (alternating-star rounds) and only each
+    *                           component's min doc_id survives; the
+    *                           candidate join runs with the
+    *                           stop-shingle cap (`PipelineMaxBucket`,
+    *                           mirrored in the oracle), so a
+    *                           corpus-frequent shingle cannot send
+    *                           Σ bucket² quadratic at scale
     *   3. quality gate       — integer-bp score ≥ 42000
     *   4. language gate      — drop zh (no latin-token signal)
     *   5. decontamination    — drop the benchmark holdout (every 5th
@@ -426,12 +429,17 @@ object TrainingPack {
       .withColumn("_m", min("doc_id").over(wFp))
       .filter(col("doc_id") === col("_m")).drop("_m", "fp")
 
-    // 2. near-dup removal: pairs over the full corpus, drop j where i survived
+    // 2. near-dup removal, transitively: close the pair set into
+    // connected components and keep only each component's min id —
+    // per-pair dropping leaks docs whose only pair-partner was
+    // already dropped (by stage 1 or another pair), cluster-canonical
+    // dropping cannot. Components come from the SAME capped pair set
+    // the oracle replays.
     val pairs = Dedup.ngramJaccard(s, d, maxBucket = Some(PipelineMaxBucket))
-    val dropJ = pairs
-      .join(keep1.select(col("doc_id").as("i")), "i")
-      .select(col("j").as("doc_id")).distinct()
-    val keep2 = keep1.join(dropJ, Seq("doc_id"), "left_anti")
+    val nonCanon = Dedup.connectedComponents(pairs.select("i", "j"))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val keep2 = keep1.join(nonCanon, Seq("doc_id"), "left_anti")
 
     // 3+4. quality and language gates (same integer-bp formula as tx_quality)
     val ts = TextOps.tokens(col("text"))
@@ -1031,7 +1039,7 @@ object TrainingPack {
 
     "tx_pipeline" -> {
       val cuts = StratThresholds.map { case (l, c) => s"('$l', '$c')" }.mkString(", ")
-      s"""WITH $shCte,
+      s"""WITH RECURSIVE $shCte,
          |fp AS (SELECT doc_id, lang, md5($N) AS fp FROM documents),
          |keep1 AS (
          |  SELECT doc_id, lang FROM (
@@ -1049,10 +1057,16 @@ object TrainingPack {
          |  SELECT i, j FROM inter
          |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |  WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8),
+         |nodes AS (SELECT i AS id FROM pairs UNION SELECT j FROM pairs),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, walk.r FROM walk JOIN edges e ON e.a = walk.id),
          |keep2 AS (
          |  SELECT doc_id, lang FROM keep1
          |  WHERE doc_id NOT IN (
-         |    SELECT j FROM pairs WHERE i IN (SELECT doc_id FROM keep1))),
+         |    SELECT id FROM walk GROUP BY id HAVING id <> min(r))),
          |m AS (
          |  SELECT doc_id, CAST(len($TS) AS BIGINT) AS n_tok,
          |    CAST(len(list_filter($TS, x -> x IN ($Stop))) AS BIGINT) AS stop,

@@ -430,6 +430,18 @@ class TrainingSpec extends AnyFunSuite {
     pairs.foreach { case (i, j) =>
       assert(!(ids(i) && ids(j)), s"near-dup pair ($i,$j) both survived")
     }
+    // and TRANSITIVELY: at most one survivor per connected component
+    // of the pipeline's (capped) pair set, even where no direct pair
+    // links the two survivors
+    val comps = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.ngramJaccard(spark, dir,
+          maxBucket = Some(TrainingPack.PipelineMaxBucket)).select("i", "j"))
+      .as[(Long, Long)].collect()
+    comps.groupBy(_._2).foreach { case (root, members) =>
+      val survivors = members.map(_._1).filter(ids)
+      assert(survivors.length <= 1,
+        s"component $root kept ${survivors.toSeq.sorted}")
+    }
     // per-shard bins are non-decreasing in doc order
     out.groupBy(_._3).foreach { case (_, rows) =>
       val bins = rows.sortBy(_._1).map(_._5)
