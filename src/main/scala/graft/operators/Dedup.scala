@@ -293,7 +293,10 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct()
 
     // large-star: every neighbor LARGER than u links to u's current
-    // min m(u) = min(Γ(u) ∪ {u}); output keeps u > v because m ≤ u < v
+    // min m(u) = min(Γ(u) ∪ {u}); output keeps u > v because m ≤ u < v.
+    // No distinct here — duplicate (v, m) rows (bounded by deg(v)) are
+    // collapsed by the small-star round's terminal distinct, saving a
+    // shuffle per round; the min-aggregate is duplicate-insensitive.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
@@ -301,7 +304,6 @@ object Dedup {
       sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     // small-star: every neighbor SMALLER than u (plus u itself) links
@@ -314,16 +316,29 @@ object Dedup {
       fromNbrs.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
 
+    // Convergence is a property of the CURRENT state, not of two
+    // consecutive states: the edge set is a fixpoint of both stars iff
+    // it is a star forest — every source points to exactly one target
+    // (count == count_distinct(u)) and no source is also a target.
+    // Both stars preserve connectivity, so a star component IS an
+    // input component, and with the canonical u > v orientation its
+    // root is provably the component min (a non-root min would need an
+    // even smaller root). Testing the state directly saves the
+    // otherwise-mandatory extra round that merely reproduces the
+    // fixpoint so a set comparison can notice it.
+    def isStarForest(e: DataFrame): Boolean = {
+      val r = e.agg(count(lit(1)), count_distinct(col("u"))).head()
+      r.getLong(0) == r.getLong(1) &&
+        e.select("u").intersect(e.select("v")).limit(1).count() == 0
+    }
+
     var cur = e0.localCheckpoint(true)
-    var converged = false
+    var converged = isStarForest(cur)
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      // exact fixpoint test in ONE action (both sides are distinct
-      // sets, so an empty symmetric difference ⇔ equal edge sets)
-      converged = next.except(cur).union(cur.except(next)).limit(1).count() == 0
-      cur = next
+      cur = smallStar(largeStar(cur)).localCheckpoint(true)
       rounds += 1
+      converged = isStarForest(cur)
     }
     require(converged,
       s"connectedComponents did not converge in $maxRounds rounds")
