@@ -40,9 +40,14 @@ object Quickstart {
       .select(col("doc_id"), expr("transform(fields, f -> f.type)").as("types"))
       .show()
 
-    // 3. Near-duplicate detection (MinHash + LSH, verified)
+    // 3. Near-duplicate detection (MinHash + LSH, verified), then the
+    // pairs closed into transitive clusters with one canonical
+    // survivor per component (alternating-star connected components)
     println("== near-dup pairs (minhash LSH) ==")
-    Dedup.minhashLsh(spark, dataDir).show(5)
+    val pairs = Dedup.minhashLsh(spark, dataDir)
+    pairs.show(5)
+    println("== near-dup clusters (keep = component min) ==")
+    Dedup.connectedComponents(pairs.select("i", "j")).orderBy("doc_id").show(5)
 
     // 4. Similarity search (exact decimal scores)
     println("== cosine top-3 for the first 2 vectors ==")
