@@ -29,6 +29,15 @@ object TextOps {
       sequence(lit(1), size(ts) - (n - 1)),
       i => concat_ws(" ", slice(ts, i, lit(n)))))
 
+  /** GPT-2-style pretokenizer pattern, simplified to the classes this
+    * corpus can contain (lowercased input): a token is an optionally
+    * space-prefixed run of letters, digits, or other non-space
+    * symbols, or a whitespace run. Alternation is leftmost-first in
+    * both Java regex and DuckDB's RE2, so the count is engine-portable
+    * and the oracle shares this exact string.
+    */
+  val bpePattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+
   /** Stopword list shared with the oracle SQL (quality scoring). */
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "that", "for", "on")

@@ -149,12 +149,23 @@ object TrainingPack {
 
   // ----------------------------------------------------- text analysis
 
-  val txTokenCount: Q = (s, d) =>
+  /** Token counting, three ways: whitespace tokens, letter-run words,
+    * and a BPE-ish pretokenizer count. The corpus is pure words, so
+    * the BPE count runs over a synth-decorated text (deterministic
+    * ` id=<doc_id>;ok!` suffix) — the digit/punctuation branches of
+    * the pattern fire on every row and are hash-checked, the same
+    * synth-then-check trick as tx_redact.
+    */
+  val txTokenCount: Q = (s, d) => {
+    val decorated = lower(concat(col("text"), lit(" id="),
+      col("doc_id").cast("string"), lit(";ok!")))
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).as("n_tokens"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("n_words"))
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("n_words"),
+        size(regexp_extract_all(decorated, lit(TextOps.bpePattern), lit(0))).as("n_bpe"))
       .orderBy("doc_id")
+  }
 
   /** Quality scoring in integer basis points (0..10000 per ratio) so
     * every value is exact integer arithmetic — immune to the
@@ -945,7 +956,9 @@ object TrainingPack {
 
     "tx_token_count" ->
       s"""SELECT doc_id, len($TS) AS n_tokens,
-         |len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+         |len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         |len(regexp_extract_all(lower(text || ' id=' || doc_id || ';ok!'),
+         |  '${TextOps.bpePattern}')) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_quality" ->
