@@ -194,6 +194,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length === 700, s"expected 700 unique ids, got ${got.length}")
   }
 
+  test("streaming near-dup screen equals the batch screen, any micro-batching") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // batch = odd-id docs landed as 3 separate files (3 micro-batches),
+    // catalog = even-id docs; the screen is catalog-only, so the union
+    // of per-batch verdicts must equal the one-shot batch verdict
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1).localCheckpoint(true)
+    val src = Files.createTempDirectory("screen_src").toString
+    (0 until 3).foreach { k =>
+      batch.filter(col("doc_id") % 3 === k).coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    }
+    val sink = Files.createTempDirectory("screen_sink").toString + "/out"
+    val chk = Files.createTempDirectory("screen_chk").toString
+    graft.streaming.DocScreen.incrementalNeardupScreen(
+      spark, src, batch.schema, hist, sink, chk)
+    val streamed = spark.read.parquet(sink)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashLshIncremental(
+        Dedup.shinglesOf(batch, "doc"), Dedup.shinglesOf(hist, "doc"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    Shared.releaseAll(spark)
+    assert(direct.nonEmpty, "no catalog matches in the corpus")
+    assert(streamed === direct,
+      s"stream/batch diverged: only-stream=${(streamed -- direct).take(3)} only-batch=${(direct -- streamed).take(3)}")
+    // exactly-once: a checkpointed re-run with no new files appends nothing
+    graft.streaming.DocScreen.incrementalNeardupScreen(
+      spark, src, batch.schema, hist, sink, chk)
+    assert(spark.read.parquet(sink).count() === streamed.size.toLong,
+      "re-run with same checkpoint re-emitted rows")
+  }
+
   test("streaming beacon DAG equals the batch pipeline") {
     import graft.plans.BeaconPipeline
     // land the synthetic beacon corpus, then run decode+enrich+route as
