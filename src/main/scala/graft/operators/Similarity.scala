@@ -136,9 +136,13 @@ object Similarity {
       nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6): DataFrame =
     ivfTopKFrom(Tables.embeddings(spark, dir), nQueries, k, nCentroids, nProbe)
 
-  /** Same operator over any (vec_id, embedding) table (spec seam). */
-  def ivfTopKFrom(embeddings: DataFrame,
-      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
+  /** The IVF candidate stage shared by [[ivfTopKFrom]] (exact decimal
+    * ranking) and [[ivfPqTopKFrom]] (product-quantized ranking):
+    * deterministic centroid sample, partial-agg argmax assignment,
+    * per-query probe ranking → (query_id, vec_id) candidates.
+    */
+  private[operators] def ivfCandidates(embeddings: DataFrame,
+      nQueries: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val cents = embeddings
       .withColumn("_h", md5(concat(lit("ivf|"), col("vec_id"))))
       .orderBy("_h", "vec_id").limit(nCentroids)
@@ -166,15 +170,116 @@ object Similarity {
       .select(col("query_id"), col("cid"))
     // cells are disjoint (one cid per vector) and probes distinct per
     // query, so (query_id, vec_id) is already unique — no dedup step
-    val cand = probes.join(assigned, "cid")
+    probes.join(assigned, "cid")
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id")
+  }
+
+  /** Same operator over any (vec_id, embedding) table (spec seam). */
+  def ivfTopKFrom(embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
+    val cand = ivfCandidates(embeddings, nQueries, nCentroids, nProbe)
     val qv = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val cv = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val scored = cand.join(qv, "query_id").join(cv, "vec_id")
       .withColumn("dot", dotDecimal(col("q"), col("v")))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("dot"), 6).cast("double").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ANN via IVF-PQ — the memory-scale path: IVF cell pruning plus
+    * product-quantized ranking. Each vector is stored as `nSub` small
+    * codes (8 here — 8 bytes instead of 256 bytes of floats, the
+    * representation that lets a 100 TB embedding corpus rank
+    * candidates from RAM), where code(v, s) is the L2-nearest of
+    * `nCodes` per-subspace codewords (deterministic md5-sampled corpus
+    * subvectors — engine-portable, like the IVF centroids). A query
+    * ranks candidates by asymmetric distance (ADC): the sum over
+    * subspaces of dot(query-sub, codeword[code]) — each per-subspace
+    * dot is the bit-stable double kernel, summed as DECIMAL so the
+    * 8-way sum is order-exact — then the `refine`·k ADC short list is
+    * re-ranked with the exact decimal dot (the standard IVF-PQ
+    * refinement step).
+    *
+    * Plan shape: the codebook (nSub·nCodes = 128 rows) broadcasts;
+    * encoding is one broadcast equi-join + partial-agg argmax (same
+    * trick as the IVF assignment); ADC ranking shuffles on
+    * (query, vec) — candidates only, never the corpus cross product.
+    *
+    * Recall: bounded above by the IVF candidate ceiling (≈ 0.63 at
+    * the 16×6 default on this corpus); measured ≈ 0.49 absolute at
+    * sf0.1 = ~0.8 of that ceiling at refine = 15 — the synthetic
+    * corpus is near-worst-case for PQ (unclustered random unit
+    * vectors, so sampled codebooks quantize poorly); clustered
+    * real-world embeddings recover far more of the ceiling at the
+    * same code budget. TrainingSpec pins both the absolute floor and
+    * the fraction-of-ceiling.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6,
+      nSub: Int = 8, nCodes: Int = 16, refine: Int = 15): DataFrame =
+    ivfPqTopKFrom(Tables.embeddings(spark, dir), nQueries, k, nCentroids,
+      nProbe, nSub, nCodes, refine)
+
+  /** Same operator over any (vec_id, embedding) table (spec seam).
+    * Assumes 64-dim embeddings (the corpus contract) split into
+    * `nSub` equal subspaces.
+    */
+  def ivfPqTopKFrom(embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6,
+      nSub: Int = 8, nCodes: Int = 16, refine: Int = 15): DataFrame = {
+    val subDim = 64 / nSub
+    val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
+    def subVec(v: Column): Column = slice(v, col("sub") * subDim + 1, lit(subDim))
+
+    // per-subspace codebooks in ONE corpus pass: the window partitions
+    // by subspace (nSub partitions), never SinglePartition
+    val wS = Window.partitionBy("sub").orderBy(col("_h"), col("vec_id"))
+    val cw = embeddings.select(col("vec_id"), col("embedding"), subIdx)
+      .withColumn("_h", md5(concat(lit("pq"), col("sub").cast("string"),
+        lit("|"), col("vec_id"))))
+      .withColumn("_r", row_number().over(wS))
+      .filter(col("_r") <= nCodes)
+      .select(col("sub"), col("vec_id").as("cw_id"), subVec(col("embedding")).as("cw"))
+
+    // encode: argmin L2 == argmax dot(vs, cw) - dot(cw, cw)/2 (the
+    // dot(vs, vs) term is constant per row); /2 is exact in doubles
+    val vsubs = embeddings.select(col("vec_id"), col("embedding"), subIdx)
+      .select(col("vec_id"), col("sub"), subVec(col("embedding")).as("vs"))
+    val codes = vsubs.join(broadcast(cw), "sub")
+      .select(col("vec_id"), col("sub"), struct(
+        (dotDouble(col("vs"), col("cw")) - dotDouble(col("cw"), col("cw")) / 2).as("sc"),
+        (-col("cw_id")).as("nid"), col("cw_id").as("cw_id")).as("s"))
+      .groupBy("vec_id", "sub").agg(max(col("s")).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cw_id").as("code"))
+
+    // per-query ADC lookup table: nQueries x nSub x nCodes rows
+    val adc = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"), subIdx)
+      .select(col("query_id"), col("sub"), subVec(col("embedding")).as("qs"))
+      .join(broadcast(cw), "sub")
+      .select(col("query_id"), col("sub"), col("cw_id").as("code"),
+        dotDouble(col("qs"), col("cw")).cast("decimal(28,12)").as("part"))
+
+    val cand = ivfCandidates(embeddings, nQueries, nCentroids, nProbe)
+    val approx = cand.join(codes, "vec_id")
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id").agg(sum(col("part")).as("adc"))
+    val wA = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val short = approx.withColumn("_r", row_number().over(wA))
+      .filter(col("_r") <= refine * k).select("query_id", "vec_id")
+
+    // exact decimal re-rank of the ADC short list
+    val qv = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val cv = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    short.join(qv, "query_id").join(cv, "vec_id")
+      .withColumn("dot", dotDecimal(col("q"), col("v")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("dot"), 6).cast("double").as("score"))

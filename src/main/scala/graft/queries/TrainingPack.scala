@@ -143,6 +143,11 @@ object TrainingPack {
     */
   val annIvf: Q = (s, d) => Similarity.ivfTopK(s, d)
 
+  /** IVF-PQ: the same IVF candidates ranked by 8-byte product-
+    * quantized codes (ADC), exact re-rank of the 3k short list.
+    */
+  val annIvfPq: Q = (s, d) => Similarity.ivfPqTopK(s, d)
+
   val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDup(s, d)
 
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
@@ -534,6 +539,7 @@ object TrainingPack {
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
     "ann_topk_ivf"         -> annIvf,
+    "ann_topk_ivfpq"       -> annIvfPq,
     "tx_token_count"       -> txTokenCount,
     "tx_quality"           -> txQuality,
     "tx_fingerprint"       -> txFingerprint,
@@ -611,6 +617,47 @@ object TrainingPack {
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(28,12))))"
   private val dotDbl =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  /** IVF candidate CTEs (centroid sample → argmax assignment → probe
+    * ranking → `cand(query_id, vec_id)`), shared by the IVF and
+    * IVF-PQ oracles.
+    */
+  private lazy val ivfCandCtes =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+       |    FROM embeddings e, cents c)
+       |  WHERE r = 1),
+       |qp AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotDbl.format("q.embedding", "c.ce")} DESC, c.cid) AS r
+       |    FROM embeddings q, cents c WHERE q.vec_id < 8)
+       |  WHERE r <= 6),
+       |cand AS (
+       |  SELECT qp.query_id, a.vec_id FROM qp JOIN asg a USING (cid)
+       |  WHERE a.vec_id <> qp.query_id)""".stripMargin
+
+  /** Exact-decimal rank + final projection over a `(query_id, vec_id)`
+    * CTE named by `src` — the closing stages of both ANN oracles.
+    */
+  private def annRankSql(src: String) =
+    s"""s AS (
+       |  SELECT $src.query_id, $src.vec_id, ${dotDec.format("qa.embedding", "ca.embedding")} AS dot
+       |  FROM $src JOIN embeddings qa ON qa.vec_id = $src.query_id
+       |    JOIN embeddings ca ON ca.vec_id = $src.vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, vec_id, CAST(ROUND(dot, 6) AS DOUBLE) AS score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** The engine's ±1 hyperplane matrix (Similarity.hyperplaneSigns —
     * deterministic from avalanched fnv1a64) as a DuckDB list-of-lists
@@ -854,36 +901,50 @@ object TrainingPack {
     // decimal-dot assignment (cid tiebreak), nProbe nearest cells per
     // query, exact decimal ranking of cell members
     "ann_topk_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
-         |asg AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
-         |    FROM embeddings e, cents c)
+      s"""WITH $ivfCandCtes,
+         |${annRankSql("cand")}""".stripMargin,
+
+    // IVF-PQ replayed end-to-end: per-subspace md5-sampled codebooks,
+    // argmin-L2 encoding (as argmax dot(vs,cw) - dot(cw,cw)/2, double
+    // kernel order), ADC = decimal sum of per-subspace lookups over
+    // the same IVF candidates, exact decimal re-rank of the 3k list
+    "ann_topk_ivfpq" ->
+      s"""WITH $ivfCandCtes,
+         |subs AS (SELECT unnest(range(8)) AS sub),
+         |cw AS (
+         |  SELECT sub, vec_id AS cw_id, emb[sub*8+1 : sub*8+8] AS cwv FROM (
+         |    SELECT e.vec_id, e.embedding AS emb, s2.sub,
+         |      ROW_NUMBER() OVER (PARTITION BY s2.sub
+         |        ORDER BY md5('pq' || s2.sub || '|' || e.vec_id), e.vec_id) AS r
+         |    FROM embeddings e, subs s2)
+         |  WHERE r <= 16),
+         |vs AS (
+         |  SELECT e.vec_id, s2.sub, e.embedding[s2.sub*8+1 : s2.sub*8+8] AS vsv
+         |  FROM embeddings e, subs s2),
+         |codes AS (
+         |  SELECT vec_id, sub, cw_id AS code FROM (
+         |    SELECT v.vec_id, v.sub, c.cw_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY (${dotDbl.format("v.vsv", "c.cwv")}
+         |                  - ${dotDbl.format("c.cwv", "c.cwv")} / 2) DESC, c.cw_id) AS r
+         |    FROM vs v JOIN cw c ON c.sub = v.sub)
          |  WHERE r = 1),
-         |qp AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT q.vec_id AS query_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${dotDbl.format("q.embedding", "c.ce")} DESC, c.cid) AS r
-         |    FROM embeddings q, cents c WHERE q.vec_id < 8)
-         |  WHERE r <= 6),
-         |cand AS (
-         |  SELECT qp.query_id, a.vec_id FROM qp JOIN asg a USING (cid)
-         |  WHERE a.vec_id <> qp.query_id),
-         |s AS (
-         |  SELECT cand.query_id, cand.vec_id, ${dotDec.format("qa.embedding", "ca.embedding")} AS dot
-         |  FROM cand JOIN embeddings qa ON qa.vec_id = cand.query_id
-         |    JOIN embeddings ca ON ca.vec_id = cand.vec_id),
-         |r AS (
-         |  SELECT query_id, vec_id, dot,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
-         |  FROM s)
-         |SELECT query_id, rank, vec_id, CAST(ROUND(dot, 6) AS DOUBLE) AS score
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+         |adc AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cw_id AS code,
+         |    CAST(${dotDbl.format("q.embedding[c.sub*8+1 : c.sub*8+8]", "c.cwv")}
+         |      AS DECIMAL(28,12)) AS part
+         |  FROM embeddings q, cw c WHERE q.vec_id < 8),
+         |approx AS (
+         |  SELECT cand.query_id, cand.vec_id, SUM(part) AS adc
+         |  FROM cand JOIN codes USING (vec_id) JOIN adc USING (query_id, sub, code)
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS r
+         |    FROM approx)
+         |  WHERE r <= 150),
+         |${annRankSql("short")}""".stripMargin,
 
     // the LSH twin of dd_embedding_neardup: same multi-table
     // signature-in-SQL as the ANN oracles (8 bits × 4 tables),

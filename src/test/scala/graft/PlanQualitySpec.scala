@@ -131,6 +131,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val bnljOk = Set(
       "ann_topk_bruteforce",  // non-equi self-pair over a bounded (8-row) query set
       "ann_topk_ivf",         // 16-row centroid table broadcast-crossed for assignment
+      "ann_topk_ivfpq",       // same 16-row centroid cross in its candidate stage
       "dd_embedding_neardup", // deliberate exact n^2 baseline; LSH twin is the scale path
       "dq34_scalar_subquery") // 1-row broadcast aggregate crossed into the fact side
     val singlePartOk = Set(

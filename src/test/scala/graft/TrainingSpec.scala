@@ -222,6 +222,37 @@ class TrainingSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("IVF-PQ: codes compress to nSub per vector, recall holds vs brute force") {
+    import spark.implicits._
+    val bf = Similarity.bruteForceTopK(spark, dir).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, dir).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val pq = Similarity.ivfPqTopK(spark, dir).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val ceiling = (ivf & bf).size.toDouble / bf.size
+    val recall = (pq & bf).size.toDouble / bf.size
+    // absolute floor (measured 0.55 at sf0.001, 0.49 at sf0.1) and
+    // fraction-of-the-IVF-candidate-ceiling: ADC ranking must recover
+    // most of what the shared candidate stage makes reachable
+    assert(recall >= 0.4, s"IVF-PQ recall $recall below floor")
+    assert(recall >= 0.6 * ceiling, s"IVF-PQ recall $recall < 60% of IVF ceiling $ceiling")
+    // an exact twin of a query cannot be lost to quantization: the
+    // twin assigns to the query's own nearest cell (same argmax), its
+    // ADC score is maximal among candidates, and the exact re-rank
+    // puts it at rank 1 with cosine ~1
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val twin = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 9996).as("vec_id"), col("embedding"))
+    val ranked = Similarity.ivfPqTopKFrom(emb.union(twin))
+      .filter(col("query_id") === 3 && col("rank") === 1)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(ranked.length === 1 && ranked.head._3 === 9999L,
+      s"planted exact twin not at rank 1: ${ranked.toSeq}")
+    assert(ranked.head._4 > 0.999, s"twin score not ~1: ${ranked.head._4}")
+    Shared.releaseAll(spark)
+  }
+
   test("multi-probe recovers a planted cross-bucket neighbor single-probe misses") {
     import spark.implicits._
     val (k, l) = (8, 16)
