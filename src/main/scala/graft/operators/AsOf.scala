@@ -68,13 +68,13 @@ object AsOf {
         lit(0).as("_tag"),
         tbOf.as("_tb"),
         lit(null).cast(lType).as("_lv"),
-        struct(right.columns.map(col): _*).as("_rv"))
+        struct(right.columns.toIndexedSeq.map(col): _*).as("_rv"))
     val leftRows = left.select(
       col(leftKey).as("_k"),
       col(leftTs).cast(tsType).as("_ts"),
       lit(1).as("_tag"),
       tbNull.as("_tb"),
-      struct(left.columns.map(col): _*).as("_lv"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_lv"),
       lit(null).cast(rType).as("_rv"))
     // ascending merge order: at equal ts a right row sorts before a
     // left row (tag 0 < 1), so a config stamped exactly at event time

@@ -141,26 +141,37 @@ object Similarity {
     * deterministic centroid sample, partial-agg argmax assignment,
     * per-query probe ranking → (query_id, vec_id) candidates.
     */
-  private[operators] def ivfCandidates(embeddings: DataFrame,
-      nQueries: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = embeddings
+  private def ivfCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    embeddings
       .withColumn("_h", md5(concat(lit("ivf|"), col("vec_id"))))
       .orderBy("_h", "vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    // assignment/probe ranking uses the fast DOUBLE dot: it is
-    // bit-identical across engines (index-order fold, validated), so
-    // argmax + cid tiebreak is just as hash-safe as decimal at half
-    // the cost — only the returned score needs the exact decimal.
-    // The argmax is a lexicographic max(struct) aggregate, NOT a
-    // window: max gets map-side partial combine, so the shuffle
-    // carries one pre-combined row per vector per partition instead
-    // of all n×C scored rows (a corpus×centroids shuffle at 100 TB).
-    val assigned = embeddings.crossJoin(broadcast(cents))
+
+  /** IVF cell assignment: (vec_id, cid) — every vector's nearest
+    * centroid. Public as an operational surface: cell-size statistics
+    * off this frame are how a deployment watches for degenerate
+    * quantization (the spec pins a distribution bound on it).
+    *
+    * Assignment uses the fast DOUBLE dot: it is bit-identical across
+    * engines (index-order fold, validated), so argmax + cid tiebreak
+    * is just as hash-safe as decimal at half the cost. The argmax is
+    * a lexicographic max(struct) aggregate, NOT a window: max gets
+    * map-side partial combine, so the shuffle carries one
+    * pre-combined row per vector per partition instead of all n×C
+    * scored rows (a corpus×centroids shuffle at 100 TB).
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
+    embeddings.crossJoin(broadcast(ivfCentroids(embeddings, nCentroids)))
       .select(col("vec_id"), struct(
         dotDouble(col("embedding"), col("ce")).as("cdot"),
         (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
       .groupBy("vec_id").agg(max(col("s")).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
+
+  private[operators] def ivfCandidates(embeddings: DataFrame,
+      nQueries: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = ivfCentroids(embeddings, nCentroids)
+    val assigned = ivfAssign(embeddings, nCentroids)
     val wQ = Window.partitionBy("query_id").orderBy(col("cdot").desc, col("cid"))
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))

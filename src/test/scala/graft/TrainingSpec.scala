@@ -220,6 +220,18 @@ class TrainingSpec extends AnyFunSuite {
     // corpus on this weakly-clustered data); floor with margin
     assert(recall >= 0.6, s"IVF recall too low: $recall")
     assert(ivf.nonEmpty)
+    // distribution check (the hyperplane-LSH lesson: a green recall
+    // floor can hide a degenerate partition): the assignment must use
+    // most cells and no cell may swallow half the corpus
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val n = emb.count()
+    val cellSizes = Similarity.ivfAssign(emb)
+      .groupBy("cid").count().as[(Long, Long)].collect()
+    assert(cellSizes.map(_._2).sum === n, "assignment lost vectors")
+    assert(cellSizes.length >= 12, s"only ${cellSizes.length} of 16 cells used")
+    assert(cellSizes.map(_._2).max <= n / 2,
+      s"degenerate cell: ${cellSizes.sortBy(-_._2).take(3).toSeq} of $n")
+    Shared.releaseAll(spark)
   }
 
   test("IVF-PQ: codes compress to nSub per vector, recall holds vs brute force") {
