@@ -133,8 +133,10 @@ object Similarity {
     * real-world data does far better at the same budget).
     */
   def ivfTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6): DataFrame =
-    ivfTopKFrom(Tables.embeddings(spark, dir), nQueries, k, nCentroids, nProbe)
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6,
+      trainIters: Int = 0): DataFrame =
+    ivfTopKFrom(Tables.embeddings(spark, dir), nQueries, k, nCentroids, nProbe,
+      trainIters)
 
   /** The IVF candidate stage shared by [[ivfTopKFrom]] (exact decimal
     * ranking) and [[ivfPqTopKFrom]] (product-quantized ranking):
@@ -146,6 +148,49 @@ object Similarity {
       .withColumn("_h", md5(concat(lit("ivf|"), col("vec_id"))))
       .orderBy("_h", "vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** Lloyd-refined IVF centroids: k-means iterations on top of the
+    * md5-sampled init, fully deterministic and engine-portable. Each
+    * round reassigns (broadcast argmax, as everywhere) and recomputes
+    * every centroid component as `CAST(decimal-sum AS DOUBLE) / count`
+    * cast to FLOAT: the decimal sum is order-exact (partial-agg and
+    * single-threaded folds agree), the double division and the
+    * float narrowing are value-based IEEE ops — so Spark and the SQL
+    * oracle produce bit-identical trained centroids. An emptied cell
+    * keeps its previous centroid. Two rounds is the sweet spot for a
+    * sampled init (FAISS-style coarse quantizers train few rounds at
+    * this k); the frame is 16 rows per round, so the driver loop adds
+    * no lineage risk.
+    */
+  def ivfCentroidsTrained(embeddings: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    var cents = ivfCentroids(embeddings, nCentroids)
+    for (_ <- 0 until iters) {
+      val asg = embeddings.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), struct(
+          dotDouble(col("embedding"), col("ce")).as("cdot"),
+          (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
+        .groupBy("vec_id", "embedding").agg(max(col("s")).as("m"))
+        .select(col("embedding"), col("m.cid").as("cid"))
+      val sums = (0 until dim).map(i =>
+        // float -> DOUBLE -> decimal: the double->decimal edge is the
+        // validated engine-portable conversion (dotDecimal's path);
+        // a direct float->decimal cast rounds differently per engine
+        sum(col("embedding").getItem(i).cast("double").cast("decimal(28,12)"))
+          .as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val means = asg.groupBy("cid").agg(sums.head, sums.tail: _*)
+        .select(col("cid"), array((0 until dim).map(i =>
+          (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
+      // hard lineage cut per round (16 rows): the round references the
+      // previous centroids twice, so without it the corpus-wide mean
+      // aggregation re-plans and re-RUNS 2^iters times
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("me"), col("ce")).as("ce"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
 
   /** IVF cell assignment: (vec_id, cid) — every vector's nearest
     * centroid. Public as an operational surface: cell-size statistics
@@ -160,8 +205,14 @@ object Similarity {
     * pre-combined row per vector per partition instead of all n×C
     * scored rows (a corpus×centroids shuffle at 100 TB).
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
-    embeddings.crossJoin(broadcast(ivfCentroids(embeddings, nCentroids)))
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16,
+      trainIters: Int = 0): DataFrame =
+    ivfAssignWith(embeddings,
+      if (trainIters > 0) ivfCentroidsTrained(embeddings, nCentroids, trainIters)
+      else ivfCentroids(embeddings, nCentroids))
+
+  private def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(cents))
       .select(col("vec_id"), struct(
         dotDouble(col("embedding"), col("ce")).as("cdot"),
         (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
@@ -169,9 +220,12 @@ object Similarity {
       .select(col("vec_id"), col("m.cid").as("cid"))
 
   private[operators] def ivfCandidates(embeddings: DataFrame,
-      nQueries: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = ivfCentroids(embeddings, nCentroids)
-    val assigned = ivfAssign(embeddings, nCentroids)
+      nQueries: Int, nCentroids: Int, nProbe: Int,
+      trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) ivfCentroidsTrained(embeddings, nCentroids, trainIters)
+      else ivfCentroids(embeddings, nCentroids)
+    val assigned = ivfAssignWith(embeddings, cents)
     val wQ = Window.partitionBy("query_id").orderBy(col("cdot").desc, col("cid"))
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -188,8 +242,9 @@ object Similarity {
 
   /** Same operator over any (vec_id, embedding) table (spec seam). */
   def ivfTopKFrom(embeddings: DataFrame,
-      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
-    val cand = ivfCandidates(embeddings, nQueries, nCentroids, nProbe)
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6,
+      trainIters: Int = 0): DataFrame = {
+    val cand = ivfCandidates(embeddings, nQueries, nCentroids, nProbe, trainIters)
     val qv = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val cv = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val scored = cand.join(qv, "query_id").join(cv, "vec_id")

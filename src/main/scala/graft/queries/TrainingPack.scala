@@ -148,6 +148,12 @@ object TrainingPack {
     */
   val annIvfPq: Q = (s, d) => Similarity.ivfPqTopK(s, d)
 
+  /** Trained-quantizer IVF: two deterministic Lloyd rounds on the
+    * sampled init (decimal-sum means, bit-identical across engines)
+    * before assignment/probing.
+    */
+  val annIvfTrained: Q = (s, d) => Similarity.ivfTopK(s, d, trainIters = 2)
+
   val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDup(s, d)
 
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
@@ -540,6 +546,7 @@ object TrainingPack {
     "ann_topk_lsh_mp"      -> annLshMp,
     "ann_topk_ivf"         -> annIvf,
     "ann_topk_ivfpq"       -> annIvfPq,
+    "ann_topk_ivf_trained" -> annIvfTrained,
     "tx_token_count"       -> txTokenCount,
     "tx_quality"           -> txQuality,
     "tx_fingerprint"       -> txFingerprint,
@@ -642,6 +649,58 @@ object TrainingPack {
        |  WHERE r <= 6),
        |cand AS (
        |  SELECT qp.query_id, a.vec_id FROM qp JOIN asg a USING (cid)
+       |  WHERE a.vec_id <> qp.query_id)""".stripMargin
+
+  /** `iters` Lloyd rounds in SQL: cents0 (the sampled init) must
+    * precede; yields cents`iters`. Means follow the engine's exact
+    * conversion chain — float → DOUBLE → DECIMAL(28,12) sum → DOUBLE
+    * / count → REAL — every edge value-based, so the trained
+    * centroids are bit-identical to the Spark operator's.
+    */
+  private def lloydCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""asg${k - 1} AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM embeddings e, cents${k - 1} c)
+         |  WHERE r = 1),
+         |mean$k AS (
+         |  SELECT a.cid, r.i,
+         |    CAST(CAST(SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*) AS REAL) AS c
+         |  FROM asg${k - 1} a, embeddings e, unnest(range(1, 65)) r(i)
+         |  WHERE e.vec_id = a.vec_id
+         |  GROUP BY a.cid, r.i),
+         |me$k AS (SELECT cid, list(c ORDER BY i) AS me FROM mean$k GROUP BY cid),
+         |cents$k AS (
+         |  SELECT c.cid, COALESCE(m.me, c.ce) AS ce
+         |  FROM cents${k - 1} c LEFT JOIN me$k m USING (cid))""".stripMargin
+    }.mkString(",\n")
+
+  /** Assignment + probe + candidate CTEs over a named centroid CTE —
+    * the IVF probe stage for oracles whose centroids are not the
+    * sampled `cents` (CTE names suffixed F to avoid colliding with
+    * the Lloyd rounds' asg0/asg1).
+    */
+  private def ivfProbeCtes(cents: String): String =
+    s"""asgF AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+       |    FROM embeddings e, $cents c)
+       |  WHERE r = 1),
+       |qp AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotDbl.format("q.embedding", "c.ce")} DESC, c.cid) AS r
+       |    FROM embeddings q, $cents c WHERE q.vec_id < 8)
+       |  WHERE r <= 6),
+       |cand AS (
+       |  SELECT qp.query_id, a.vec_id FROM qp JOIN asgF a USING (cid)
        |  WHERE a.vec_id <> qp.query_id)""".stripMargin
 
   /** Exact-decimal rank + final projection over a `(query_id, vec_id)`
@@ -902,6 +961,17 @@ object TrainingPack {
     // query, exact decimal ranking of cell members
     "ann_topk_ivf" ->
       s"""WITH $ivfCandCtes,
+         |${annRankSql("cand")}""".stripMargin,
+
+    // trained-quantizer IVF: two deterministic Lloyd rounds replayed
+    // in SQL before the probe stage — the means follow the engine's
+    // exact float->double->decimal->double->real conversion chain
+    "ann_topk_ivf_trained" ->
+      s"""WITH cents0 AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+         |${lloydCtes(2)},
+         |${ivfProbeCtes("cents2")},
          |${annRankSql("cand")}""".stripMargin,
 
     // IVF-PQ replayed end-to-end: per-subspace md5-sampled codebooks,

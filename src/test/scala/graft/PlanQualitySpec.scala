@@ -132,12 +132,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "ann_topk_bruteforce",  // non-equi self-pair over a bounded (8-row) query set
       "ann_topk_ivf",         // 16-row centroid table broadcast-crossed for assignment
       "ann_topk_ivfpq",       // same 16-row centroid cross in its candidate stage
+      "ann_topk_ivf_trained", // same cross, per Lloyd round and at probe time
       "dd_embedding_neardup", // deliberate exact n^2 baseline; LSH twin is the scale path
       "dq34_scalar_subquery") // 1-row broadcast aggregate crossed into the fact side
     val singlePartOk = Set(
       "dq09_validation",      // global scalar aggregate (1-row result)
       "dq21_count_distinct",  // global count-distinct (1-row result)
-      "dq34_scalar_subquery") // the scalar aggregate itself
+      "dq34_scalar_subquery", // the scalar aggregate itself
+      "ann_topk_ivf_trained") // optimizer-injected bloom_filter_agg
+                              // runtime-filter subquery: a global agg
+                              // producing ONE bloom filter, not a
+                              // corpus funnel (appears because the
+                              // checkpointed trained centroids make
+                              // the probe side a LogicalRDD join)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val s = fn(spark, dir).queryExecution.executedPlan.toString
       Seq(

@@ -234,6 +234,29 @@ class TrainingSpec extends AnyFunSuite {
     Shared.releaseAll(spark)
   }
 
+  test("IVF k-means training: deterministic, balances cells, recall holds") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // two independent trainings are bit-identical (decimal sums ->
+    // double/count -> float: every step value-based, no fold-order)
+    def centroids() = Similarity.ivfCentroidsTrained(emb, 16, 2)
+      .as[(Long, Array[Float])].collect().map(c => (c._1, c._2.toSeq)).toMap
+    assert(centroids() === centroids(), "training not deterministic")
+    // trained cells must not be WORSE balanced than the sampled init
+    def maxCell(it: Int) = Similarity.ivfAssign(emb, 16, it)
+      .groupBy("cid").count().agg(max("count")).as[Long].head()
+    assert(maxCell(2) <= maxCell(0),
+      s"training worsened balance: ${maxCell(2)} > ${maxCell(0)}")
+    // recall with trained centroids holds the sampled floor
+    val bf = Similarity.bruteForceTopK(spark, dir).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val trained = Similarity.ivfTopKFrom(emb, trainIters = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (trained & bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"trained IVF recall too low: $recall")
+    Shared.releaseAll(spark)
+  }
+
   test("IVF-PQ: codes compress to nSub per vector, recall holds vs brute force") {
     import spark.implicits._
     val bf = Similarity.bruteForceTopK(spark, dir).select("query_id", "vec_id")
