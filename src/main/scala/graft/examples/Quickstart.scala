@@ -49,9 +49,12 @@ object Quickstart {
     println("== near-dup clusters (keep = component min) ==")
     Dedup.connectedComponents(pairs.select("i", "j")).orderBy("doc_id").show(5)
 
-    // 4. Similarity search (exact decimal scores)
-    println("== cosine top-3 for the first 2 vectors ==")
+    // 4. Similarity search: exact baseline, then the scale paths
+    // (IVF cells, trained quantizer, 8-byte PQ codes)
+    println("== cosine top-3 for the first 2 vectors (exact) ==")
     Similarity.bruteForceTopK(spark, dataDir, nQueries = 2, k = 3).show()
+    println("== same queries via IVF-PQ (approximate, 8-byte codes) ==")
+    Similarity.ivfPqTopK(spark, dataDir, nQueries = 2, k = 3).show()
 
     // 5. SimHash fingerprints + Hamming distance from SQL
     println("== simhash neighbors of doc 0 ==")

@@ -107,6 +107,22 @@ class TrainingSpec extends AnyFunSuite {
     Shared.releaseAll(spark)
   }
 
+  test("dedup operators tolerate empty inputs") {
+    import spark.implicits._
+    // CC on an empty pair set: converged immediately, empty output
+    val noPairs = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Dedup.connectedComponents(noPairs).count() === 0)
+    // self-loops only: no real edges, empty components
+    val selfOnly = Seq((5L, 5L), (9L, 9L)).toDF("i", "j")
+    assert(Dedup.connectedComponents(selfOnly).count() === 0)
+    // incremental screen with an empty batch: no verdicts
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val emptySh = Dedup.shinglesOf(docs.limit(0), "doc")
+    val histSh = Dedup.shinglesOf(docs, "doc")
+    assert(Dedup.minhashLshIncremental(emptySh, histSh).count() === 0)
+    Shared.releaseAll(spark)
+  }
+
   test("connected components: chains, cycles, messy edges, and a union-find cross-check") {
     import spark.implicits._
     // a 64-node path has diameter 63: min-label propagation would need
