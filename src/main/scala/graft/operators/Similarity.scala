@@ -120,6 +120,39 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** Incremental embedding near-dup — the vector twin of
+    * [[Dedup.minhashLshIncremental]]: a new batch of vectors screened
+    * against the LANDED corpus without recomputing anything
+    * corpus-wide. Candidates come from batch-buckets ⋈ history-buckets
+    * in the multi-table hyperplane signature space (shuffle sized by
+    * the batch side; in production the history buckets are a landed
+    * table appended per accepted batch), and only candidates are
+    * decimal-verified against history vectors.
+    *
+    * @return one row per batch vector with ≥1 catalog match at
+    *   `threshold`: (vec_id, n_matches, matched_id = min matching
+    *   history id, cos = best match score).
+    */
+  def embeddingNearDupIncremental(batchEmb: DataFrame, histEmb: DataFrame,
+      threshold: Double = 0.95, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val signs = hyperplaneSigns(nPlanes * nTables, 64)
+    def buckets(e: DataFrame, id: String) = e
+      .withColumn("tb", explode(tableBuckets(col("embedding"), signs, nPlanes, nTables)))
+      .select(col("vec_id").as(id), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = buckets(batchEmb, "bv").join(buckets(histEmb, "hv"), Seq("tbl", "bkt"))
+      .select("bv", "hv").distinct()
+    val vb = batchEmb.select(col("vec_id").as("bv"), col("embedding").as("veb"))
+    val vh = histEmb.select(col("vec_id").as("hv"), col("embedding").as("veh"))
+    cand.join(vb, "bv").join(vh, "hv")
+      .filter(dotDouble(col("veb"), col("veh")) >= threshold - 0.01)
+      .withColumn("dot", dotDecimal(col("veb"), col("veh")))
+      .filter(col("dot") >= threshold)
+      .groupBy(col("bv").as("vec_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("hv")).as("matched_id"),
+        round(max(col("dot")), 6).cast("double").as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** ANN via IVF (inverted-file) coarse quantization — the second
     * scale path beside the LSH operator, with a different trade-off:
     * `nCentroids` deterministic centroids (the corpus vectors with

@@ -158,6 +158,24 @@ object TrainingPack {
 
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
 
+  /** Incremental embedding screen: even vec_ids are the landed
+    * corpus, odd ids the new batch; every seventh odd vector takes
+    * its even twin's embedding (exact copy, cos 1.0), so the
+    * catalog-hit path is exercised at every scale — the corpus has no
+    * natural ≥0.95 pairs.
+    */
+  val ddEmbIncremental: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val twin = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("h_emb"))
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+      .join(twin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 3, col("h_emb"))
+          .otherwise(col("embedding")).as("embedding"))
+    Similarity.embeddingNearDupIncremental(batch, hist)
+  }
+
   // ----------------------------------------------------- text analysis
 
   /** Token counting, three ways: whitespace tokens, letter-run words,
@@ -541,6 +559,7 @@ object TrainingPack {
     "dd_simhash_pairs"     -> ddSimhashPairs,
     "dd_embedding_neardup" -> ddEmbeddingNearDup,
     "dd_embedding_neardup_lsh" -> ddEmbeddingNearDupLsh,
+    "dd_embedding_incremental" -> ddEmbIncremental,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
@@ -734,12 +753,19 @@ object TrainingPack {
     * the corpus: zero sign divergences across every vector × plane).
     */
   private def tableBucketsSql(nPlanes: Int, nTables: Int): String =
+    tableBucketsFromSql("embeddings", nPlanes, nTables)
+
+  /** Same signature computation over any named relation with
+    * (vec_id, embedding) — the two-sided incremental oracle buckets
+    * its batch and history CTEs separately.
+    */
+  private def tableBucketsFromSql(src: String, nPlanes: Int, nTables: Int): String =
     s"""SELECT vec_id, embedding, tbl,
        |  CAST(list_sum(list_transform(range(1, ${nPlanes + 1}), q ->
        |    CASE WHEN list_sum(list_transform(list_zip(embedding, p[tbl * $nPlanes + q]),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0
        |    THEN 1 << (q - 1) ELSE 0 END)) AS BIGINT) AS bkt
-       |  FROM embeddings, pl, (SELECT unnest(range(0, $nTables)) AS tbl)""".stripMargin
+       |  FROM $src, pl, (SELECT unnest(range(0, $nTables)) AS tbl)""".stripMargin
 
   /** Shared shape of the single- and multi-probe ANN oracles: L
     * independent k-bit signatures per vector, each query expanded to
@@ -1032,6 +1058,32 @@ object TrainingPack {
          |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM c)
          |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d
          |WHERE dot >= CAST('0.95' AS DECIMAL(38,12)) ORDER BY i, j""".stripMargin,
+
+    // the incremental embedding screen replayed two-sided: batch (odd
+    // ids, planted even-twin copies) bucketed and joined against the
+    // history buckets, decimal verify, per-vector rollup
+    "dd_embedding_incremental" ->
+      s"""WITH pl AS (SELECT ${planesLit(8 * 4)} AS p),
+         |hist AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |batch AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN e.vec_id % 7 = 3 THEN h.embedding ELSE e.embedding END AS embedding
+         |  FROM embeddings e LEFT JOIN embeddings h ON h.vec_id = e.vec_id - 1
+         |  WHERE e.vec_id % 2 = 1),
+         |btb AS (${tableBucketsFromSql("batch", 8, 4)}),
+         |htb AS (${tableBucketsFromSql("hist", 8, 4)}),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id AS bv, h.vec_id AS hv
+         |  FROM btb b JOIN htb h USING (tbl, bkt)),
+         |c AS (
+         |  SELECT bv, hv, b.embedding AS veb, h.embedding AS veh
+         |  FROM cand JOIN batch b ON b.vec_id = bv JOIN hist h ON h.vec_id = hv
+         |  WHERE ${dotDbl.format("b.embedding", "h.embedding")} >= 0.94),
+         |d AS (SELECT bv, hv, ${dotDec.format("veb", "veh")} AS dot FROM c)
+         |SELECT bv AS vec_id, count(*) AS n_matches, min(hv) AS matched_id,
+         |  CAST(ROUND(max(dot), 6) AS DOUBLE) AS cos
+         |FROM d WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
+         |GROUP BY bv ORDER BY vec_id""".stripMargin,
 
     // the full stub decode recomputed from the payload bytes: CRC-16
     // nibble folds over the hex spelling, byte-derived pseudo

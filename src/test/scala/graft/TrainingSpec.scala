@@ -250,6 +250,24 @@ class TrainingSpec extends AnyFunSuite {
     Shared.releaseAll(spark)
   }
 
+  test("incremental embedding screen: every planted twin flagged, nothing else") {
+    import spark.implicits._
+    val res = graft.queries.TrainingPack.ddEmbIncremental(spark, dir).collect()
+    assert(res.nonEmpty, "no planted matches found")
+    // the corpus has no natural >=0.95 pairs, so the verdicts are
+    // exactly the planted exact copies: matched to the even twin at
+    // cos ~1, one match each
+    res.foreach { r =>
+      assert(r.getLong(0) % 2 == 1 && r.getLong(0) % 7 == 3, s"unexpected flag: $r")
+      assert(r.getLong(2) === r.getLong(0) - 1, s"wrong catalog match: $r")
+      assert(r.getDouble(3) > 0.999, s"twin score not ~1: $r")
+    }
+    val maxId = Tables.embeddings(spark, dir).agg(max("vec_id")).as[Long].head()
+    val planted = (0L to maxId).filter(id => id % 2 == 1 && id % 7 == 3).toSet
+    assert(res.map(_.getLong(0)).toSet === planted, "a planted twin was missed")
+    Shared.releaseAll(spark)
+  }
+
   test("IVF k-means training: deterministic, balances cells, recall holds") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
