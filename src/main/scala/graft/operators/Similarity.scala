@@ -176,6 +176,16 @@ object Similarity {
     * deterministic centroid sample, partial-agg argmax assignment,
     * per-query probe ranking → (query_id, vec_id) candidates.
     */
+  /** Fail fast on a dimension mismatch: the per-component operators
+    * (Lloyd means, PQ subvector slicing) would otherwise read past
+    * the array and silently propagate nulls into centroids/codes.
+    */
+  private def requireDim(embeddings: DataFrame, dim: Int): Unit = {
+    val d0 = embeddings.limit(1).select(size(col("embedding"))).head()
+    require(d0.getInt(0) == dim,
+      s"embedding dimension ${d0.getInt(0)} != expected $dim")
+  }
+
   private def ivfCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
     embeddings
       .withColumn("_h", md5(concat(lit("ivf|"), col("vec_id"))))
@@ -197,6 +207,7 @@ object Similarity {
     */
   def ivfCentroidsTrained(embeddings: DataFrame, nCentroids: Int = 16,
       iters: Int = 2, dim: Int = 64): DataFrame = {
+    requireDim(embeddings, dim)
     var cents = ivfCentroids(embeddings, nCentroids)
     for (_ <- 0 until iters) {
       val asg = embeddings.crossJoin(broadcast(cents))
@@ -331,6 +342,7 @@ object Similarity {
   def ivfPqTopKFrom(embeddings: DataFrame,
       nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6,
       nSub: Int = 8, nCodes: Int = 16, refine: Int = 15): DataFrame = {
+    requireDim(embeddings, 64)
     val subDim = 64 / nSub
     val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
     def subVec(v: Column): Column = slice(v, col("sub") * subDim + 1, lit(subDim))

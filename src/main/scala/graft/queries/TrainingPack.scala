@@ -593,11 +593,11 @@ object TrainingPack {
        |  WHERE len(ts) >= 5
        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** One side of the incremental-LSH oracle: tokenize → shingle →
-    * sizes/signature/bands CTEs over `src`, all names prefixed with
-    * `p` so the batch and history sides coexist in one query.
+  /** Signature + band CTEs over an existing `{p}sh` shingle CTE — the
+    * ONE copy of the MinHash SQL (seed scheme, band grouping, md5
+    * concatenation order) every LSH oracle builds on.
     */
-  private def lshSideCtes(p: String, src: String): String = {
+  private def minhashSigBandCtes(p: String): String = {
     val minhashes = (0 until Dedup.MinhashK)
       .map(k => s"min(md5('$k' || '|' || sg)) AS m$k").mkString(", ")
     val bands = (0 until Dedup.Bands).map { b =>
@@ -605,31 +605,30 @@ object TrainingPack {
         .map(r => s"m${b * (Dedup.MinhashK / Dedup.Bands) + r}")
       s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS bh FROM ${p}sig"
     }.mkString(" UNION ALL ")
+    s"""${p}sig AS (SELECT doc_id, $minhashes FROM ${p}sh GROUP BY doc_id),
+       |${p}bands AS ($bands)""".stripMargin
+  }
+
+  /** One side of the incremental-LSH oracle: tokenize → shingle →
+    * sizes/signature/bands CTEs over `src`, all names prefixed with
+    * `p` so the batch and history sides coexist in one query.
+    */
+  private def lshSideCtes(p: String, src: String): String =
     s"""${p}toks AS (SELECT doc_id, $TS AS ts FROM $src),
        |${p}sh AS (
        |  SELECT DISTINCT doc_id, list_aggregate(ts[i:i+4], 'string_agg', ' ') AS sg
        |  FROM ${p}toks, unnest(range(1, len(ts)-3)) r(i)
        |  WHERE len(ts) >= 5),
        |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY doc_id),
-       |${p}sig AS (SELECT doc_id, $minhashes FROM ${p}sh GROUP BY doc_id),
-       |${p}bands AS ($bands)""".stripMargin
-  }
+       |${minhashSigBandCtes(p)}""".stripMargin
 
   /** MinHash-LSH candidate pipeline in SQL (signatures → bands →
     * band-bucket candidates → shingle-intersection counts), shared by
     * the pair gate and the transitive-cluster gate. Expects `sh` /
     * `sizes` from [[shCte]]; yields `inter(i, j, cnt)`.
     */
-  private val minhashPairCtes = {
-    val minhashes = (0 until Dedup.MinhashK)
-      .map(k => s"min(md5('$k' || '|' || sg)) AS m$k").mkString(", ")
-    val bands = (0 until Dedup.Bands).map { b =>
-      val cols = (0 until Dedup.MinhashK / Dedup.Bands)
-        .map(r => s"m${b * (Dedup.MinhashK / Dedup.Bands) + r}")
-      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS bh FROM sig"
-    }.mkString(" UNION ALL ")
-    s"""sig AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
-       |bands AS ($bands),
+  private val minhashPairCtes =
+    s"""${minhashSigBandCtes("")},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -637,7 +636,6 @@ object TrainingPack {
        |  SELECT c.i, c.j, count(*) AS cnt
        |  FROM cand c JOIN sh s1 ON s1.doc_id = c.i JOIN sh s2 ON s2.doc_id = c.j AND s2.sg = s1.sg
        |  GROUP BY 1, 2)""".stripMargin
-  }
 
   private val dotDec =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(28,12))))"
@@ -652,23 +650,7 @@ object TrainingPack {
     s"""cents AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
-       |asg AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
-       |    FROM embeddings e, cents c)
-       |  WHERE r = 1),
-       |qp AS (
-       |  SELECT query_id, cid FROM (
-       |    SELECT q.vec_id AS query_id, c.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${dotDbl.format("q.embedding", "c.ce")} DESC, c.cid) AS r
-       |    FROM embeddings q, cents c WHERE q.vec_id < 8)
-       |  WHERE r <= 6),
-       |cand AS (
-       |  SELECT qp.query_id, a.vec_id FROM qp JOIN asg a USING (cid)
-       |  WHERE a.vec_id <> qp.query_id)""".stripMargin
+       |${ivfProbeCtes("cents")}""".stripMargin
 
   /** `iters` Lloyd rounds in SQL: cents0 (the sampled init) must
     * precede; yields cents`iters`. Means follow the engine's exact
@@ -676,15 +658,21 @@ object TrainingPack {
     * / count → REAL — every edge value-based, so the trained
     * centroids are bit-identical to the Spark operator's.
     */
+  /** The argmax-assignment CTE (nearest centroid per vector) — shared
+    * by the probe stage and every Lloyd round.
+    */
+  private def argmaxAsgSql(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+       |    FROM embeddings e, $cents c)
+       |  WHERE r = 1)""".stripMargin
+
   private def lloydCtes(iters: Int): String =
     (1 to iters).map { k =>
-      s"""asg${k - 1} AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
-         |    FROM embeddings e, cents${k - 1} c)
-         |  WHERE r = 1),
+      s"""${argmaxAsgSql(s"asg${k - 1}", s"cents${k - 1}")},
          |mean$k AS (
          |  SELECT a.cid, r.i,
          |    CAST(CAST(SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
@@ -704,13 +692,7 @@ object TrainingPack {
     * the Lloyd rounds' asg0/asg1).
     */
   private def ivfProbeCtes(cents: String): String =
-    s"""asgF AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
-       |    FROM embeddings e, $cents c)
-       |  WHERE r = 1),
+    s"""${argmaxAsgSql("asgF", cents)},
        |qp AS (
        |  SELECT query_id, cid FROM (
        |    SELECT q.vec_id AS query_id, c.cid,

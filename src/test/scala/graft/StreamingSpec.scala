@@ -214,6 +214,7 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.DocScreen.incrementalNeardupScreen(
       spark, src, batch.schema, hist, sink, chk)
     val streamed = spark.read.parquet(sink)
+      .select("doc_id", "n_matches", "matched_id", "jac") // drop batch_id partition col
       .as[(Long, Long, Long, Double)].collect().toSet
     val direct = Dedup.minhashLshIncremental(
         Dedup.shinglesOf(batch, "doc"), Dedup.shinglesOf(hist, "doc"))
