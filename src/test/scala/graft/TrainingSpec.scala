@@ -156,6 +156,33 @@ class TrainingSpec extends AnyFunSuite {
     Shared.releaseAll(spark)
   }
 
+  test("connected components: randomized graphs match union-find across shapes") {
+    import spark.implicits._
+    // 8 seeded random graphs spanning sparse/dense/clustered shapes —
+    // deterministic, so a failure reproduces exactly
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val n = 20 + rnd.nextInt(60)
+      val nEdges = rnd.nextInt(2 * n)
+      val pairs = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.filter(p => p._1 != p._2).foreach { case (i, j) =>
+        val (ra, rb) = (find(i), find(j))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.filter(p => p._1 != p._2)
+        .flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => (v, find(v))).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"seed=$seed n=$n edges=$nEdges")
+    }
+  }
+
   test("ngram-Jaccard postings cap only ever removes pairs, never invents them") {
     import spark.implicits._
     val exact = Dedup.ngramJaccard(spark, dir, 0.9).select("i", "j").as[(Long, Long)].collect().toSet
