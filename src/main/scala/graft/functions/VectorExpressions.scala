@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,8 +21,25 @@ object VectorExpressions {
     * order as DuckDB's list_sum over list_transform, so doubles agree
     * bit-for-bit).
     */
+  /** Both operands must be ARRAY<FLOAT>: toFloatArray over an
+    * array<double> layout reads garbage bit patterns silently, so the
+    * mismatch has to be an analysis error, not a wrong answer.
+    */
+  private def checkFloatArrays(name: String, l: Expression, r: Expression): TypeCheckResult =
+    if (Seq(l, r).forall {
+        case e => e.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }
+      })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects (ARRAY<FLOAT>, ARRAY<FLOAT>), got (${l.dataType.sql}, ${r.dataType.sql})")
+
   case class DotF32(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArrays(prettyName, left, right)
 
     override def nullSafeEval(a: Any, b: Any): Any =
       VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -44,6 +62,8 @@ object VectorExpressions {
     */
   case class DotF32Dec(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DecimalType(38, 12)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArrays(prettyName, left, right)
 
     override def nullSafeEval(a: Any, b: Any): Any =
       VectorKernels.dotDec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -24,6 +24,12 @@ import graft.functions.TextImpl
   */
 object Similarity {
 
+  /** Shard fan-out for the two-level PQ codebook top-K: the first
+    * window stage runs over nSub x CwShards balanced partitions so
+    * the corpus-sized exchange never collapses to nSub tasks.
+    */
+  val CwShards = 64
+
   /** Exact decimal dot product of two float-array columns (native
     * kernel; value-identical to
     * `SUM(CAST(x*y AS DECIMAL(28,12)))` in both engines).
@@ -181,9 +187,15 @@ object Similarity {
     * the array and silently propagate nulls into centroids/codes.
     */
   private def requireDim(embeddings: DataFrame, dim: Int): Unit = {
-    val d0 = embeddings.limit(1).select(size(col("embedding"))).head()
-    require(d0.getInt(0) == dim,
-      s"embedding dimension ${d0.getInt(0)} != expected $dim")
+    // one aggregate checks EVERY row (a first-row-only probe lets
+    // ragged dimensions elsewhere reach the slicing code and
+    // propagate nulls silently) and distinguishes the empty frame
+    val r = embeddings
+      .agg(min(size(col("embedding"))), max(size(col("embedding"))), count(lit(1)))
+      .head()
+    require(r.getLong(2) > 0, "embeddings frame is empty")
+    require(r.getInt(0) == dim && r.getInt(1) == dim,
+      s"embedding dimensions [${r.getInt(0)}, ${r.getInt(1)}] != expected $dim")
   }
 
   private def ivfCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
@@ -347,15 +359,32 @@ object Similarity {
     val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
     def subVec(v: Column): Column = slice(v, col("sub") * subDim + 1, lit(subDim))
 
-    // per-subspace codebooks in ONE corpus pass: the window partitions
-    // by subspace (nSub partitions), never SinglePartition
-    val wS = Window.partitionBy("sub").orderBy(col("_h"), col("vec_id"))
-    val cw = embeddings.select(col("vec_id"), col("embedding"), subIdx)
+    // per-subspace codebooks WITHOUT a corpus-sized nSub-way exchange
+    // (a bare Window.partitionBy("sub") funnels the n x nSub exploded
+    // frame into nSub partitions and fully sorts each): two-level
+    // top-K — per-(sub, shard) first (nSub x CwShards balanced
+    // partitions, each sorting ~n/CwShards skinny rows), then per sub
+    // over the <= CwShards x nCodes survivors, a bounded-cardinality
+    // exchange. Exact, because the global top-K by (_h, vec_id) is
+    // contained in the union of per-shard top-Ks — so the selected
+    // codebook (and the oracle that replays the one-level sort in
+    // SQL) is value-identical. Selection runs on the narrow
+    // (sub, vec_id, _h) projection; the 128 codeword vectors come
+    // from a broadcast join back to the corpus, not from carrying
+    // 256-byte embeddings through the shuffles.
+    val wS1 = Window.partitionBy("sub", "_shard").orderBy(col("_h"), col("vec_id"))
+    val wS2 = Window.partitionBy("sub").orderBy(col("_h"), col("vec_id"))
+    val cwKeys = embeddings.select(col("vec_id"), subIdx)
       .withColumn("_h", md5(concat(lit("pq"), col("sub").cast("string"),
         lit("|"), col("vec_id"))))
-      .withColumn("_r", row_number().over(wS))
+      .withColumn("_shard", pmod(col("vec_id"), lit(CwShards)))
+      .withColumn("_r1", row_number().over(wS1))
+      .filter(col("_r1") <= nCodes)
+      .withColumn("_r", row_number().over(wS2))
       .filter(col("_r") <= nCodes)
-      .select(col("sub"), col("vec_id").as("cw_id"), subVec(col("embedding")).as("cw"))
+      .select(col("sub"), col("vec_id").as("cw_id"))
+    val cw = embeddings.join(broadcast(cwKeys), col("vec_id") === col("cw_id"))
+      .select(col("sub"), col("cw_id"), subVec(col("embedding")).as("cw"))
 
     // encode: argmin L2 == argmax dot(vs, cw) - dot(cw, cw)/2 (the
     // dot(vs, vs) term is constant per row); /2 is exact in doubles

@@ -161,6 +161,61 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set(bloomKey, bloomWas)
   }
 
+  test("IVF-PQ codebook selection never funnels the corpus into nSub partitions") {
+    // the round-9 finding class: Window.partitionBy over a BOUNDED key
+    // (here "sub", 8 values) passes the SinglePartition ban yet still
+    // serializes a corpus-sized exchange into 8 sort tasks. Checked on
+    // real shuffle output stats (bytes per partition), not the plan
+    // string, over a corpus big enough that the funnel is unambiguous.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.GraftShuffleStats
+    import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+    // the session's 4 shuffle partitions can't show an 8-key funnel —
+    // run this query at a discriminating width, restore after
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+    val emb = spark.range(20000).selectExpr("id as vec_id",
+      "transform(sequence(0, 63), i -> cast(pmod(hash(id, i), 1000) / 1000.0 as float)) as embedding")
+    val df = graft.operators.Similarity.ivfPqTopKFrom(emb)
+    // QueryStageExec nodes are leaves whose subtree hangs off `.plan`,
+    // so a flat collect only sees the last stage boundary — recurse
+    def stagesOf(p: SparkPlan): Seq[ShuffleQueryStageExec] = p.collect {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s
+    }.flatMap { s =>
+      val below = stagesOf(s.plan)
+      s match {
+        case sh: ShuffleQueryStageExec => sh +: below
+        case _ => below
+      }
+    }
+    val stages = stagesOf(executedPlan(df))
+    assert(stages.nonEmpty, "no shuffle stages found")
+    val bySub = stages.flatMap { s =>
+      s.shuffle.outputPartitioning match {
+        case h: HashPartitioning
+            if h.expressions.exists(_.toString.startsWith("sub#")) =>
+          GraftShuffleStats.bytesByPartition(s).map { bytes =>
+            (h.expressions.map(_.toString), bytes.sum, bytes.count(_ > 0))
+          }
+        case _ => None
+      }
+    }
+    assert(bySub.nonEmpty, "codebook-selection exchanges not found in plan")
+    bySub.foreach { case (exprs, total, nonEmpty) =>
+      if (exprs.exists(_.startsWith("_shard#")))
+        // the corpus-sized stage must spread across the shard fan-out
+        assert(nonEmpty >= 16,
+          s"sharded codebook exchange landed in $nonEmpty partitions: $exprs")
+      else if (exprs.size == 1)
+        // a sub-only exchange may exist only downstream of the shard
+        // cut, where cardinality is bounded by CwShards x nCodes rows
+        assert(total < (1L << 20),
+          s"corpus-sized exchange partitioned by sub alone ($total bytes): $exprs")
+    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+  }
+
   test("shuffle partition count respects the session setting (not the 200 default)") {
     val plan = executedPlan(RelationalPack.dq19(spark, dir))
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }

@@ -338,12 +338,15 @@ class TrainingSpec extends AnyFunSuite {
     // ADC score is maximal among candidates, and the exact re-rank
     // puts it at rank 1 with cosine ~1
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // twin id derived from the corpus max so a grown fixture can never
+    // collide it with an existing vec_id
+    val twinId = emb.agg(max("vec_id")).head().getLong(0) + 1
     val twin = emb.filter(col("vec_id") === 3)
-      .select((col("vec_id") + 9996).as("vec_id"), col("embedding"))
+      .select(lit(twinId).as("vec_id"), col("embedding"))
     val ranked = Similarity.ivfPqTopKFrom(emb.union(twin))
       .filter(col("query_id") === 3 && col("rank") === 1)
       .as[(Long, Int, Long, Double)].collect()
-    assert(ranked.length === 1 && ranked.head._3 === 9999L,
+    assert(ranked.length === 1 && ranked.head._3 === twinId,
       s"planted exact twin not at rank 1: ${ranked.toSeq}")
     assert(ranked.head._4 > 0.999, s"twin score not ~1: ${ranked.head._4}")
     Shared.releaseAll(spark)
