@@ -33,4 +33,25 @@ object Shared {
   def releaseAll(spark: SparkSession): Unit = synchronized {
     reg.remove(spark).foreach(_.foreach(_.unpersist(false)))
   }
+
+  /** Scope mark: the number of frames currently pinned on `spark`.
+    * Pair with [[releaseSince]] so a library step that pins
+    * intermediates can release exactly its own — a blanket
+    * [[releaseAll]] from inside a library method would also unpin
+    * whatever the CALLER had materialized (a session-global side
+    * effect the round-9 advice flagged in the streaming screen).
+    */
+  def mark(spark: SparkSession): Int = synchronized {
+    reg.getOrElse(spark, Nil).length
+  }
+
+  /** Unpersist only the frames pinned on `spark` after `mark` was
+    * taken; anything pinned before stays registered and cached.
+    */
+  def releaseSince(spark: SparkSession, mark: Int): Unit = synchronized {
+    val cur = reg.getOrElse(spark, Nil)
+    val keep = cur.takeRight(mark)
+    cur.dropRight(mark).foreach(_.unpersist(false))
+    if (keep.isEmpty) reg.remove(spark) else reg.update(spark, keep)
+  }
 }

@@ -211,46 +211,70 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  /** Incremental near-dup against a landed signature catalog — the
-    * per-ingest-batch shape of minhashLsh, mirroring
-    * [[exactIncremental]]: a new batch is screened against the
-    * HISTORICAL corpus without recomputing anything corpus-wide. In
-    * production the history side (band keys + shingle sets) is landed
-    * once (bucketed by band key via BucketedLayout, appended per
-    * batch); here both sides are shingle tables and the signatures are
-    * derived in-plan. Candidates come from the batch-bands ⋈
-    * history-bands equi-join — shuffle key = (band, band-hash), sized
-    * by the BATCH, not the corpus — and only candidate pairs are
-    * Jaccard-verified against history shingle sets. Within-batch
-    * near-dup is deliberately out of scope: that is plain
-    * [[minhashLsh]] applied to the batch.
+  /** (doc, bk) band keys of a signature table — the candidate-join
+    * key as ONE column (`band|bandhash`), which is what the landed
+    * catalog buckets on so the per-batch candidate join needs no
+    * shuffle of the history side. Equality on the composite equals
+    * equality on the (band, bh) pair: band is an integer and bh a
+    * fixed-length md5, so the separator is unambiguous.
+    */
+  def bandKeys(sig: DataFrame, idName: String): DataFrame =
+    banded(sig, idName)
+      .select(col(idName), concat_ws("|", col("band"), col("bh")).as("bk"))
+
+  /** The incremental near-dup screen CORE: a batch shingle table
+    * screened against history-side frames in catalog shape — band
+    * keys `(doc, bk)`, shingle sets `(doc, sg)`, set sizes `(doc, n)`.
+    * In production those three are LANDED bucketed tables
+    * ([[graft.plans.DedupCatalog]]), appended per accepted batch, so
+    * one run's cost scales with the batch: batch shingling/signing is
+    * batch-sized, the candidate join is an equi-join on `bk` (history
+    * side bucketed on it — no catalog shuffle), and the Jaccard
+    * verify touches only candidate pairs' shingle sets.
     *
     * @return one row per batch doc with ≥1 catalog match at
     *   `threshold`: (doc_id, n_matches, matched_id = min matching
     *   history id, jac = best match score).
     */
-  def minhashLshIncremental(batchSh: DataFrame, histSh: DataFrame,
+  def minhashLshScreen(batchSh: DataFrame, histBands: DataFrame,
+      histShingles: DataFrame, histSizes: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
     val bSh = graft.Shared.materialize(batchSh.toDF("doc", "sg"))
-    val hSh = graft.Shared.materialize(histSh.toDF("doc", "sg"))
     val bSig = graft.Shared.materialize(minhashSignaturesFrom(bSh, "doc"))
-    val hSig = graft.Shared.materialize(minhashSignaturesFrom(hSh, "doc"))
-    val cands = banded(bSig, "doc").toDF("b", "band", "bh")
-      .join(banded(hSig, "doc").toDF("h", "band", "bh"), Seq("band", "bh"))
+    val cands = bandKeys(bSig, "doc").toDF("b", "bk")
+      .join(histBands.toDF("h", "bk"), "bk")
       .select("b", "h").distinct()
     val inter = cands
       .join(bSh.toDF("b", "sg"), "b")
-      .join(hSh.toDF("h2", "sg2"), col("h") === col("h2") && col("sg") === col("sg2"))
+      .join(histShingles.toDF("h2", "sg2"),
+        col("h") === col("h2") && col("sg") === col("sg2"))
       .groupBy("b", "h").agg(count(lit(1)).as("c"))
     inter
       .join(bSig.select(col("doc").as("b"), col("n").as("nb")), "b")
-      .join(hSig.select(col("doc").as("h"), col("n").as("nh")), "h")
+      .join(histSizes.toDF("h", "nh"), "h")
       .withColumn("jac", col("c").cast("double") / (col("nb") + col("nh") - col("c")))
       .filter(col("jac") >= threshold)
       .groupBy(col("b").as("doc_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("h")).as("matched_id"),
         round(max(col("jac")), 3).as("jac"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental near-dup with the history side derived in-plan from
+    * a shingle table — the self-contained shape of
+    * [[minhashLshScreen]], mirroring [[exactIncremental]]. Kept for
+    * one-shot use and the oracle gate; a per-ingest-batch deployment
+    * reads the landed catalog instead ([[graft.plans.DedupCatalog]]),
+    * because this wrapper re-signs the whole history every run.
+    * Within-batch near-dup is deliberately out of scope: that is
+    * plain [[minhashLsh]] applied to the batch.
+    */
+  def minhashLshIncremental(batchSh: DataFrame, histSh: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val hSh = graft.Shared.materialize(histSh.toDF("doc", "sg"))
+    val hSig = graft.Shared.materialize(minhashSignaturesFrom(hSh, "doc"))
+    minhashLshScreen(batchSh, bandKeys(hSig, "doc"), hSh,
+      hSig.select("doc", "n"), threshold)
   }
 
   /** Connected components over a near-dup pair set — the step that

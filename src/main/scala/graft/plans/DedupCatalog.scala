@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Landed near-dup screening catalog — the production shape of the
+  * incremental dedup surface (closing round 9's "history recomputed
+  * in-plan" gap): the history side of the MinHash screen is computed
+  * ONCE, landed as three bucketed tables, and appended per accepted
+  * batch, so every later screen's cost scales with its batch, never
+  * with the corpus.
+  *
+  *  - `<name>_bands`    (doc, bk): band keys, bucketed by `bk` — the
+  *    candidate join reads it co-partitioned on the join key, so only
+  *    the (small) batch side shuffles;
+  *  - `<name>_shingles` (doc, sg): shingle sets, bucketed by `doc` —
+  *    the Jaccard-verify join key;
+  *  - `<name>_sizes`    (doc, n): shingle-set sizes, bucketed by `doc`.
+  *
+  * The reference's incremental pipeline diffs new input against
+  * PERSISTED state rather than re-walking history
+  * (honeycomb/owt/hcOwt.py:250-331); this is that state store,
+  * expressed as Spark bucketed tables.
+  */
+object DedupCatalog {
+
+  /** The three landed table names for one catalog. */
+  case class Handle(bandsT: String, shinglesT: String, sizesT: String)
+
+  private def handle(name: String): Handle = {
+    val n = name.replaceAll("[^A-Za-z0-9_]", "_")
+    Handle(s"graft_ddcat_${n}_bands", s"graft_ddcat_${n}_shingles",
+      s"graft_ddcat_${n}_sizes")
+  }
+
+  /** Land `histDocs` (a (doc_id, text, …) frame) as the screening
+    * catalog `name`. Idempotent per (session catalog, name): if the
+    * three tables exist the handle comes back without recomputation —
+    * landing cost is paid once, every screen reads. The shingle and
+    * signature subtrees are pinned only for the landing writes and
+    * released before returning (scoped, so caller pins survive).
+    */
+  def land(spark: SparkSession, histDocs: DataFrame, name: String,
+      nBuckets: Int = 8): Handle = {
+    val h = handle(name)
+    if (Seq(h.bandsT, h.shinglesT, h.sizesT).forall(spark.catalog.tableExists))
+      return h
+    val m = graft.Shared.mark(spark)
+    try {
+      val sh = graft.Shared.materialize(
+        Dedup.shinglesOf(histDocs, "doc").toDF("doc", "sg"))
+      val sig = graft.Shared.materialize(Dedup.minhashSignaturesFrom(sh, "doc"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ddcat"
+      BucketedLayout.write(Dedup.bandKeys(sig, "doc"), h.bandsT, "bk",
+        nBuckets, Seq("bk"), Some(s"$base/${h.bandsT}"))
+      BucketedLayout.write(sh, h.shinglesT, "doc",
+        nBuckets, Seq("doc", "sg"), Some(s"$base/${h.shinglesT}"))
+      BucketedLayout.write(sig.select("doc", "n"), h.sizesT, "doc",
+        nBuckets, Seq("doc"), Some(s"$base/${h.sizesT}"))
+    } finally graft.Shared.releaseSince(spark, m)
+    h
+  }
+
+  /** Screen a batch of documents against the landed catalog — the
+    * per-ingest-batch operator. Everything batch-sized is derived
+    * in-plan; everything history-sized is a bucketed table read.
+    */
+  def screen(spark: SparkSession, batchDocs: DataFrame, h: Handle,
+      threshold: Double = Dedup.JaccardThreshold): DataFrame =
+    Dedup.minhashLshScreen(Dedup.shinglesOf(batchDocs, "doc"),
+      spark.table(h.bandsT), spark.table(h.shinglesT),
+      spark.table(h.sizesT), threshold)
+
+  /** Append `docs` (accepted batch members) into the catalog so the
+    * next screen sees them as history. Same bucket specs, append
+    * mode — the standard grow-the-state step after a screen passes.
+    */
+  def append(spark: SparkSession, docs: DataFrame, h: Handle): Unit = {
+    val m = graft.Shared.mark(spark)
+    try {
+      val sh = graft.Shared.materialize(
+        Dedup.shinglesOf(docs, "doc").toDF("doc", "sg"))
+      val sig = graft.Shared.materialize(Dedup.minhashSignaturesFrom(sh, "doc"))
+      def app(df: DataFrame, table: String, bucketCol: String,
+          sortCols: Seq[String]): Unit =
+        df.write.mode("append").format("parquet")
+          .bucketBy(nBucketsOf(spark, table), bucketCol)
+          .sortBy(sortCols.head, sortCols.tail: _*)
+          .saveAsTable(table)
+      app(Dedup.bandKeys(sig, "doc"), h.bandsT, "bk", Seq("bk"))
+      app(sh, h.shinglesT, "doc", Seq("doc", "sg"))
+      app(sig.select("doc", "n"), h.sizesT, "doc", Seq("doc"))
+    } finally graft.Shared.releaseSince(spark, m)
+  }
+
+  private def nBucketsOf(spark: SparkSession, table: String): Int =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .head().getString(1).trim.toInt
+}

@@ -63,12 +63,14 @@ object TrainingPack {
   val ddNgramJaccard: Q = (s, d) => Dedup.ngramJaccard(s, d)
 
   /** Incremental NEAR-dup against the landed corpus: even doc_ids are
-    * the historical catalog, odd ids the new ingest batch. The corpus
-    * has natural cross-parity near-dups; the batch additionally plants
-    * a guaranteed one at every scale — each odd doc with
-    * doc_id % 7 == 3 takes its even twin's text plus a trailing token
-    * (near, not exact: Jaccard ≈ 0.99) — so the catalog-hit drop path
-    * is always exercised.
+    * the historical catalog — LANDED once per (session, scale dir) as
+    * DedupCatalog's bucketed signature/band tables, the production
+    * state-store shape — odd ids the new ingest batch, screened
+    * against the landed tables. The corpus has natural cross-parity
+    * near-dups; the batch additionally plants a guaranteed one at
+    * every scale — each odd doc with doc_id % 7 == 3 takes its even
+    * twin's text plus a trailing token (near, not exact: Jaccard
+    * ≈ 0.99) — so the catalog-hit drop path is always exercised.
     */
   val ddIncrementalNeardup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -79,8 +81,8 @@ object TrainingPack {
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 3, concat(col("h_text"), lit(" zz")))
           .otherwise(col("text")).as("text"))
-    Dedup.minhashLshIncremental(
-      Dedup.shinglesOf(batch, "doc"), Dedup.shinglesOf(hist, "doc"))
+    val cat = graft.plans.DedupCatalog.land(s, hist, s"incr_$d")
+    graft.plans.DedupCatalog.screen(s, batch, cat)
   }
 
   val ddMinhashLsh: Q = (s, d) => Dedup.minhashLsh(s, d)

@@ -3,27 +3,31 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
-import graft.operators.Dedup
+import graft.plans.DedupCatalog
 
 /** Streaming dedup-at-ingest: new documents arriving as files are
-  * screened for near-duplicates against the landed signature catalog
-  * per micro-batch, using the SAME operator the batch path runs
-  * ([[Dedup.minhashLshIncremental]]) — and because that screen is
-  * catalog-only (each verdict depends on one document's shingles and
-  * the static catalog, never on batch-mates), the union of per-batch
-  * verdicts equals the batch verdict REGARDLESS of how the stream is
-  * micro-batched. StreamingSpec asserts that equality file-by-file.
+  * screened for near-duplicates against the LANDED signature catalog
+  * per micro-batch — the same screen core the batch path runs
+  * ([[graft.operators.Dedup.minhashLshScreen]]) — and because that
+  * screen is catalog-only (each verdict depends on one document's
+  * shingles and the catalog, never on batch-mates), the union of
+  * per-batch verdicts equals the batch verdict REGARDLESS of how the
+  * stream is micro-batched. StreamingSpec asserts that equality
+  * file-by-file.
+  *
+  * The history side is landed ONCE ([[DedupCatalog.land]], three
+  * bucketed tables) before the stream starts; each micro-batch then
+  * costs batch-shingling + a candidate join that reads the catalog
+  * co-partitioned on the band key — per-batch cost scales with the
+  * batch, not with history (round 9's per-batch re-shingling gap,
+  * closed).
   *
   * Exactly-once: checkpointed file source + an IDEMPOTENT sink —
   * each micro-batch overwrites its own `batch_id=<n>` partition, so
   * a batch replayed after a crash-before-offset-commit rewrites the
   * same rows instead of appending duplicates (the same batchId-keyed
   * idempotence discipline as [[graft.streaming]]'s AckSink; a blind
-  * append would only be at-least-once). The catalog is recomputed
-  * from `histDocs` per batch here; a production run points this at a
-  * LANDED signature/bands table (bucketed by band key via
-  * `plans.BucketedLayout`) and appends accepted docs' signatures
-  * downstream, so per-batch cost scales with the batch, not history.
+  * append would only be at-least-once).
   */
 object DocScreen {
 
@@ -32,20 +36,38 @@ object DocScreen {
     * partitioned by micro-batch id. Read the verdicts with
     * `spark.read.parquet(sinkDir)` (the `batch_id` partition column
     * rides along).
+    *
+    * The catalog is landed under a name derived from `checkpointDir`:
+    * a RESUMED stream (same checkpoint) reuses its landed history
+    * without recomputation; a stream over a different history must
+    * use a fresh checkpoint — or land its catalog explicitly and call
+    * [[screenAgainstCatalog]].
     */
   def incrementalNeardupScreen(spark: SparkSession, srcDir: String,
       schema: StructType, histDocs: DataFrame,
       sinkDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1): Unit = {
-    val histSh = Dedup.shinglesOf(histDocs, "doc")
+    val cat = DedupCatalog.land(spark, histDocs, s"scr_$checkpointDir")
+    screenAgainstCatalog(spark, srcDir, schema, cat, sinkDir, checkpointDir,
+      maxFilesPerTrigger)
+  }
+
+  /** The production entry point: screen against an already-landed
+    * catalog (for history landed out-of-band, appended per accepted
+    * batch via [[DedupCatalog.append]]).
+    */
+  def screenAgainstCatalog(spark: SparkSession, srcDir: String,
+      schema: StructType, cat: DedupCatalog.Handle,
+      sinkDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
     val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      Dedup.minhashLshIncremental(Dedup.shinglesOf(batch, "doc"), histSh)
+      DedupCatalog.screen(batch.sparkSession, batch, cat)
         .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
-      // drop the subtrees the screen pinned for this batch: the batch
-      // side registers under foreachBatch's CLONED session, the
-      // history side under the original session — release both
+      // the screen pins only batch-side subtrees, all registered under
+      // foreachBatch's CLONED per-batch session — releasing that
+      // session alone drops them without touching anything the caller
+      // pinned on the outer session
       graft.Shared.releaseAll(batch.sparkSession)
-      graft.Shared.releaseAll(spark)
     }
     val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
       .writeStream
