@@ -126,29 +126,43 @@ object Similarity {
       .orderBy("i", "j")
   }
 
-  /** Incremental embedding near-dup — the vector twin of
-    * [[Dedup.minhashLshIncremental]]: a new batch of vectors screened
-    * against the LANDED corpus without recomputing anything
-    * corpus-wide. Candidates come from batch-buckets ⋈ history-buckets
-    * in the multi-table hyperplane signature space (shuffle sized by
-    * the batch side; in production the history buckets are a landed
-    * table appended per accepted batch), and only candidates are
-    * decimal-verified against history vectors.
+  /** (vec_id, tk) hyperplane bucket keys of an embedding table — the
+    * candidate-join key as ONE column (`table|bucket`), which is what
+    * the landed vector catalog buckets on so the per-batch candidate
+    * join needs no shuffle of the history side. Equality on the
+    * composite equals equality on the (tbl, bkt) pair: both are
+    * non-negative integers and the separator is unambiguous.
+    */
+  def bucketKeys(emb: DataFrame, idName: String,
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val signs = hyperplaneSigns(nPlanes * nTables, 64)
+    emb.withColumn("tb", explode(tableBuckets(col("embedding"), signs, nPlanes, nTables)))
+      .select(col(idName), concat_ws("|", col("tb.tbl"), col("tb.bkt")).as("tk"))
+  }
+
+  /** The incremental embedding screen CORE — the vector twin of
+    * [[Dedup.minhashLshScreen]]: a batch of vectors screened against
+    * history-side frames in catalog shape — bucket keys `(vec_id,
+    * tk)` and vectors `(vec_id, embedding)`. In production those two
+    * are LANDED bucketed tables ([[graft.plans.VecCatalog]]), appended
+    * per accepted batch, so one run's cost scales with the batch:
+    * batch bucketing is batch-sized, the candidate join is an
+    * equi-join on `tk` (history side bucketed on it — no catalog
+    * shuffle), and only candidates are decimal-verified against
+    * history vectors.
     *
     * @return one row per batch vector with ≥1 catalog match at
     *   `threshold`: (vec_id, n_matches, matched_id = min matching
     *   history id, cos = best match score).
     */
-  def embeddingNearDupIncremental(batchEmb: DataFrame, histEmb: DataFrame,
-      threshold: Double = 0.95, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    val signs = hyperplaneSigns(nPlanes * nTables, 64)
-    def buckets(e: DataFrame, id: String) = e
-      .withColumn("tb", explode(tableBuckets(col("embedding"), signs, nPlanes, nTables)))
-      .select(col("vec_id").as(id), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val cand = buckets(batchEmb, "bv").join(buckets(histEmb, "hv"), Seq("tbl", "bkt"))
+  def embeddingScreen(batchEmb: DataFrame, histBuckets: DataFrame,
+      histVecs: DataFrame, threshold: Double = 0.95,
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val cand = bucketKeys(batchEmb, "vec_id", nPlanes, nTables).toDF("bv", "tk")
+      .join(histBuckets.toDF("hv", "tk"), "tk")
       .select("bv", "hv").distinct()
     val vb = batchEmb.select(col("vec_id").as("bv"), col("embedding").as("veb"))
-    val vh = histEmb.select(col("vec_id").as("hv"), col("embedding").as("veh"))
+    val vh = histVecs.toDF("hv", "veh")
     cand.join(vb, "bv").join(vh, "hv")
       .filter(dotDouble(col("veb"), col("veh")) >= threshold - 0.01)
       .withColumn("dot", dotDecimal(col("veb"), col("veh")))
@@ -158,6 +172,18 @@ object Similarity {
         round(max(col("dot")), 6).cast("double").as("cos"))
       .orderBy("vec_id")
   }
+
+  /** Incremental embedding near-dup with the history side derived
+    * in-plan — the self-contained shape of [[embeddingScreen]],
+    * mirroring [[Dedup.minhashLshIncremental]]. Kept for one-shot use
+    * and the oracle gate; a per-ingest-batch deployment reads the
+    * landed catalog instead ([[graft.plans.VecCatalog]]), because
+    * this wrapper re-buckets the whole history every run.
+    */
+  def embeddingNearDupIncremental(batchEmb: DataFrame, histEmb: DataFrame,
+      threshold: Double = 0.95, nPlanes: Int = 8, nTables: Int = 4): DataFrame =
+    embeddingScreen(batchEmb, bucketKeys(histEmb, "vec_id", nPlanes, nTables),
+      histEmb.select("vec_id", "embedding"), threshold, nPlanes, nTables)
 
   /** ANN via IVF (inverted-file) coarse quantization — the second
     * scale path beside the LSH operator, with a different trade-off:
@@ -221,31 +247,81 @@ object Similarity {
       iters: Int = 2, dim: Int = 64): DataFrame = {
     requireDim(embeddings, dim)
     var cents = ivfCentroids(embeddings, nCentroids)
-    for (_ <- 0 until iters) {
-      val asg = embeddings.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), struct(
-          dotDouble(col("embedding"), col("ce")).as("cdot"),
-          (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
-        .groupBy("vec_id", "embedding").agg(max(col("s")).as("m"))
-        .select(col("embedding"), col("m.cid").as("cid"))
-      val sums = (0 until dim).map(i =>
-        // float -> DOUBLE -> decimal: the double->decimal edge is the
-        // validated engine-portable conversion (dotDecimal's path);
-        // a direct float->decimal cast rounds differently per engine
-        sum(col("embedding").getItem(i).cast("double").cast("decimal(28,12)"))
-          .as(s"s$i")) :+
-        count(lit(1)).as("n")
-      val means = asg.groupBy("cid").agg(sums.head, sums.tail: _*)
-        .select(col("cid"), array((0 until dim).map(i =>
-          (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
-      // hard lineage cut per round (16 rows): the round references the
-      // previous centroids twice, so without it the corpus-wide mean
-      // aggregation re-plans and re-RUNS 2^iters times
-      cents = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("me"), col("ce")).as("ce"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 0 until iters) cents = lloydRound(embeddings, cents, dim)
     cents
+  }
+
+  /** One Lloyd round: reassign (broadcast argmax) + recompute means. */
+  private def lloydRound(embeddings: DataFrame, cents: DataFrame,
+      dim: Int): DataFrame = {
+    val asg = embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), struct(
+        dotDouble(col("embedding"), col("ce")).as("cdot"),
+        (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
+      .groupBy("vec_id", "embedding").agg(max(col("s")).as("m"))
+      .select(col("embedding"), col("m.cid").as("cid"))
+    val sums = (0 until dim).map(i =>
+      // float -> DOUBLE -> decimal: the double->decimal edge is the
+      // validated engine-portable conversion (dotDecimal's path);
+      // a direct float->decimal cast rounds differently per engine
+      sum(col("embedding").getItem(i).cast("double").cast("decimal(28,12)"))
+        .as(s"s$i")) :+
+      count(lit(1)).as("n")
+    val means = asg.groupBy("cid").agg(sums.head, sums.tail: _*)
+      .select(col("cid"), array((0 until dim).map(i =>
+        (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
+    // hard lineage cut per round (16 rows): the round references the
+    // previous centroids twice, so without it the corpus-wide mean
+    // aggregation re-plans and re-RUNS 2^iters times
+    cents.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("me"), col("ce")).as("ce"))
+      .localCheckpoint(true)
+  }
+
+  /** Convergence-stopped Lloyd: same deterministic round step as
+    * [[ivfCentroidsTrained]], but training stops once no centroid
+    * component moved more than `tol` (or at `maxIters`, whichever
+    * first) — the operational training mode, where iteration count
+    * adapts to the corpus instead of being guessed up front. The
+    * movement check collects the centroid frame (k rows — driver-side
+    * by design; the corpus-sized work stays distributed) after each
+    * round, and each round ends in the same hard lineage cut, so the
+    * loop is both cheap and plan-safe.
+    *
+    * Deterministic for a fixed corpus: the stop round is a pure
+    * function of the data, and the result equals
+    * `ivfCentroidsTrained(emb, k, roundsRun)` exactly (pinned by
+    * spec — no oracle, the round count is data-dependent and static
+    * SQL can't iterate-until-converged).
+    *
+    * @return (trained centroids, rounds actually run)
+    */
+  def ivfCentroidsConverged(embeddings: DataFrame, nCentroids: Int = 16,
+      maxIters: Int = 8, tol: Double = 1e-3, dim: Int = 64): (DataFrame, Int) = {
+    requireDim(embeddings, dim)
+    var cents = ivfCentroids(embeddings, nCentroids)
+    var rounds = 0
+    var moved = Double.MaxValue
+    while (rounds < maxIters && moved > tol) {
+      val next = lloydRound(embeddings, cents, dim)
+      moved = maxCentroidMove(cents, next)
+      cents = next
+      rounds += 1
+    }
+    (cents, rounds)
+  }
+
+  /** Max absolute per-component centroid movement between two centroid
+    * frames (k rows each — collected).
+    */
+  private def maxCentroidMove(prev: DataFrame, next: DataFrame): Double = {
+    def byId(df: DataFrame): Map[Long, Seq[Float]] = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val p = byId(prev)
+    val n = byId(next)
+    p.iterator.flatMap { case (k, v) =>
+      v.zip(n(k)).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }
+    }.max
   }
 
   /** IVF cell assignment: (vec_id, cid) — every vector's nearest

@@ -35,6 +35,25 @@ object BucketedLayout {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Bucket count of a landed table (from the catalog's bucket spec) —
+    * what an appender must reuse so new files land in the same layout.
+    */
+  def numBuckets(spark: SparkSession, table: String): Int =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .head().getString(1).trim.toInt
+
+  /** Append `df` into a landed bucketed table with the SAME bucket
+    * spec (bucket column + count read from the catalog) — the
+    * grow-the-state step for catalog-shaped tables.
+    */
+  def append(spark: SparkSession, df: DataFrame, table: String,
+      bucketCol: String, sortCols: Seq[String]): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets(spark, table), bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(table)
+
   /** Per-key aggregation over a bucketed table: count + byte total per
     * bucket key. On a table bucketed by `key` this plans with zero
     * Exchange nodes — the map side IS the reduce side.

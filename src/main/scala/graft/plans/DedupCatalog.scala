@@ -82,20 +82,11 @@ object DedupCatalog {
       val sh = graft.Shared.materialize(
         Dedup.shinglesOf(docs, "doc").toDF("doc", "sg"))
       val sig = graft.Shared.materialize(Dedup.minhashSignaturesFrom(sh, "doc"))
-      def app(df: DataFrame, table: String, bucketCol: String,
-          sortCols: Seq[String]): Unit =
-        df.write.mode("append").format("parquet")
-          .bucketBy(nBucketsOf(spark, table), bucketCol)
-          .sortBy(sortCols.head, sortCols.tail: _*)
-          .saveAsTable(table)
-      app(Dedup.bandKeys(sig, "doc"), h.bandsT, "bk", Seq("bk"))
-      app(sh, h.shinglesT, "doc", Seq("doc", "sg"))
-      app(sig.select("doc", "n"), h.sizesT, "doc", Seq("doc"))
+      BucketedLayout.append(spark, Dedup.bandKeys(sig, "doc"), h.bandsT,
+        "bk", Seq("bk"))
+      BucketedLayout.append(spark, sh, h.shinglesT, "doc", Seq("doc", "sg"))
+      BucketedLayout.append(spark, sig.select("doc", "n"), h.sizesT,
+        "doc", Seq("doc"))
     } finally graft.Shared.releaseSince(spark, m)
   }
-
-  private def nBucketsOf(spark: SparkSession, table: String): Int =
-    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
-      .filter(col("col_name") === "Num Buckets")
-      .head().getString(1).trim.toInt
 }

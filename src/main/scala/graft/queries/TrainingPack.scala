@@ -160,11 +160,13 @@ object TrainingPack {
 
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
 
-  /** Incremental embedding screen: even vec_ids are the landed
-    * corpus, odd ids the new batch; every seventh odd vector takes
-    * its even twin's embedding (exact copy, cos 1.0), so the
-    * catalog-hit path is exercised at every scale — the corpus has no
-    * natural ≥0.95 pairs.
+  /** Incremental embedding screen: even vec_ids are the historical
+    * corpus — LANDED once per (session, scale dir) as VecCatalog's
+    * bucketed bucket-key/vector tables, the production state-store
+    * shape — odd ids the new batch, screened against the landed
+    * tables; every seventh odd vector takes its even twin's embedding
+    * (exact copy, cos 1.0), so the catalog-hit path is exercised at
+    * every scale — the corpus has no natural ≥0.95 pairs.
     */
   val ddEmbIncremental: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -175,7 +177,8 @@ object TrainingPack {
       .select(col("vec_id"),
         when(col("vec_id") % 7 === 3, col("h_emb"))
           .otherwise(col("embedding")).as("embedding"))
-    Similarity.embeddingNearDupIncremental(batch, hist)
+    val cat = graft.plans.VecCatalog.land(s, hist, s"incr_$d")
+    graft.plans.VecCatalog.screen(s, batch, cat)
   }
 
   // ----------------------------------------------------- text analysis

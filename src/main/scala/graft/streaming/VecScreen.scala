@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import graft.plans.VecCatalog
+
+/** Streaming embedding dedup-at-ingest — the vector twin of
+  * [[DocScreen]]: new vectors arriving as files are screened for
+  * near-duplicates against the LANDED bucket catalog per micro-batch,
+  * using the same screen core as the batch path
+  * ([[graft.operators.Similarity.embeddingScreen]]). The screen is
+  * catalog-only (each verdict depends on one vector and the catalog,
+  * never on batch-mates), so the union of per-batch verdicts equals
+  * the batch verdict regardless of micro-batching — StreamingSpec
+  * asserts that equality file-by-file.
+  *
+  * The history side is landed ONCE ([[VecCatalog.land]], two bucketed
+  * tables) before the stream starts; each micro-batch costs batch
+  * bucketing + a candidate join reading the catalog co-partitioned on
+  * the bucket key — per-batch cost scales with the batch, not history.
+  *
+  * Exactly-once: checkpointed file source + idempotent sink — each
+  * micro-batch overwrites its own `batch_id=<n>` partition (same
+  * discipline as [[DocScreen]] and AckSink).
+  */
+object VecScreen {
+
+  /** Screen `srcDir`'s embedding files against `histEmb` (a static
+    * (vec_id, embedding) frame); flagged rows land in `sinkDir`,
+    * partitioned by micro-batch id.
+    *
+    * The catalog is landed under a name derived from `checkpointDir`:
+    * a RESUMED stream (same checkpoint) reuses its landed history; a
+    * stream over a different history must use a fresh checkpoint — or
+    * land its catalog explicitly and call [[screenAgainstCatalog]].
+    */
+  def incrementalEmbScreen(spark: SparkSession, srcDir: String,
+      schema: StructType, histEmb: DataFrame,
+      sinkDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val cat = VecCatalog.land(spark, histEmb, s"scr_$checkpointDir")
+    screenAgainstCatalog(spark, srcDir, schema, cat, sinkDir, checkpointDir,
+      maxFilesPerTrigger)
+  }
+
+  /** The production entry point: screen against an already-landed
+    * catalog (history landed out-of-band, appended per accepted batch
+    * via [[VecCatalog.append]]).
+    */
+  def screenAgainstCatalog(spark: SparkSession, srcDir: String,
+      schema: StructType, cat: VecCatalog.Handle,
+      sinkDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      VecCatalog.screen(batch.sparkSession, batch, cat)
+        .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+    }
+    val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch(screen)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

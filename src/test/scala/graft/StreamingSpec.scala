@@ -230,6 +230,47 @@ class StreamingSpec extends AnyFunSuite {
       "re-run with same checkpoint re-emitted rows")
   }
 
+  test("streaming embedding screen equals the batch screen, any micro-batching") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // batch = odd-id vectors (every 7th === 3 mod 7 replaced by its
+    // even twin's embedding — guaranteed catalog hits) landed as 3
+    // files; catalog = even-id vectors. Catalog-only screen, so the
+    // union of per-batch verdicts must equal the one-shot verdict.
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val twin = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("h_emb"))
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+      .join(twin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 3, col("h_emb"))
+          .otherwise(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    val src = Files.createTempDirectory("vec_src").toString
+    (0 until 3).foreach { k =>
+      batch.filter(col("vec_id") % 3 === k).coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    }
+    val sink = Files.createTempDirectory("vec_sink").toString + "/out"
+    val chk = Files.createTempDirectory("vec_chk").toString
+    graft.streaming.VecScreen.incrementalEmbScreen(
+      spark, src, batch.schema, hist, sink, chk)
+    val streamed = spark.read.parquet(sink)
+      .select("vec_id", "n_matches", "matched_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = Similarity.embeddingNearDupIncremental(batch, hist)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty, "no catalog matches in the corpus")
+    assert(streamed === direct,
+      s"stream/batch diverged: only-stream=${(streamed -- direct).take(3)} only-batch=${(direct -- streamed).take(3)}")
+    // exactly-once: a checkpointed re-run with no new files appends nothing
+    graft.streaming.VecScreen.incrementalEmbScreen(
+      spark, src, batch.schema, hist, sink, chk)
+    assert(spark.read.parquet(sink).count() === streamed.size.toLong,
+      "re-run with same checkpoint re-emitted rows")
+  }
+
   test("streaming beacon DAG equals the batch pipeline") {
     import graft.plans.BeaconPipeline
     // land the synthetic beacon corpus, then run decode+enrich+route as

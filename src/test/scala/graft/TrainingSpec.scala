@@ -318,6 +318,26 @@ class TrainingSpec extends AnyFunSuite {
     Shared.releaseAll(spark)
   }
 
+  test("convergence-stopped Lloyd: stops early, equals fixed-round training") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Array[Float])].collect().map(c => (c._1, c._2.toSeq)).toMap
+    val (cents, rounds) = Similarity.ivfCentroidsConverged(emb, 16, maxIters = 12)
+    assert(rounds >= 1, "converged without running a single round")
+    assert(rounds < 12, s"did not converge within maxIters: $rounds rounds")
+    // the stop is a pure function of the data: result == the fixed-round
+    // trainer run for the same number of rounds, bit-for-bit
+    assert(toMap(cents) === toMap(Similarity.ivfCentroidsTrained(emb, 16, rounds)),
+      "converged training diverged from fixed-round training")
+    // one more round from the converged state moves no component > tol
+    val again = Similarity.ivfCentroidsTrained(emb, 16, rounds + 1)
+    val moved = toMap(cents).map { case (k, v) =>
+      v.zip(toMap(again)(k)).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }.max
+    }.max
+    assert(moved <= 1e-3, s"stopped while still moving: $moved")
+  }
+
   test("IVF-PQ: codes compress to nSub per vector, recall holds vs brute force") {
     import spark.implicits._
     val bf = Similarity.bruteForceTopK(spark, dir).select("query_id", "vec_id")

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.plans.VecCatalog
+
+/** Landed embedding catalog: the screen over bucketed state tables
+  * must return exactly what the self-contained in-plan operator
+  * returns, appended batches must become visible history, and the
+  * candidate join must read the catalog WITHOUT shuffling it.
+  */
+class VecCatalogSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+
+  private def dropCat(name: String): Unit =
+    Seq("buckets", "vectors").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_vccat_${name}_$s"))
+
+  /** hist = even ids, batch = odd ids with every 7th === 3 (mod 7)
+    * replaced by its even twin's embedding (exact copy, cos 1.0).
+    */
+  private def split: (DataFrame, DataFrame) = {
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val twin = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("h_emb"))
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+      .join(twin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 3, col("h_emb"))
+          .otherwise(col("embedding")).as("embedding"))
+    (hist, batch)
+  }
+
+  test("screen against the landed catalog equals the in-plan incremental screen") {
+    val (hist, batch) = split
+    try {
+      val cat = VecCatalog.land(spark, hist, "spec_parity")
+      val got = VecCatalog.screen(spark, batch, cat).collect().toSeq
+      val want = Similarity.embeddingNearDupIncremental(batch, hist).collect().toSeq
+      assert(want.nonEmpty, "no catalog matches in the corpus")
+      assert(got === want)
+    } finally dropCat("spec_parity")
+  }
+
+  test("append makes a batch part of history for the next screen") {
+    val hist = emb.filter(col("vec_id") < 100)
+    val batch1 = emb.filter(col("vec_id") >= 250 && col("vec_id") < 300)
+    // batch2 plants an exact copy of a batch1 vector (not of original
+    // history)
+    val batch2 = emb.filter(col("vec_id") === 260)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    try {
+      val cat = VecCatalog.land(spark, hist, "spec_append")
+      val before = VecCatalog.screen(spark, batch2, cat).collect()
+      assert(!before.exists(_.getLong(0) == 10260L),
+        "twin flagged before its source vector entered history")
+      VecCatalog.append(spark, batch1, cat)
+      val after = VecCatalog.screen(spark, batch2, cat).collect()
+      val hit = after.find(_.getLong(0) == 10260L)
+      assert(hit.isDefined, s"planted twin not flagged after append: ${after.toSeq}")
+      assert(hit.get.getLong(2) === 260L, s"wrong matched_id: $hit")
+      assert(hit.get.getDouble(3) > 0.999, s"twin score not ~1: $hit")
+    } finally dropCat("spec_append")
+  }
+
+  test("candidate join reads the landed bucket table without shuffling it") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (hist, batch) = split
+    try {
+      val cat = VecCatalog.land(spark, hist, "spec_plan")
+      val df = VecCatalog.screen(spark, batch, cat)
+      df.collect()
+      val top = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the landed-state property is LOCAL: no Exchange between the
+      // catalog scan and its nearest join ancestor (downstream aggs
+      // shuffle legitimately)
+      def pathsToBuckets(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p match {
+          case f: FileSourceScanExec if f.toString.contains("_buckets") =>
+            Seq(p :: anc)
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(pathsToBuckets(_, p :: anc))
+      }
+      val paths = pathsToBuckets(top, Nil)
+      assert(paths.nonEmpty, s"bucket table scan not found in plan:\n$top")
+      paths.foreach { path =>
+        val belowJoin = path.takeWhile(
+          !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"catalog bucket table shuffled before its candidate join:\n$top")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      dropCat("spec_plan")
+    }
+  }
+}
