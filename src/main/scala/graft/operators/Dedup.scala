@@ -160,6 +160,12 @@ object Dedup {
     *   an over-full bucket loses only pairs that other bands can still
     *   recover). None (default) = exact LSH semantics, what the oracle
     *   checks.
+    * @param capStar with a cap set, over-full buckets contribute
+    *   (bucket-min, member) hub pairs instead of nothing — linear in
+    *   bucket size, still Jaccard-verified, and connected components
+    *   recovers the cluster through the hub. Without it a boilerplate
+    *   cluster bigger than the cap in EVERY band vanishes entirely
+    *   (the skew-rehearsal finding).
     */
   /** @param materialize persist the shingle and signature tables for
     *   the run (MEMORY_AND_DISK) through [[graft.Shared.materialize]].
@@ -177,23 +183,42 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
       threshold: Double = JaccardThreshold,
       maxBucket: Option[Int] = None,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      capStar: Boolean = false): DataFrame = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) graft.Shared.materialize(df) else df
     val shM = mat(shingleTable(spark, dir, "doc"))
     val sig = mat(minhashSignaturesFrom(shM, "doc"))
     val bandsRaw = banded(sig, "doc")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
     val bands = maxBucket match {
       case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
         bandsRaw.withColumn("_bsz", count(lit(1)).over(w))
           .filter(col("_bsz") <= cap).drop("_bsz")
       case None => bandsRaw
     }
-    val cands = bands.as("a").join(bands.as("b"),
+    val allPairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
+    // star rescue for over-full buckets (the skew-rehearsal finding:
+    // a boilerplate cluster — thousands of near-identical docs — fills
+    // EVERY band bucket past any cap, so drop-mode loses the whole
+    // cluster). Instead of the bucket's O(n²) pair set, emit only
+    // (bucket-min, member): linear in bucket size, every pair still
+    // Jaccard-verified (precision exact), and connected components
+    // reassembles the cluster through the hub — what a dedup decision
+    // actually needs. Pairs a hub-spoke verify rejects that a full
+    // n² would have kept are the documented recall trade.
+    val starPairs = (maxBucket, capStar) match {
+      case (Some(cap), true) =>
+        bandsRaw.withColumn("_bsz", count(lit(1)).over(w))
+          .withColumn("_bmin", min(col("doc")).over(w))
+          .filter(col("_bsz") > cap && col("doc") =!= col("_bmin"))
+          .select(col("_bmin").as("i"), col("doc").as("j"))
+      case _ => allPairs.limit(0)
+    }
+    val cands = allPairs.union(starPairs).distinct()
 
     val sizes = sig.select("doc", "n")
     // verify stage: intersection counted over candidate pairs only,

@@ -87,6 +87,49 @@ class TrainingSpec extends AnyFunSuite {
     assert(generous === exact)
   }
 
+  test("star cap keeps a boilerplate cluster connected at linear candidate cost") {
+    import spark.implicits._
+    // a 30-doc boilerplate cluster (identical text -> identical band
+    // signatures, so EVERY band bucket holds all 30 > cap=8: drop-mode
+    // deterministically loses the whole cluster) + unrelated docs;
+    // star-mode keeps the cluster as one component through the
+    // bucket-min hub
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+    val cluster = (0L until 30L).map(i => (i, base))
+    val others = (100L until 120L).map(i =>
+      (i, s"unrelated text number $i with its own words " +
+        (1 to 15).map(k => s"w${i}_$k").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("star_cap").toString
+    (cluster ++ others).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dropped = Dedup.minhashLsh(spark, tmp, 0.8, maxBucket = Some(8))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    Shared.releaseAll(spark)
+    val star = Dedup.minhashLsh(spark, tmp, 0.8, maxBucket = Some(8), capStar = true)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    Shared.releaseAll(spark)
+    assert(!dropped.exists(p => p._1 < 30 && p._2 < 30),
+      s"cap=8 should drop every all-cluster bucket, got ${dropped.size} cluster pairs")
+    // star pairs: linear (hub-spoke), not quadratic, and the cluster is
+    // one component under connected components
+    val clusterStar = star.filter(p => p._1 < 30 && p._2 < 30)
+    assert(clusterStar.nonEmpty, "star mode recovered nothing")
+    assert(clusterStar.size < 60,
+      s"star candidate set not linear: ${clusterStar.size} pairs for 30 docs")
+    val comps = Dedup.connectedComponents(
+        clusterStar.toSeq.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    // roots map to themselves (CC emits rows for non-root members only)
+    assert((0L until 30L).map(id => comps.getOrElse(id, id)).toSet.size === 1,
+      "cluster not reassembled into one component")
+    // star never invents pairs: everything it returns is Jaccard-real
+    val uncapped = Dedup.minhashLsh(spark, tmp, 0.8)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    Shared.releaseAll(spark)
+    assert(star.subsetOf(uncapped))
+  }
+
   test("incremental near-dup: planted twins flagged against the catalog, matches are history-side") {
     import spark.implicits._
     val res = graft.queries.TrainingPack.ddIncrementalNeardup(spark, dir).collect()
