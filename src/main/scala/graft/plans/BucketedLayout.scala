@@ -25,34 +25,39 @@ object BucketedLayout {
 
   /** Land `df` as a bucketed, per-bucket-sorted table. With `path` the
     * table is external (files at a caller-chosen location, independent
-    * of the session's warehouse dir); otherwise managed.
+    * of the session's warehouse dir); otherwise managed. With
+    * `partitionCols` the table is additionally partitioned (bucketing
+    * then applies within each partition; the scan still reports the
+    * bucket spec, so co-located joins stay shuffle-free) — the shape
+    * the grow-by-ingest catalogs use, one partition per accepted
+    * batch.
     */
   def write(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int, sortCols: Seq[String], path: Option[String] = None): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, bucketCol)
+      nBuckets: Int, sortCols: Seq[String], path: Option[String] = None,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w0 = df.write.mode("overwrite").format("parquet")
+    val w1 = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+    val w = w1.bucketBy(nBuckets, bucketCol)
       .sortBy(sortCols.head, sortCols.tail: _*)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
-  /** Bucket count of a landed table (from the catalog's bucket spec) —
-    * what an appender must reuse so new files land in the same layout.
+  /** Overwrite exactly the partitions present in `df` (dynamic
+    * partition overwrite), leaving every other partition intact — the
+    * replay-idempotent append for partitioned catalogs: a crashed and
+    * replayed ingest batch rewrites its own partition instead of
+    * blind-appending duplicate state rows (which would corrupt
+    * downstream counts, not just duplicate output). Columns are
+    * aligned by name to the table's schema (insertInto is positional).
     */
-  def numBuckets(spark: SparkSession, table: String): Int =
-    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
-      .filter(col("col_name") === "Num Buckets")
-      .head().getString(1).trim.toInt
-
-  /** Append `df` into a landed bucketed table with the SAME bucket
-    * spec (bucket column + count read from the catalog) — the
-    * grow-the-state step for catalog-shaped tables.
-    */
-  def append(spark: SparkSession, df: DataFrame, table: String,
-      bucketCol: String, sortCols: Seq[String]): Unit =
-    df.write.mode("append").format("parquet")
-      .bucketBy(numBuckets(spark, table), bucketCol)
-      .sortBy(sortCols.head, sortCols.tail: _*)
-      .saveAsTable(table)
+  def overwritePartitions(spark: SparkSession, df: DataFrame,
+      table: String): Unit = {
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.select(spark.table(table).columns.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
 
   /** Per-key aggregation over a bucketed table: count + byte total per
     * bucket key. On a table bucketed by `key` this plans with zero

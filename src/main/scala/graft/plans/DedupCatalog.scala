@@ -35,11 +35,12 @@ object DedupCatalog {
   }
 
   /** Land `histDocs` (a (doc_id, text, …) frame) as the screening
-    * catalog `name`. Idempotent per (session catalog, name): if the
-    * three tables exist the handle comes back without recomputation —
-    * landing cost is paid once, every screen reads. The shingle and
-    * signature subtrees are pinned only for the landing writes and
-    * released before returning (scoped, so caller pins survive).
+    * catalog `name`, as ingest partition 0. Idempotent per (session
+    * catalog, name): if the three tables exist the handle comes back
+    * without recomputation — landing cost is paid once, every screen
+    * reads. The shingle and signature subtrees are pinned only for
+    * the landing writes and released before returning (scoped, so
+    * caller pins survive).
     */
   def land(spark: SparkSession, histDocs: DataFrame, name: String,
       nBuckets: Int = 8): Handle = {
@@ -52,12 +53,13 @@ object DedupCatalog {
         Dedup.shinglesOf(histDocs, "doc").toDF("doc", "sg"))
       val sig = graft.Shared.materialize(Dedup.minhashSignaturesFrom(sh, "doc"))
       val base = s"${sys.props("java.io.tmpdir")}/graft_ddcat"
-      BucketedLayout.write(Dedup.bandKeys(sig, "doc"), h.bandsT, "bk",
-        nBuckets, Seq("bk"), Some(s"$base/${h.bandsT}"))
-      BucketedLayout.write(sh, h.shinglesT, "doc",
-        nBuckets, Seq("doc", "sg"), Some(s"$base/${h.shinglesT}"))
-      BucketedLayout.write(sig.select("doc", "n"), h.sizesT, "doc",
-        nBuckets, Seq("doc"), Some(s"$base/${h.sizesT}"))
+      def part(df: DataFrame) = df.withColumn("ingest_id", lit(0L))
+      BucketedLayout.write(part(Dedup.bandKeys(sig, "doc")), h.bandsT, "bk",
+        nBuckets, Seq("bk"), Some(s"$base/${h.bandsT}"), Seq("ingest_id"))
+      BucketedLayout.write(part(sh), h.shinglesT, "doc",
+        nBuckets, Seq("doc", "sg"), Some(s"$base/${h.shinglesT}"), Seq("ingest_id"))
+      BucketedLayout.write(part(sig.select("doc", "n")), h.sizesT, "doc",
+        nBuckets, Seq("doc"), Some(s"$base/${h.sizesT}"), Seq("ingest_id"))
     } finally graft.Shared.releaseSince(spark, m)
     h
   }
@@ -69,24 +71,33 @@ object DedupCatalog {
   def screen(spark: SparkSession, batchDocs: DataFrame, h: Handle,
       threshold: Double = Dedup.JaccardThreshold): DataFrame =
     Dedup.minhashLshScreen(Dedup.shinglesOf(batchDocs, "doc"),
-      spark.table(h.bandsT), spark.table(h.shinglesT),
-      spark.table(h.sizesT), threshold)
+      spark.table(h.bandsT).select("doc", "bk"),
+      spark.table(h.shinglesT).select("doc", "sg"),
+      spark.table(h.sizesT).select("doc", "n"), threshold)
 
-  /** Append `docs` (accepted batch members) into the catalog so the
-    * next screen sees them as history. Same bucket specs, append
-    * mode — the standard grow-the-state step after a screen passes.
+  /** Record `docs` (accepted batch members) into the catalog as
+    * ingest partition `ingestId` so the next screen sees them as
+    * history. Replay-idempotent: the write is a dynamic partition
+    * OVERWRITE of exactly that ingest partition, so a crashed and
+    * re-run batch replaces its own state rows instead of duplicating
+    * them (duplicate shingle rows would inflate the screen's
+    * intersection counts — corruption, not mere duplication).
+    * `ingestId` must be > 0 (0 is the landed history).
     */
-  def append(spark: SparkSession, docs: DataFrame, h: Handle): Unit = {
+  def append(spark: SparkSession, docs: DataFrame, h: Handle,
+      ingestId: Long): Unit = {
+    require(ingestId > 0, s"ingestId must be > 0 (0 is the landing): $ingestId")
     val m = graft.Shared.mark(spark)
     try {
       val sh = graft.Shared.materialize(
         Dedup.shinglesOf(docs, "doc").toDF("doc", "sg"))
       val sig = graft.Shared.materialize(Dedup.minhashSignaturesFrom(sh, "doc"))
-      BucketedLayout.append(spark, Dedup.bandKeys(sig, "doc"), h.bandsT,
-        "bk", Seq("bk"))
-      BucketedLayout.append(spark, sh, h.shinglesT, "doc", Seq("doc", "sg"))
-      BucketedLayout.append(spark, sig.select("doc", "n"), h.sizesT,
-        "doc", Seq("doc"))
+      def part(df: DataFrame) = df.withColumn("ingest_id", lit(ingestId))
+      BucketedLayout.overwritePartitions(spark, part(Dedup.bandKeys(sig, "doc")),
+        h.bandsT)
+      BucketedLayout.overwritePartitions(spark, part(sh), h.shinglesT)
+      BucketedLayout.overwritePartitions(spark, part(sig.select("doc", "n")),
+        h.sizesT)
     } finally graft.Shared.releaseSince(spark, m)
   }
 }

@@ -31,8 +31,9 @@ object VecCatalog {
   }
 
   /** Land `histEmb` (a (vec_id, embedding) frame) as the screening
-    * catalog `name`. Idempotent per (session catalog, name): if both
-    * tables exist the handle comes back without recomputation.
+    * catalog `name`, as ingest partition 0. Idempotent per (session
+    * catalog, name): if both tables exist the handle comes back
+    * without recomputation.
     */
   def land(spark: SparkSession, histEmb: DataFrame, name: String,
       nBuckets: Int = 8): Handle = {
@@ -40,10 +41,14 @@ object VecCatalog {
     if (Seq(h.bucketsT, h.vectorsT).forall(spark.catalog.tableExists))
       return h
     val base = s"${sys.props("java.io.tmpdir")}/graft_vccat"
-    BucketedLayout.write(Similarity.bucketKeys(histEmb, "vec_id"), h.bucketsT,
-      "tk", nBuckets, Seq("tk"), Some(s"$base/${h.bucketsT}"))
-    BucketedLayout.write(histEmb.select("vec_id", "embedding"), h.vectorsT,
-      "vec_id", nBuckets, Seq("vec_id"), Some(s"$base/${h.vectorsT}"))
+    import org.apache.spark.sql.functions.lit
+    def part(df: DataFrame) = df.withColumn("ingest_id", lit(0L))
+    BucketedLayout.write(part(Similarity.bucketKeys(histEmb, "vec_id")),
+      h.bucketsT, "tk", nBuckets, Seq("tk"), Some(s"$base/${h.bucketsT}"),
+      Seq("ingest_id"))
+    BucketedLayout.write(part(histEmb.select("vec_id", "embedding")),
+      h.vectorsT, "vec_id", nBuckets, Seq("vec_id"), Some(s"$base/${h.vectorsT}"),
+      Seq("ingest_id"))
     h
   }
 
@@ -53,16 +58,23 @@ object VecCatalog {
     */
   def screen(spark: SparkSession, batchEmb: DataFrame, h: Handle,
       threshold: Double = 0.95): DataFrame =
-    Similarity.embeddingScreen(batchEmb, spark.table(h.bucketsT),
-      spark.table(h.vectorsT), threshold)
+    Similarity.embeddingScreen(batchEmb,
+      spark.table(h.bucketsT).select("vec_id", "tk"),
+      spark.table(h.vectorsT).select("vec_id", "embedding"), threshold)
 
-  /** Append `emb` (accepted batch members) into the catalog so the
-    * next screen sees them as history.
+  /** Record `emb` (accepted batch members) into the catalog as ingest
+    * partition `ingestId` so the next screen sees them as history.
+    * Replay-idempotent like [[DedupCatalog.append]]: a dynamic
+    * partition overwrite of exactly that partition. `ingestId` > 0.
     */
-  def append(spark: SparkSession, emb: DataFrame, h: Handle): Unit = {
-    BucketedLayout.append(spark, Similarity.bucketKeys(emb, "vec_id"),
-      h.bucketsT, "tk", Seq("tk"))
-    BucketedLayout.append(spark, emb.select("vec_id", "embedding"),
-      h.vectorsT, "vec_id", Seq("vec_id"))
+  def append(spark: SparkSession, emb: DataFrame, h: Handle,
+      ingestId: Long): Unit = {
+    require(ingestId > 0, s"ingestId must be > 0 (0 is the landing): $ingestId")
+    import org.apache.spark.sql.functions.lit
+    def part(df: DataFrame) = df.withColumn("ingest_id", lit(ingestId))
+    BucketedLayout.overwritePartitions(spark,
+      part(Similarity.bucketKeys(emb, "vec_id")), h.bucketsT)
+    BucketedLayout.overwritePartitions(spark,
+      part(emb.select("vec_id", "embedding")), h.vectorsT)
   }
 }

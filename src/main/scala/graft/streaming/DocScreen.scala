@@ -46,28 +46,42 @@ object DocScreen {
   def incrementalNeardupScreen(spark: SparkSession, srcDir: String,
       schema: StructType, histDocs: DataFrame,
       sinkDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
     val cat = DedupCatalog.land(spark, histDocs, s"scr_$checkpointDir")
     screenAgainstCatalog(spark, srcDir, schema, cat, sinkDir, checkpointDir,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, appendAccepted)
   }
 
   /** The production entry point: screen against an already-landed
-    * catalog (for history landed out-of-band, appended per accepted
-    * batch via [[DedupCatalog.append]]).
+    * catalog (for history landed out-of-band).
+    *
+    * With `appendAccepted` the full ingest loop runs: docs the screen
+    * did NOT flag are recorded into the catalog as ingest partition
+    * `batchId + 1`, so batch N+1 is screened against batch N's
+    * survivors. The append is a dynamic partition overwrite keyed by
+    * batch id — a replayed batch rewrites its own state partition, so
+    * the catalog stays exactly-once under crash-replay just like the
+    * verdict sink.
     */
   def screenAgainstCatalog(spark: SparkSession, srcDir: String,
       schema: StructType, cat: DedupCatalog.Handle,
       sinkDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
     val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      DedupCatalog.screen(batch.sparkSession, batch, cat)
-        .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      val s = batch.sparkSession
+      // materialized once: the verdicts feed the sink write AND the
+      // accepted-set anti-join without recomputing the screen
+      val verdicts = DedupCatalog.screen(s, batch, cat).localCheckpoint(true)
+      verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      if (appendAccepted)
+        DedupCatalog.append(s,
+          batch.join(verdicts.select("doc_id"), Seq("doc_id"), "left_anti"),
+          cat, batchId + 1)
       // the screen pins only batch-side subtrees, all registered under
       // foreachBatch's CLONED per-batch session — releasing that
       // session alone drops them without touching anything the caller
       // pinned on the outer session
-      graft.Shared.releaseAll(batch.sparkSession)
+      graft.Shared.releaseAll(s)
     }
     val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
       .writeStream

@@ -38,23 +38,33 @@ object VecScreen {
   def incrementalEmbScreen(spark: SparkSession, srcDir: String,
       schema: StructType, histEmb: DataFrame,
       sinkDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
     val cat = VecCatalog.land(spark, histEmb, s"scr_$checkpointDir")
     screenAgainstCatalog(spark, srcDir, schema, cat, sinkDir, checkpointDir,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, appendAccepted)
   }
 
   /** The production entry point: screen against an already-landed
-    * catalog (history landed out-of-band, appended per accepted batch
-    * via [[VecCatalog.append]]).
+    * catalog (history landed out-of-band).
+    *
+    * With `appendAccepted` the full ingest loop runs: vectors the
+    * screen did NOT flag are recorded into the catalog as ingest
+    * partition `batchId + 1` (dynamic partition overwrite — replay
+    * rewrites the same partition, exactly-once like the verdict
+    * sink), so batch N+1 is screened against batch N's survivors.
     */
   def screenAgainstCatalog(spark: SparkSession, srcDir: String,
       schema: StructType, cat: VecCatalog.Handle,
       sinkDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
     val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      VecCatalog.screen(batch.sparkSession, batch, cat)
-        .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      val s = batch.sparkSession
+      val verdicts = VecCatalog.screen(s, batch, cat).localCheckpoint(true)
+      verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      if (appendAccepted)
+        VecCatalog.append(s,
+          batch.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti"),
+          cat, batchId + 1)
     }
     val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
       .writeStream

@@ -66,12 +66,21 @@ class DedupCatalogSpec extends AnyFunSuite {
       Shared.releaseAll(spark)
       assert(!before.exists(_.getLong(0) == 10260L),
         "twin flagged before its source doc entered history")
-      DedupCatalog.append(spark, batch1, cat)
+      DedupCatalog.append(spark, batch1, cat, ingestId = 1)
       val after = DedupCatalog.screen(spark, batch2, cat).collect()
       Shared.releaseAll(spark)
       val hit = after.find(_.getLong(0) == 10260L)
       assert(hit.isDefined, s"planted twin not flagged after append: ${after.toSeq}")
       assert(hit.get.getLong(2) === 260L, s"wrong matched_id: $hit")
+      // crash-replay idempotence: re-appending the SAME ingest id
+      // overwrites that partition — screen results are unchanged
+      // (a blind append would duplicate shingle rows and corrupt the
+      // intersection counts, changing jac values)
+      DedupCatalog.append(spark, batch1, cat, ingestId = 1)
+      val replay = DedupCatalog.screen(spark, batch2, cat).collect()
+      Shared.releaseAll(spark)
+      assert(replay.toSeq.map(_.toString) === after.toSeq.map(_.toString),
+        "replayed append changed screen results")
     } finally dropCat("spec_append")
   }
 

@@ -230,6 +230,41 @@ class StreamingSpec extends AnyFunSuite {
       "re-run with same checkpoint re-emitted rows")
   }
 
+  test("appendAccepted: batch N+1 is screened against batch N's survivors") {
+    import spark.implicits._
+    import graft.plans.DedupCatalog
+    // history = docs 0-99; file 1 lands doc 300 (novel -> accepted);
+    // file 2 lands 10300 = near-twin of 300. Only the append-loop can
+    // flag it: 300 is not in the landed history, it entered the
+    // catalog as batch 0's survivor.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") < 100)
+    val f1 = docs.filter(col("doc_id") === 300)
+    val f2 = docs.filter(col("doc_id") === 300)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val src = Files.createTempDirectory("append_src").toString
+    f1.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    val sink = Files.createTempDirectory("append_sink").toString + "/out"
+    val chk = Files.createTempDirectory("append_chk").toString
+    val cat = DedupCatalog.land(spark, hist, "spec_stream_append")
+    try {
+      graft.streaming.DocScreen.screenAgainstCatalog(
+        spark, src, f1.schema, cat, sink, chk, appendAccepted = true)
+      val flagged = spark.read.parquet(sink)
+        .select("doc_id", "matched_id").as[(Long, Long)].collect().toSet
+      assert(flagged.contains((10300L, 300L)),
+        s"batch-1 twin not flagged against batch-0 survivor: $flagged")
+      // replay with the same checkpoint: no new verdicts, catalog stable
+      graft.streaming.DocScreen.screenAgainstCatalog(
+        spark, src, f1.schema, cat, sink, chk, appendAccepted = true)
+      assert(spark.read.parquet(sink).count() === flagged.size.toLong)
+    } finally Seq(cat.bandsT, cat.shinglesT, cat.sizesT)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming embedding screen equals the batch screen, any micro-batching") {
     import spark.implicits._
     import graft.operators.Similarity

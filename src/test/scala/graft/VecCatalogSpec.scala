@@ -68,12 +68,17 @@ class VecCatalogSpec extends AnyFunSuite {
       val before = VecCatalog.screen(spark, batch2, cat).collect()
       assert(!before.exists(_.getLong(0) == 10260L),
         "twin flagged before its source vector entered history")
-      VecCatalog.append(spark, batch1, cat)
+      VecCatalog.append(spark, batch1, cat, ingestId = 1)
       val after = VecCatalog.screen(spark, batch2, cat).collect()
       val hit = after.find(_.getLong(0) == 10260L)
       assert(hit.isDefined, s"planted twin not flagged after append: ${after.toSeq}")
       assert(hit.get.getLong(2) === 260L, s"wrong matched_id: $hit")
       assert(hit.get.getDouble(3) > 0.999, s"twin score not ~1: $hit")
+      // crash-replay idempotence: same ingest id overwrites, not appends
+      VecCatalog.append(spark, batch1, cat, ingestId = 1)
+      val replay = VecCatalog.screen(spark, batch2, cat).collect()
+      assert(replay.toSeq.map(_.toString) === after.toSeq.map(_.toString),
+        "replayed append changed screen results")
     } finally dropCat("spec_append")
   }
 
