@@ -87,6 +87,18 @@ object TrainingPack {
 
   val ddMinhashLsh: Q = (s, d) => Dedup.minhashLsh(s, d)
 
+  /** MinHash LSH with the adversarial-bucket guardrails ENGAGED:
+    * maxBucket=2 over-fills naturally at every scale (4 buckets of 3
+    * at sf0.01, 33 over-full at sf0.1), so BOTH guardrail paths run
+    * against real data — over-full buckets contribute only their
+    * linear (bucket-min, member) hub pairs (capStar), small buckets
+    * keep exact all-pairs semantics, everything Jaccard-verified.
+    * The oracle replays the size-split, both candidate branches, and
+    * the verify in SQL.
+    */
+  val ddMinhashLshCapped: Q = (s, d) =>
+    Dedup.minhashLsh(s, d, maxBucket = Some(2), capStar = true)
+
   /** Transitive near-dup clusters over the MinHash-LSH pair set:
     * connected components (large-star/small-star rounds), one row per
     * paired doc with its component-min cluster_id and the canonical
@@ -559,6 +571,7 @@ object TrainingPack {
     "dd_ngram_jaccard"     -> ddNgramJaccard,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_minhash_lsh"       -> ddMinhashLsh,
+    "dd_minhash_lsh_capped" -> ddMinhashLshCapped,
     "dd_neardup_clusters"  -> ddNeardupClusters,
     "dd_simhash"           -> ddSimhash,
     "dd_simhash_pairs"     -> ddSimhashPairs,
@@ -866,6 +879,38 @@ object TrainingPack {
     "dd_minhash_lsh" ->
       s"""WITH $shCte,
          |$minhashPairCtes
+         |SELECT i, j, ROUND(CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt), 3) AS jac
+         |FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8
+         |ORDER BY i, j""".stripMargin,
+
+    // capped LSH with star rescue: per-bucket sizes split candidates
+    // into all-pairs (small buckets) + hub pairs (over-full buckets,
+    // linear), then the same Jaccard verify — both guardrail branches
+    // replayed exactly
+    "dd_minhash_lsh_capped" ->
+      s"""WITH $shCte,
+         |${minhashSigBandCtes("")},
+         |bsz AS (
+         |  SELECT band, bh, count(*) AS n_b, min(doc_id) AS bmin
+         |  FROM bands GROUP BY 1, 2),
+         |small AS (
+         |  SELECT b.doc_id, b.band, b.bh
+         |  FROM bands b JOIN bsz z ON z.band = b.band AND z.bh = b.bh
+         |  WHERE z.n_b <= 2),
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM small a JOIN small b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT z.bmin AS i, b.doc_id AS j
+         |  FROM bands b JOIN bsz z ON z.band = b.band AND z.bh = b.bh
+         |  WHERE z.n_b > 2 AND b.doc_id <> z.bmin),
+         |inter AS (
+         |  SELECT c.i, c.j, count(*) AS cnt
+         |  FROM cand c JOIN sh s1 ON s1.doc_id = c.i
+         |    JOIN sh s2 ON s2.doc_id = c.j AND s2.sg = s1.sg
+         |  GROUP BY 1, 2)
          |SELECT i, j, ROUND(CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt), 3) AS jac
          |FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |WHERE CAST(cnt AS DOUBLE) / (si.n + sj.n - cnt) >= 0.8
