@@ -306,6 +306,38 @@ class StreamingSpec extends AnyFunSuite {
       "re-run with same checkpoint re-emitted rows")
   }
 
+  test("vector appendAccepted: batch N+1 screened against batch N's survivors") {
+    import spark.implicits._
+    import graft.plans.VecCatalog
+    // history = vectors 0-99; file 1 lands vector 300 (novel ->
+    // accepted); file 2 lands 10300 = exact copy of 300, only
+    // flaggable because 300 entered the catalog as batch 0's survivor
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val hist = emb.filter(col("vec_id") < 100)
+    val f1 = emb.filter(col("vec_id") === 300)
+    val f2 = emb.filter(col("vec_id") === 300)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val src = Files.createTempDirectory("vappend_src").toString
+    f1.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    val sink = Files.createTempDirectory("vappend_sink").toString + "/out"
+    val chk = Files.createTempDirectory("vappend_chk").toString
+    val cat = VecCatalog.land(spark, hist, "spec_vstream_append")
+    try {
+      graft.streaming.VecScreen.screenAgainstCatalog(
+        spark, src, f1.schema, cat, sink, chk, appendAccepted = true)
+      val flagged = spark.read.parquet(sink)
+        .select("vec_id", "matched_id").as[(Long, Long)].collect().toSet
+      assert(flagged.contains((10300L, 300L)),
+        s"batch-1 twin not flagged against batch-0 survivor: $flagged")
+      graft.streaming.VecScreen.screenAgainstCatalog(
+        spark, src, f1.schema, cat, sink, chk, appendAccepted = true)
+      assert(spark.read.parquet(sink).count() === flagged.size.toLong)
+    } finally Seq(cat.bucketsT, cat.vectorsT)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming beacon DAG equals the batch pipeline") {
     import graft.plans.BeaconPipeline
     // land the synthetic beacon corpus, then run decode+enrich+route as
