@@ -126,7 +126,7 @@ object SkewDrive {
       graft.plans.VecCatalog.screen(spark, emb.filter(col("vec_id") >= nEmb - 1000), cat)
         .count())
     println(s"[skew] 5c. flagged: $flagged of 1000")
-    Seq(cat.bucketsT, cat.vectorsT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.plans.VecCatalog.drop(spark, cat)
 
     spark.stop()
   }

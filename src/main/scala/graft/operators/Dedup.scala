@@ -191,11 +191,16 @@ object Dedup {
     val sig = mat(minhashSignaturesFrom(shM, "doc"))
     val bandsRaw = banded(sig, "doc")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    val bands = maxBucket match {
-      case Some(cap) =>
-        bandsRaw.withColumn("_bsz", count(lit(1)).over(w))
-          .filter(col("_bsz") <= cap).drop("_bsz")
-      case None => bandsRaw
+    // capped mode sizes every bucket ONCE (count + min in the same
+    // window pass, materialized so the small-bucket and star branches
+    // read it instead of re-sorting the corpus-sized band frame)
+    val sized = maxBucket.map(_ => mat(
+      bandsRaw.withColumn("_bsz", count(lit(1)).over(w))
+        .withColumn("_bmin", min(col("doc")).over(w))))
+    val bands = (maxBucket, sized) match {
+      case (Some(cap), Some(s)) =>
+        s.filter(col("_bsz") <= cap).drop("_bsz", "_bmin")
+      case _ => bandsRaw
     }
     val allPairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -210,11 +215,9 @@ object Dedup {
     // reassembles the cluster through the hub — what a dedup decision
     // actually needs. Pairs a hub-spoke verify rejects that a full
     // n² would have kept are the documented recall trade.
-    val starPairs = (maxBucket, capStar) match {
-      case (Some(cap), true) =>
-        bandsRaw.withColumn("_bsz", count(lit(1)).over(w))
-          .withColumn("_bmin", min(col("doc")).over(w))
-          .filter(col("_bsz") > cap && col("doc") =!= col("_bmin"))
+    val starPairs = (maxBucket, capStar, sized) match {
+      case (Some(cap), true, Some(s)) =>
+        s.filter(col("_bsz") > cap && col("doc") =!= col("_bmin"))
           .select(col("_bmin").as("i"), col("doc").as("j"))
       case _ => allPairs.limit(0)
     }

@@ -215,11 +215,19 @@ object Similarity {
   private def requireDim(embeddings: DataFrame, dim: Int): Unit = {
     // one aggregate checks EVERY row (a first-row-only probe lets
     // ragged dimensions elsewhere reach the slicing code and
-    // propagate nulls silently) and distinguishes the empty frame
+    // propagate nulls silently), distinguishes the empty frame, and
+    // counts NULL embeddings separately — min/max skip nulls, so
+    // without the null count a NULL row would pass and poison the
+    // centroid means downstream. One validation scan per training/
+    // query call; a 100 TB deployment validates once at landing time
+    // and feeds these operators pre-checked frames.
     val r = embeddings
-      .agg(min(size(col("embedding"))), max(size(col("embedding"))), count(lit(1)))
+      .agg(min(size(col("embedding"))), max(size(col("embedding"))),
+        count(lit(1)), count(col("embedding")))
       .head()
     require(r.getLong(2) > 0, "embeddings frame is empty")
+    require(r.getLong(3) == r.getLong(2),
+      s"${r.getLong(2) - r.getLong(3)} NULL embeddings")
     require(r.getInt(0) == dim && r.getInt(1) == dim,
       s"embedding dimensions [${r.getInt(0)}, ${r.getInt(1)}] != expected $dim")
   }

@@ -42,6 +42,27 @@ object BucketedLayout {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Re-register an existing landed table (files already at `path`)
+    * into this session's catalog without recomputing anything: CREATE
+    * TABLE with the same schema/partition/bucket spec over the
+    * location, then recover the partition metadata. This is how a NEW
+    * session (fresh in-memory catalog, e.g. after a crash-restart)
+    * reattaches to durable catalog state instead of re-landing over
+    * it — re-landing from the original history would silently erase
+    * every appended ingest partition.
+    */
+  def register(spark: SparkSession, table: String, columnsDdl: String,
+      partitionCol: String, bucketCol: String, sortCols: Seq[String],
+      nBuckets: Int, path: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table ($columnsDdl) USING PARQUET
+         |PARTITIONED BY ($partitionCol)
+         |CLUSTERED BY ($bucketCol) SORTED BY (${sortCols.mkString(", ")})
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
   /** Overwrite exactly the partitions present in `df` (dynamic
     * partition overwrite), leaving every other partition intact — the
     * replay-idempotent append for partitioned catalogs: a crashed and

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
@@ -18,6 +19,16 @@ import graft.operators.Dedup
   *    the Jaccard-verify join key;
   *  - `<name>_sizes`    (doc, n): shingle-set sizes, bucketed by `doc`.
   *
+  * All three are partitioned by `ingest_id` (landing = partition 0,
+  * each accepted batch its own partition) so appends are dynamic
+  * partition OVERWRITES — replay-idempotent — and a screen can bound
+  * which history it sees (`maxIngestId`). Durability: landing writes
+  * a `_LANDED` marker after all three tables; a NEW session whose
+  * in-memory catalog lost the table entries re-REGISTERS the existing
+  * files (schema DDL + partition recovery) instead of re-landing,
+  * which would erase every appended partition. ids are BIGINT by
+  * contract (the catalog's DDL is fixed).
+  *
   * The reference's incremental pipeline diffs new input against
   * PERSISTED state rather than re-walking history
   * (honeycomb/owt/hcOwt.py:250-331); this is that state store,
@@ -25,41 +36,67 @@ import graft.operators.Dedup
   */
 object DedupCatalog {
 
-  /** The three landed table names for one catalog. */
-  case class Handle(bandsT: String, shinglesT: String, sizesT: String)
+  /** The three landed table names + storage root for one catalog. */
+  case class Handle(bandsT: String, shinglesT: String, sizesT: String,
+      root: String)
 
-  private def handle(name: String): Handle = {
-    val n = name.replaceAll("[^A-Za-z0-9_]", "_")
+  /** Default durable-enough location for tests/gates; production
+    * passes its own `base` (a warehouse path) to [[land]].
+    */
+  def defaultBase: String = s"${sys.props("java.io.tmpdir")}/graft_ddcat"
+
+  private def handle(name: String, base: String): Handle = {
+    // sanitized for identifier safety + a hash of the RAW name so
+    // distinct names that sanitize alike ("run-1" vs "run_1") cannot
+    // silently share state
+    val n = name.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+      java.lang.Long.toHexString(graft.functions.TextImpl.fnv1a64(name)).take(8)
     Handle(s"graft_ddcat_${n}_bands", s"graft_ddcat_${n}_shingles",
-      s"graft_ddcat_${n}_sizes")
+      s"graft_ddcat_${n}_sizes", s"$base/graft_ddcat_$n")
   }
 
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val specs = Seq(
+    // (suffix -> (columns DDL, bucket col, sort cols))
+    "bands" -> ("doc BIGINT, bk STRING, ingest_id BIGINT", "bk", Seq("bk")),
+    "shingles" -> ("doc BIGINT, sg STRING, ingest_id BIGINT", "doc", Seq("doc", "sg")),
+    "sizes" -> ("doc BIGINT, n BIGINT, ingest_id BIGINT", "doc", Seq("doc")))
+
+  private def tables(h: Handle) = Seq(h.bandsT, h.shinglesT, h.sizesT)
+
   /** Land `histDocs` (a (doc_id, text, …) frame) as the screening
-    * catalog `name`, as ingest partition 0. Idempotent per (session
-    * catalog, name): if the three tables exist the handle comes back
-    * without recomputation — landing cost is paid once, every screen
-    * reads. The shingle and signature subtrees are pinned only for
-    * the landing writes and released before returning (scoped, so
-    * caller pins survive).
+    * catalog `name`, as ingest partition 0. Idempotent at two levels:
+    * registered tables come straight back; a `_LANDED` marker with
+    * missing catalog entries (new session over durable state)
+    * re-registers the existing files — appended partitions survive a
+    * restart; only a truly absent catalog is computed and written.
     */
   def land(spark: SparkSession, histDocs: DataFrame, name: String,
-      nBuckets: Int = 8): Handle = {
-    val h = handle(name)
-    if (Seq(h.bandsT, h.shinglesT, h.sizesT).forall(spark.catalog.tableExists))
+      nBuckets: Int = 8, base: String = defaultBase): Handle = {
+    val h = handle(name, base)
+    if (tables(h).forall(spark.catalog.tableExists)) return h
+    if (fs(spark, h.root).exists(new Path(s"${h.root}/_LANDED"))) {
+      tables(h).zip(specs).foreach { case (t, (sfx, (ddl, bcol, scols))) =>
+        BucketedLayout.register(spark, t, ddl, "ingest_id", bcol, scols,
+          nBuckets, s"${h.root}/$sfx")
+      }
       return h
+    }
     val m = graft.Shared.mark(spark)
     try {
       val sh = graft.Shared.materialize(
         Dedup.shinglesOf(histDocs, "doc").toDF("doc", "sg"))
       val sig = graft.Shared.materialize(Dedup.minhashSignaturesFrom(sh, "doc"))
-      val base = s"${sys.props("java.io.tmpdir")}/graft_ddcat"
       def part(df: DataFrame) = df.withColumn("ingest_id", lit(0L))
       BucketedLayout.write(part(Dedup.bandKeys(sig, "doc")), h.bandsT, "bk",
-        nBuckets, Seq("bk"), Some(s"$base/${h.bandsT}"), Seq("ingest_id"))
+        nBuckets, Seq("bk"), Some(s"${h.root}/bands"), Seq("ingest_id"))
       BucketedLayout.write(part(sh), h.shinglesT, "doc",
-        nBuckets, Seq("doc", "sg"), Some(s"$base/${h.shinglesT}"), Seq("ingest_id"))
+        nBuckets, Seq("doc", "sg"), Some(s"${h.root}/shingles"), Seq("ingest_id"))
       BucketedLayout.write(part(sig.select("doc", "n")), h.sizesT, "doc",
-        nBuckets, Seq("doc"), Some(s"$base/${h.sizesT}"), Seq("ingest_id"))
+        nBuckets, Seq("doc"), Some(s"${h.root}/sizes"), Seq("ingest_id"))
+      fs(spark, h.root).create(new Path(s"${h.root}/_LANDED")).close()
     } finally graft.Shared.releaseSince(spark, m)
     h
   }
@@ -67,13 +104,23 @@ object DedupCatalog {
   /** Screen a batch of documents against the landed catalog — the
     * per-ingest-batch operator. Everything batch-sized is derived
     * in-plan; everything history-sized is a bucketed table read.
+    *
+    * @param maxIngestId only screen against ingest partitions ≤ this
+    *   id (partition-pruned). The streaming append loop passes its
+    *   batch id so a crash-replayed batch cannot see the partition it
+    *   appended before the crash — without the bound, every survivor
+    *   would self-match at jac 1.0 on replay.
     */
   def screen(spark: SparkSession, batchDocs: DataFrame, h: Handle,
-      threshold: Double = Dedup.JaccardThreshold): DataFrame =
+      threshold: Double = Dedup.JaccardThreshold,
+      maxIngestId: Option[Long] = None): DataFrame = {
+    def tbl(t: String) =
+      maxIngestId.fold(spark.table(t))(x => spark.table(t).filter(col("ingest_id") <= x))
     Dedup.minhashLshScreen(Dedup.shinglesOf(batchDocs, "doc"),
-      spark.table(h.bandsT).select("doc", "bk"),
-      spark.table(h.shinglesT).select("doc", "sg"),
-      spark.table(h.sizesT).select("doc", "n"), threshold)
+      tbl(h.bandsT).select("doc", "bk"),
+      tbl(h.shinglesT).select("doc", "sg"),
+      tbl(h.sizesT).select("doc", "n"), threshold)
+  }
 
   /** Record `docs` (accepted batch members) into the catalog as
     * ingest partition `ingestId` so the next screen sees them as
@@ -99,5 +146,13 @@ object DedupCatalog {
       BucketedLayout.overwritePartitions(spark, part(sig.select("doc", "n")),
         h.sizesT)
     } finally graft.Shared.releaseSince(spark, m)
+  }
+
+  /** Drop the catalog: table entries AND files (a fresh stream over a
+    * reused location must start from a fresh catalog).
+    */
+  def drop(spark: SparkSession, h: Handle): Unit = {
+    tables(h).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    fs(spark, h.root).delete(new Path(h.root), true)
   }
 }

@@ -1,6 +1,8 @@
 package graft.plans
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** Landed embedding-screening catalog — the vector twin of
@@ -16,51 +18,82 @@ import graft.operators.Similarity
   *  - `<name>_vectors` (vec_id, embedding): the raw vectors, bucketed
   *    by `vec_id` — the decimal-verify join key.
   *
-  * Same persisted-state shape as the reference's incremental pipeline
-  * (honeycomb/owt/hcOwt.py:250-331 diffs new input against landed
-  * state), expressed as Spark bucketed tables.
+  * Partitioned by `ingest_id`, `_LANDED`-marked, and re-registrable
+  * in a fresh session exactly like [[DedupCatalog]] (appends are
+  * dynamic partition overwrites; restarts reattach instead of
+  * re-landing). Same persisted-state shape as the reference's
+  * incremental pipeline (honeycomb/owt/hcOwt.py:250-331 diffs new
+  * input against landed state), expressed as Spark bucketed tables.
   */
 object VecCatalog {
 
-  /** The two landed table names for one catalog. */
-  case class Handle(bucketsT: String, vectorsT: String)
+  /** The two landed table names + storage root for one catalog. */
+  case class Handle(bucketsT: String, vectorsT: String, root: String)
 
-  private def handle(name: String): Handle = {
-    val n = name.replaceAll("[^A-Za-z0-9_]", "_")
-    Handle(s"graft_vccat_${n}_buckets", s"graft_vccat_${n}_vectors")
+  /** Default durable-enough location for tests/gates; production
+    * passes its own `base` to [[land]].
+    */
+  def defaultBase: String = s"${sys.props("java.io.tmpdir")}/graft_vccat"
+
+  private def handle(name: String, base: String): Handle = {
+    val n = name.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+      java.lang.Long.toHexString(graft.functions.TextImpl.fnv1a64(name)).take(8)
+    Handle(s"graft_vccat_${n}_buckets", s"graft_vccat_${n}_vectors",
+      s"$base/graft_vccat_$n")
   }
 
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val specs = Seq(
+    "buckets" -> ("vec_id BIGINT, tk STRING, ingest_id BIGINT", "tk", Seq("tk")),
+    "vectors" -> ("vec_id BIGINT, embedding ARRAY<FLOAT>, ingest_id BIGINT",
+      "vec_id", Seq("vec_id")))
+
+  private def tables(h: Handle) = Seq(h.bucketsT, h.vectorsT)
+
   /** Land `histEmb` (a (vec_id, embedding) frame) as the screening
-    * catalog `name`, as ingest partition 0. Idempotent per (session
-    * catalog, name): if both tables exist the handle comes back
-    * without recomputation.
+    * catalog `name`, as ingest partition 0. Registered tables come
+    * straight back; `_LANDED` files with missing catalog entries are
+    * re-registered (appends survive restarts); only a truly absent
+    * catalog is computed.
     */
   def land(spark: SparkSession, histEmb: DataFrame, name: String,
-      nBuckets: Int = 8): Handle = {
-    val h = handle(name)
-    if (Seq(h.bucketsT, h.vectorsT).forall(spark.catalog.tableExists))
+      nBuckets: Int = 8, base: String = defaultBase): Handle = {
+    val h = handle(name, base)
+    if (tables(h).forall(spark.catalog.tableExists)) return h
+    if (fs(spark, h.root).exists(new Path(s"${h.root}/_LANDED"))) {
+      tables(h).zip(specs).foreach { case (t, (sfx, (ddl, bcol, scols))) =>
+        BucketedLayout.register(spark, t, ddl, "ingest_id", bcol, scols,
+          nBuckets, s"${h.root}/$sfx")
+      }
       return h
-    val base = s"${sys.props("java.io.tmpdir")}/graft_vccat"
-    import org.apache.spark.sql.functions.lit
+    }
     def part(df: DataFrame) = df.withColumn("ingest_id", lit(0L))
     BucketedLayout.write(part(Similarity.bucketKeys(histEmb, "vec_id")),
-      h.bucketsT, "tk", nBuckets, Seq("tk"), Some(s"$base/${h.bucketsT}"),
+      h.bucketsT, "tk", nBuckets, Seq("tk"), Some(s"${h.root}/buckets"),
       Seq("ingest_id"))
     BucketedLayout.write(part(histEmb.select("vec_id", "embedding")),
-      h.vectorsT, "vec_id", nBuckets, Seq("vec_id"), Some(s"$base/${h.vectorsT}"),
+      h.vectorsT, "vec_id", nBuckets, Seq("vec_id"), Some(s"${h.root}/vectors"),
       Seq("ingest_id"))
+    fs(spark, h.root).create(new Path(s"${h.root}/_LANDED")).close()
     h
   }
 
   /** Screen a batch of vectors against the landed catalog — the
-    * per-ingest-batch operator. Everything batch-sized is derived
-    * in-plan; everything history-sized is a bucketed table read.
+    * per-ingest-batch operator. `maxIngestId` bounds the visible
+    * history exactly like [[DedupCatalog.screen]] (the streaming
+    * append loop passes its batch id so a crash-replayed batch cannot
+    * self-match against its own pre-crash append).
     */
   def screen(spark: SparkSession, batchEmb: DataFrame, h: Handle,
-      threshold: Double = 0.95): DataFrame =
+      threshold: Double = 0.95, maxIngestId: Option[Long] = None): DataFrame = {
+    def tbl(t: String) =
+      maxIngestId.fold(spark.table(t))(x => spark.table(t).filter(col("ingest_id") <= x))
     Similarity.embeddingScreen(batchEmb,
-      spark.table(h.bucketsT).select("vec_id", "tk"),
-      spark.table(h.vectorsT).select("vec_id", "embedding"), threshold)
+      tbl(h.bucketsT).select("vec_id", "tk"),
+      tbl(h.vectorsT).select("vec_id", "embedding"), threshold)
+  }
 
   /** Record `emb` (accepted batch members) into the catalog as ingest
     * partition `ingestId` so the next screen sees them as history.
@@ -70,11 +103,16 @@ object VecCatalog {
   def append(spark: SparkSession, emb: DataFrame, h: Handle,
       ingestId: Long): Unit = {
     require(ingestId > 0, s"ingestId must be > 0 (0 is the landing): $ingestId")
-    import org.apache.spark.sql.functions.lit
     def part(df: DataFrame) = df.withColumn("ingest_id", lit(ingestId))
     BucketedLayout.overwritePartitions(spark,
       part(Similarity.bucketKeys(emb, "vec_id")), h.bucketsT)
     BucketedLayout.overwritePartitions(spark,
       part(emb.select("vec_id", "embedding")), h.vectorsT)
+  }
+
+  /** Drop the catalog: table entries AND files. */
+  def drop(spark: SparkSession, h: Handle): Unit = {
+    tables(h).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    fs(spark, h.root).delete(new Path(h.root), true)
   }
 }

@@ -37,11 +37,15 @@ object DocScreen {
     * `spark.read.parquet(sinkDir)` (the `batch_id` partition column
     * rides along).
     *
-    * The catalog is landed under a name derived from `checkpointDir`:
-    * a RESUMED stream (same checkpoint) reuses its landed history
-    * without recomputation; a stream over a different history must
-    * use a fresh checkpoint — or land its catalog explicitly and call
-    * [[screenAgainstCatalog]].
+    * The catalog is landed under a name derived from `checkpointDir`
+    * (raw-name-hashed, so distinct dirs can never share state): a
+    * RESUMED stream — same checkpoint, even in a NEW session after a
+    * crash — reattaches to the landed tables (and any appended
+    * survivor partitions) without recomputation. A stream over a
+    * different history must use a fresh checkpoint dir; reusing a
+    * checkpoint PATH after wiping its contents requires dropping the
+    * catalog too ([[DedupCatalog.drop]]) — batch ids restart at 0 and
+    * would collide with the previous run's ingest partitions.
     */
   def incrementalNeardupScreen(spark: SparkSession, srcDir: String,
       schema: StructType, histDocs: DataFrame,
@@ -70,8 +74,14 @@ object DocScreen {
     val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
       val s = batch.sparkSession
       // materialized once: the verdicts feed the sink write AND the
-      // accepted-set anti-join without recomputing the screen
-      val verdicts = DedupCatalog.screen(s, batch, cat).localCheckpoint(true)
+      // accepted-set anti-join without recomputing the screen. In the
+      // append loop the screen is BOUNDED to ingest partitions <=
+      // batchId: a batch replayed after a crash-after-append would
+      // otherwise see its own survivors (partition batchId+1) and
+      // flag every one as a jac-1.0 self-duplicate.
+      val verdicts = DedupCatalog.screen(s, batch, cat,
+        maxIngestId = if (appendAccepted) Some(batchId) else None)
+        .localCheckpoint(true)
       verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       if (appendAccepted)
         DedupCatalog.append(s,

@@ -30,10 +30,12 @@ object VecScreen {
     * (vec_id, embedding) frame); flagged rows land in `sinkDir`,
     * partitioned by micro-batch id.
     *
-    * The catalog is landed under a name derived from `checkpointDir`:
-    * a RESUMED stream (same checkpoint) reuses its landed history; a
-    * stream over a different history must use a fresh checkpoint — or
-    * land its catalog explicitly and call [[screenAgainstCatalog]].
+    * The catalog is landed under a name derived from `checkpointDir`
+    * (raw-name-hashed): a RESUMED stream — same checkpoint, even in a
+    * new session after a crash — reattaches to the landed tables and
+    * appended partitions without recomputation. Reusing a checkpoint
+    * PATH after wiping its contents requires [[VecCatalog.drop]] too
+    * (batch ids restart and would collide with old partitions).
     */
   def incrementalEmbScreen(spark: SparkSession, srcDir: String,
       schema: StructType, histEmb: DataFrame,
@@ -59,7 +61,12 @@ object VecScreen {
       maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
     val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
       val s = batch.sparkSession
-      val verdicts = VecCatalog.screen(s, batch, cat).localCheckpoint(true)
+      // bounded to ingest partitions <= batchId in the append loop so
+      // a crash-replayed batch cannot self-match against its own
+      // pre-crash append (see DocScreen)
+      val verdicts = VecCatalog.screen(s, batch, cat,
+        maxIngestId = if (appendAccepted) Some(batchId) else None)
+        .localCheckpoint(true)
       verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       if (appendAccepted)
         VecCatalog.append(s,

@@ -11,9 +11,10 @@ import graft.plans.DedupCatalog
 
 /** Landed near-dup catalog: the screen over bucketed state tables must
   * return exactly what the self-contained in-plan operator returns,
-  * appended batches must become visible history, and the candidate
-  * join must read the catalog WITHOUT shuffling it (the whole point of
-  * landing: per-batch cost scales with the batch).
+  * appended batches must become visible history (and survive session
+  * restarts AND replays), and the candidate join must read the catalog
+  * WITHOUT shuffling it (the whole point of landing: per-batch cost
+  * scales with the batch).
   */
 class DedupCatalogSpec extends AnyFunSuite {
 
@@ -28,10 +29,6 @@ class DedupCatalogSpec extends AnyFunSuite {
 
   private def docs = Tables.documents(spark, dir).select("doc_id", "text")
 
-  private def dropCat(name: String): Unit =
-    Seq("bands", "shingles", "sizes").foreach(s =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_ddcat_${name}_$s"))
-
   test("screen against the landed catalog equals the in-plan incremental screen") {
     val hist = docs.filter(col("doc_id") % 2 === 0)
     val twin = docs.select((col("doc_id") + 1).as("doc_id"), col("text").as("h_text"))
@@ -40,8 +37,8 @@ class DedupCatalogSpec extends AnyFunSuite {
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 3, concat(col("h_text"), lit(" zz")))
           .otherwise(col("text")).as("text"))
+    val cat = DedupCatalog.land(spark, hist, "spec_parity")
     try {
-      val cat = DedupCatalog.land(spark, hist, "spec_parity")
       val got = DedupCatalog.screen(spark, batch, cat).collect().toSeq
       Shared.releaseAll(spark)
       val want = Dedup.minhashLshIncremental(
@@ -49,18 +46,18 @@ class DedupCatalogSpec extends AnyFunSuite {
       Shared.releaseAll(spark)
       assert(want.nonEmpty, "no catalog matches in the corpus")
       assert(got === want)
-    } finally dropCat("spec_parity")
+    } finally DedupCatalog.drop(spark, cat)
   }
 
-  test("append makes a batch part of history for the next screen") {
+  test("append makes a batch part of history; replay and ingest bounds hold") {
     val hist = docs.filter(col("doc_id") < 100)
     val batch1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
     // batch2 plants a near-dup of a batch1 doc (not of original history)
     val batch2 = docs.filter(col("doc_id") === 260)
       .select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"))
+    val cat = DedupCatalog.land(spark, hist, "spec_append")
     try {
-      val cat = DedupCatalog.land(spark, hist, "spec_append")
       // before the append, batch2's twin is unknown to the catalog
       val before = DedupCatalog.screen(spark, batch2, cat).collect()
       Shared.releaseAll(spark)
@@ -81,7 +78,38 @@ class DedupCatalogSpec extends AnyFunSuite {
       Shared.releaseAll(spark)
       assert(replay.toSeq.map(_.toString) === after.toSeq.map(_.toString),
         "replayed append changed screen results")
-    } finally dropCat("spec_append")
+      // the ingest bound the streaming replay path relies on: with
+      // maxIngestId = 0 the appended partition is invisible
+      val bounded = DedupCatalog.screen(spark, batch2, cat,
+        maxIngestId = Some(0L)).collect()
+      Shared.releaseAll(spark)
+      assert(!bounded.exists(_.getLong(0) == 10260L),
+        "maxIngestId=0 still sees the appended partition")
+    } finally DedupCatalog.drop(spark, cat)
+  }
+
+  test("a fresh session catalog reattaches to landed state without losing appends") {
+    val hist = docs.filter(col("doc_id") < 100)
+    val batch1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+    val batch2 = docs.filter(col("doc_id") === 260)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val cat = DedupCatalog.land(spark, hist, "spec_restart")
+    try {
+      DedupCatalog.append(spark, batch1, cat, ingestId = 1)
+      // simulate a crash-restart: the in-memory catalog loses the
+      // table entries, the files survive (external tables)
+      Seq(cat.bandsT, cat.shinglesT, cat.sizesT)
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+      val cat2 = DedupCatalog.land(spark, hist, "spec_restart")
+      assert(cat2 === cat)
+      // the appended partition must still be visible — a re-land from
+      // histDocs alone would have erased batch1's survivors
+      val after = DedupCatalog.screen(spark, batch2, cat2).collect()
+      Shared.releaseAll(spark)
+      assert(after.exists(r => r.getLong(0) == 10260L && r.getLong(2) == 260L),
+        s"appended history lost across the restart: ${after.toSeq}")
+    } finally DedupCatalog.drop(spark, cat)
   }
 
   test("candidate join reads the landed band table without shuffling it") {
@@ -91,8 +119,8 @@ class DedupCatalogSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val hist = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
+    val cat = DedupCatalog.land(spark, hist, "spec_plan")
     try {
-      val cat = DedupCatalog.land(spark, hist, "spec_plan")
       val df = DedupCatalog.screen(spark, batch, cat)
       df.collect()
       val top = df.queryExecution.executedPlan match {
@@ -127,7 +155,7 @@ class DedupCatalogSpec extends AnyFunSuite {
       Shared.releaseAll(spark)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      dropCat("spec_plan")
+      DedupCatalog.drop(spark, cat)
     }
   }
 }

@@ -261,8 +261,7 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.DocScreen.screenAgainstCatalog(
         spark, src, f1.schema, cat, sink, chk, appendAccepted = true)
       assert(spark.read.parquet(sink).count() === flagged.size.toLong)
-    } finally Seq(cat.bandsT, cat.shinglesT, cat.sizesT)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally graft.plans.DedupCatalog.drop(spark, cat)
   }
 
   test("streaming embedding screen equals the batch screen, any micro-batching") {
@@ -334,8 +333,7 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.VecScreen.screenAgainstCatalog(
         spark, src, f1.schema, cat, sink, chk, appendAccepted = true)
       assert(spark.read.parquet(sink).count() === flagged.size.toLong)
-    } finally Seq(cat.bucketsT, cat.vectorsT)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally graft.plans.VecCatalog.drop(spark, cat)
   }
 
   test("streaming beacon DAG equals the batch pipeline") {

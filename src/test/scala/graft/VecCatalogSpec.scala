@@ -27,10 +27,6 @@ class VecCatalogSpec extends AnyFunSuite {
 
   private def emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
 
-  private def dropCat(name: String): Unit =
-    Seq("buckets", "vectors").foreach(s =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_vccat_${name}_$s"))
-
   /** hist = even ids, batch = odd ids with every 7th === 3 (mod 7)
     * replaced by its even twin's embedding (exact copy, cos 1.0).
     */
@@ -47,13 +43,13 @@ class VecCatalogSpec extends AnyFunSuite {
 
   test("screen against the landed catalog equals the in-plan incremental screen") {
     val (hist, batch) = split
+    val cat = VecCatalog.land(spark, hist, "spec_parity")
     try {
-      val cat = VecCatalog.land(spark, hist, "spec_parity")
       val got = VecCatalog.screen(spark, batch, cat).collect().toSeq
       val want = Similarity.embeddingNearDupIncremental(batch, hist).collect().toSeq
       assert(want.nonEmpty, "no catalog matches in the corpus")
       assert(got === want)
-    } finally dropCat("spec_parity")
+    } finally VecCatalog.drop(spark, cat)
   }
 
   test("append makes a batch part of history for the next screen") {
@@ -63,8 +59,8 @@ class VecCatalogSpec extends AnyFunSuite {
     // history)
     val batch2 = emb.filter(col("vec_id") === 260)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val cat = VecCatalog.land(spark, hist, "spec_append")
     try {
-      val cat = VecCatalog.land(spark, hist, "spec_append")
       val before = VecCatalog.screen(spark, batch2, cat).collect()
       assert(!before.exists(_.getLong(0) == 10260L),
         "twin flagged before its source vector entered history")
@@ -79,15 +75,20 @@ class VecCatalogSpec extends AnyFunSuite {
       val replay = VecCatalog.screen(spark, batch2, cat).collect()
       assert(replay.toSeq.map(_.toString) === after.toSeq.map(_.toString),
         "replayed append changed screen results")
-    } finally dropCat("spec_append")
+      // the ingest bound the streaming replay path relies on
+      val bounded = VecCatalog.screen(spark, batch2, cat,
+        maxIngestId = Some(0L)).collect()
+      assert(!bounded.exists(_.getLong(0) == 10260L),
+        "maxIngestId=0 still sees the appended partition")
+    } finally VecCatalog.drop(spark, cat)
   }
 
   test("candidate join reads the landed bucket table without shuffling it") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (hist, batch) = split
+    val cat = VecCatalog.land(spark, hist, "spec_plan")
     try {
-      val cat = VecCatalog.land(spark, hist, "spec_plan")
       val df = VecCatalog.screen(spark, batch, cat)
       df.collect()
       val top = df.queryExecution.executedPlan match {
@@ -119,7 +120,7 @@ class VecCatalogSpec extends AnyFunSuite {
       }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      dropCat("spec_plan")
+      VecCatalog.drop(spark, cat)
     }
   }
 }
