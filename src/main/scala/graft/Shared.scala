@@ -34,24 +34,35 @@ object Shared {
     reg.remove(spark).foreach(_.foreach(_.unpersist(false)))
   }
 
-  /** Scope mark: the number of frames currently pinned on `spark`.
-    * Pair with [[releaseSince]] so a library step that pins
-    * intermediates can release exactly its own — a blanket
+  /** Scope mark: an identity snapshot of the frames currently pinned
+    * on `spark`. Pair with [[releaseSince]] so a library step that
+    * pins intermediates can release exactly its own — a blanket
     * [[releaseAll]] from inside a library method would also unpin
     * whatever the CALLER had materialized (a session-global side
     * effect the round-9 advice flagged in the streaming screen).
+    *
+    * Identity-based, not count-based: with a plain length mark,
+    * another thread pinning on the same session between a library's
+    * mark() and its releaseSince() would shift the count, and the
+    * CALLER's frames (counted as "since the mark") would get
+    * unpersisted while the library's own stayed pinned. The snapshot
+    * makes releaseSince precise under interleaving.
     */
-  def mark(spark: SparkSession): Int = synchronized {
-    reg.getOrElse(spark, Nil).length
+  def mark(spark: SparkSession): List[DataFrame] = synchronized {
+    reg.getOrElse(spark, Nil)
   }
 
-  /** Unpersist only the frames pinned on `spark` after `mark` was
-    * taken; anything pinned before stays registered and cached.
+  /** Unpersist only the frames pinned on `spark` that were NOT in the
+    * `mark` snapshot (reference identity); anything pinned before —
+    * or by another thread and present at mark time — stays registered
+    * and cached.
     */
-  def releaseSince(spark: SparkSession, mark: Int): Unit = synchronized {
-    val cur = reg.getOrElse(spark, Nil)
-    val keep = cur.takeRight(mark)
-    cur.dropRight(mark).foreach(_.unpersist(false))
+  def releaseSince(spark: SparkSession, mark: List[DataFrame]): Unit = synchronized {
+    val marked = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    mark.foreach(marked.add)
+    val (keep, release) = reg.getOrElse(spark, Nil).partition(marked.contains)
+    release.foreach(_.unpersist(false))
     if (keep.isEmpty) reg.remove(spark) else reg.update(spark, keep)
   }
 }

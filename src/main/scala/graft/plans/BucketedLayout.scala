@@ -72,13 +72,16 @@ object BucketedLayout {
     * aligned by name to the table's schema (insertInto is positional).
     */
   def overwritePartitions(spark: SparkSession, df: DataFrame,
-      table: String): Unit = {
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.select(spark.table(table).columns.map(col): _*)
-      .write.mode("overwrite").insertInto(table)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-  }
+      table: String): Unit =
+    // per-WRITE overwrite mode (not a session-conf toggle): two
+    // concurrent appends on one session — a doc stream and a vec
+    // stream sharing a SparkSession — could otherwise race on the
+    // shared conf, and a restore-to-static mid-write would turn the
+    // other write's dynamic overwrite into a full-table overwrite
+    // erasing every other ingest partition
+    df.select(spark.table(table).columns.map(col): _*)
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").insertInto(table)
 
   /** Per-key aggregation over a bucketed table: count + byte total per
     * bucket key. On a table bucketed by `key` this plans with zero

@@ -51,9 +51,24 @@ object DocScreen {
       schema: StructType, histDocs: DataFrame,
       sinkDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
-    val cat = DedupCatalog.land(spark, histDocs, s"scr_$checkpointDir")
+    val cat = DedupCatalog.land(spark, histDocs,
+      s"scr_${canonical(spark, checkpointDir)}")
     screenAgainstCatalog(spark, srcDir, schema, cat, sinkDir, checkpointDir,
       maxFilesPerTrigger, appendAccepted)
+  }
+
+  /** Canonical form of the checkpoint path for catalog-name
+    * derivation: the catalog identity must be the checkpoint's
+    * PHYSICAL location, not its spelling — the same dir referenced as
+    * relative vs absolute vs trailing-slash after a restart would
+    * otherwise hash to a different catalog name, and the resumed
+    * stream would land a FRESH catalog (losing all appended survivor
+    * history) while the checkpoint replays offsets against it.
+    */
+  private[streaming] def canonical(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.toString
   }
 
   /** The production entry point: screen against an already-landed

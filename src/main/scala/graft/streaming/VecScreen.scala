@@ -41,7 +41,11 @@ object VecScreen {
       schema: StructType, histEmb: DataFrame,
       sinkDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
-    val cat = VecCatalog.land(spark, histEmb, s"scr_$checkpointDir")
+    // canonicalized like DocScreen: catalog identity = the physical
+    // checkpoint location, not its spelling (a relative-vs-absolute
+    // respelling after restart must reattach, not land fresh)
+    val cat = VecCatalog.land(spark, histEmb,
+      s"scr_${DocScreen.canonical(spark, checkpointDir)}")
     screenAgainstCatalog(spark, srcDir, schema, cat, sinkDir, checkpointDir,
       maxFilesPerTrigger, appendAccepted)
   }
