@@ -71,17 +71,26 @@ object BucketedLayout {
     * downstream counts, not just duplicate output). Columns are
     * aligned by name to the table's schema (insertInto is positional).
     */
+  /** Serializes every [[overwritePartitions]] in the JVM: the dynamic
+    * mode can only be set on the session conf (a DataFrameWriter
+    * option does not reach insertInto's plan — verified: appends
+    * collapse to one partition — and session cloning is private[sql]),
+    * and two concurrent appends racing a set/restore toggle could
+    * leave one mid-write when the other restores `static`, turning a
+    * dynamic overwrite into a full-table overwrite that erases every
+    * other ingest partition. All partition-overwrite writes must go
+    * through this method; the toggle-restore window is the lock.
+    */
+  private val overwriteLock = new Object
+
   def overwritePartitions(spark: SparkSession, df: DataFrame,
-      table: String): Unit =
-    // per-WRITE overwrite mode (not a session-conf toggle): two
-    // concurrent appends on one session — a doc stream and a vec
-    // stream sharing a SparkSession — could otherwise race on the
-    // shared conf, and a restore-to-static mid-write would turn the
-    // other write's dynamic overwrite into a full-table overwrite
-    // erasing every other ingest partition
-    df.select(spark.table(table).columns.map(col): _*)
-      .write.option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").insertInto(table)
+      table: String): Unit = overwriteLock.synchronized {
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.select(spark.table(table).columns.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
 
   /** Per-key aggregation over a bucketed table: count + byte total per
     * bucket key. On a table bucketed by `key` this plans with zero

@@ -78,10 +78,22 @@ object DedupCatalog {
     val h = handle(name, base)
     if (tables(h).forall(spark.catalog.tableExists)) return h
     if (fs(spark, h.root).exists(new Path(s"${h.root}/_LANDED"))) {
+      // the PERSISTED bucket count wins over the call-site parameter:
+      // files were written with the original nBuckets, and a restart
+      // that re-registers with a different count makes Spark's
+      // bucketed scan silently drop files whose bucket id >= declared
+      // count (and breaks co-partitioned join assumptions) — the
+      // files dictate the spec, not the caller's default argument.
+      // Markers from before this field default to the parameter.
+      val nb = CatalogMaintenance.readFile(fs(spark, h.root),
+          new Path(s"${h.root}/_LANDED"))
+        .flatMap(s => scala.util.Try(s.stripPrefix("nBuckets=").trim.toInt).toOption)
+        .getOrElse(nBuckets)
       tables(h).zip(specs).foreach { case (t, (sfx, (ddl, bcol, scols))) =>
         BucketedLayout.register(spark, t, ddl, "ingest_id", bcol, scols,
-          nBuckets, s"${h.root}/$sfx")
+          nb, s"${h.root}/$sfx")
       }
+      CatalogMaintenance.recover(spark, tset(h))
       return h
     }
     val m = graft.Shared.mark(spark)
@@ -96,10 +108,36 @@ object DedupCatalog {
         nBuckets, Seq("doc", "sg"), Some(s"${h.root}/shingles"), Seq("ingest_id"))
       BucketedLayout.write(part(sig.select("doc", "n")), h.sizesT, "doc",
         nBuckets, Seq("doc"), Some(s"${h.root}/sizes"), Seq("ingest_id"))
-      fs(spark, h.root).create(new Path(s"${h.root}/_LANDED")).close()
+      // marker carries the bucket count so a restart re-registers the
+      // spec the files were actually written with
+      CatalogMaintenance.writeFile(fs(spark, h.root),
+        new Path(s"${h.root}/_LANDED"), s"nBuckets=$nBuckets")
     } finally graft.Shared.releaseSince(spark, m)
     h
   }
+
+  private def tset(h: Handle) = CatalogMaintenance.TableSet(tables(h),
+    specs.map { case (sfx, _) => s"${h.root}/$sfx" }, h.root)
+
+  /** Fold ingest partitions 0..`upToIngestId` into the landing
+    * (partition 0) — same rows, same bucketing, a fraction of the
+    * partitions/files. Screen verdicts are identical before and after;
+    * appends and screen bounds at or below the fold are rejected
+    * afterwards ([[CatalogMaintenance]] for the full contract). Only
+    * compact up to checkpoint-COMMITTED batch ids.
+    */
+  def compact(spark: SparkSession, h: Handle, upToIngestId: Long): Unit =
+    CatalogMaintenance.compact(spark, tset(h), upToIngestId)
+
+  /** Retention: drop ingest partitions below `minIngestId` (the aged
+    * state is forgotten, the reference's cleanUp.py analog).
+    */
+  def expire(spark: SparkSession, h: Handle, minIngestId: Long): Unit =
+    CatalogMaintenance.expire(spark, tset(h), minIngestId)
+
+  /** The catalog's maintenance floor (0 = never maintained). */
+  def floor(spark: SparkSession, h: Handle): Long =
+    CatalogMaintenance.readFloor(spark, h.root)
 
   /** Screen a batch of documents against the landed catalog — the
     * per-ingest-batch operator. Everything batch-sized is derived
@@ -114,6 +152,16 @@ object DedupCatalog {
   def screen(spark: SparkSession, batchDocs: DataFrame, h: Handle,
       threshold: Double = Dedup.JaccardThreshold,
       maxIngestId: Option[Long] = None): DataFrame = {
+    // a bound below the maintenance floor cannot be honored: folded
+    // partition 0 contains batches up to the floor, so the filter
+    // would silently include history the caller asked to exclude
+    // (a compacted-away replay would self-match) — fail loudly instead
+    maxIngestId.foreach { x =>
+      val f = CatalogMaintenance.readFloor(spark, h.root)
+      require(x >= f,
+        s"screen bound $x is below the catalog's maintenance floor $f " +
+          s"(batches <= $f were compacted/expired; replaying one is invalid)")
+    }
     def tbl(t: String) =
       maxIngestId.fold(spark.table(t))(x => spark.table(t).filter(col("ingest_id") <= x))
     Dedup.minhashLshScreen(Dedup.shinglesOf(batchDocs, "doc"),
@@ -134,6 +182,11 @@ object DedupCatalog {
   def append(spark: SparkSession, docs: DataFrame, h: Handle,
       ingestId: Long): Unit = {
     require(ingestId > 0, s"ingestId must be > 0 (0 is the landing): $ingestId")
+    val f = CatalogMaintenance.readFloor(spark, h.root)
+    require(ingestId > f,
+      s"ingestId $ingestId is at or below the maintenance floor $f: that " +
+        "batch's state was folded into the landing (or expired) — " +
+        "re-appending it would duplicate state rows and corrupt screens")
     val m = graft.Shared.mark(spark)
     try {
       val sh = graft.Shared.materialize(

@@ -63,10 +63,18 @@ object VecCatalog {
     val h = handle(name, base)
     if (tables(h).forall(spark.catalog.tableExists)) return h
     if (fs(spark, h.root).exists(new Path(s"${h.root}/_LANDED"))) {
+      // persisted bucket count wins over the call-site parameter (see
+      // DedupCatalog.land: a mismatched re-register makes the bucketed
+      // scan silently drop files); pre-field markers fall back to it
+      val nb = CatalogMaintenance.readFile(fs(spark, h.root),
+          new Path(s"${h.root}/_LANDED"))
+        .flatMap(s => scala.util.Try(s.stripPrefix("nBuckets=").trim.toInt).toOption)
+        .getOrElse(nBuckets)
       tables(h).zip(specs).foreach { case (t, (sfx, (ddl, bcol, scols))) =>
         BucketedLayout.register(spark, t, ddl, "ingest_id", bcol, scols,
-          nBuckets, s"${h.root}/$sfx")
+          nb, s"${h.root}/$sfx")
       }
+      CatalogMaintenance.recover(spark, tset(h))
       return h
     }
     def part(df: DataFrame) = df.withColumn("ingest_id", lit(0L))
@@ -76,9 +84,27 @@ object VecCatalog {
     BucketedLayout.write(part(histEmb.select("vec_id", "embedding")),
       h.vectorsT, "vec_id", nBuckets, Seq("vec_id"), Some(s"${h.root}/vectors"),
       Seq("ingest_id"))
-    fs(spark, h.root).create(new Path(s"${h.root}/_LANDED")).close()
+    CatalogMaintenance.writeFile(fs(spark, h.root),
+      new Path(s"${h.root}/_LANDED"), s"nBuckets=$nBuckets")
     h
   }
+
+  private def tset(h: Handle) = CatalogMaintenance.TableSet(tables(h),
+    specs.map { case (sfx, _) => s"${h.root}/$sfx" }, h.root)
+
+  /** Fold ingest partitions 0..`upToIngestId` into the landing — the
+    * vector twin of [[DedupCatalog.compact]]; same contract.
+    */
+  def compact(spark: SparkSession, h: Handle, upToIngestId: Long): Unit =
+    CatalogMaintenance.compact(spark, tset(h), upToIngestId)
+
+  /** Retention: drop ingest partitions below `minIngestId`. */
+  def expire(spark: SparkSession, h: Handle, minIngestId: Long): Unit =
+    CatalogMaintenance.expire(spark, tset(h), minIngestId)
+
+  /** The catalog's maintenance floor (0 = never maintained). */
+  def floor(spark: SparkSession, h: Handle): Long =
+    CatalogMaintenance.readFloor(spark, h.root)
 
   /** Screen a batch of vectors against the landed catalog — the
     * per-ingest-batch operator. `maxIngestId` bounds the visible
@@ -88,6 +114,14 @@ object VecCatalog {
     */
   def screen(spark: SparkSession, batchEmb: DataFrame, h: Handle,
       threshold: Double = 0.95, maxIngestId: Option[Long] = None): DataFrame = {
+    // bounds below the maintenance floor are invalid (see
+    // DedupCatalog.screen: the fold makes them unhonorable)
+    maxIngestId.foreach { x =>
+      val f = CatalogMaintenance.readFloor(spark, h.root)
+      require(x >= f,
+        s"screen bound $x is below the catalog's maintenance floor $f " +
+          s"(batches <= $f were compacted/expired; replaying one is invalid)")
+    }
     def tbl(t: String) =
       maxIngestId.fold(spark.table(t))(x => spark.table(t).filter(col("ingest_id") <= x))
     Similarity.embeddingScreen(batchEmb,
@@ -103,6 +137,11 @@ object VecCatalog {
   def append(spark: SparkSession, emb: DataFrame, h: Handle,
       ingestId: Long): Unit = {
     require(ingestId > 0, s"ingestId must be > 0 (0 is the landing): $ingestId")
+    val f = CatalogMaintenance.readFloor(spark, h.root)
+    require(ingestId > f,
+      s"ingestId $ingestId is at or below the maintenance floor $f: that " +
+        "batch's state was folded into the landing (or expired) — " +
+        "re-appending it would duplicate state rows and corrupt screens")
     def part(df: DataFrame) = df.withColumn("ingest_id", lit(ingestId))
     BucketedLayout.overwritePartitions(spark,
       part(Similarity.bucketKeys(emb, "vec_id")), h.bucketsT)

@@ -85,6 +85,35 @@ object TrainingPack {
     graft.plans.DedupCatalog.screen(s, batch, cat)
   }
 
+  /** The catalog MAINTENANCE lifecycle under the oracle: the same
+    * even-vs-odd screen as [[ddIncrementalNeardup]], but the even
+    * history reaches the catalog as a landing plus two appended ingest
+    * batches that are then COMPACTED into the landing partition before
+    * the screen runs. The oracle (identical SQL — history = all evens)
+    * proves compaction is a pure layout change: fold partitions, drop
+    * files, verdicts bit-identical. Re-runs in one session skip the
+    * already-done lifecycle via the persisted maintenance floor.
+    */
+  val ddCompactedNeardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val twin = docs.select((col("doc_id") + 1).as("doc_id"), col("text").as("h_text"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .join(twin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("h_text"), lit(" zz")))
+          .otherwise(col("text")).as("text"))
+    val cat = graft.plans.DedupCatalog.land(s,
+      docs.filter(col("doc_id") % 6 === 0), s"cmp_$d")
+    if (graft.plans.DedupCatalog.floor(s, cat) < 2) {
+      graft.plans.DedupCatalog.append(s,
+        docs.filter(col("doc_id") % 6 === 2), cat, ingestId = 1)
+      graft.plans.DedupCatalog.append(s,
+        docs.filter(col("doc_id") % 6 === 4), cat, ingestId = 2)
+      graft.plans.DedupCatalog.compact(s, cat, upToIngestId = 2)
+    }
+    graft.plans.DedupCatalog.screen(s, batch, cat)
+  }
+
   val ddMinhashLsh: Q = (s, d) => Dedup.minhashLsh(s, d)
 
   /** MinHash LSH with the adversarial-bucket guardrails ENGAGED:
@@ -570,6 +599,7 @@ object TrainingPack {
     "dd_incremental_dedup" -> ddIncremental,
     "dd_ngram_jaccard"     -> ddNgramJaccard,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
+    "dd_compacted_neardup" -> ddCompactedNeardup,
     "dd_minhash_lsh"       -> ddMinhashLsh,
     "dd_minhash_lsh_capped" -> ddMinhashLshCapped,
     "dd_neardup_clusters"  -> ddNeardupClusters,
@@ -639,6 +669,36 @@ object TrainingPack {
        |  WHERE len(ts) >= 5),
        |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY doc_id),
        |${minhashSigBandCtes(p)}""".stripMargin
+
+  /** The two-sided incremental screen oracle (batch = odds with
+    * planted twins, history = all evens) — shared by the plain
+    * incremental gate and the compacted-catalog gate.
+    */
+  private lazy val incrementalNeardupSql =
+    s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |batch AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 7 = 3 THEN h.text || ' zz' ELSE d.text END AS text
+       |  FROM documents d LEFT JOIN documents h ON h.doc_id = d.doc_id - 1
+       |  WHERE d.doc_id % 2 = 1),
+       |${lshSideCtes("b", "batch")},
+       |${lshSideCtes("h", "hist")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS b, c.doc_id AS h
+       |  FROM bbands a JOIN hbands c ON a.band = c.band AND a.bh = c.bh),
+       |inter AS (
+       |  SELECT c.b, c.h, count(*) AS cnt
+       |  FROM cand c JOIN bsh s1 ON s1.doc_id = c.b
+       |  JOIN hsh s2 ON s2.doc_id = c.h AND s2.sg = s1.sg
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT b, h, CAST(cnt AS DOUBLE) / (sb.n + sh2.n - cnt) AS jac
+       |  FROM inter JOIN bsizes sb ON sb.doc_id = b
+       |  JOIN hsizes sh2 ON sh2.doc_id = h)
+       |SELECT b AS doc_id, count(*) AS n_matches, min(h) AS matched_id,
+       |  ROUND(max(jac), 3) AS jac
+       |FROM scored WHERE jac >= 0.8
+       |GROUP BY b ORDER BY doc_id""".stripMargin
 
   /** MinHash-LSH candidate pipeline in SQL (signatures → bands →
     * band-bucket candidates → shingle-intersection counts), shared by
@@ -850,31 +910,12 @@ object TrainingPack {
     // the incremental pipeline replayed two-sided: batch (odd ids,
     // with the planted even-twin near-dups) screened against the
     // history catalog (even ids) — bands join, verify, per-doc rollup
-    "dd_incremental_neardup" ->
-      s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-         |batch AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN d.doc_id % 7 = 3 THEN h.text || ' zz' ELSE d.text END AS text
-         |  FROM documents d LEFT JOIN documents h ON h.doc_id = d.doc_id - 1
-         |  WHERE d.doc_id % 2 = 1),
-         |${lshSideCtes("b", "batch")},
-         |${lshSideCtes("h", "hist")},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS b, c.doc_id AS h
-         |  FROM bbands a JOIN hbands c ON a.band = c.band AND a.bh = c.bh),
-         |inter AS (
-         |  SELECT c.b, c.h, count(*) AS cnt
-         |  FROM cand c JOIN bsh s1 ON s1.doc_id = c.b
-         |  JOIN hsh s2 ON s2.doc_id = c.h AND s2.sg = s1.sg
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT b, h, CAST(cnt AS DOUBLE) / (sb.n + sh2.n - cnt) AS jac
-         |  FROM inter JOIN bsizes sb ON sb.doc_id = b
-         |  JOIN hsizes sh2 ON sh2.doc_id = h)
-         |SELECT b AS doc_id, count(*) AS n_matches, min(h) AS matched_id,
-         |  ROUND(max(jac), 3) AS jac
-         |FROM scored WHERE jac >= 0.8
-         |GROUP BY b ORDER BY doc_id""".stripMargin,
+    "dd_incremental_neardup" -> incrementalNeardupSql,
+
+    // same oracle VERBATIM: the Spark side assembles the even history
+    // as landing + two appends + compaction — a pure layout change
+    // the screen result must be blind to
+    "dd_compacted_neardup" -> incrementalNeardupSql,
 
     "dd_minhash_lsh" ->
       s"""WITH $shCte,
