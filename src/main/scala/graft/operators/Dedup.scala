@@ -184,10 +184,22 @@ object Dedup {
       threshold: Double = JaccardThreshold,
       maxBucket: Option[Int] = None,
       materialize: Boolean = true,
+      capStar: Boolean = false): DataFrame =
+    minhashLshFrom(shingleTable(spark, dir, "doc"), threshold, maxBucket,
+      materialize, capStar)
+
+  /** Same operator over an arbitrary shingle table `(doc, sg)` — the
+    * seam the ingest screens use to near-dup a micro-batch WITHIN
+    * itself before screening it against the catalog.
+    */
+  def minhashLshFrom(sh: DataFrame,
+      threshold: Double = JaccardThreshold,
+      maxBucket: Option[Int] = None,
+      materialize: Boolean = true,
       capStar: Boolean = false): DataFrame = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) graft.Shared.materialize(df) else df
-    val shM = mat(shingleTable(spark, dir, "doc"))
+    val shM = mat(sh.toDF("doc", "sg"))
     val sig = mat(minhashSignaturesFrom(shM, "doc"))
     val bandsRaw = banded(sig, "doc")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
@@ -397,6 +409,31 @@ object Dedup {
     // converged state is a set of stars: every edge is (member, root)
     cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(cur.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+  }
+
+  /** Component-min verdicts for WITHIN-batch near-dups, from any pair
+    * frame `(i, j, score)`: pairs are closed into connected components
+    * and every member except the component min is flagged —
+    * `(id, n_matches, matched_id = component min, score = best
+    * incident pair score)`, the same verdict shape the catalog screens
+    * emit. Composed with a catalog screen this implements transitive
+    * one-survivor-per-duplicate-set semantics: if the component min is
+    * itself catalog-flagged, the whole set's survivor is the history
+    * doc (every batch member drops); otherwise the min survives.
+    */
+  def intraBatchVerdicts(pairs: DataFrame, idName: String,
+      scoreName: String): DataFrame = {
+    val p = pairs.toDF("i", "j", "s")
+    val comp = connectedComponents(p.select("i", "j"))
+    val sym = p.select(col("i").as("id"), col("s"))
+      .union(p.select(col("j").as("id"), col("s")))
+    val agg = sym.groupBy("id").agg(count(lit(1)).as("n_matches"),
+      max(col("s")).as("s"))
+    comp.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id"), col("cluster_id"))
+      .join(agg, "id")
+      .select(col("id").as(idName), col("n_matches"),
+        col("cluster_id").as("matched_id"), col("s").as(scoreName))
   }
 
   /** SimHash per document (engine-native 64-bit LongType). */

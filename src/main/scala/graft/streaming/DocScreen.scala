@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
+import graft.operators.Dedup
 import graft.plans.DedupCatalog
 
 /** Streaming dedup-at-ingest: new documents arriving as files are
@@ -94,9 +95,24 @@ object DocScreen {
       // batchId: a batch replayed after a crash-after-append would
       // otherwise see its own survivors (partition batchId+1) and
       // flag every one as a jac-1.0 self-duplicate.
-      val verdicts = DedupCatalog.screen(s, batch, cat,
+      val catalogV = DedupCatalog.screen(s, batch, cat,
         maxIngestId = if (appendAccepted) Some(batchId) else None)
         .localCheckpoint(true)
+      // the ingest loop additionally near-dups the batch WITHIN itself
+      // (component-min survives): without this, two mutual near-dups
+      // arriving in the SAME micro-batch both pass the catalog-only
+      // screen and both land as "history". Catalog verdicts win for a
+      // doc flagged by both (the anti-join), and a component whose min
+      // is catalog-flagged drops entirely — its survivor is the
+      // history doc (transitive one-survivor-per-set). Stateless mode
+      // (appendAccepted=false) keeps the pure catalog screen, whose
+      // verdicts are independent of micro-batching by construction.
+      val verdicts = if (!appendAccepted) catalogV else {
+        val intra = Dedup.intraBatchVerdicts(
+          Dedup.minhashLshFrom(Dedup.shinglesOf(batch, "doc")), "doc_id", "jac")
+          .join(catalogV.select("doc_id"), Seq("doc_id"), "left_anti")
+        catalogV.unionByName(intra).localCheckpoint(true)
+      }
       verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       if (appendAccepted)
         DedupCatalog.append(s,

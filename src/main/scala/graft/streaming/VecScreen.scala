@@ -68,9 +68,19 @@ object VecScreen {
       // bounded to ingest partitions <= batchId in the append loop so
       // a crash-replayed batch cannot self-match against its own
       // pre-crash append (see DocScreen)
-      val verdicts = VecCatalog.screen(s, batch, cat,
+      val catalogV = VecCatalog.screen(s, batch, cat,
         maxIngestId = if (appendAccepted) Some(batchId) else None)
         .localCheckpoint(true)
+      // ingest loop: near-dup the batch WITHIN itself too
+      // (component-min survives) — two mutual near-dup vectors in one
+      // micro-batch must not both enter the catalog (see DocScreen)
+      val verdicts = if (!appendAccepted) catalogV else {
+        val intra = graft.operators.Dedup.intraBatchVerdicts(
+          graft.operators.Similarity.embeddingNearDupLshFrom(batch),
+          "vec_id", "cos")
+          .join(catalogV.select("vec_id"), Seq("vec_id"), "left_anti")
+        catalogV.unionByName(intra).localCheckpoint(true)
+      }
       verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       if (appendAccepted)
         VecCatalog.append(s,

@@ -336,6 +336,91 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.plans.VecCatalog.drop(spark, cat)
   }
 
+  test("intraBatchVerdicts: component-min survives, members flag to the min") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.95))
+      .toDF("i", "j", "jac")
+    val got = graft.operators.Dedup.intraBatchVerdicts(pairs, "doc_id", "jac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // 1 and 10 are component minima (survive, no verdict); 3's match
+    // to 1 is transitive through 2
+    assert(got === Set((2L, 2L, 1L, 0.9), (3L, 1L, 1L, 0.85),
+      (11L, 1L, 10L, 0.95)))
+  }
+
+  test("ingest loop: an intra-batch twin pair yields one survivor, any micro-batching") {
+    import spark.implicits._
+    import graft.plans.DedupCatalog
+    // history = docs 0-99; the batch stream lands doc 300 (novel) and
+    // 10300, a near-twin of 300. Delivered in ONE file the catalog-only
+    // screen is blind to the pair — the within-batch pass must flag the
+    // non-min. Delivered as TWO files the append loop flags it. Either
+    // way: identical verdicts, and exactly one twin in the catalog.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") < 100)
+    val a = docs.filter(col("doc_id") === 300)
+    val b = docs.filter(col("doc_id") === 300)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    def run(tag: String)(landFiles: String => Unit): Set[(Long, Long)] = {
+      val src = Files.createTempDirectory(s"intra_src_$tag").toString
+      landFiles(src)
+      val sink = Files.createTempDirectory(s"intra_sink_$tag").toString + "/out"
+      val chk = Files.createTempDirectory(s"intra_chk_$tag").toString
+      val cat = DedupCatalog.land(spark, hist, s"spec_intra_$tag")
+      try {
+        graft.streaming.DocScreen.screenAgainstCatalog(
+          spark, src, a.schema, cat, sink, chk, appendAccepted = true)
+        // survivor 300 is catalog history; the flagged twin is not
+        val inCat = spark.table(cat.sizesT)
+          .filter(col("doc").isin(300L, 10300L))
+          .select("doc").as[Long].collect().toSet
+        assert(inCat === Set(300L), s"[$tag] catalog content: $inCat")
+        spark.read.parquet(sink)
+          .select("doc_id", "matched_id").as[(Long, Long)].collect().toSet
+      } finally DedupCatalog.drop(spark, cat)
+    }
+    val oneFile = run("one") { src =>
+      a.union(b).coalesce(1).write.mode("append").parquet(src)
+    }
+    val twoFiles = run("two") { src =>
+      a.coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+      b.coalesce(1).write.mode("append").parquet(src)
+    }
+    assert(oneFile === Set((10300L, 300L)), s"one-file verdicts: $oneFile")
+    assert(twoFiles === oneFile,
+      s"micro-batching changed the survivor set: $twoFiles vs $oneFile")
+  }
+
+  test("vector ingest loop: an intra-batch twin pair yields one survivor") {
+    import spark.implicits._
+    import graft.plans.VecCatalog
+    // vector twin of the doc test, single-file delivery only (the
+    // split-file path is the existing vector appendAccepted test)
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val hist = emb.filter(col("vec_id") < 100)
+    val a = emb.filter(col("vec_id") === 300)
+    val b = emb.filter(col("vec_id") === 300)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val src = Files.createTempDirectory("vintra_src").toString
+    a.union(b).coalesce(1).write.mode("append").parquet(src)
+    val sink = Files.createTempDirectory("vintra_sink").toString + "/out"
+    val chk = Files.createTempDirectory("vintra_chk").toString
+    val cat = VecCatalog.land(spark, hist, "spec_vintra")
+    try {
+      graft.streaming.VecScreen.screenAgainstCatalog(
+        spark, src, a.schema, cat, sink, chk, appendAccepted = true)
+      val flagged = spark.read.parquet(sink)
+        .select("vec_id", "matched_id").as[(Long, Long)].collect().toSet
+      assert(flagged === Set((10300L, 300L)), s"verdicts: $flagged")
+      val inCat = spark.table(cat.vectorsT)
+        .filter(col("vec_id").isin(300L, 10300L))
+        .select("vec_id").as[Long].collect().toSet
+      assert(inCat === Set(300L), s"catalog content: $inCat")
+    } finally VecCatalog.drop(spark, cat)
+  }
+
   test("streaming beacon DAG equals the batch pipeline") {
     import graft.plans.BeaconPipeline
     // land the synthetic beacon corpus, then run decode+enrich+route as
