@@ -427,35 +427,33 @@ object Similarity {
     */
   def ivfPqTopK(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6,
-      nSub: Int = 8, nCodes: Int = 16, refine: Int = 15): DataFrame =
+      nSub: Int = 8, nCodes: Int = 16, refine: Int = 15,
+      trainIters: Int = 0): DataFrame =
     ivfPqTopKFrom(Tables.embeddings(spark, dir), nQueries, k, nCentroids,
-      nProbe, nSub, nCodes, refine)
+      nProbe, nSub, nCodes, refine, trainIters)
 
-  /** Same operator over any (vec_id, embedding) table (spec seam).
-    * Assumes 64-dim embeddings (the corpus contract) split into
-    * `nSub` equal subspaces.
+  /** The deterministic md5-sampled per-subspace codebook init:
+    * (sub, cw_id, cw) — the `nCodes` corpus subvectors with the
+    * smallest md5("pq<sub>|<vec_id>") per subspace.
+    *
+    * Selected WITHOUT a corpus-sized nSub-way exchange (a bare
+    * Window.partitionBy("sub") funnels the n x nSub exploded frame
+    * into nSub partitions and fully sorts each): two-level top-K —
+    * per-(sub, shard) first (nSub x CwShards balanced partitions,
+    * each sorting ~n/CwShards skinny rows), then per sub over the
+    * <= CwShards x nCodes survivors, a bounded-cardinality exchange.
+    * Exact, because the global top-K by (_h, vec_id) is contained in
+    * the union of per-shard top-Ks — so the selected codebook (and
+    * the oracle that replays the one-level sort in SQL) is
+    * value-identical. Selection runs on the narrow (sub, vec_id, _h)
+    * projection; the codeword vectors come from a broadcast join back
+    * to the corpus, not from carrying 256-byte embeddings through the
+    * shuffles.
     */
-  def ivfPqTopKFrom(embeddings: DataFrame,
-      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6,
-      nSub: Int = 8, nCodes: Int = 16, refine: Int = 15): DataFrame = {
-    requireDim(embeddings, 64)
-    val subDim = 64 / nSub
+  def pqCodebooksSampled(embeddings: DataFrame, nSub: Int = 8,
+      nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / nSub
     val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
-    def subVec(v: Column): Column = slice(v, col("sub") * subDim + 1, lit(subDim))
-
-    // per-subspace codebooks WITHOUT a corpus-sized nSub-way exchange
-    // (a bare Window.partitionBy("sub") funnels the n x nSub exploded
-    // frame into nSub partitions and fully sorts each): two-level
-    // top-K — per-(sub, shard) first (nSub x CwShards balanced
-    // partitions, each sorting ~n/CwShards skinny rows), then per sub
-    // over the <= CwShards x nCodes survivors, a bounded-cardinality
-    // exchange. Exact, because the global top-K by (_h, vec_id) is
-    // contained in the union of per-shard top-Ks — so the selected
-    // codebook (and the oracle that replays the one-level sort in
-    // SQL) is value-identical. Selection runs on the narrow
-    // (sub, vec_id, _h) projection; the 128 codeword vectors come
-    // from a broadcast join back to the corpus, not from carrying
-    // 256-byte embeddings through the shuffles.
     val wS1 = Window.partitionBy("sub", "_shard").orderBy(col("_h"), col("vec_id"))
     val wS2 = Window.partitionBy("sub").orderBy(col("_h"), col("vec_id"))
     val cwKeys = embeddings.select(col("vec_id"), subIdx)
@@ -467,8 +465,80 @@ object Similarity {
       .withColumn("_r", row_number().over(wS2))
       .filter(col("_r") <= nCodes)
       .select(col("sub"), col("vec_id").as("cw_id"))
-    val cw = embeddings.join(broadcast(cwKeys), col("vec_id") === col("cw_id"))
-      .select(col("sub"), col("cw_id"), subVec(col("embedding")).as("cw"))
+    embeddings.join(broadcast(cwKeys), col("vec_id") === col("cw_id"))
+      .select(col("sub"), col("cw_id"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("cw"))
+  }
+
+  /** TRAINED per-subspace codebooks: `iters` deterministic Lloyd
+    * rounds on the sampled init — per-subspace k-means with the same
+    * bit-portable arithmetic as [[ivfCentroidsTrained]] (assignment by
+    * the double kernel's argmin-L2-as-argmax-dot trick; means as
+    * float → DOUBLE → DECIMAL(28,12) sum → DOUBLE / count → FLOAT,
+    * every edge value-based), so Spark and the SQL oracle produce
+    * bit-identical codebooks. Codeword ids stay the init's sample ids;
+    * an emptied codeword keeps its previous vector. This is the
+    * standard PQ training step (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 §III): sampled codebooks
+    * quantize an unclustered corpus poorly — training moves each
+    * codeword to its cell's mean, directly cutting quantization error
+    * and with it the ADC ranking noise that costs recall.
+    *
+    * Plan shape per round: one broadcast of the 128-row codebook, one
+    * corpus-sized partial-agg argmax, one decimal-sum mean aggregate —
+    * shuffles carry (sub, cw_id)-keyed partial sums only; each round
+    * ends in a hard lineage cut of the 128-row frame.
+    */
+  def pqCodebooksTrained(embeddings: DataFrame, nSub: Int = 8,
+      nCodes: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
+    requireDim(embeddings, dim)
+    val subDim = dim / nSub
+    val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
+    val vsubs = embeddings.select(col("vec_id"), col("embedding"), subIdx)
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("vs"))
+    var cw = pqCodebooksSampled(embeddings, nSub, nCodes, dim)
+    for (_ <- 0 until iters) {
+      val asg = vsubs.join(broadcast(cw), "sub")
+        .select(col("vec_id"), col("sub"), col("vs"), struct(
+          (dotDouble(col("vs"), col("cw")) -
+            dotDouble(col("cw"), col("cw")) / 2).as("sc"),
+          (-col("cw_id")).as("nid"), col("cw_id").as("cw_id")).as("s"))
+        .groupBy("vec_id", "sub", "vs").agg(max(col("s")).as("m"))
+        .select(col("sub"), col("vs"), col("m.cw_id").as("cw_id"))
+      val sums = (0 until subDim).map(i =>
+        sum(col("vs").getItem(i).cast("double").cast("decimal(28,12)"))
+          .as(s"s$i")) :+ count(lit(1)).as("n")
+      val means = asg.groupBy("sub", "cw_id").agg(sums.head, sums.tail: _*)
+        .select(col("sub"), col("cw_id"), array((0 until subDim).map(i =>
+          (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
+      cw = cw.join(means, Seq("sub", "cw_id"), "left")
+        .select(col("sub"), col("cw_id"), coalesce(col("me"), col("cw")).as("cw"))
+        .localCheckpoint(true)
+    }
+    cw
+  }
+
+  /** Same operator over any (vec_id, embedding) table (spec seam).
+    * Assumes 64-dim embeddings (the corpus contract) split into
+    * `nSub` equal subspaces.
+    *
+    * @param trainIters with > 0, the codebooks are Lloyd-TRAINED
+    *   ([[pqCodebooksTrained]]) instead of raw md5 samples — the main
+    *   recall lever on weakly-clustered corpora.
+    */
+  def ivfPqTopKFrom(embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 6,
+      nSub: Int = 8, nCodes: Int = 16, refine: Int = 15,
+      trainIters: Int = 0): DataFrame = {
+    requireDim(embeddings, 64)
+    val subDim = 64 / nSub
+    val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
+    def subVec(v: Column): Column = slice(v, col("sub") * subDim + 1, lit(subDim))
+
+    val cw =
+      if (trainIters > 0) pqCodebooksTrained(embeddings, nSub, nCodes, trainIters)
+      else pqCodebooksSampled(embeddings, nSub, nCodes)
 
     // encode: argmin L2 == argmax dot(vs, cw) - dot(cw, cw)/2 (the
     // dot(vs, vs) term is constant per row); /2 is exact in doubles

@@ -197,6 +197,14 @@ object TrainingPack {
     */
   val annIvfTrained: Q = (s, d) => Similarity.ivfTopK(s, d, trainIters = 2)
 
+  /** Trained-codebook IVF-PQ: per-subspace k-means (four deterministic
+    * Lloyd rounds — the measured convergence point on this corpus:
+    * recall 0.4875 sampled → 0.55 trained at sf0.1, flat after round
+    * 4) replaces the raw md5-sampled codewords. TrainingSpec pins the
+    * trained-vs-sampled recall gain.
+    */
+  val annIvfPqTrained: Q = (s, d) => Similarity.ivfPqTopK(s, d, trainIters = 4)
+
   val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDup(s, d)
 
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
@@ -613,6 +621,7 @@ object TrainingPack {
     "ann_topk_lsh_mp"      -> annLshMp,
     "ann_topk_ivf"         -> annIvf,
     "ann_topk_ivfpq"       -> annIvfPq,
+    "ann_topk_ivfpq_trained" -> annIvfPqTrained,
     "ann_topk_ivf_trained" -> annIvfTrained,
     "tx_token_count"       -> txTokenCount,
     "tx_quality"           -> txQuality,
@@ -781,6 +790,76 @@ object TrainingPack {
        |cand AS (
        |  SELECT qp.query_id, a.vec_id FROM qp JOIN asgF a USING (cid)
        |  WHERE a.vec_id <> qp.query_id)""".stripMargin
+
+  /** The full IVF-PQ oracle with `rounds` per-subspace Lloyd rounds
+    * between the sampled codebook init (`cw0`) and the encode: round k
+    * assigns every subvector to its argmin-L2 codeword of `cw(k-1)`
+    * (the same argmax dot(vs,cw) − dot(cw,cw)/2 trick and tie-break
+    * the encode uses) and recomputes each codeword as its cell's mean
+    * with the engine's exact float → DOUBLE → DECIMAL(28,12) sum →
+    * DOUBLE / count → REAL chain; an emptied codeword keeps its
+    * previous vector. rounds = 0 degenerates to the sampled-codebook
+    * oracle.
+    */
+  private def ivfPqOracleSql(rounds: Int): String = {
+    val lloyd = (1 to rounds).map { k =>
+      s"""pasg${k - 1} AS (
+         |  SELECT vec_id, sub, vsv, cw_id FROM (
+         |    SELECT v.vec_id, v.sub, v.vsv, c.cw_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY (${dotDbl.format("v.vsv", "c.cwv")}
+         |                  - ${dotDbl.format("c.cwv", "c.cwv")} / 2) DESC, c.cw_id) AS r
+         |    FROM vs v JOIN cw${k - 1} c ON c.sub = v.sub)
+         |  WHERE r = 1),
+         |pmean$k AS (
+         |  SELECT a.sub, a.cw_id, r.i,
+         |    CAST(CAST(SUM(CAST(CAST(a.vsv[r.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*) AS REAL) AS c
+         |  FROM pasg${k - 1} a, unnest(range(1, 9)) r(i)
+         |  GROUP BY 1, 2, 3),
+         |pme$k AS (SELECT sub, cw_id, list(c ORDER BY i) AS me FROM pmean$k GROUP BY 1, 2),
+         |cw$k AS (
+         |  SELECT c.sub, c.cw_id, COALESCE(m.me, c.cwv) AS cwv
+         |  FROM cw${k - 1} c LEFT JOIN pme$k m USING (sub, cw_id))""".stripMargin
+    }.mkString(",\n")
+    val fin = s"cw$rounds"
+    s"""WITH $ivfCandCtes,
+       |subs AS (SELECT unnest(range(8)) AS sub),
+       |cw0 AS (
+       |  SELECT sub, vec_id AS cw_id, emb[sub*8+1 : sub*8+8] AS cwv FROM (
+       |    SELECT e.vec_id, e.embedding AS emb, s2.sub,
+       |      ROW_NUMBER() OVER (PARTITION BY s2.sub
+       |        ORDER BY md5('pq' || s2.sub || '|' || e.vec_id), e.vec_id) AS r
+       |    FROM embeddings e, subs s2)
+       |  WHERE r <= 16),
+       |vs AS (
+       |  SELECT e.vec_id, s2.sub, e.embedding[s2.sub*8+1 : s2.sub*8+8] AS vsv
+       |  FROM embeddings e, subs s2)${if (rounds > 0) ",\n" + lloyd else ""},
+       |codes AS (
+       |  SELECT vec_id, sub, cw_id AS code FROM (
+       |    SELECT v.vec_id, v.sub, c.cw_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY (${dotDbl.format("v.vsv", "c.cwv")}
+       |                  - ${dotDbl.format("c.cwv", "c.cwv")} / 2) DESC, c.cw_id) AS r
+       |    FROM vs v JOIN $fin c ON c.sub = v.sub)
+       |  WHERE r = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cw_id AS code,
+       |    CAST(${dotDbl.format("q.embedding[c.sub*8+1 : c.sub*8+8]", "c.cwv")}
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM embeddings q, $fin c WHERE q.vec_id < 8),
+       |approx AS (
+       |  SELECT cand.query_id, cand.vec_id, SUM(part) AS adc
+       |  FROM cand JOIN codes USING (vec_id) JOIN adc USING (query_id, sub, code)
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS r
+       |    FROM approx)
+       |  WHERE r <= 150),
+       |${annRankSql("short")}""".stripMargin
+  }
 
   /** Exact-decimal rank + final projection over a `(query_id, vec_id)`
     * CTE named by `src` — the closing stages of both ANN oracles.
@@ -1077,43 +1156,13 @@ object TrainingPack {
     // argmin-L2 encoding (as argmax dot(vs,cw) - dot(cw,cw)/2, double
     // kernel order), ADC = decimal sum of per-subspace lookups over
     // the same IVF candidates, exact decimal re-rank of the 3k list
-    "ann_topk_ivfpq" ->
-      s"""WITH $ivfCandCtes,
-         |subs AS (SELECT unnest(range(8)) AS sub),
-         |cw AS (
-         |  SELECT sub, vec_id AS cw_id, emb[sub*8+1 : sub*8+8] AS cwv FROM (
-         |    SELECT e.vec_id, e.embedding AS emb, s2.sub,
-         |      ROW_NUMBER() OVER (PARTITION BY s2.sub
-         |        ORDER BY md5('pq' || s2.sub || '|' || e.vec_id), e.vec_id) AS r
-         |    FROM embeddings e, subs s2)
-         |  WHERE r <= 16),
-         |vs AS (
-         |  SELECT e.vec_id, s2.sub, e.embedding[s2.sub*8+1 : s2.sub*8+8] AS vsv
-         |  FROM embeddings e, subs s2),
-         |codes AS (
-         |  SELECT vec_id, sub, cw_id AS code FROM (
-         |    SELECT v.vec_id, v.sub, c.cw_id,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
-         |        ORDER BY (${dotDbl.format("v.vsv", "c.cwv")}
-         |                  - ${dotDbl.format("c.cwv", "c.cwv")} / 2) DESC, c.cw_id) AS r
-         |    FROM vs v JOIN cw c ON c.sub = v.sub)
-         |  WHERE r = 1),
-         |adc AS (
-         |  SELECT q.vec_id AS query_id, c.sub, c.cw_id AS code,
-         |    CAST(${dotDbl.format("q.embedding[c.sub*8+1 : c.sub*8+8]", "c.cwv")}
-         |      AS DECIMAL(28,12)) AS part
-         |  FROM embeddings q, cw c WHERE q.vec_id < 8),
-         |approx AS (
-         |  SELECT cand.query_id, cand.vec_id, SUM(part) AS adc
-         |  FROM cand JOIN codes USING (vec_id) JOIN adc USING (query_id, sub, code)
-         |  GROUP BY 1, 2),
-         |short AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS r
-         |    FROM approx)
-         |  WHERE r <= 150),
-         |${annRankSql("short")}""".stripMargin,
+    "ann_topk_ivfpq" -> ivfPqOracleSql(0),
+
+    // trained codebooks: four per-subspace Lloyd rounds replayed in
+    // SQL between the sampled init and the encode — the means follow
+    // the engine's float->double->decimal->double->real conversion
+    // chain, same as the trained-IVF oracle
+    "ann_topk_ivfpq_trained" -> ivfPqOracleSql(4),
 
     // the LSH twin of dd_embedding_neardup: same multi-table
     // signature-in-SQL as the ANN oracles (8 bits × 4 tables),

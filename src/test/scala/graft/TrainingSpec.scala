@@ -415,6 +415,38 @@ class TrainingSpec extends AnyFunSuite {
     Shared.releaseAll(spark)
   }
 
+  test("trained PQ codebooks: deterministic, recall at or above the sampled codebooks") {
+    import spark.implicits._
+    val bf = Similarity.bruteForceTopK(spark, dir).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, dir).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val sampled = Similarity.ivfPqTopK(spark, dir).select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val trained = Similarity.ivfPqTopK(spark, dir, trainIters = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ceiling = (ivf & bf).size.toDouble / bf.size
+    val rS = (sampled & bf).size.toDouble / bf.size
+    val rT = (trained & bf).size.toDouble / bf.size
+    // measured: sf0.001 ceiling 0.7375 = sampled = trained (candidate-
+    // bound); sf0.1 ceiling 0.625, sampled 0.4875, trained 0.55 — the
+    // floors pin the trained gain above the old sampled-only numbers
+    // (0.49 absolute / 0.8-of-ceiling was the round-10 weak spot)
+    assert(rT >= rS, s"training regressed recall: $rT < sampled $rS")
+    assert(rT >= 0.5, s"trained IVF-PQ recall $rT below absolute floor")
+    assert(rT >= 0.8 * ceiling,
+      s"trained IVF-PQ recall $rT < 80% of IVF ceiling $ceiling")
+    // determinism: a re-train from the same corpus is bit-identical
+    val cb1 = Similarity.pqCodebooksTrained(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    val cb2 = Similarity.pqCodebooksTrained(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    assert(cb1 === cb2, "trained codebooks are not deterministic")
+    Shared.releaseAll(spark)
+  }
+
   test("multi-probe recovers a planted cross-bucket neighbor single-probe misses") {
     import spark.implicits._
     val (k, l) = (8, 16)
