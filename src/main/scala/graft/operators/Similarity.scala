@@ -140,6 +140,23 @@ object Similarity {
       .select(col(idName), concat_ws("|", col("tb.tbl"), col("tb.bkt")).as("tk"))
   }
 
+  /** Batch-side MULTI-PROBE keys for the incremental screen: each
+    * vector's exact bucket key plus every key one sign-flip away
+    * within its table — (nPlanes+1)·nTables rows per vector. The
+    * landed catalog stays single-keyed; probe expansion is purely
+    * batch-side (exactly [[lshTopKFrom]]'s multi-probe trade): recall
+    * of near-boundary catalog dups without growing history state.
+    */
+  def probeKeys(emb: DataFrame, idName: String,
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val signs = hyperplaneSigns(nPlanes * nTables, 64)
+    emb.withColumn("tb", explode(tableBuckets(col("embedding"), signs, nPlanes, nTables)))
+      .withColumn("pbkt", explode(concat(array(col("tb.bkt")),
+        array((0 until nPlanes).map(p =>
+          col("tb.bkt").bitwiseXOR(lit(1 << p))): _*))))
+      .select(col(idName), concat_ws("|", col("tb.tbl"), col("pbkt")).as("tk"))
+  }
+
   /** The incremental embedding screen CORE — the vector twin of
     * [[Dedup.minhashLshScreen]]: a batch of vectors screened against
     * history-side frames in catalog shape — bucket keys `(vec_id,
@@ -151,14 +168,21 @@ object Similarity {
     * shuffle), and only candidates are decimal-verified against
     * history vectors.
     *
+    * @param multiProbe expand the batch side to 1-bit-flip probe keys
+    *   ([[probeKeys]]): near-boundary catalog dups that share no exact
+    *   bucket are still screened. (nPlanes+1)× more batch-side rows
+    *   into the candidate join; the catalog side is untouched.
     * @return one row per batch vector with ≥1 catalog match at
     *   `threshold`: (vec_id, n_matches, matched_id = min matching
     *   history id, cos = best match score).
     */
   def embeddingScreen(batchEmb: DataFrame, histBuckets: DataFrame,
       histVecs: DataFrame, threshold: Double = 0.95,
-      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    val cand = bucketKeys(batchEmb, "vec_id", nPlanes, nTables).toDF("bv", "tk")
+      nPlanes: Int = 8, nTables: Int = 4,
+      multiProbe: Boolean = false): DataFrame = {
+    val bk = if (multiProbe) probeKeys(batchEmb, "vec_id", nPlanes, nTables)
+             else bucketKeys(batchEmb, "vec_id", nPlanes, nTables)
+    val cand = bk.toDF("bv", "tk")
       .join(histBuckets.toDF("hv", "tk"), "tk")
       .select("bv", "hv").distinct()
     val vb = batchEmb.select(col("vec_id").as("bv"), col("embedding").as("veb"))

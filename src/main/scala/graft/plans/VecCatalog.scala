@@ -113,7 +113,8 @@ object VecCatalog {
     * self-match against its own pre-crash append).
     */
   def screen(spark: SparkSession, batchEmb: DataFrame, h: Handle,
-      threshold: Double = 0.95, maxIngestId: Option[Long] = None): DataFrame = {
+      threshold: Double = 0.95, maxIngestId: Option[Long] = None,
+      multiProbe: Boolean = false): DataFrame = {
     // bounds below the maintenance floor are invalid (see
     // DedupCatalog.screen: the fold makes them unhonorable)
     maxIngestId.foreach { x =>
@@ -126,7 +127,8 @@ object VecCatalog {
       maxIngestId.fold(spark.table(t))(x => spark.table(t).filter(col("ingest_id") <= x))
     Similarity.embeddingScreen(batchEmb,
       tbl(h.bucketsT).select("vec_id", "tk"),
-      tbl(h.vectorsT).select("vec_id", "embedding"), threshold)
+      tbl(h.vectorsT).select("vec_id", "embedding"), threshold,
+      multiProbe = multiProbe)
   }
 
   /** Record `emb` (accepted batch members) into the catalog as ingest

@@ -40,14 +40,15 @@ object VecScreen {
   def incrementalEmbScreen(spark: SparkSession, srcDir: String,
       schema: StructType, histEmb: DataFrame,
       sinkDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
+      maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false,
+      multiProbe: Boolean = false): Unit = {
     // canonicalized like DocScreen: catalog identity = the physical
     // checkpoint location, not its spelling (a relative-vs-absolute
     // respelling after restart must reattach, not land fresh)
     val cat = VecCatalog.land(spark, histEmb,
       s"scr_${DocScreen.canonical(spark, checkpointDir)}")
     screenAgainstCatalog(spark, srcDir, schema, cat, sinkDir, checkpointDir,
-      maxFilesPerTrigger, appendAccepted)
+      maxFilesPerTrigger, appendAccepted, multiProbe)
   }
 
   /** The production entry point: screen against an already-landed
@@ -62,14 +63,16 @@ object VecScreen {
   def screenAgainstCatalog(spark: SparkSession, srcDir: String,
       schema: StructType, cat: VecCatalog.Handle,
       sinkDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false): Unit = {
+      maxFilesPerTrigger: Int = 1, appendAccepted: Boolean = false,
+      multiProbe: Boolean = false): Unit = {
     val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
       val s = batch.sparkSession
       // bounded to ingest partitions <= batchId in the append loop so
       // a crash-replayed batch cannot self-match against its own
       // pre-crash append (see DocScreen)
       val catalogV = VecCatalog.screen(s, batch, cat,
-        maxIngestId = if (appendAccepted) Some(batchId) else None)
+        maxIngestId = if (appendAccepted) Some(batchId) else None,
+        multiProbe = multiProbe)
         .localCheckpoint(true)
       // ingest loop: near-dup the batch WITHIN itself too
       // (component-min survives) — two mutual near-dup vectors in one

@@ -123,4 +123,55 @@ class VecCatalogSpec extends AnyFunSuite {
       VecCatalog.drop(spark, cat)
     }
   }
+
+  test("multi-probe screen flags a near-boundary catalog twin single-probe misses") {
+    import spark.implicits._
+    // plant a batch/history pair above the screen threshold that
+    // shares NO bucket in any of the 4 tables (single-probe blind) but
+    // sits one sign-flip away in >=1 table (multi-probe reach) — the
+    // same construction as the lshTopK multi-probe spec, with the
+    // extra cos >= 0.96 constraint the screen verify needs
+    val (k, l) = (8, 4)
+    val signs = Similarity.hyperplaneSigns(k * l, 64)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    def pdot(v: Array[Float], p: Array[Int]): Double =
+      v.indices.map(i => v(i).toDouble * p(i)).sum
+    def bucket(v: Array[Float], t: Int): Int =
+      (0 until k).map(p => if (pdot(v, signs(t * k + p)) > 0) 1 << p else 0).sum
+    def buckets(v: Array[Float]): Seq[Int] = (0 until l).map(t => bucket(v, t))
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rnd = new scala.util.Random(13)
+    def draw() = normalize(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    // ±0.06/component -> |δ|² ≈ 64·0.06²/3 ≈ 0.077 -> cos ≈ 0.964:
+    // above the 0.95 screen threshold yet far enough off-axis that all
+    // four 8-bit buckets split with ~7% probability per draw
+    def perturb(b: Array[Float]) =
+      normalize(b.map(x => x + (rnd.nextDouble() * 0.12 - 0.06).toFloat))
+    val planted = Iterator.continually { val b = draw(); (b, perturb(b)) }
+      .take(5000).find { case (a, b) =>
+        val (ba, bb) = (buckets(a), buckets(b))
+        dot(a, b) >= 0.96 &&
+          (0 until l).forall(t => ba(t) != bb(t)) &&
+          (0 until l).exists(t => Integer.bitCount(ba(t) ^ bb(t)) == 1)
+      }
+    assert(planted.nonEmpty, "no qualifying pair in 5000 seeded draws")
+    val (q, n) = planted.get
+    val fillers = (101L to 110L).map(id => (id, draw()))
+    val hist = ((100L, n) +: fillers).toDF("vec_id", "embedding")
+    val batch = Seq((0L, q)).toDF("vec_id", "embedding")
+    val cat = VecCatalog.land(spark, hist, "spec_multiprobe")
+    try {
+      val single = VecCatalog.screen(spark, batch, cat).collect()
+      assert(single.isEmpty,
+        s"planted pair unexpectedly co-bucketed — the plant is broken: ${single.toSeq}")
+      val multi = VecCatalog.screen(spark, batch, cat, multiProbe = true).collect()
+      assert(multi.length === 1 && multi.head.getLong(0) === 0L &&
+        multi.head.getLong(2) === 100L,
+        s"multi-probe screen missed the 1-bit-away twin: ${multi.toSeq}")
+    } finally VecCatalog.drop(spark, cat)
+  }
 }
