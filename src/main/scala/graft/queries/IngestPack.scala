@@ -356,6 +356,32 @@ object IngestPack {
       .orderBy("user_id", "session_no")
   }
 
+  // ---------------------------------------------------- TTL tombstones
+
+  /** Batch replay of the streaming TTL-tombstone operator
+    * ([[graft.streaming.EventStream.ttlTombstones]]) — the self-delete
+    * semantics (`server/self_delete.c:19-57`: silence past a deadline
+    * expires the implant): per user, last activity + a 4 h TTL
+    * compared against the corpus watermark (max ts − the 1 h
+    * watermark delay, the exact horizon the streaming twin times out
+    * against). One tombstone per expired key with its last-seen epoch
+    * micros. The watermark is a broadcast scalar subquery — one
+    * aggregate row joined to the per-user aggregate, never a
+    * driver-side collect.
+    */
+  val ttlTombstones: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val agg = ev.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_seen_us"))
+    val wm = broadcast(ev.agg(
+      (max(unix_micros(col("ts"))) - 3600L * 1000000L).as("wm_us")))
+    agg.crossJoin(wm)
+      .filter(col("last_seen_us") + lit(4L * 3600L * 1000000L) < col("wm_us"))
+      .select(col("user_id"), col("last_seen_us"),
+        lit("ttl_expired").as("reason"))
+      .orderBy("user_id")
+  }
+
   // --------------------------------------------- bucketed session join
 
   /** Beacon↔session analytics over the BUCKETED landing tables
@@ -528,6 +554,7 @@ object IngestPack {
     "ig_trigger_gates"   -> triggerPipeline,
     "ig_rsi_roundtrip"   -> rsiRoundtrip,
     "ig_session_stats"   -> sessionStats,
+    "ig_ttl_tombstones"  -> ttlTombstones,
     "ig_bucketed_sessions" -> bucketedSessions,
     "ig_ipv4_format"     -> ipv4Format,
     "ig_hex_format"      -> hexFormat,
@@ -859,6 +886,17 @@ object IngestPack {
          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS bytes,
          |  epoch_us(MIN(ts)) AS started, epoch_us(MAX(ts)) AS ended
          |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    // the streaming TTL-tombstone semantics replayed in batch: a key
+    // expires when the corpus watermark (max ts - 1h delay) passes its
+    // last activity + the 4h TTL
+    "ig_ttl_tombstones" ->
+      s"""WITH wm AS (SELECT MAX(epoch_us(ts)) - 3600000000 AS wm_us FROM events),
+         |a AS (SELECT user_id, MAX(epoch_us(ts)) AS last_seen_us
+         |      FROM events GROUP BY user_id)
+         |SELECT user_id, last_seen_us, 'ttl_expired' AS reason
+         |FROM a, wm WHERE last_seen_us + 14400000000 < wm_us
+         |ORDER BY user_id""".stripMargin,
 
     // recomputes the landed-tables join/agg directly from the beacon
     // corpus' arithmetic derivation (good = no unknown-TLV slice)
