@@ -604,6 +604,42 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Bucket-count sizing for the fixed-width hyperplane tables — the
+    * PLANS.md sizing rule as code. Each table has 2^nPlanes buckets,
+    * so expected occupancy n/2^nPlanes grows linearly with the corpus
+    * and the per-table candidate join grows ~n²/2^nPlanes: the 8-bit
+    * default is right at sf0.1 (~100/bucket) and wrong at 10^9
+    * vectors with the default left alone. nPlanes =
+    * round(log2(n / targetBucket)) keeps occupancy at the target; the
+    * clamp floors tiny corpora at 16 buckets and caps at 24 bits
+    * (16M buckets — table cardinality past which the bucket-key
+    * shuffle, not the bucket size, dominates).
+    */
+  def planesFor(n: Long, targetBucket: Long = 128): Int = {
+    require(n > 0 && targetBucket > 0,
+      s"corpus size and target bucket must be positive: $n, $targetBucket")
+    val raw = math.round(
+      math.log(n.toDouble / targetBucket) / math.log(2)).toInt
+    math.max(4, math.min(24, raw))
+  }
+
+  /** Companion to [[planesFor]]: the table count that keeps overall
+    * recall at `recall` once nPlanes is sized up. A pair whose vectors
+    * agree with each hyperplane w.p. `pAgree` (= 1 − angle/π; ≈ 0.955
+    * at cos 0.99, ≈ 0.9 at cos 0.95) co-buckets in one k-bit table
+    * w.p. pAgree^k, so L = ceil(ln(1−recall) / ln(1−pAgree^k)) tables
+    * give 1−(1−pAgree^k)^L ≥ recall. Adding planes (for bucket size)
+    * and tables (for recall) trade against each other explicitly —
+    * both are knobs of every LSH operator here.
+    */
+  def tablesFor(nPlanes: Int, pAgree: Double = 0.9,
+      recall: Double = 0.9): Int = {
+    require(pAgree > 0 && pAgree < 1 && recall > 0 && recall < 1,
+      s"pAgree and recall must be in (0,1): $pAgree, $recall")
+    val pTable = math.pow(pAgree, nPlanes)
+    math.max(1, math.ceil(math.log(1 - recall) / math.log(1 - pTable)).toInt)
+  }
+
   /** MurmurHash3's public fmix64 avalanche finalizer. FNV-1a's final
     * multiply barely diffuses the LAST byte into any single output
     * bit on short keys — the round-9 audit found `fnv1a64("p|i") & 1`

@@ -487,6 +487,54 @@ class TrainingSpec extends AnyFunSuite {
       s"multi-probe failed to recover the 1-bit-away neighbor: $multi")
   }
 
+  test("planesFor/tablesFor: sizing rule, clamps, and occupancy tracking the target") {
+    import spark.implicits._
+    // the rule itself: log2(n/target), clamped to [4, 24]
+    assert(Similarity.planesFor(25600, 100) === 8)
+    assert(Similarity.planesFor(1000000000L, 100) === 23)
+    assert(Similarity.planesFor(10, 128) === 4, "tiny corpus must clamp at 16 buckets")
+    assert(Similarity.planesFor(Long.MaxValue / 2, 1) === 24, "cap at 24 bits")
+    // recall companion: more planes -> more tables for the same recall
+    assert(Similarity.tablesFor(8, 0.9, 0.9) > Similarity.tablesFor(4, 0.9, 0.9))
+    assert(Similarity.tablesFor(4, 0.955, 0.99) >= 2)
+    // occupancy: auto-sized tables keep MEAN bucket occupancy within
+    // 4x of the target on the real corpus (hyperplane signs of random
+    // unit vectors are near-balanced, not uniform — 4x absorbs the
+    // skew while still failing if the rule were off by >= 2 bits)
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val n = emb.count()
+    val target = 32L
+    val k = Similarity.planesFor(n, target)
+    val signs = Similarity.hyperplaneSigns(k, 64)
+    val occ = emb.select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), signs).as("bkt"))
+      .groupBy("bkt").count().select("count").as[Long].collect()
+    val mean = occ.sum.toDouble / occ.length
+    assert(mean >= target / 4.0 && mean <= target * 4.0,
+      s"mean occupancy $mean not tracking target $target (k=$k, n=$n)")
+    // recall with auto-sized planes+tables: planted cos>=0.99 twins
+    // (pAgree ~ 0.955) recovered at the configured 0.99 recall — the
+    // seeded fixture makes this deterministic
+    val l = Similarity.tablesFor(k, 0.955, 0.99)
+    val rnd = new scala.util.Random(17)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val m = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / m).toFloat)
+    }
+    def draw() = normalize(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val bases = (0 until 10).map(_ => draw())
+    val twins = bases.map(b =>
+      normalize(b.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)))
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      twins.zipWithIndex.map { case (v, i) => ((i + 10).toLong, v) }
+    val pairs = Similarity.embeddingNearDupLshFrom(rows.toDF("vec_id", "embedding"),
+        0.95, nPlanes = k, nTables = l)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val missed = (0 until 10).filterNot(i => pairs.contains((i.toLong, (i + 10).toLong)))
+    assert(missed.isEmpty,
+      s"auto-sized tables (k=$k, L=$l) missed planted twins: $missed")
+  }
+
   test("embedding near-dup LSH: planted near-identical pairs all recovered") {
     import spark.implicits._
     // the corpus has NO natural >=0.95-cos pairs at any scale (the
