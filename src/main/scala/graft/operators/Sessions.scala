@@ -102,6 +102,68 @@ object Sessions {
       }
   }
 
+  /** Gap sessionization, DAY-SHARDED for hot keys — the scale path
+    * the skew rehearsal left as a design note: the plain event-level
+    * window (`Window.partitionBy(user).orderBy(ts)`) serializes each
+    * key into ONE task, so a hot implant owning 30% of a 100 TB
+    * corpus sorts 30 TB in a single task. Sharding by day bounds the
+    * per-task sort at (key × day) granularity; sessions that span a
+    * shard boundary are split by construction and then MERGED by a
+    * second gap-sessionization over the LOCAL SESSIONS themselves —
+    * a per-key pass again, but over session-level rows (orders of
+    * magnitude fewer than events; the contraction is what makes the
+    * per-key step affordable). Result is row-identical to the
+    * unsharded operator: sharding only cuts gap-chains at boundaries,
+    * and the merge re-links exactly the cut chains (prev session's
+    * end and next session's start are the boundary-adjacent event
+    * times the unsharded chain would have compared).
+    *
+    * Aggregates merge losslessly: counts and DECIMAL byte sums add,
+    * bounds min/max; the final round-to-double happens once, after
+    * the merge, so values match the unsharded operator bit-for-bit.
+    *
+    * @return (user_id, session_no, n_cmds, bytes, started, ended) —
+    *   the ig_session_stats schema; `session_no` numbers a user's
+    *   merged sessions in time order.
+    */
+  def gapSessionsSharded(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      idCol: String = "event_id", gapMs: Long = 3600L * 1000,
+      shardMs: Long = 24L * 3600 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMs * 1000
+    val us = unix_micros(col(tsCol))
+    // pass 1: sessionize WITHIN each (key, day) shard — the event-level
+    // sort runs at shard granularity, never the whole key
+    val w1 = Window.partitionBy(userCol, "_shard").orderBy(tsCol, idCol)
+    val local = events
+      .withColumn("_shard", floor(us / lit(shardMs * 1000)).cast("long"))
+      .withColumn("_prev", lag(us, 1).over(w1))
+      .withColumn("_new",
+        when(col("_prev").isNull || us - col("_prev") > gapUs, 1).otherwise(0))
+      .withColumn("_sno", sum(col("_new")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("_shard"), col("_sno"))
+      .agg(count(lit(1)).as("n_cmds"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("_bytes"),
+        min(us).as("started"), max(us).as("ended"))
+    // pass 2: merge boundary-spanning sessions — gap-sessionize the
+    // local sessions per key (session-level rows)
+    val w2 = Window.partitionBy(userCol).orderBy("started", "ended")
+    local
+      .withColumn("_pend", lag(col("ended"), 1).over(w2))
+      .withColumn("_new",
+        when(col("_pend").isNull || col("started") - col("_pend") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("_new")).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_no"))
+      .agg(sum(col("n_cmds")).as("n_cmds"),
+        round(sum(col("_bytes")), 2).cast("double").as("bytes"),
+        min(col("started")).as("started"), max(col("ended")).as("ended"))
+      .orderBy(userCol, "session_no")
+  }
+
   /** Deterministic command corpus derived from the events table (for
     * specs and the gate query): session per user, seq per event,
     * opcode cycling through the reference set plus an unknown code.

@@ -356,6 +356,14 @@ object IngestPack {
       .orderBy("user_id", "session_no")
   }
 
+  /** The day-sharded sessionizer over the same corpus — must be
+    * row-identical to [[sessionStats]] (sharding is a pure execution
+    * change: the hot key's event sort runs per (key, day) shard, the
+    * boundary merge re-links cut sessions). Same oracle SQL verbatim.
+    */
+  val shardedSessions: Q = (s, d) =>
+    graft.operators.Sessions.gapSessionsSharded(Tables.events(s, d))
+
   // ---------------------------------------------------- TTL tombstones
 
   /** Batch replay of the streaming TTL-tombstone operator
@@ -554,6 +562,7 @@ object IngestPack {
     "ig_trigger_gates"   -> triggerPipeline,
     "ig_rsi_roundtrip"   -> rsiRoundtrip,
     "ig_session_stats"   -> sessionStats,
+    "ig_sharded_sessions" -> shardedSessions,
     "ig_ttl_tombstones"  -> ttlTombstones,
     "ig_bucketed_sessions" -> bucketedSessions,
     "ig_ipv4_format"     -> ipv4Format,
@@ -705,6 +714,25 @@ object IngestPack {
        |  FROM chk)
        |SELECT verdict, count(*) AS n FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
   }
+
+  /** The gap-sessionization oracle — shared by the plain and the
+    * day-sharded gates (identical semantics by construction).
+    */
+  private lazy val sessionStatsSql =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |      OR ts - LAG(ts) OVER w > INTERVAL '1' HOUR THEN 1 ELSE 0 END AS new_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM g)
+       |SELECT user_id, session_no, COUNT(*) AS n_cmds,
+       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS bytes,
+       |  epoch_us(MIN(ts)) AS started, epoch_us(MAX(ts)) AS ended
+       |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ig_config_upsert" ->
@@ -871,21 +899,11 @@ object IngestPack {
          |  regexp_extract(doc, '<deviceStats>([^<]*)</deviceStats>', 1) AS stats
          |FROM x ORDER BY event_id""".stripMargin,
 
-    "ig_session_stats" ->
-      s"""WITH g AS (
-         |  SELECT user_id, ts, event_id, value,
-         |    CASE WHEN LAG(ts) OVER w IS NULL
-         |      OR ts - LAG(ts) OVER w > INTERVAL '1' HOUR THEN 1 ELSE 0 END AS new_s
-         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |s AS (
-         |  SELECT user_id, ts, value,
-         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
-         |  FROM g)
-         |SELECT user_id, session_no, COUNT(*) AS n_cmds,
-         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS bytes,
-         |  epoch_us(MIN(ts)) AS started, epoch_us(MAX(ts)) AS ended
-         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "ig_session_stats" -> sessionStatsSql,
+
+    // the day-sharded sessionizer replays to the SAME oracle: the
+    // shard split + boundary merge is a pure execution-shape change
+    "ig_sharded_sessions" -> sessionStatsSql,
 
     // the streaming TTL-tombstone semantics replayed in batch: a key
     // expires when the corpus watermark (max ts - 1h delay) passes its

@@ -86,4 +86,69 @@ class SessionsSpec extends AnyFunSuite {
     assert(dist === local)
     assert(dist.nonEmpty)
   }
+
+  test("day-sharded sessionization is row-identical to the unsharded operator") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val sharded = Sessions.gapSessionsSharded(ev)
+    val plain = queries.IngestPack.sessionStats(spark, dir)
+    // distributed set equality — no driver-side collect of the corpus
+    assert(sharded.exceptAll(plain).isEmpty && plain.exceptAll(sharded).isEmpty,
+      "sharded sessionization diverged from the unsharded operator")
+    // the event-level sort really is shard-scoped: the first-pass
+    // window partitions by (user, day shard), not the bare key
+    val winSpecs = sharded.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winSpecs.contains(2),
+      s"no (key, shard)-partitioned window in the plan: $winSpecs")
+  }
+
+  test("sharded == unsharded on a hot-key corpus (30%-of-events implant)") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    import spark.implicits._
+    // synthetic skew fixture, self-contained (no /tmp dependency): the
+    // hot user owns ~30% of events, spread over 6 days so day-shards
+    // split it; session gaps planted to SPAN midnight boundaries (the
+    // merge path) as well as fall inside days
+    val rows = (0 until 20000).map { i =>
+      val user = if (i % 10 < 3) 424242L else (i % 997).toLong
+      // epoch-aligned days; each event i advances 40 min within its
+      // user's stream -> sessions chain across midnight for the hot key
+      val ts = new Timestamp(1700000000000L + (i / 10) * 2400L * 1000)
+      (i.toLong, user, ts, (i % 4096).toDouble)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val sharded = Sessions.gapSessionsSharded(rows)
+    // unsharded reference: the sessionStats shape inline over the frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val plain = rows
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 3600L * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_s")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_cmds"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("bytes"),
+        unix_micros(min(col("ts"))).as("started"),
+        unix_micros(max(col("ts"))).as("ended"))
+    assert(sharded.exceptAll(plain).isEmpty && plain.exceptAll(sharded).isEmpty,
+      "sharded diverged from unsharded on the hot-key fixture")
+    // the fixture actually exercises the merge: the hot key chains
+    // 40-minute steps continuously, so it must own >= 1 session whose
+    // bounds land in DIFFERENT day shards (re-linked at boundaries)
+    val dayUs = 86400L * 1000000
+    val spans = sharded.filter(col("user_id") === 424242L &&
+      floor(col("started") / dayUs) =!= floor(col("ended") / dayUs)).count()
+    assert(spans >= 1, "no boundary-spanning hot session — merge path untested")
+    val hot = sharded.filter(col("user_id") === 424242L)
+      .agg(count(lit(1)), sum("n_cmds")).head()
+    assert(hot.getLong(1) === 6000L, s"hot key lost events: $hot")
+  }
 }
