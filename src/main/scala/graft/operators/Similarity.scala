@@ -516,31 +516,79 @@ object Similarity {
   def pqCodebooksTrained(embeddings: DataFrame, nSub: Int = 8,
       nCodes: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
     requireDim(embeddings, dim)
+    var cw = pqCodebooksSampled(embeddings, nSub, nCodes, dim)
+    for (_ <- 0 until iters)
+      cw = pqLloydRound(subvectors(embeddings, nSub, dim), cw, dim / nSub)
+    cw
+  }
+
+  /** The exploded (vec_id, sub, vs) subvector frame both PQ training
+    * paths reassign against (rebuilt from the scan per round, like the
+    * IVF trainer — lineage cuts live on the 128-row codebook side).
+    */
+  private def subvectors(embeddings: DataFrame, nSub: Int, dim: Int): DataFrame = {
     val subDim = dim / nSub
     val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
-    val vsubs = embeddings.select(col("vec_id"), col("embedding"), subIdx)
+    embeddings.select(col("vec_id"), col("embedding"), subIdx)
       .select(col("vec_id"), col("sub"),
         slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("vs"))
+  }
+
+  /** One per-subspace Lloyd round: broadcast argmin-L2 reassignment +
+    * decimal-sum means; emptied codewords keep their vector; ends in a
+    * hard lineage cut of the 128-row codebook.
+    */
+  private def pqLloydRound(vsubs: DataFrame, cw: DataFrame,
+      subDim: Int): DataFrame = {
+    val asg = vsubs.join(broadcast(cw), "sub")
+      .select(col("vec_id"), col("sub"), col("vs"), struct(
+        (dotDouble(col("vs"), col("cw")) -
+          dotDouble(col("cw"), col("cw")) / 2).as("sc"),
+        (-col("cw_id")).as("nid"), col("cw_id").as("cw_id")).as("s"))
+      .groupBy("vec_id", "sub", "vs").agg(max(col("s")).as("m"))
+      .select(col("sub"), col("vs"), col("m.cw_id").as("cw_id"))
+    val sums = (0 until subDim).map(i =>
+      sum(col("vs").getItem(i).cast("double").cast("decimal(28,12)"))
+        .as(s"s$i")) :+ count(lit(1)).as("n")
+    val means = asg.groupBy("sub", "cw_id").agg(sums.head, sums.tail: _*)
+      .select(col("sub"), col("cw_id"), array((0 until subDim).map(i =>
+        (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
+    cw.join(means, Seq("sub", "cw_id"), "left")
+      .select(col("sub"), col("cw_id"), coalesce(col("me"), col("cw")).as("cw"))
+      .localCheckpoint(true)
+  }
+
+  /** Convergence-stopped PQ training — the operational twin of
+    * [[ivfCentroidsConverged]] for the per-subspace codebooks: the
+    * same deterministic round step as [[pqCodebooksTrained]], stopped
+    * once no codeword component moved more than `tol` (or at
+    * `maxIters`). The movement check collects the 128-row codebook
+    * per round (driver-side by design; corpus work stays distributed).
+    * Result equals `pqCodebooksTrained(emb, nSub, nCodes, roundsRun)`
+    * exactly — pinned by spec, no oracle (the round count is
+    * data-dependent; static SQL cannot iterate-until-converged).
+    *
+    * @return (trained codebooks, rounds actually run)
+    */
+  def pqCodebooksConverged(embeddings: DataFrame, nSub: Int = 8,
+      nCodes: Int = 16, maxIters: Int = 8, tol: Double = 1e-3,
+      dim: Int = 64): (DataFrame, Int) = {
+    requireDim(embeddings, dim)
+    def byKey(df: DataFrame): Map[(Int, Long), Seq[Float]] = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
     var cw = pqCodebooksSampled(embeddings, nSub, nCodes, dim)
-    for (_ <- 0 until iters) {
-      val asg = vsubs.join(broadcast(cw), "sub")
-        .select(col("vec_id"), col("sub"), col("vs"), struct(
-          (dotDouble(col("vs"), col("cw")) -
-            dotDouble(col("cw"), col("cw")) / 2).as("sc"),
-          (-col("cw_id")).as("nid"), col("cw_id").as("cw_id")).as("s"))
-        .groupBy("vec_id", "sub", "vs").agg(max(col("s")).as("m"))
-        .select(col("sub"), col("vs"), col("m.cw_id").as("cw_id"))
-      val sums = (0 until subDim).map(i =>
-        sum(col("vs").getItem(i).cast("double").cast("decimal(28,12)"))
-          .as(s"s$i")) :+ count(lit(1)).as("n")
-      val means = asg.groupBy("sub", "cw_id").agg(sums.head, sums.tail: _*)
-        .select(col("sub"), col("cw_id"), array((0 until subDim).map(i =>
-          (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
-      cw = cw.join(means, Seq("sub", "cw_id"), "left")
-        .select(col("sub"), col("cw_id"), coalesce(col("me"), col("cw")).as("cw"))
-        .localCheckpoint(true)
+    var rounds = 0
+    var moved = Double.MaxValue
+    while (rounds < maxIters && moved > tol) {
+      val next = pqLloydRound(subvectors(embeddings, nSub, dim), cw, dim / nSub)
+      val (p, n) = (byKey(cw), byKey(next))
+      moved = p.iterator.flatMap { case (k, v) =>
+        v.zip(n(k)).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }
+      }.max
+      cw = next
+      rounds += 1
     }
-    cw
+    (cw, rounds)
   }
 
   /** Same operator over any (vec_id, embedding) table (spec seam).

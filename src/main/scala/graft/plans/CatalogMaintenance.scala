@@ -142,10 +142,28 @@ object CatalogMaintenance {
     fs(spark, ts.root).delete(maintPath(ts.root), false)
   }
 
-  private def runExpire(spark: SparkSession, ts: TableSet, minId: Long): Unit =
+  private def runExpire(spark: SparkSession, ts: TableSet, minId: Long,
+      archiveDir: Option[String]): Unit =
     ts.tables.zip(ts.dataDirs).foreach { case (t, dir) =>
-      partitionIds(spark, dir).filter(_ < minId)
-        .foreach(id => dropPartition(spark, t, dir, id))
+      partitionIds(spark, dir).filter(_ < minId).foreach { id =>
+        archiveDir.foreach { a =>
+          // archive-then-advance (hcOwt.py:250-331's discipline): the
+          // partition's files are COPIED to the archive before the
+          // drop, so aged state is demoted to cold storage, not lost.
+          // Copy-then-delete (not rename) keeps the drop idempotent
+          // under marker recovery — a re-run overwrites the same
+          // archive paths and re-deletes.
+          val conf = spark.sessionState.newHadoopConf()
+          val srcFs = fs(spark, dir)
+          val src = new Path(dir, s"ingest_id=$id")
+          val dstDir = new Path(s"$a/${dir.split('/').last}/ingest_id=$id")
+          val dstFs = dstDir.getFileSystem(conf)
+          if (srcFs.exists(src))
+            org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dstDir,
+              false, true, conf)
+        }
+        dropPartition(spark, t, dir, id)
+      }
     }
 
   /** Retention: drop every ingest partition below `minIngestId`
@@ -154,14 +172,24 @@ object CatalogMaintenance {
     * never be re-appended. The age→id mapping is the caller's (batch
     * ids are monotone in arrival time, so an age cutoff IS an id
     * cutoff).
+    *
+    * @param archiveDir with Some(dir), each partition's files are
+    *   copied under `dir/<table-suffix>/ingest_id=<n>` before the
+    *   drop (readable as bare parquet) — retention demotes to cold
+    *   storage instead of deleting.
     */
-  def expire(spark: SparkSession, ts: TableSet, minIngestId: Long): Unit = {
+  def expire(spark: SparkSession, ts: TableSet, minIngestId: Long,
+      archiveDir: Option[String] = None): Unit = {
     require(minIngestId > 0, s"retention cutoff must be > 0: $minIngestId")
     if (minIngestId - 1 <= readFloor(spark, ts.root) &&
         ts.dataDirs.forall(d => partitionIds(spark, d).forall(_ >= minIngestId)))
       return
+    // the marker intentionally omits the archive dir: recovery re-runs
+    // the DROPS (idempotent); a crash mid-archive re-copies nothing in
+    // the next explicit expire call, so callers that need the archive
+    // guarantee re-issue expire with the same archiveDir after a crash
     writeFile(fs(spark, ts.root), maintPath(ts.root), s"expire=$minIngestId")
-    runExpire(spark, ts, minIngestId)
+    runExpire(spark, ts, minIngestId, archiveDir)
     writeFloor(spark, ts.root,
       math.max(readFloor(spark, ts.root), minIngestId - 1))
     fs(spark, ts.root).delete(maintPath(ts.root), false)
@@ -180,7 +208,7 @@ object CatalogMaintenance {
           writeFloor(spark, ts.root, math.max(readFloor(spark, ts.root), upTo))
         case Array("expire", v) =>
           val minId = v.toLong
-          runExpire(spark, ts, minId)
+          runExpire(spark, ts, minId, None)
           writeFloor(spark, ts.root,
             math.max(readFloor(spark, ts.root), minId - 1))
         case other =>

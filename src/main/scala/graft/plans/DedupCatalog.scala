@@ -130,10 +130,13 @@ object DedupCatalog {
     CatalogMaintenance.compact(spark, tset(h), upToIngestId)
 
   /** Retention: drop ingest partitions below `minIngestId` (the aged
-    * state is forgotten, the reference's cleanUp.py analog).
+    * state is forgotten, the reference's cleanUp.py analog). With
+    * `archiveDir`, partitions are copied to cold storage first
+    * (archive-then-advance).
     */
-  def expire(spark: SparkSession, h: Handle, minIngestId: Long): Unit =
-    CatalogMaintenance.expire(spark, tset(h), minIngestId)
+  def expire(spark: SparkSession, h: Handle, minIngestId: Long,
+      archiveDir: Option[String] = None): Unit =
+    CatalogMaintenance.expire(spark, tset(h), minIngestId, archiveDir)
 
   /** The catalog's maintenance floor (0 = never maintained). */
   def floor(spark: SparkSession, h: Handle): Long =

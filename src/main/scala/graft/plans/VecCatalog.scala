@@ -98,9 +98,12 @@ object VecCatalog {
   def compact(spark: SparkSession, h: Handle, upToIngestId: Long): Unit =
     CatalogMaintenance.compact(spark, tset(h), upToIngestId)
 
-  /** Retention: drop ingest partitions below `minIngestId`. */
-  def expire(spark: SparkSession, h: Handle, minIngestId: Long): Unit =
-    CatalogMaintenance.expire(spark, tset(h), minIngestId)
+  /** Retention: drop ingest partitions below `minIngestId`; with
+    * `archiveDir`, archive-then-advance (see [[DedupCatalog.expire]]).
+    */
+  def expire(spark: SparkSession, h: Handle, minIngestId: Long,
+      archiveDir: Option[String] = None): Unit =
+    CatalogMaintenance.expire(spark, tset(h), minIngestId, archiveDir)
 
   /** The catalog's maintenance floor (0 = never maintained). */
   def floor(spark: SparkSession, h: Handle): Long =

@@ -127,6 +127,28 @@ class CatalogMaintenanceSpec extends AnyFunSuite {
     } finally DedupCatalog.drop(spark, cat)
   }
 
+  test("expire with an archive dir demotes partitions to cold storage before dropping") {
+    import spark.implicits._
+    val cat = DedupCatalog.land(spark, evens(0, 100), "maint_archive")
+    val arch = java.nio.file.Files.createTempDirectory("maint_arch").toString
+    try {
+      DedupCatalog.append(spark, evens(100, 300), cat, ingestId = 1)
+      val sizesBefore = spark.table(cat.sizesT)
+        .filter(col("ingest_id") === 0).select("doc").as[Long].collect().toSet
+      DedupCatalog.expire(spark, cat, minIngestId = 1, archiveDir = Some(arch))
+      // forgotten by the catalog…
+      assert(ingestDirs(cat.root, "sizes") === Seq("ingest_id=1"))
+      // …but readable as bare parquet from the archive, row-for-row
+      val archived = spark.read.parquet(s"$arch/sizes/ingest_id=0")
+        .select("doc").as[Long].collect().toSet
+      assert(archived === sizesBefore,
+        s"archive lost rows: ${(sizesBefore -- archived).take(5)}")
+    } finally {
+      DedupCatalog.drop(spark, cat)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(arch))
+    }
+  }
+
   test("an interrupted compact completes from its marker on reattach") {
     val cat = DedupCatalog.land(spark, evens(0, 300), "maint_recover")
     try {

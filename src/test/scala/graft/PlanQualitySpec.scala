@@ -133,12 +133,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "ann_topk_ivf",         // 16-row centroid table broadcast-crossed for assignment
       "ann_topk_ivfpq",       // same 16-row centroid cross in its candidate stage
       "ann_topk_ivf_trained", // same cross, per Lloyd round and at probe time
+      "ann_topk_ivfpq_trained", // same 16-row cross in its shared IVF candidate stage
       "dd_embedding_neardup", // deliberate exact n^2 baseline; LSH twin is the scale path
-      "dq34_scalar_subquery") // 1-row broadcast aggregate crossed into the fact side
+      "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
+      "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
       "dq09_validation",      // global scalar aggregate (1-row result)
       "dq21_count_distinct",  // global count-distinct (1-row result)
-      "dq34_scalar_subquery") // the scalar aggregate itself
+      "dq34_scalar_subquery", // the scalar aggregate itself
+      "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive
     // the SinglePartition ban (it appears wherever a LogicalRDD join

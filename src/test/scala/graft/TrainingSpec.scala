@@ -447,6 +447,17 @@ class TrainingSpec extends AnyFunSuite {
     Shared.releaseAll(spark)
   }
 
+  test("convergence-stopped PQ training equals the fixed-round trainer bit-for-bit") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val (cw, rounds) = Similarity.pqCodebooksConverged(emb, maxIters = 6)
+    assert(rounds >= 1 && rounds <= 6, s"implausible round count $rounds")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    val fixed = Similarity.pqCodebooksTrained(emb, iters = rounds)
+    assert(keyed(cw) === keyed(fixed),
+      s"converged($rounds rounds) != fixed-round($rounds) codebooks")
+  }
+
   test("multi-probe recovers a planted cross-bucket neighbor single-probe misses") {
     import spark.implicits._
     val (k, l) = (8, 16)
