@@ -517,8 +517,16 @@ object Similarity {
       nCodes: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
     requireDim(embeddings, dim)
     var cw = pqCodebooksSampled(embeddings, nSub, nCodes, dim)
-    for (_ <- 0 until iters)
-      cw = pqLloydRound(subvectors(embeddings, nSub, dim), cw, dim / nSub)
+    if (iters > 0) {
+      // one corpus explode feeds every round: each round's terminal
+      // localCheckpoint(true) is an eager job, so all reads of the
+      // cached frame complete inside the loop and the unpersist on
+      // exit can never force a recompute
+      val vs = subvectors(embeddings, nSub, dim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try for (_ <- 0 until iters) cw = pqLloydRound(vs, cw, dim / nSub)
+      finally vs.unpersist(false)
+    }
     cw
   }
 
@@ -579,15 +587,19 @@ object Similarity {
     var cw = pqCodebooksSampled(embeddings, nSub, nCodes, dim)
     var rounds = 0
     var moved = Double.MaxValue
-    while (rounds < maxIters && moved > tol) {
-      val next = pqLloydRound(subvectors(embeddings, nSub, dim), cw, dim / nSub)
+    // same one-explode-feeds-every-round cache as pqCodebooksTrained;
+    // the per-round byKey collect is itself an eager read
+    val vs = subvectors(embeddings, nSub, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try while (rounds < maxIters && moved > tol) {
+      val next = pqLloydRound(vs, cw, dim / nSub)
       val (p, n) = (byKey(cw), byKey(next))
       moved = p.iterator.flatMap { case (k, v) =>
         v.zip(n(k)).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }
       }.max
       cw = next
       rounds += 1
-    }
+    } finally vs.unpersist(false)
     (cw, rounds)
   }
 
