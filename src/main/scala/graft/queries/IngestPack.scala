@@ -390,6 +390,43 @@ object IngestPack {
       .orderBy("user_id")
   }
 
+  // ----------------------------------------------------- retention sweep
+
+  /** The retention sink as a whole-lifecycle gate
+    * ([[graft.plans.Retention]] — `cleanUp.py:11-57`'s per-directory
+    * age-based delete at partition granularity): the event corpus is
+    * landed day-partitioned, every partition older than the last 7
+    * corpus days is PHYSICALLY deleted, and the survivors are
+    * aggregated per day. The oracle is the same aggregate over the
+    * raw table with a plain age filter — so the destructive sweep
+    * must be exactly filter-equivalent: delete one partition too many
+    * or too few and the hash breaks. The cutoff derives from the
+    * corpus horizon (max day − 6), a 1-row driver collect. The
+    * landing happens once per scale dir (the writer's own _SUCCESS
+    * marker gates the rebuild — a crashed write lacks it and
+    * re-lands): re-running against an already-swept landing is the
+    * production steady state, and both the sweep (idempotent) and
+    * the surviving rows are deterministic either way.
+    */
+  val retentionSweep: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_retain/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val cut = ev.agg(date_sub(max(to_date(col("ts"))), 6)).head.getDate(0)
+    val done = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    if (!done.getFileSystem(s.sessionState.newHadoopConf()).exists(done))
+      ev.withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(root)
+    graft.plans.Retention.sweep(s, root, "day", cut.toString)
+    s.read.parquet(root)
+      .groupBy(col("day").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy("day")
+  }
+
   // --------------------------------------------- bucketed session join
 
   /** Beacon↔session analytics over the BUCKETED landing tables
@@ -564,6 +601,7 @@ object IngestPack {
     "ig_session_stats"   -> sessionStats,
     "ig_sharded_sessions" -> shardedSessions,
     "ig_ttl_tombstones"  -> ttlTombstones,
+    "ig_retention_sweep" -> retentionSweep,
     "ig_bucketed_sessions" -> bucketedSessions,
     "ig_ipv4_format"     -> ipv4Format,
     "ig_hex_format"      -> hexFormat,
@@ -915,6 +953,17 @@ object IngestPack {
          |SELECT user_id, last_seen_us, 'ttl_expired' AS reason
          |FROM a, wm WHERE last_seen_us + 14400000000 < wm_us
          |ORDER BY user_id""".stripMargin,
+
+    // the retention sweep replayed as a filter: the gate physically
+    // deleted every partition below the last-7-days cutoff, so the
+    // survivors' per-day aggregate must equal a plain age predicate
+    "ig_retention_sweep" ->
+      s"""WITH cut AS (SELECT CAST(MAX(ts) AS DATE) - 6 AS cd FROM events)
+         |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+         |FROM events, cut WHERE CAST(ts AS DATE) >= cd
+         |GROUP BY 1 ORDER BY day""".stripMargin,
 
     // recomputes the landed-tables join/agg directly from the beacon
     // corpus' arithmetic derivation (good = no unknown-TLV slice)
