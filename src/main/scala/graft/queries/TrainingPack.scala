@@ -801,8 +801,13 @@ object TrainingPack {
     * previous vector. rounds = 0 degenerates to the sampled-codebook
     * oracle.
     */
-  private def ivfPqOracleSql(rounds: Int): String = {
-    val lloyd = (1 to rounds).map { k =>
+  /** `rounds` per-subspace Lloyd rounds in SQL over CTEs named `vs`
+    * (the subvector frame) and `cw0` (the init) — shared by the flat
+    * and residual IVF-PQ oracles, whose training chains are identical
+    * once those two CTEs are bound.
+    */
+  private def pqLloydCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
       s"""pasg${k - 1} AS (
          |  SELECT vec_id, sub, vsv, cw_id FROM (
          |    SELECT v.vec_id, v.sub, v.vsv, c.cw_id,
@@ -822,6 +827,9 @@ object TrainingPack {
          |  SELECT c.sub, c.cw_id, COALESCE(m.me, c.cwv) AS cwv
          |  FROM cw${k - 1} c LEFT JOIN pme$k m USING (sub, cw_id))""".stripMargin
     }.mkString(",\n")
+
+  private def ivfPqOracleSql(rounds: Int): String = {
+    val lloyd = pqLloydCtes(rounds)
     val fin = s"cw$rounds"
     s"""WITH $ivfCandCtes,
        |subs AS (SELECT unnest(range(8)) AS sub),
