@@ -29,32 +29,48 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "embeddings"))
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. We read it as a raw nanosecond BIGINT
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive a
-    * microsecond-precision timestamp by integer division — exactly the
-    * truncation DuckDB applies when it narrows ns to its TIMESTAMP type,
-    * so both engines see identical values.
+  /** `events.ts` has shipped in two physical layouts: TIMESTAMP(NANOS)
+    * (rejected by Spark's reader unless
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to BIGINT) and plain
+    * TIMESTAMP(MICROS). This reader adapts to whichever the file carries
+    * and always yields `ts` as a session-zone (UTC) TimestampType at
+    * microsecond precision, so every downstream query and the DuckDB
+    * oracle see identical values regardless of layout:
+    *
+    *  - µs timestamp (possibly NTZ under `inferTimestampNTZ`): cast to
+    *    TimestampType — identity on the stored µs value in a UTC session.
+    *  - ns INT64 (read as BIGINT under the legacy flag): `ts div 1000` —
+    *    the same ns→µs truncation DuckDB applies when narrowing.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // GraftSession sets the legacy flag at build; on a foreign session
-    // scope it to this read (schema inference captures it eagerly at
-    // read.parquet(), so restoring right after doesn't affect this
-    // DataFrame). The toggle mutates shared session conf, so it's
-    // serialized per session — two threads interleaving set/restore
-    // could otherwise strand the flag off mid-read.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def adapt(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected timestamp or int64-nanos)")
+    }
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    def read() = spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    if (spark.conf.getOption(key).contains("true")) read()
-    else spark.synchronized {
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try read()
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    // GraftSession sets the legacy flag at build (harmless for µs files —
+    // it only affects NANOS). On a foreign session without it, a ns file
+    // fails schema inference; retry with the flag scoped to this read
+    // (inference captures conf eagerly at read.parquet(), so restoring
+    // right after doesn't affect the returned DataFrame). The toggle
+    // mutates shared session conf, so it's serialized per session.
+    try adapt(spark.read.parquet(path(dir, "events")))
+    catch {
+      case e: Exception if !spark.conf.getOption(key).contains("true") =>
+        spark.synchronized {
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try adapt(spark.read.parquet(path(dir, "events")))
+          catch { case _: Exception => throw e }
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None    => spark.conf.unset(key)
+          }
+        }
     }
   }
 

@@ -202,13 +202,17 @@ object Dedup {
     val shM = mat(sh.toDF("doc", "sg"))
     val sig = mat(minhashSignaturesFrom(shM, "doc"))
     val bandsRaw = banded(sig, "doc")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    // capped mode sizes every bucket ONCE (count + min in the same
-    // window pass, materialized so the small-bucket and star branches
-    // read it instead of re-sorting the corpus-sized band frame)
-    val sized = maxBucket.map(_ => mat(
-      bandsRaw.withColumn("_bsz", count(lit(1)).over(w))
-        .withColumn("_bmin", min(col("doc")).over(w))))
+    // capped mode sizes every bucket ONCE via groupBy + join-back: the
+    // bucket-stats frame is one row per (band, bh) bucket — tiny, so
+    // AQE broadcasts it and the join adds no shuffle or sort of the
+    // corpus-sized band frame (a window over (band, bh) would sort the
+    // whole frame; the aggregate gets map-side partial combine instead).
+    // Materialized so the small-bucket and star branches share one pass.
+    val sized = maxBucket.map { _ =>
+      val stats = bandsRaw.groupBy("band", "bh")
+        .agg(count(lit(1)).as("_bsz"), min(col("doc")).as("_bmin"))
+      mat(bandsRaw.join(stats, Seq("band", "bh")))
+    }
     val bands = (maxBucket, sized) match {
       case (Some(cap), Some(s)) =>
         s.filter(col("_bsz") <= cap).drop("_bsz", "_bmin")
@@ -390,10 +394,25 @@ object Dedup {
     // even smaller root). Testing the state directly saves the
     // otherwise-mandatory extra round that merely reproduces the
     // fixpoint so a set comparison can notice it.
+    // One job, one shuffle: union both endpoints tagged by role, group
+    // by node, then fold to three scalars. Star forest iff every source
+    // appears exactly once (sum of per-node source counts == number of
+    // source nodes) and no node is both source and target. This
+    // replaces the previous 3-job probe (count+count_distinct, then an
+    // intersect + limit + count — two distincts and a join) with a
+    // single pass over 2|E| rows per round.
     def isStarForest(e: DataFrame): Boolean = {
-      val r = e.agg(count(lit(1)), count_distinct(col("u"))).head()
-      r.getLong(0) == r.getLong(1) &&
-        e.select("u").intersect(e.select("v")).limit(1).count() == 0
+      val r = e.select(col("u").as("n"), lit(1).as("src"))
+        .union(e.select(col("v").as("n"), lit(0).as("src")))
+        .groupBy("n").agg(
+          sum(col("src")).as("nu"),
+          max(lit(1) - col("src")).as("isT"))
+        .agg(
+          coalesce(sum(col("nu")), lit(0L)).as("edges"),
+          coalesce(sum(when(col("nu") > 0, 1L).otherwise(0L)), lit(0L)).as("srcNodes"),
+          coalesce(max(when(col("nu") > 0 && col("isT") === 1, 1).otherwise(0)), lit(0)).as("overlap"))
+        .head()
+      r.getLong(0) == r.getLong(1) && r.getInt(2) == 0
     }
 
     var cur = e0.localCheckpoint(true)

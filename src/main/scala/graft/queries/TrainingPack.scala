@@ -205,7 +205,16 @@ object TrainingPack {
     */
   val annIvfPqTrained: Q = (s, d) => Similarity.ivfPqTopK(s, d, trainIters = 4)
 
-  val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDup(s, d)
+  /** Oracle-exact all-pairs gate. The input is bounded to a
+    * deterministic id slice (`vec_id < 2000` — the full corpus at
+    * sf ≤ 0.1, a fixed-cost slice beyond) because the operator is
+    * O(n²) by construction: it exists as the exact-answer gate, and
+    * [[ddEmbeddingNearDupLsh]] + the landed VecCatalog screen are the
+    * declared scale path. The oracle applies the identical bound.
+    */
+  val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDupFrom(
+    Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+      .select("vec_id", "embedding"))
 
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
 
@@ -594,6 +603,46 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------- convergence-stopped trainers
+
+  /** Operational (convergence-stopped) IVF training, surfaced as a
+    * driver gate: run [[Similarity.ivfCentroidsConverged]], then
+    * replay the FIXED-round trainer for the round count it actually
+    * ran and emit per-centroid equality. The round count is
+    * data-dependent, so no static SQL oracle exists (rows-only check);
+    * the semantic claim — converged ≡ trained(roundsRun), exactly — is
+    * carried in the output itself: every row must show
+    * `replay_equal = true`, and the spec pins the same identity.
+    */
+  val annIvfConverged: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // gate caps training at 4 rounds (operator default is 8): the
+    // gate's claim is the converged ≡ trained(roundsRun) identity,
+    // which holds at any stop round, and the cap keeps the bench row
+    // from doubling the sweep's trainer cost
+    val (cents, rounds) = Similarity.ivfCentroidsConverged(emb, maxIters = 4)
+    val replay = Similarity.ivfCentroidsTrained(emb, 16, rounds)
+    cents.toDF("cid", "ce").join(replay.toDF("cid", "re"), "cid")
+      .select(col("cid"), lit(rounds).as("rounds_run"),
+        (col("ce") === col("re")).as("replay_equal"))
+      .orderBy("cid")
+  }
+
+  /** Operational PQ-codebook training gate — same shape as
+    * [[annIvfConverged]] for [[Similarity.pqCodebooksConverged]]:
+    * (sub, cw_id, rounds_run, replay_equal), all rows true.
+    */
+  val annPqConverged: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val (cw, rounds) = Similarity.pqCodebooksConverged(emb, maxIters = 4)
+    val replay = Similarity.pqCodebooksTrained(emb, iters = rounds)
+    cw.toDF("sub", "cw_id", "cw").join(
+        replay.toDF("sub", "cw_id", "rw"), Seq("sub", "cw_id"))
+      .select(col("sub"), col("cw_id"), lit(rounds).as("rounds_run"),
+        (col("cw") === col("rw")).as("replay_equal"))
+      .orderBy("sub", "cw_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   val mmMeta: Q = (s, d) => Multimodal.meta(s, d)
@@ -623,6 +672,8 @@ object TrainingPack {
     "ann_topk_ivfpq"       -> annIvfPq,
     "ann_topk_ivfpq_trained" -> annIvfPqTrained,
     "ann_topk_ivf_trained" -> annIvfTrained,
+    "ann_ivf_converged"    -> annIvfConverged,
+    "ann_pq_converged"     -> annPqConverged,
     "tx_token_count"       -> txTokenCount,
     "tx_quality"           -> txQuality,
     "tx_fingerprint"       -> txFingerprint,
@@ -1121,7 +1172,8 @@ object TrainingPack {
       s"""WITH p AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
+         |  WHERE a.vec_id < 2000 AND b.vec_id < 2000
+         |    AND ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
          |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM p)
          |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d
          |WHERE dot >= CAST('0.95' AS DECIMAL(38,12)) ORDER BY i, j""".stripMargin,
