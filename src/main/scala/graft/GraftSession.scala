@@ -12,6 +12,14 @@ import graft.functions.{CodecExpressions, TextExpressions, VectorExpressions}
   * shuffle partitions sized to the machine (32 locally — at cluster
   * scale AQE coalesces from an over-provisioned initial count),
   * 128 MB scan partitions, UTC semantics everywhere.
+  *
+  * Known cross-PROCESS hazard: catalog partition overwrites
+  * ([[graft.plans.BucketedLayout.overwritePartitions]]) briefly toggle
+  * the session-wide `partitionOverwriteMode` to `dynamic` under a JVM
+  * lock. Concurrent maintenance from two separate driver processes on
+  * the same catalog directory is not serialized by that lock — run
+  * catalog maintenance from one writer process at a time (the same
+  * single-writer discipline any non-transactional table format needs).
   */
 object GraftSession {
 
@@ -80,6 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("tlv_encode", es => CE.TlvEncode(es.head))
     inject("bthp_strip", es => CE.BthpStrip(es.head))
     inject("bthp_frame", es => CE.BthpFrame(es))
+    inject("aes_frame_encode", es => CE.AesFrameEncode(es(0), es(1)))
+    inject("aes_frame_decode", es => CE.AesFrameDecode(es(0), es(1), es(2)))
     inject("simhash64", es => TE.SimHash64(es.head))
     inject("hamming64", es => TE.Hamming64(es(0), es(1)))
     inject("fnv1a64", es => TE.Fnv1a64(es.head))

@@ -253,8 +253,48 @@ object CodecExpressions {
   def bthp_strip(col: Column): Column = c(BthpStrip(e(col)))
   def bthp_frame(payload: Column, proxyId: Column, beaconIp: Column, dstIp: Column): Column =
     c(BthpFrame(Seq(e(payload), e(proxyId), e(beaconIp), e(dstIp))))
+  def aes_frame_encode(payload: Column, key: Column): Column =
+    c(AesFrameEncode(e(payload), e(key)))
+  def aes_frame_decode(frame: Column, key: Column, maxLen: Column): Column =
+    c(AesFrameDecode(e(frame), e(key), e(maxLen)))
 
   /** SQL registration so the functions are usable from `spark.sql`. */
+  /** Session-frame encrypt (`crypto.c:205-273`): payload + 256-bit
+    * key → length-prefixed, zero-padded, AES-CBC-encrypted frame; the
+    * IV is derived as md5(key) per `crypto.c:146`. CodegenFallback:
+    * the JCE cipher call dominates, codegen would buy nothing.
+    */
+  case class AesFrameEncode(left: Expression, right: Expression) extends BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(p: Any, k: Any): Any = {
+      val key = k.asInstanceOf[Array[Byte]]
+      CodecImpl.aesFrameEncode(p.asInstanceOf[Array[Byte]], key, CodecImpl.sessionIv(key))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AesFrameEncode = copy(l, r)
+    override def prettyName: String = "aes_frame_encode"
+  }
+
+  /** Session-frame decrypt (`crypto.c:286-384`): frame + key +
+    * max-length → payload, or NULL when the frame is not a 16-byte
+    * multiple or its embedded length fails the `len <= bufsize`
+    * validation — the reference's -1 error paths surfaced as SQL null
+    * for error routing.
+    */
+  case class AesFrameDecode(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(f: Any, k: Any, m: Any): Any = {
+      val key = k.asInstanceOf[Array[Byte]]
+      CodecImpl.aesFrameDecode(f.asInstanceOf[Array[Byte]], key,
+        CodecImpl.sessionIv(key), m.asInstanceOf[Int])
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): AesFrameDecode =
+      copy(f, s, t)
+    override def prettyName: String = "aes_frame_decode"
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def one(name: String, b: Seq[Expression] => Expression): Unit =
@@ -275,5 +315,7 @@ object CodecExpressions {
     one("tlv_encode", es => TlvEncode(es.head))
     one("bthp_strip", es => BthpStrip(es.head))
     one("bthp_frame", es => BthpFrame(es))
+    one("aes_frame_encode", es => AesFrameEncode(es(0), es(1)))
+    one("aes_frame_decode", es => AesFrameDecode(es(0), es(1), es(2)))
   }
 }

@@ -388,4 +388,78 @@ object CodecImpl {
 
   /** Bitwise-NOT string scramble (`common/strings/string_utils.c:16-24`). */
   def scramble(bytes: Array[Byte]): Array[Byte] = bytes.map(b => (~b).toByte)
+
+  // ------------------------------------------ AES-CBC session framing
+
+  /** Session IV derivation: md5 of the session key
+    * (`common/crypto/crypto.c:146` — the IV is seeded with the md5
+    * hash of the DH shared key, so it is a pure function of the key).
+    */
+  def sessionIv(key: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(key)
+
+  private def aesCbc(mode: Int, data: Array[Byte], key: Array[Byte],
+      iv: Array[Byte]): Array[Byte] = {
+    require(key.length == 32,
+      s"AES session key must be 32 bytes (AES_KEY_SIZE 256, crypto.h:23), got ${key.length}")
+    require(iv.length == 16, s"AES-CBC IV must be 16 bytes, got ${iv.length}")
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Raw AES-256-CBC over a 16-multiple buffer (no padding — the
+    * framing layer owns padding). Exposed for golden-vector testing
+    * (NIST SP 800-38A CBC-AES256 vectors) independent of the frame
+    * layout.
+    */
+  def aesCbcEncrypt(data: Array[Byte], key: Array[Byte], iv: Array[Byte]): Array[Byte] =
+    aesCbc(javax.crypto.Cipher.ENCRYPT_MODE, data, key, iv)
+
+  def aesCbcDecrypt(data: Array[Byte], key: Array[Byte], iv: Array[Byte]): Array[Byte] =
+    aesCbc(javax.crypto.Cipher.DECRYPT_MODE, data, key, iv)
+
+  /** Encrypted-session frame WRITE side
+    * (`common/crypto/crypto.c:205-273`): payload capped at 65535
+    * (`:210-213`), buffer sized to the next 16-byte multiple of
+    * (len + 2) and zero-filled (`:218-221` — calloc supplies the zero
+    * pad), 2-byte big-endian length prefix (`:224-225`), payload at
+    * offset 2, then AES-256-CBC over the whole buffer. Modeled as a
+    * pure single-frame transform with the IV an explicit argument —
+    * the reference chains the CBC IV across a connection's frames, so
+    * this is bit-identical to the reference's FIRST frame under
+    * iv = [[sessionIv]](key), and the per-frame semantics (layout,
+    * padding, validation) are what define the record format.
+    */
+  def aesFrameEncode(payload: Array[Byte], key: Array[Byte],
+      iv: Array[Byte]): Array[Byte] = {
+    require(payload.length <= 0xFFFF,
+      s"frame payload must be <= 65535 bytes (crypto.c:210-213), got ${payload.length}")
+    val n = payload.length + 2
+    val bufsize = if (n % 16 == 0) n else n + (16 - n % 16)
+    val buf = new Array[Byte](bufsize) // zero-filled = calloc pad
+    buf(0) = (payload.length >>> 8).toByte
+    buf(1) = payload.length.toByte
+    System.arraycopy(payload, 0, buf, 2, payload.length)
+    aesCbcEncrypt(buf, key, iv)
+  }
+
+  /** Encrypted-session frame READ side
+    * (`common/crypto/crypto.c:286-384`): reject input that is not a
+    * 16-byte multiple (`:349-352`), decrypt, read the 2-byte
+    * big-endian embedded length (`:362`), reject a length that
+    * exceeds the caller's buffer capacity (`:363-369`), else return
+    * exactly `len` payload bytes from offset 2. Rejections return
+    * null (the reference returns -1), which the ingest error-routing
+    * queries treat as a routed failure, not an exception.
+    */
+  def aesFrameDecode(frame: Array[Byte], key: Array[Byte], iv: Array[Byte],
+      maxLen: Int): Array[Byte] = {
+    if (frame.length == 0 || frame.length % 16 != 0) return null
+    val plain = aesCbcDecrypt(frame, key, iv)
+    val len = ((plain(0) & 0xFF) << 8) | (plain(1) & 0xFF)
+    if (len > maxLen || len > plain.length - 2) return null
+    java.util.Arrays.copyOfRange(plain, 2, 2 + len)
+  }
 }

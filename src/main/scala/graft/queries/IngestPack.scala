@@ -226,6 +226,42 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  /** AES-CBC session-frame roundtrip (§2.2, `crypto.c:205-384`): a
+    * deterministic ASCII payload per document is framed — 2-byte BE
+    * length prefix, zero pad to a 16-byte multiple, AES-256-CBC under
+    * a fixed session key with iv = md5(key) (`crypto.c:146`) — and
+    * re-extracted. The oracle recomputes the payload length and the
+    * frame-size arithmetic directly and states the three validation
+    * verdicts as literal TRUE; engine-side, `rt_ok` compares
+    * decode(encode(p)) with p byte-for-byte and the two reject
+    * columns drive the read side's error paths (embedded len > cap,
+    * `crypto.c:363-369`; frame not a 16-multiple, `:349-352`), so a
+    * framing, padding, or validation bug flips a boolean or the
+    * frame-size column and breaks the hash.
+    */
+  val aesFrame: Q = (s, d) => {
+    val key = unhex(lit(
+      "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"))
+    val pay = concat(lit("frame "), col("doc_id").cast("string"), lit(":"),
+      expr("repeat('ab', CAST(doc_id % 40 AS INT))")).cast("binary")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), pay.as("pay"))
+      .select(col("doc_id"), col("pay"),
+        octet_length(col("pay")).cast("bigint").as("n"),
+        CE.aes_frame_encode(col("pay"), key).as("frame"))
+      .select(col("doc_id"), col("n"),
+        octet_length(col("frame")).cast("bigint").as("frame_len"),
+        (CE.aes_frame_decode(col("frame"), key, col("n").cast("int"))
+          === col("pay")).as("rt_ok"),
+        CE.aes_frame_decode(col("frame"), key, (col("n") - 1).cast("int"))
+          .isNull.as("reject_cap"),
+        CE.aes_frame_decode(
+          expr("substring(frame, 1, CAST(octet_length(frame) AS INT) - 1)"),
+          key, lit(65535)).isNull.as("reject_align"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ trigger scheduling
 
   /** Delayed trigger with variance (§2.9, `trigger_listen.c:79-98`):
@@ -614,6 +650,7 @@ object IngestPack {
     "ig_validation"      -> validationRoute,
     "ig_proc_parse"      -> procParse,
     "ig_tlv_roundtrip"   -> tlvRoundtrip,
+    "ig_aes_frame"       -> aesFrame,
   )
 
   private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
@@ -842,6 +879,24 @@ object IngestPack {
          |  event_id % 86400 AS next_beacon
          |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
     },
+
+    // AES framing: the ciphertext itself has no DuckDB analog, so the
+    // oracle checks what it CAN recompute — the payload-length and
+    // frame-size arithmetic — and pins the three engine-side
+    // validation verdicts at literal TRUE (same trick as dq17's
+    // engine-asserted roundtrip). A wrong frame size, a failed
+    // roundtrip, or a miss on either reject path breaks the hash.
+    "ig_aes_frame" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    'frame ' || CAST(doc_id AS VARCHAR) || ':' ||
+         |      repeat('ab', CAST(doc_id % 40 AS INT)) AS pay
+         |  FROM documents WHERE doc_id < 300)
+         |SELECT doc_id,
+         |  CAST(octet_length(encode(pay)) AS BIGINT) AS n,
+         |  CAST(((octet_length(encode(pay)) + 17) // 16) * 16 AS BIGINT) AS frame_len,
+         |  TRUE AS rt_ok, TRUE AS reject_cap, TRUE AS reject_align
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "ig_beacon_dag" ->
       s"""WITH b AS (

@@ -86,6 +86,23 @@ class CodecExprSpec extends AnyFunSuite {
     assert(row.getInt(3) === 0x220D)
   }
 
+  test("aes_frame encode/decode round-trips through a plan, rejects to null") {
+    CE.register(spark)
+    val key = "repeat('0b', 32)" // deterministic 32-byte key, hex-expanded
+    val row = spark.sql(
+      s"""SELECT CAST(aes_frame_decode(
+         |         aes_frame_encode(CAST('hello session' AS BINARY), unhex($key)),
+         |         unhex($key), 65535) AS STRING) AS rt,
+         |       aes_frame_decode(
+         |         aes_frame_encode(CAST('hello session' AS BINARY), unhex($key)),
+         |         unhex($key), 12) AS cap_reject,
+         |       aes_frame_decode(unhex('00'), unhex($key), 65535) AS align_reject
+         |""".stripMargin).head()
+    assert(row.getString(0) === "hello session")
+    assert(row.isNullAt(1), "embedded length above cap must reject to null")
+    assert(row.isNullAt(2), "non-16-multiple frame must reject to null")
+  }
+
   test("generated code for the kernels compiles (no silent interpreted fallback)") {
     import spark.implicits._
     // with fallback disabled, a janino compile error fails the query

@@ -304,4 +304,81 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.scramble(CodecImpl.scramble(s)).sameElements(s))
     assert(CodecImpl.scramble(Array[Byte](0)).head === -1)
   }
+
+  // ------------------------------------------ AES-CBC session framing
+
+  // NIST SP 800-38A F.2.5 (CBC-AES256.Encrypt) — the published
+  // known-answer vectors for the cipher under the frame layer
+  private val NistKey = hex(
+    "603deb1015ca71be2b73aef0857d77811f352c073b6108d72d9810a30914dff4")
+  private val NistIv = hex("000102030405060708090a0b0c0d0e0f")
+  private val NistPlain = hex(
+    "6bc1bee22e409f96e93d7e117393172a" +
+    "ae2d8a571e03ac9c9eb76fac45af8e51" +
+    "30c81c46a35ce411e5fbc1191a0a52ef" +
+    "f69f2445df4f9b17ad2b417be66c3710")
+  private val NistCipher = hex(
+    "f58c4c04d6e5f1ba779eabfb5f7bfbd6" +
+    "9cfc4e967edb808d679f777bc6702c7d" +
+    "39f23369a9d9bacfa530e26304231461" +
+    "b2eb05e2c39be9fcda6c19078c6a9d1b")
+
+  test("aes-cbc: NIST SP 800-38A CBC-AES256 known-answer vectors") {
+    assert(CodecImpl.aesCbcEncrypt(NistPlain, NistKey, NistIv).sameElements(NistCipher))
+    assert(CodecImpl.aesCbcDecrypt(NistCipher, NistKey, NistIv).sameElements(NistPlain))
+  }
+
+  test("session iv: md5 of the key (crypto.c:146), 16 bytes") {
+    val iv = CodecImpl.sessionIv(NistKey)
+    assert(iv.length === 16)
+    // md5 of the empty key is the RFC 1321 known answer
+    assert(CodecImpl.sessionIv(Array.empty).sameElements(
+      hex("d41d8cd98f00b204e9800998ecf8427e")))
+  }
+
+  test("frame encode: buffer is the 16-multiple of len+2, zero-padded (crypto.c:218-226)") {
+    val key = NistKey
+    val iv = CodecImpl.sessionIv(key)
+    for (n <- Seq(0, 1, 13, 14, 15, 16, 30, 31, 255, 4052)) {
+      val payload = randBytes(n)
+      val frame = CodecImpl.aesFrameEncode(payload, key, iv)
+      val expect = if ((n + 2) % 16 == 0) n + 2 else (n + 2) + (16 - (n + 2) % 16)
+      assert(frame.length === expect, s"frame size for payload $n")
+      // decrypting the frame exposes the exact layout: BE length,
+      // payload at offset 2, zero pad to the end
+      val plain = CodecImpl.aesCbcDecrypt(frame, key, iv)
+      assert((((plain(0) & 0xFF) << 8) | (plain(1) & 0xFF)) === n)
+      assert(plain.slice(2, 2 + n).sameElements(payload))
+      assert(plain.drop(2 + n).forall(_ == 0), "calloc zero pad")
+    }
+  }
+
+  test("frame roundtrip: decode(encode(p)) == p up to the 65535 cap") {
+    val key = randBytes(32)
+    val iv = CodecImpl.sessionIv(key)
+    for (n <- Seq(0, 1, 14, 16, 100, 65535)) {
+      val p = randBytes(n)
+      val back = CodecImpl.aesFrameDecode(CodecImpl.aesFrameEncode(p, key, iv), key, iv, 65535)
+      assert(back != null && back.sameElements(p), s"roundtrip at $n")
+    }
+    assertThrows[IllegalArgumentException](
+      CodecImpl.aesFrameEncode(randBytes(65536), key, iv))
+  }
+
+  test("frame decode: reference validation rejects -> null (crypto.c:349-369)") {
+    val key = randBytes(32)
+    val iv = CodecImpl.sessionIv(key)
+    val frame = CodecImpl.aesFrameEncode(randBytes(100), key, iv)
+    // not a 16-byte multiple (crypto.c:349-352)
+    assert(CodecImpl.aesFrameDecode(frame.drop(1), key, iv, 65535) == null)
+    assert(CodecImpl.aesFrameDecode(Array.empty, key, iv, 65535) == null)
+    // embedded length exceeds the caller's buffer (crypto.c:363-369)
+    assert(CodecImpl.aesFrameDecode(frame, key, iv, 99) == null)
+    assert(CodecImpl.aesFrameDecode(frame, key, iv, 100) != null)
+    // a tampered frame whose decrypted length field overruns the
+    // actual frame content is rejected, not read out of bounds
+    val big = CodecImpl.aesCbcEncrypt(
+      hex("ffff") ++ new Array[Byte](14), key, iv)
+    assert(CodecImpl.aesFrameDecode(big, key, iv, 65535) == null)
+  }
 }

@@ -101,6 +101,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("capped LSH sizes buckets without a window sort of the band frame") {
+    // bucket stats come from groupBy(band, bh) + join-back: partial
+    // aggregation before the shuffle, no Window (which would sort the
+    // corpus-sized band frame inside each (band, bh) partition). The
+    // r11 window formulation cost 2.6x the reference; this pins the
+    // groupBy shape so it cannot silently come back.
+    import graft.operators.Dedup
+    val df = Dedup.minhashLsh(spark, dir, maxBucket = Some(50), capStar = true)
+    val s = planString(df)
+    assert(!s.contains("Window"), s"window sort back in capped LSH plan:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join in capped LSH plan:\n$s")
+    graft.Shared.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("ingest dims stay broadcast even at larger scale factors") {
     val plan = planString(queries.IngestPack.osDecode(spark, "/root/testdata/sf0.01"))
     assert(plan.contains("BroadcastHashJoin"), s"os dim not broadcast:\n$plan")
