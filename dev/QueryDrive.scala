@@ -10,10 +10,12 @@ object QueryDrive {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else Seq("ann_ivf_converged")
-    val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus).getOrCreate()
     GraftSession.registerAll(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = s"/root/testdata/$sf"
+    val dir = if (sf.startsWith("/")) sf else s"/root/testdata/$sf"
     for (n <- names) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, dir)
