@@ -62,6 +62,62 @@ object Dedup {
       .select("doc_id", "fp")
   }
 
+  /** Broadcast-Bloom prefilter over [[exactIncremental]] — the shape
+    * that keeps per-batch cost CATALOG-FREE for the common case at
+    * 100 TB. The history catalog's fingerprint set is folded into one
+    * Bloom filter (a distributed `treeAggregate` over the catalog —
+    * the driver holds only the final bitmap, never rows), embedded in
+    * the plan as a literal, and every batch survivor is tested with
+    * Spark's own `BloomFilterMightContain` (the runtime-filter
+    * machinery, expression-level, no UDF):
+    *
+    *  - filter says NO → the fingerprint is definitely absent from
+    *    the catalog (Bloom filters have no false negatives) — the row
+    *    is kept with no catalog access at all;
+    *  - filter says MAYBE → only these rows (true hits + the ~fpp
+    *    false-positive sliver) take the exact catalog anti-join.
+    *
+    * Result is therefore EXACTLY [[exactIncremental]]'s answer — the
+    * Bloom stage only shrinks the anti-join's probe side, typically
+    * to the duplicate fraction of the batch. Catalog-side cost is one
+    * sketch build per catalog version (amortized across batches; a
+    * deployment persists the serialized filter next to `_LANDED`).
+    *
+    * Driver-literal sizing: ~1.2 bytes/item at 1% fpp, so fine to
+    * ~10⁸ catalog items; beyond that, shard one filter per catalog
+    * bucket ([[graft.plans.DedupCatalog]] buckets on `bk`) and screen
+    * each batch partition against its bucket's filter — same
+    * structure, same guarantees, bitmap size bounded per bucket.
+    */
+  def bloomScreen(batch: DataFrame, catalogFp: DataFrame,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val survivors = batch
+      .withColumn("fp", md5(TextOps.norm(col("text"))))
+      .withColumn("_m", min("doc_id").over(w))
+      .filter(col("doc_id") === col("_m"))
+      .select("doc_id", "fp")
+    // the filter stores xxhash64(fp) longs — the same keying
+    // BloomFilterMightContain probes with below
+    val bloom = catalogFp.stat.bloomFilter(xxhash64(col("fp")), expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      XxHash64(Seq(ColumnBridge.expression(col("fp"))), 42L)))
+    val definitelyNew = survivors.filter(!might)
+    val maybeSeen = survivors.filter(might)
+      .join(catalogFp.select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    definitelyNew.union(maybeSeen)
+  }
+
   /** Exact dedup: survivors per md5(normalized text) group. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -41,7 +41,12 @@ object TrainingPack {
     * collision) — both
     * drop paths of the operator are exercised and oracle-checked.
     */
-  val ddIncremental: Q = (s, d) => {
+  /** The shared synthetic (batch, catalog-fingerprints) pair of the
+    * incremental exact-dedup gates: history = docs < 250; the batch
+    * re-lands every 5th doc's history text (catalog hits) and plants
+    * within-batch duplicates via the doc_id-13 copy rule.
+    */
+  private def incrementalBatch(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
     val catalog = docs.filter(col("doc_id") < 250)
       .select(md5(TextOps.norm(col("text"))).as("fp")).distinct()
@@ -55,7 +60,25 @@ object TrainingPack {
           .when(col("doc_id") % 11 === 7 && (col("doc_id") - 13) % 5 =!= 0 &&
             col("doc_id") - 13 >= 250, col("w_text"))
           .otherwise(col("text")).as("text"))
+    (batch, catalog)
+  }
+
+  val ddIncremental: Q = (s, d) => {
+    val (batch, catalog) = incrementalBatch(s, d)
     Dedup.exactIncremental(batch, catalog)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The Bloom-prefiltered twin of [[ddIncremental]]: identical
+    * answer by construction (no false negatives — the filter only
+    * shrinks the catalog anti-join's probe side), checked against the
+    * identical oracle. The gate proves the approximate structure
+    * changes the PLAN, not the result.
+    */
+  val ddBloomScreen: Q = (s, d) => {
+    val (batch, catalog) = incrementalBatch(s, d)
+    Dedup.bloomScreen(batch, catalog)
       .select("doc_id")
       .orderBy("doc_id")
   }
@@ -603,6 +626,54 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** Sketch-based corpus statistics — the 100 TB shape for "how many
+    * distinct / what's the p50" questions where exact answers cost a
+    * full shuffle of the key space: HyperLogLog++ distinct counting
+    * (`approx_count_distinct`, rsd 0.05) and the Greenwald-Khanna
+    * quantile sketch (`percentile_approx`, accuracy 1000), both
+    * map-side partial-aggregated (the shuffle carries one sketch per
+    * partition per group, never rows). The gate compares each sketch
+    * IN-PLAN against the exact computation so the operator's error
+    * contract is a checked output: `acd_ok` pins HLL within 3·rsd of
+    * the exact distinct count, and the quantile verdicts apply the
+    * GK rank guarantee tie-aware — count(< v) ≤ q·n + ε and
+    * count(≤ v) ≥ q·n − ε — with ε = 2n/acc + 4: Spark's partial-
+    * aggregated summaries deviate ~1-2 ranks beyond the nominal
+    * n/acc after merge/compression at small n (measured at sf0.1:
+    * p50 of a 702-row group lands one rank outside n/acc ≈ 0.7), so
+    * the checked contract is twice the nominal ε plus a constant
+    * compression-boundary slack — still a sub-percent rank check at
+    * any group size, and stable under repartitioning. The oracle
+    * recomputes the exact columns and states the sketch verdicts as
+    * literal TRUE.
+    */
+  val txSketchStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("lang"), col("text"), col("n_chars"))
+    val acc = 1000
+    val sk = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("text")).as("distinct_texts"),
+      approx_count_distinct(col("text"), 0.05).as("acd"),
+      percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)), lit(acc)).as("ps"))
+    val ranks = docs.join(sk.select(col("lang"), col("ps")), "lang")
+      .groupBy("lang").agg(
+        sum(when(col("n_chars") < col("ps")(0), 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("n_chars") <= col("ps")(0), 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("n_chars") < col("ps")(1), 1L).otherwise(0L)).as("lo90"),
+        sum(when(col("n_chars") <= col("ps")(1), 1L).otherwise(0L)).as("hi90"))
+    def qOk(q: Double, lo: Column, hi: Column): Column = {
+      val eps = col("n_docs").cast("double") * 2 / acc + 4
+      (lo <= col("n_docs") * q + eps) && (hi >= col("n_docs") * q - eps)
+    }
+    sk.join(ranks, "lang")
+      .select(col("lang"), col("n_docs"), col("distinct_texts"),
+        (abs(col("acd") - col("distinct_texts"))
+          <= col("distinct_texts").cast("double") * 0.15).as("acd_ok"),
+        qOk(0.5, col("lo50"), col("hi50")).as("p50_ok"),
+        qOk(0.9, col("lo90"), col("hi90")).as("p90_ok"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------- convergence-stopped trainers
 
   /** Operational (convergence-stopped) IVF training, surfaced as a
@@ -654,6 +725,7 @@ object TrainingPack {
   val queries: Map[String, Q] = Map(
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
+    "dd_bloom_screen"      -> ddBloomScreen,
     "dd_ngram_jaccard"     -> ddNgramJaccard,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_compacted_neardup" -> ddCompactedNeardup,
@@ -681,6 +753,7 @@ object TrainingPack {
     "tx_native_features"   -> txNativeFeatures,
     "tx_sample_split"      -> txSampleSplit,
     "tx_corpus_stats"      -> txCorpusStats,
+    "tx_sketch_stats"      -> txSketchStats,
     "tx_top_terms"         -> txTopTerms,
     "tx_sequence_packing"  -> txSequencePacking,
     "tx_redact"            -> txRedact,
@@ -729,6 +802,34 @@ object TrainingPack {
        |  WHERE len(ts) >= 5),
        |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY doc_id),
        |${minhashSigBandCtes(p)}""".stripMargin
+
+  /** The incremental exact-dedup oracle (history = docs < 250, batch
+    * re-lands every 5th history text + plants within-batch dupes) —
+    * shared verbatim by dd_incremental_dedup and its Bloom-screened
+    * twin dd_bloom_screen, which must produce the identical answer.
+    */
+  private lazy val incrementalDedupSql = {
+    val normOf = (t: String) => s"trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))"
+    s"""WITH hist AS (
+       |  SELECT DISTINCT md5(${normOf("text")}) AS fp FROM documents WHERE doc_id < 250),
+       |b AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 5 = 0 THEN h.text
+       |         WHEN d.doc_id % 11 = 7 AND (d.doc_id - 13) % 5 <> 0
+       |           AND d.doc_id - 13 >= 250 THEN w.text
+       |         ELSE d.text END AS text
+       |  FROM documents d
+       |  LEFT JOIN documents h ON h.doc_id = d.doc_id - 250
+       |  LEFT JOIN documents w ON w.doc_id = d.doc_id - 13
+       |  WHERE d.doc_id >= 250),
+       |f AS (SELECT doc_id, md5(${normOf("text")}) AS fp FROM b),
+       |keep AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS m FROM f)
+       |  WHERE doc_id = m)
+       |SELECT doc_id FROM keep WHERE fp NOT IN (SELECT fp FROM hist)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** The two-sided incremental screen oracle (batch = odds with
     * planted twins, history = all evens) — shared by the plain
@@ -1011,28 +1112,13 @@ object TrainingPack {
     "dd_exact_dedup" ->
       s"SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5($N) ORDER BY keep_id",
 
-    "dd_incremental_dedup" -> {
-      val normOf = (t: String) => s"trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))"
-      s"""WITH hist AS (
-         |  SELECT DISTINCT md5(${normOf("text")}) AS fp FROM documents WHERE doc_id < 250),
-         |b AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN d.doc_id % 5 = 0 THEN h.text
-         |         WHEN d.doc_id % 11 = 7 AND (d.doc_id - 13) % 5 <> 0
-         |           AND d.doc_id - 13 >= 250 THEN w.text
-         |         ELSE d.text END AS text
-         |  FROM documents d
-         |  LEFT JOIN documents h ON h.doc_id = d.doc_id - 250
-         |  LEFT JOIN documents w ON w.doc_id = d.doc_id - 13
-         |  WHERE d.doc_id >= 250),
-         |f AS (SELECT doc_id, md5(${normOf("text")}) AS fp FROM b),
-         |keep AS (
-         |  SELECT doc_id, fp FROM (
-         |    SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS m FROM f)
-         |  WHERE doc_id = m)
-         |SELECT doc_id FROM keep WHERE fp NOT IN (SELECT fp FROM hist)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "dd_incremental_dedup" -> incrementalDedupSql,
+
+    // the Bloom-screened twin MUST produce the identical answer: a
+    // Bloom filter has no false negatives, so the prefilter only
+    // reroutes rows between the keep-without-join and exact-anti-join
+    // branches — the oracle is byte-for-byte the incremental one
+    "dd_bloom_screen" -> incrementalDedupSql,
 
     "dd_ngram_jaccard" ->
       s"""WITH $shCte,
@@ -1505,6 +1591,17 @@ object TrainingPack {
       s"""SELECT lang, COUNT(*) AS docs,
          |  CAST(SUM(CAST(len($TS) AS BIGINT)) AS BIGINT) AS total_tokens,
          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // sketch verdicts are engine-side error-contract checks (HLL++ /
+    // GK sketches have no DuckDB twin); the oracle recomputes the
+    // exact columns and pins every verdict at literal TRUE — a sketch
+    // drifting outside its guarantee flips a boolean and breaks the
+    // hash (same trick as ig_aes_frame / dq17)
+    "tx_sketch_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT text) AS distinct_texts,
+         |  TRUE AS acd_ok, TRUE AS p50_ok, TRUE AS p90_ok
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tx_top_terms" ->

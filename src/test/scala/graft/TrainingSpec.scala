@@ -801,4 +801,48 @@ class TrainingSpec extends AnyFunSuite {
       .select("doc_id", "crc").as[(Long, Int)].collect().sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  // -------------------------------------------------- bloom screen
+
+  test("bloom screen == exact incremental, even when the filter is all noise") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val catalog = docs.filter(col("doc_id") < 100)
+      .select(md5(graft.operators.TextOps.norm(col("text"))).as("fp")).distinct()
+    val batch = docs.filter(col("doc_id") >= 50) // overlaps the catalog
+    val exact = Dedup.exactIncremental(batch, catalog)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // honest sizing
+    val screened = Dedup.bloomScreen(batch, catalog)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(screened === exact)
+    // pathological sizing: a saturated filter answers MAYBE for nearly
+    // everything, forcing the whole batch through the exact anti-join —
+    // the answer must not change (no-false-negative identity is load-
+    // bearing, the prefilter is only a routing decision)
+    val saturated = Dedup.bloomScreen(batch, catalog,
+        expectedItems = 8, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(saturated === exact)
+  }
+
+  // -------------------------------------------------- sketch stats
+
+  test("sketch stats: every sketch verdict true, exact columns match a recount") {
+    import spark.implicits._
+    val out = graft.queries.TrainingPack.txSketchStats(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"HLL outside 3*rsd for lang ${r.getString(0)}")
+      assert(r.getBoolean(4), s"p50 outside GK rank guarantee for ${r.getString(0)}")
+      assert(r.getBoolean(5), s"p90 outside GK rank guarantee for ${r.getString(0)}")
+    }
+    val exact = Tables.documents(spark, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n"), count_distinct(col("text")).as("dt"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    out.foreach { r =>
+      val (n, dt) = exact(r.getString(0))
+      assert(r.getLong(1) === n); assert(r.getLong(2) === dt)
+    }
+  }
 }
