@@ -88,9 +88,15 @@ object Dedup {
     * bucket ([[graft.plans.DedupCatalog]] buckets on `bk`) and screen
     * each batch partition against its bucket's filter — same
     * structure, same guarantees, bitmap size bounded per bucket.
+    *
+    * @param expectedItems capacity to size the filter for; the
+    *   default (≤ 0) counts the catalog first — one cheap aggregate,
+    *   amortized per catalog version like the filter build itself —
+    *   so the bitmap (and the plan literal every task deserializes)
+    *   is sized to the data, not to a guess.
     */
   def bloomScreen(batch: DataFrame, catalogFp: DataFrame,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
@@ -102,7 +108,10 @@ object Dedup {
       .select("doc_id", "fp")
     // the filter stores xxhash64(fp) longs — the same keying
     // BloomFilterMightContain probes with below
-    val bloom = catalogFp.stat.bloomFilter(xxhash64(col("fp")), expectedItems, fpp)
+    val capacity =
+      if (expectedItems > 0) expectedItems
+      else math.max(catalogFp.count(), 1024L)
+    val bloom = catalogFp.stat.bloomFilter(xxhash64(col("fp")), capacity, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
