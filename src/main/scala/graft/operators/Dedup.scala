@@ -101,11 +101,14 @@ object Dedup {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val survivors = batch
+    // materialized: both routing branches read the survivor frame, and
+    // without the pin each union arm would recompute the fingerprint
+    // window from the scan — doubling the batch-side cost
+    val survivors = graft.Shared.materialize(batch
       .withColumn("fp", md5(TextOps.norm(col("text"))))
       .withColumn("_m", min("doc_id").over(w))
       .filter(col("doc_id") === col("_m"))
-      .select("doc_id", "fp")
+      .select("doc_id", "fp"))
     // the filter stores xxhash64(fp) longs — the same keying
     // BloomFilterMightContain probes with below
     val capacity =
