@@ -70,4 +70,46 @@ class FixtureSpec extends AnyFunSuite {
     assert(r.getString(1).length === 40)
     assert(r.getString(1) !== r.getString(0))
   }
+
+  test("events reader: all three physical ts layouts yield identical µs timestamps") {
+    // The driver has shipped events.ts as TIMESTAMP(NANOS) (rounds
+    // 1-10) and TIMESTAMP(MICROS) (round-11 regen). Tables.events must
+    // keep every layout equivalent: the current testdata only
+    // exercises the µs branch, so this spec writes the OTHER physical
+    // variants itself and pins the invariant that saved round 12 from
+    // being round 11's outage again.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_events_layouts").toString
+    val micros = Seq(1704067200000000L, 1704067200123456L, 1704153599999999L)
+    def dirFor(name: String): String = s"$base/$name"
+
+    // layout 1: TimestampType (what Spark writes natively — parquet
+    // TIMESTAMP(MICROS, adjustedToUTC))
+    micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").as("ts"))
+      .write.mode("overwrite").parquet(s"${dirFor("tsv")}/events.parquet")
+    // layout 2: TimestampNTZType (parquet TIMESTAMP(MICROS, NTZ) —
+    // what inferTimestampNTZ surfaces for a non-UTC-adjusted file)
+    micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+      .select($"event_id",
+        timestamp_micros($"us").cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"${dirFor("ntz")}/events.parquet")
+    // layout 3: raw INT64 nanoseconds (what TIMESTAMP(NANOS) parquet
+    // becomes under spark.sql.legacy.parquet.nanosAsLong — the exact
+    // column shape the legacy branch sees, sub-µs digits included)
+    micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L + 789L) }
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"${dirFor("ns")}/events.parquet")
+
+    val read = Seq("tsv", "ntz", "ns").map { n =>
+      val df = Tables.events(spark, dirFor(n))
+      assert(df.schema("ts").dataType === TimestampType, s"layout $n type")
+      n -> df.select($"event_id", unix_micros($"ts").as("us"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    }.toMap
+    assert(read("tsv") === micros.zipWithIndex.map { case (us, i) => (i.toLong, us) })
+    assert(read("ntz") === read("tsv"), "NTZ cast must preserve the stored µs value in a UTC session")
+    assert(read("ns") === read("tsv"), "ns INT64 must truncate to the same µs values")
+  }
 }
