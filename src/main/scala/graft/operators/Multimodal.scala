@@ -114,4 +114,54 @@ object Multimodal {
       .select(col("doc_id"), col("nbytes"), col("crc"), col("width"),
         col("height"), col("n_frames"), array_max(col("frame_crcs")).as("max_frame_crc"))
       .orderBy("doc_id")
+
+  /** Row shape after the resize seam: the resized payload plus its
+    * declared target geometry.
+    */
+  case class MediaResized(doc_id: Long, resized: Array[Byte], out_w: Int, out_h: Int)
+
+  /** STUB resize: deterministic stride-sample of the payload down to
+    * at most `tw*th` bytes — byte i of the output is source byte
+    * `i * max(1, n / outLen)`. A real build replaces ONLY this
+    * function with a codec-backed scaler (the batch seam, signature
+    * and downstream expressions stay); the stub keeps the byte-level
+    * contract deterministic so the driver oracle can replay it.
+    */
+  def resizeStub(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val n = b.length
+    val outLen = math.min(n, tw * th)
+    if (outLen <= 0) Array.emptyByteArray
+    else {
+      val k = math.max(1, n / outLen)
+      Array.tabulate(outLen)(i => b(i * k))
+    }
+  }
+
+  /** Batched resize over partitions — same seam discipline as
+    * [[extractFeatures]]: a narrow mapPartitions in fixed-size
+    * batches (a native scaler amortizes per-batch setup), fed by a
+    * vectorized projection, with everything derivable from the OUTPUT
+    * bytes (length, checksum) computed by codegen'd expressions after
+    * the seam, not inside it.
+    */
+  def resized(spark: SparkSession, dir: String, tw: Int = 8, th: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val payload = col("text").cast("binary")
+    val out = Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch scaler setup would go here
+          batch.iterator.map(r =>
+            MediaResized(r.doc_id, resizeStub(r.payload, tw, th), tw, th))
+        }
+      }
+    out.select(col("doc_id"),
+        octet_length(col("resized")).cast("bigint").as("out_nbytes"),
+        col("out_w"), col("out_h"),
+        graft.functions.CodecExpressions.crc16_ccitt(col("resized")).as("out_crc"))
+      .orderBy("doc_id")
+  }
 }

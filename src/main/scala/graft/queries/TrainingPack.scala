@@ -720,6 +720,14 @@ object TrainingPack {
 
   val mmFeatures: Q = (s, d) => Multimodal.features(s, d)
 
+  /** Stub resize through the batched decode seam (8×8 target): the
+    * stride-sample contract is deterministic, so the oracle replays
+    * it byte-for-byte over the hex payload and re-folds the crc of
+    * the RESIZED bytes — the whole seam (projection → batch →
+    * post-seam expressions) must reproduce exactly.
+    */
+  val mmResize: Q = (s, d) => Multimodal.resized(s, d)
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -763,6 +771,7 @@ object TrainingPack {
     "tx_edit_distance"     -> txEditDistance,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
+    "mm_resize"            -> mmResize,
   )
 
   private val shCte =
@@ -1372,6 +1381,25 @@ object TrainingPack {
          |      k -> ${crcSql("substr(hx, 2 * k * step + 1, 2 * (least(n, (k + 1) * step) - k * step))")})) AS INT) AS max_frame_crc
          |  FROM f, lut)
          |SELECT doc_id, nbytes, crc, width, height, n_frames, max_frame_crc FROM m ORDER BY doc_id""".stripMargin,
+
+    // the stride-sample resize replayed over the hex payload: output
+    // byte i = source byte i*k, k = max(1, n // outlen), then the
+    // same nibble-LUT crc fold over the REBUILT hex string
+    "mm_resize" ->
+      s"""WITH lut AS (SELECT $Crc16Lut AS l),
+         |b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+         |p AS (SELECT doc_id, hx, n, least(n, 64) AS outlen FROM b),
+         |q AS (SELECT doc_id, hx, n, outlen,
+         |        CASE WHEN outlen > 0 THEN greatest(1, n // outlen) ELSE 1 END AS k FROM p),
+         |r AS (SELECT doc_id, outlen,
+         |        CASE WHEN outlen > 0 THEN
+         |          list_aggregate(list_transform(range(0, outlen),
+         |            i -> substr(hx, CAST(2 * i * k AS INT) + 1, 2)), 'string_agg', '')
+         |        ELSE '' END AS rhx FROM q)
+         |SELECT doc_id, CAST(outlen AS BIGINT) AS out_nbytes,
+         |  8 AS out_w, 8 AS out_h,
+         |  CAST(${crcSql("rhx")} AS INT) AS out_crc
+         |FROM r, lut ORDER BY doc_id""".stripMargin,
 
     // engine-native text features recomputed in SQL: the rolling
     // fingerprint is a HUGEINT fold of code points mod 2^61-1; the

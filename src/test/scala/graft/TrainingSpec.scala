@@ -802,6 +802,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("multimodal resize: pipeline == direct stub, batch-invariant") {
+    import spark.implicits._
+    val direct = Multimodal.mediaTable(spark, dir).collect()
+      .map { r =>
+        val rz = Multimodal.resizeStub(r.payload, 8, 8)
+        (r.doc_id, rz.length.toLong, graft.functions.CodecImpl.crc16(rz))
+      }.sortBy(_._1).toSeq
+    def run(bs: Int) = Multimodal.resized(spark, dir, batchSize = bs)
+      .select("doc_id", "out_nbytes", "out_crc")
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(run(64) === direct)
+    assert(run(1) === direct, "batch boundaries must not change the resize")
+    // stride contract: output is at most 64 bytes, byte i = source i*k
+    val sample = Multimodal.mediaTable(spark, dir).head()
+    val rz = Multimodal.resizeStub(sample.payload, 8, 8)
+    assert(rz.length === math.min(sample.payload.length, 64))
+    val k = math.max(1, sample.payload.length / math.max(rz.length, 1))
+    rz.zipWithIndex.foreach { case (b, i) => assert(b === sample.payload(i * k)) }
+  }
+
   // -------------------------------------------------- bloom screen
 
   test("bloom screen == exact incremental, even when the filter is all noise") {
