@@ -55,6 +55,25 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Windowed SKETCH aggregation — the streaming twin of the
+    * tx_sketch_stats family: HyperLogLog++ distinct users per
+    * (6 h window, event_type). An EXACT count-distinct is not even
+    * expressible in a streaming aggregation (it needs an Expand over
+    * the whole input); the sketch is fixed-size mergeable partial
+    * state, which is exactly why it is the 100 TB shape — and why the
+    * streaming twin exists. HLL++'s merge is deterministic and
+    * order-independent, so the streaming result equals the same
+    * expression run in batch bit-for-bit on replay (spec-pinned).
+    */
+  def sketchCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("approx_users"), col("n"))
+
   /** Gap-based sessionization (30-minute inactivity gap) using the
     * built-in session window — the streaming twin of DQ24.
     */

@@ -50,6 +50,26 @@ class StreamingSpec extends AnyFunSuite {
 
   private def batchEvents: DataFrame = spark.read.parquet(splitDir)
 
+  test("windowed sketch: streaming HLL equals the batch expression exactly") {
+    val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+    EventStream.runToMemory(EventStream.sketchCounts(stream), "sk_stream")
+    val got = spark.table("sk_stream")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val want = EventStream.sketchCounts(batchEvents)
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(got.nonEmpty)
+    // HLL merge is order-independent, so every finalized streaming
+    // window must carry the identical sketch estimate the batch run
+    // computes — not merely a close one
+    val wantMap = want.map(r => (r.getTimestamp(0), r.getString(1)) -> r).toMap
+    got.foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(wantMap.contains(k), s"spurious window $k")
+      assert(wantMap(k) === r)
+    }
+    assert(got.size >= want.size - 10, s"too many withheld windows: ${want.size - got.size}")
+  }
+
   test("windowed aggregation: streaming result equals batch result") {
     val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
     EventStream.runToMemory(EventStream.windowedCounts(stream), "win_stream")
