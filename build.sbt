@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the container's locale is unset, so Java 17's default charset is
+  // US-ASCII — force UTF-8 so file reads (BASELINE.md guard refs,
+  // fixtures) never hit MalformedInputException in forked JVMs
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

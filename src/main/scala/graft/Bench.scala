@@ -14,21 +14,46 @@ object Bench {
 
   /** Per-query reference times parsed from BASELINE.md §4 (the
     * `| name | sec |` table rows) — used only to decide which queries
-    * to re-measure, never to alter a measurement. Empty map (file
-    * missing / moved) disables the re-measure pass.
+    * to re-measure, never to alter a measurement.
+    *
+    * Round-13 hardening: the round-12 driver run silently disarmed this
+    * guard because the container's default charset is US-ASCII (empty
+    * LANG, Java 17) and BASELINE.md contains UTF-8 punctuation, so the
+    * default-codec `Source.fromFile` threw MalformedInputException into
+    * the old catch-all. sbt masks this by setting -Dfile.encoding=UTF-8;
+    * a bare `java`/spark-submit run does not. The codec is now explicit,
+    * the path search covers cwd and the canonical repo path, and every
+    * outcome is logged — an empty result at sf0.1 is reported inside the
+    * bench artifact itself (`"guard"` field) instead of vanishing.
     */
-  private def baseline(names: Set[String]): Map[String, Double] =
-    try {
-      val src = scala.io.Source.fromFile("BASELINE.md")
-      try src.getLines().flatMap { line =>
-        line.split("\\|").map(_.trim).filter(_.nonEmpty) match {
-          case Array(n, v) if names.contains(n) =>
-            scala.util.Try(n -> v.toDouble).toOption
-          case _ => None
+  private def baseline(names: Set[String]): Map[String, Double] = {
+    val candidates = Seq("BASELINE.md", "/root/repo/BASELINE.md")
+    val path = candidates.find(p => new java.io.File(p).isFile)
+    path match {
+      case None =>
+        System.err.println(s"[bench] GUARD DISARMED: BASELINE.md not found in ${candidates.mkString(", ")} (cwd=${new java.io.File(".").getAbsolutePath})")
+        Map.empty
+      case Some(p) =>
+        try {
+          val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+          val refs =
+            try src.getLines().flatMap { line =>
+              line.split("\\|").map(_.trim).filter(_.nonEmpty) match {
+                case Array(n, v) if names.contains(n) =>
+                  scala.util.Try(n -> v.toDouble).toOption
+                case _ => None
+              }
+            }.toList.toMap
+            finally src.close()
+          System.err.println(s"[bench] re-measure guard armed: ${refs.size} refs from $p (cwd=${new java.io.File(".").getAbsolutePath})")
+          refs
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] GUARD DISARMED: failed reading $p: $e")
+            Map.empty
         }
-      }.toList.toMap
-      finally src.close()
-    } catch { case _: Throwable => Map.empty }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,7 +131,14 @@ object Bench {
       .map { case (k, (a, b)) => "\"" + k + "\":{\"first\":" + a + ",\"second\":" + b + "}" }
       .mkString(""","remeasured":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$rm,"sf":"$sfDir"}"""
+    // guard status is part of the artifact: "armed:N" proves the
+    // re-measure pass had N references to compare against; "DISARMED"
+    // at sf0.1 is a loud defect, never a silent no-op (round-12 lesson)
+    val guard =
+      if (!sfDir.contains("sf0.1")) "off:not-sf0.1"
+      else if (refs.isEmpty) "DISARMED:no-refs"
+      else s"armed:${refs.size}"
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","guard":"$guard","queries":$qs$rm,"sf":"$sfDir"}"""
     println(json)
     // The driver's per-round artifact keeps only the tail of stdout, which
     // truncates the per-query map once it outgrows the window (queries sort

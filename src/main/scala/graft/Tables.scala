@@ -65,7 +65,10 @@ object Tables {
           val prev = spark.conf.getOption(key)
           spark.conf.set(key, "true")
           try adapt(spark.read.parquet(path(dir, "events")))
-          catch { case _: Exception => throw e }
+          catch { case e2: Exception =>
+            // surface the retry's own failure instead of discarding it
+            e.addSuppressed(e2); throw e
+          }
           finally prev match {
             case Some(v) => spark.conf.set(key, v)
             case None    => spark.conf.unset(key)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -230,6 +230,50 @@ object CodecExpressions {
     override def prettyName: String = "bthp_frame"
   }
 
+  /** Session-frame encrypt (`crypto.c:205-273`): payload + 256-bit
+    * key → length-prefixed, zero-padded, AES-CBC-encrypted frame; the
+    * IV is derived as md5(key) per `crypto.c:146`. CodegenFallback:
+    * the JCE cipher call dominates, codegen would buy nothing.
+    *
+    * NOT a general-purpose encryption utility: the key-derived IV is
+    * fixed per key (the reference's FIRST-frame semantics — CBC state
+    * chains across a connection there), so equal payloads under one
+    * key produce equal ciphertexts. Deterministic by design for the
+    * oracle; do not repurpose for production encryption.
+    */
+  case class AesFrameEncode(left: Expression, right: Expression) extends BinaryExpression
+      with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(p: Any, k: Any): Any = {
+      val key = k.asInstanceOf[Array[Byte]]
+      CodecImpl.aesFrameEncode(p.asInstanceOf[Array[Byte]], key, CodecImpl.sessionIv(key))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AesFrameEncode = copy(l, r)
+    override def prettyName: String = "aes_frame_encode"
+  }
+
+  /** Session-frame decrypt (`crypto.c:286-384`): frame + key +
+    * max-length → payload, or NULL when the frame is not a 16-byte
+    * multiple or its embedded length fails the `len <= bufsize`
+    * validation — the reference's -1 error paths surfaced as SQL null
+    * for error routing.
+    */
+  case class AesFrameDecode(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, IntegerType)
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(f: Any, k: Any, m: Any): Any = {
+      val key = k.asInstanceOf[Array[Byte]]
+      CodecImpl.aesFrameDecode(f.asInstanceOf[Array[Byte]], key,
+        CodecImpl.sessionIv(key), m.asInstanceOf[Int])
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): AesFrameDecode =
+      copy(f, s, t)
+    override def prettyName: String = "aes_frame_decode"
+  }
+
   // ------------------------------------------------------- Column API
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -259,42 +303,6 @@ object CodecExpressions {
     c(AesFrameDecode(e(frame), e(key), e(maxLen)))
 
   /** SQL registration so the functions are usable from `spark.sql`. */
-  /** Session-frame encrypt (`crypto.c:205-273`): payload + 256-bit
-    * key → length-prefixed, zero-padded, AES-CBC-encrypted frame; the
-    * IV is derived as md5(key) per `crypto.c:146`. CodegenFallback:
-    * the JCE cipher call dominates, codegen would buy nothing.
-    */
-  case class AesFrameEncode(left: Expression, right: Expression) extends BinaryExpression
-      with CodegenFallback {
-    override def dataType: DataType = BinaryType
-    override def nullSafeEval(p: Any, k: Any): Any = {
-      val key = k.asInstanceOf[Array[Byte]]
-      CodecImpl.aesFrameEncode(p.asInstanceOf[Array[Byte]], key, CodecImpl.sessionIv(key))
-    }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): AesFrameEncode = copy(l, r)
-    override def prettyName: String = "aes_frame_encode"
-  }
-
-  /** Session-frame decrypt (`crypto.c:286-384`): frame + key +
-    * max-length → payload, or NULL when the frame is not a 16-byte
-    * multiple or its embedded length fails the `len <= bufsize`
-    * validation — the reference's -1 error paths surfaced as SQL null
-    * for error routing.
-    */
-  case class AesFrameDecode(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = true
-    override def nullSafeEval(f: Any, k: Any, m: Any): Any = {
-      val key = k.asInstanceOf[Array[Byte]]
-      CodecImpl.aesFrameDecode(f.asInstanceOf[Array[Byte]], key,
-        CodecImpl.sessionIv(key), m.asInstanceOf[Int])
-    }
-    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): AesFrameDecode =
-      copy(f, s, t)
-    override def prettyName: String = "aes_frame_decode"
-  }
-
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def one(name: String, b: Seq[Expression] => Expression): Unit =

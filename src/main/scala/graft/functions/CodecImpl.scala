@@ -431,6 +431,10 @@ object CodecImpl {
     * this is bit-identical to the reference's FIRST frame under
     * iv = [[sessionIv]](key), and the per-frame semantics (layout,
     * padding, validation) are what define the record format.
+    *
+    * WARNING: not for production encryption — with the fixed
+    * key-derived IV, equal payloads under one key yield equal
+    * ciphertexts (deterministic by design, required for the oracle).
     */
   def aesFrameEncode(payload: Array[Byte], key: Array[Byte],
       iv: Array[Byte]): Array[Byte] = {

@@ -80,7 +80,13 @@ object Similarity {
       .select(col("vec_id").as("i"), col("embedding").as("va"))
     val b = embeddings
       .select(col("vec_id").as("j"), col("embedding").as("vb"))
-    a.join(b, col("i") < col("j"))
+    // the exact operator is bounded-input by contract (the gate slices
+    // to vec_id < 2000; the LSH twin is the scale path), so pin the
+    // pair join to broadcast-BNLJ: derived inputs (e.g. the planted
+    // twin's left join) otherwise inflate size estimates past the
+    // broadcast threshold and the planner degrades to a shuffled
+    // CartesianProduct
+    a.join(broadcast(b), col("i") < col("j"))
       .filter(dotDouble(col("va"), col("vb")) >= threshold - 0.01)
       .withColumn("dot", dotDecimal(col("va"), col("vb")))
       .filter(col("dot") >= threshold)

@@ -104,6 +104,68 @@ object BeaconPipeline {
   private def dottedIp(ip: Column): Column =
     concat_ws(".", octet(ip, 3), octet(ip, 2), octet(ip, 1), octet(ip, 0))
 
+  // ------------------------------------------------- v1 wire format
+
+  /** Version-1 beacon record (`honeycomb/honeycomb.py:388-410`): a
+    * fixed 32-byte first payload — the 17-byte formatted MAC string at
+    * offset 0 (`unpack_from('17s', ptext, 0)`), 3 alignment pad bytes,
+    * the network-order uint32 uptime at offset 20
+    * (`ntohl(unpack_from('L', ptext, 20))`), zero-padded to 32 bytes.
+    * The 32-byte length IS the version dispatch signal
+    * (`honeycomb.py:474-481`: first payload of exactly 32 bytes → v1;
+    * anything else → v2 with a size preamble).
+    */
+  def v1Record(mac: Column, uptimeS: Column): Column =
+    concat(mac.cast("binary"), unhex(lit("000000")),
+      unhex(lpad(hex(uptimeS.cast("bigint") % 4294967296L), 8, "0")),
+      unhex(lit("0000000000000000")))
+
+  /** v1 field extraction: MAC text at bytes [1,17], big-endian uptime
+    * at [21,24] (ntohl of the wire word). Pure builtin slicing — stays
+    * inside whole-stage codegen.
+    */
+  def decodeV1(payload: Column): Column = struct(
+    substring(payload, 1, 17).cast("string").as("mac"),
+    conv(hex(substring(payload, 21, 4)), 16, 10).cast("bigint").as("uptime_s"))
+
+  /** Mixed-version wire corpus + length dispatch: ids ≡ 1 (mod 4)
+    * emit the 32-byte v1 record, the rest a 3-field v2 TLV payload
+    * (mac, uptime, next-beacon → ≥ 35 bytes, never 32, so the length
+    * dispatch is unambiguous by construction). Decode branches on
+    * `octet_length(payload) == 32` exactly as the LP does, yielding a
+    * uniform (rec_id, ver, mac, uptime_s) schema from both formats —
+    * the legacy-corpus ingest path a real LP analytics user hits
+    * first.
+    */
+  def decodeMixedWire(e: DataFrame): DataFrame = {
+    val uid = col("user_id")
+    val eid = col("event_id")
+    val macHex = lpad(hex(uid * 131071 % 281474976710656L), 12, "0")
+    val mac = lower(concat_ws("-", (0 until 6).map(i => substring(macHex, 1 + 2 * i, 2)): _*))
+    val uptime = (uid * 37 % 864000).cast("bigint")
+    val v2 = CE.tlv_encode(array(
+      struct(lit(1).as("type"), mac.cast("binary").as("value")),
+      struct(lit(2).as("type"), uptime.cast("string").cast("binary").as("value")),
+      struct(lit(7).as("type"), (eid % 86400).cast("string").cast("binary").as("value"))))
+    val wire = e.select(eid.as("rec_id"),
+      when(eid % 4 === 1, v1Record(mac, uptime)).otherwise(v2).as("payload"))
+    val isV1 = octet_length(col("payload")) === 32
+    val v1f = decodeV1(col("payload"))
+    // null-gate the TLV walk on v1 rows at the SOURCE (not just via
+    // CaseWhen laziness) so it can never throw on a v1 record even if
+    // codegen subexpression elimination hoists it
+    val fields = CE.tlv_decode(when(isV1, lit(null).cast("binary"))
+      .otherwise(col("payload")))
+    def tlvField(t: Int): Column =
+      element_at(filter(fields, f => f.getField("type") === t), 1).getField("value")
+    wire.select(col("rec_id"),
+      when(isV1, 1).otherwise(2).as("ver"),
+      when(isV1, v1f.getField("mac"))
+        .otherwise(tlvField(1).cast("string")).as("mac"),
+      when(isV1, v1f.getField("uptime_s"))
+        .otherwise(tlvField(2).cast("string").cast("bigint")).as("uptime_s"))
+  }
+
   /** Decoded beacon: TLV fields back to named columns (version-aware —
     * `honeycomb.py:209-213` gates bz2 on version ≥ 23; storage codecs
     * are the parquet layer's job here, so the gate only tags the row).

@@ -618,10 +618,25 @@ object IngestPack {
       .orderBy("route", "os_name")
   }
 
+  /** Mixed-version wire decode (§2.1 legacy ingest): 32-byte v1
+    * records and v2 TLV payloads in one corpus, dispatched on
+    * first-payload length exactly as the LP (`honeycomb.py:474-489`)
+    * and decoded to one uniform schema
+    * ([[graft.plans.BeaconPipeline.decodeMixedWire]] —
+    * v1 parse per `honeycomb.py:388-410`). The oracle recomputes the
+    * expected fields arithmetically per version, so the engine's
+    * whole build→dispatch→slice/TLV-decode chain must round-trip.
+    */
+  val ver1Decode: Q = (s, d) =>
+    graft.plans.BeaconPipeline.decodeMixedWire(
+      Tables.events(s, d).filter(col("event_id") < 300))
+      .orderBy("rec_id")
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "ig_beacon_dag"      -> beaconDag,
+    "ig_ver1_decode"     -> ver1Decode,
     "ig_key_gate"        -> keyGate,
     "ig_profile_valid"   -> profileValidation,
     "ig_profile_union"   -> profileUnion,
@@ -878,6 +893,20 @@ object IngestPack {
          |  user_id AS uptime,
          |  event_id % 86400 AS next_beacon
          |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
+    },
+
+    // mixed-version wire decode: both versions' fields derive from the
+    // same event columns, so the oracle recomputes them per version —
+    // the engine's v1 binary slicing (MAC text at [1,17], ntohl uptime
+    // at [21,24]) and the v2 TLV walk must both round-trip exactly
+    "ig_ver1_decode" -> {
+      val h = "lpad(to_hex(user_id * 131071 % 281474976710656), 12, '0')"
+      s"""SELECT event_id AS rec_id,
+         |  CASE WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS ver,
+         |  lower(concat_ws('-', substr($h,1,2), substr($h,3,2), substr($h,5,2),
+         |    substr($h,7,2), substr($h,9,2), substr($h,11,2))) AS mac,
+         |  user_id * 37 % 864000 AS uptime_s
+         |FROM events WHERE event_id < 300 ORDER BY rec_id""".stripMargin
     },
 
     // AES framing: the ciphertext itself has no DuckDB analog, so the

@@ -228,18 +228,39 @@ object TrainingPack {
     */
   val annIvfPqTrained: Q = (s, d) => Similarity.ivfPqTopK(s, d, trainIters = 4)
 
+  /** Deterministic twin plant for the two near-dup gates: every
+    * vec_id ≡ 1 (mod 97) takes its predecessor's embedding (an exact
+    * copy, cos 1.0). The synthetic corpus has no natural ≥ 0.95 pairs
+    * at any scale, so without plants both gates return 0 rows on both
+    * sides — a hash match that proves nothing about the positive path
+    * (vacuous for rounds 9–12). With plants the gates assert pair
+    * EMISSION: the double prefilter, the decimal threshold, and (for
+    * the LSH twin) identical-vector co-bucketing, mirrored verbatim
+    * in the oracle SQL.
+    */
+  private def plantTwins(emb: DataFrame): DataFrame = {
+    val twin = emb.select((col("vec_id") + 1).as("vec_id"),
+      col("embedding").as("t_emb"))
+    emb.join(twin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 97 === 1, coalesce(col("t_emb"), col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+  }
+
   /** Oracle-exact all-pairs gate. The input is bounded to a
     * deterministic id slice (`vec_id < 2000` — the full corpus at
     * sf ≤ 0.1, a fixed-cost slice beyond) because the operator is
     * O(n²) by construction: it exists as the exact-answer gate, and
     * [[ddEmbeddingNearDupLsh]] + the landed VecCatalog screen are the
-    * declared scale path. The oracle applies the identical bound.
+    * declared scale path. The oracle applies the identical bound and
+    * the identical [[plantTwins]] transformation.
     */
   val ddEmbeddingNearDup: Q = (s, d) => Similarity.embeddingNearDupFrom(
-    Tables.embeddings(s, d).filter(col("vec_id") < 2000)
-      .select("vec_id", "embedding"))
+    plantTwins(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+      .select("vec_id", "embedding")))
 
-  val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLsh(s, d)
+  val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLshFrom(
+    plantTwins(Tables.embeddings(s, d).select("vec_id", "embedding")))
 
   /** Incremental embedding screen: even vec_ids are the historical
     * corpus — LANDED once per (session, scale dir) as VecCatalog's
@@ -1263,12 +1284,21 @@ object TrainingPack {
          |ORDER BY i, j""".stripMargin
     },
 
+    // the engine's plantTwins transformation replayed verbatim: ids
+    // ≡ 1 (mod 97) take the predecessor's embedding, so the gate
+    // emits ~21 exact-twin pairs at sf0.01 instead of the corpus's
+    // natural zero (vacuous-gate fix, round 13)
     "dd_embedding_neardup" ->
-      s"""WITH p AS (
+      s"""WITH sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+         |pe AS (
+         |  SELECT s.vec_id,
+         |    CASE WHEN s.vec_id % 97 = 1 THEN COALESCE(t.embedding, s.embedding)
+         |         ELSE s.embedding END AS embedding
+         |  FROM sl s LEFT JOIN sl t ON t.vec_id = s.vec_id - 1),
+         |p AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE a.vec_id < 2000 AND b.vec_id < 2000
-         |    AND ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
+         |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+         |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
          |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM p)
          |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d
          |WHERE dot >= CAST('0.95' AS DECIMAL(38,12)) ORDER BY i, j""".stripMargin,
@@ -1321,16 +1351,24 @@ object TrainingPack {
 
     // the LSH twin of dd_embedding_neardup: same multi-table
     // signature-in-SQL as the ANN oracles (8 bits × 4 tables),
-    // candidates restricted to (table, bucket) collisions
+    // candidates restricted to (table, bucket) collisions. Runs over
+    // the same plantTwins transformation (full table — identical
+    // vectors always co-bucket, so LSH recall on the plants is 1.0
+    // and the gate exercises emission through the bucket join).
     "dd_embedding_neardup_lsh" ->
       s"""WITH pl AS (SELECT ${planesLit(8 * 4)} AS p),
-         |tb AS (${tableBucketsSql(8, 4)}),
+         |pe AS (
+         |  SELECT s.vec_id,
+         |    CASE WHEN s.vec_id % 97 = 1 THEN COALESCE(t.embedding, s.embedding)
+         |         ELSE s.embedding END AS embedding
+         |  FROM embeddings s LEFT JOIN embeddings t ON t.vec_id = s.vec_id - 1),
+         |tb AS (${tableBucketsFromSql("pe", 8, 4)}),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
          |  FROM tb a JOIN tb b USING (tbl, bkt) WHERE a.vec_id < b.vec_id),
          |c AS (
          |  SELECT i, j, a.embedding AS va, b.embedding AS vb
-         |  FROM cand JOIN embeddings a ON a.vec_id = i JOIN embeddings b ON b.vec_id = j
+         |  FROM cand JOIN pe a ON a.vec_id = i JOIN pe b ON b.vec_id = j
          |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
          |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM c)
          |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d

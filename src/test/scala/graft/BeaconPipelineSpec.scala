@@ -47,6 +47,36 @@ class BeaconPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("v1 wire records decode through the length dispatch; v2 rows are untouched") {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter(col("event_id") < 200)
+    // the v1 record is exactly 32 bytes (the dispatch signal); v2 TLV
+    // payloads are >= 35 by construction
+    val wire = e.select(col("event_id"), col("user_id"))
+    val lens = BeaconPipeline.decodeMixedWire(e)
+      .join(wire, col("rec_id") === col("event_id"))
+      .select("rec_id", "user_id", "ver", "mac", "uptime_s")
+      .as[(Long, Long, Int, String, Long)].collect()
+    assert(lens.nonEmpty)
+    lens.foreach { case (rid, uid, ver, mac, up) =>
+      assert(ver === (if (rid % 4 == 1) 1 else 2))
+      assert(mac === f"${uid * 131071 % 281474976710656L}%012x".grouped(2).mkString("-"))
+      assert(up === uid * 37 % 864000)
+    }
+    // both versions present in the slice
+    assert(lens.count(_._3 == 1) > 0 && lens.count(_._3 == 2) > 0)
+    // raw layout check: v1 payload is 32 bytes, mac text in the first
+    // 17, big-endian uptime at [21,24]
+    val raw = e.filter(col("event_id") % 4 === 1).limit(1)
+      .select(col("user_id"),
+        BeaconPipeline.v1Record(
+          lit("aa-bb-cc-dd-ee-ff"), lit(258L)).as("p"))
+      .as[(Long, Array[Byte])].head()
+    assert(raw._2.length === 32)
+    assert(new String(raw._2, 0, 17, "US-ASCII") === "aa-bb-cc-dd-ee-ff")
+    assert(raw._2.slice(20, 24).toSeq === Seq[Byte](0, 0, 1, 2))
+  }
+
   test("survey child tables parse typed rows out of the text blobs") {
     val r = BeaconPipeline.build(spark, dir)
     val goodN = r.good.count()

@@ -97,7 +97,11 @@ class FixtureSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"${dirFor("ntz")}/events.parquet")
     // layout 3: raw INT64 nanoseconds (what TIMESTAMP(NANOS) parquet
     // becomes under spark.sql.legacy.parquet.nanosAsLong — the exact
-    // column shape the legacy branch sees, sub-µs digits included)
+    // column shape the legacy branch sees, sub-µs digits included).
+    // NOTE: this writes plain INT64, which the reader accepts on the
+    // FIRST attempt (LongType adapt branch); the nanosAsLong
+    // retry-on-foreign-session path itself is only covered indirectly,
+    // because Spark cannot write a true TIMESTAMP(NANOS) file.
     micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L + 789L) }
       .toDF("event_id", "ts")
       .write.mode("overwrite").parquet(s"${dirFor("ns")}/events.parquet")
