@@ -618,6 +618,58 @@ object IngestPack {
       .orderBy("route", "os_name")
   }
 
+  /** Env-var path expansion gate (§2.8,
+    * `server/client_session.c:632-639` intent): four path shapes per
+    * record — `${VAR}` form, bare `$VAR`, two vars including the
+    * `$USERNAME`/`$USER` prefix-collision pair (longest-first must
+    * win), and an unknown var that passes through unchanged. The
+    * oracle states the expanded strings directly, so the engine's
+    * replace-fold must expand exactly.
+    */
+  val envvarExpand: Q = (s, d) => {
+    val eid = col("event_id")
+    val env = Map("HOME" -> "/root", "TMPDIR" -> "/tmp",
+      "USER" -> "svc", "USERNAME" -> "adm")
+    val raw = when(eid % 4 === 0,
+        concat(lit("${HOME}/cmds/"), col("event_type"), lit(".bin")))
+      .when(eid % 4 === 1, concat(lit("$TMPDIR/run-"), (eid % 100).cast("string")))
+      .when(eid % 4 === 2, concat(lit("$USERNAME/$USER/"), eid.cast("string")))
+      .otherwise(lit("/opt/$UNSET/x"))
+    Tables.events(s, d).filter(eid < 300)
+      .select(eid.as("event_id"), raw.as("raw_path"),
+        graft.operators.Configs.expandEnvPath(raw, env).as("expanded"))
+      .orderBy("event_id")
+  }
+
+  /** DNS name codec driver gate (§2.2, `server/decode_dns.c:136-158`
+    * decode, `server/dns_client.c:78-92` encode): per record, a
+    * two-name DNS message — a plain encoded name, then a second name
+    * whose tail is a 0xC0 compression pointer back into the first
+    * (14-bit offset). The engine decodes both with dns_name_decode;
+    * the oracle rebuilds the identical byte list in SQL and REPLAYS
+    * the bounded pointer-following walk with an unrolled step chain
+    * (same list-arithmetic style as the crc16 trigger oracle), so the
+    * pointer path itself is hash-checked, not just a roundtrip.
+    */
+  val dnsDecode: Q = (s, d) => {
+    val eid = col("event_id"); val uid = col("user_id")
+    val name1 = concat(lit("e"), (eid % 1000).cast("string"),
+      lit(".d"), (uid % 100).cast("string"), lit(".net"))
+    val enc1 = CE.dns_name_encode(name1)
+    val lbl = concat(lit("x"), (uid % 10).cast("string"))
+    // 0-based offset of name1's SECOND label's length byte: the
+    // compression target (1 length byte + first label)
+    val off = length(concat(lit("e"), (eid % 1000).cast("string"))) + 1
+    val msg = concat(enc1,
+      unhex(lpad(hex(length(lbl)), 2, "0")), lbl.cast("binary"),
+      unhex(lpad(hex(lit(0xC000) + off), 4, "0")))
+    Tables.events(s, d).filter(eid < 300)
+      .select(eid.as("event_id"),
+        CE.dns_name_decode(msg, lit(0)).as("name_plain"),
+        CE.dns_name_decode(msg, octet_length(enc1)).as("name_ptr"))
+      .orderBy("event_id")
+  }
+
   /** Mixed-version wire decode (§2.1 legacy ingest): 32-byte v1
     * records and v2 TLV payloads in one corpus, dispatched on
     * first-payload length exactly as the LP (`honeycomb.py:474-489`)
@@ -637,6 +689,8 @@ object IngestPack {
   val queries: Map[String, Q] = Map(
     "ig_beacon_dag"      -> beaconDag,
     "ig_ver1_decode"     -> ver1Decode,
+    "ig_dns_decode"      -> dnsDecode,
+    "ig_envvar_expand"   -> envvarExpand,
     "ig_key_gate"        -> keyGate,
     "ig_profile_valid"   -> profileValidation,
     "ig_profile_union"   -> profileUnion,
@@ -824,6 +878,61 @@ object IngestPack {
        |  epoch_us(MIN(ts)) AS started, epoch_us(MAX(ts)) AS ended
        |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin
 
+  /** The DNS decode replayed in DuckDB: byte lists via ascii(), the
+    * walk as 6 unrolled steps over (pos, acc) state — pos is the
+    * 0-based index of the current length byte, so `msg[pos+1]` reads
+    * it under 1-based list indexing. A step consumes one label
+    * (append its chars, advance), follows one 0xC0 pointer
+    * (reposition, 14-bit offset arithmetic), or idles on the 0
+    * terminator; 6 steps cover the corpus's deepest walk (label +
+    * pointer + 3 labels + terminator). The list_prepend('') keeps
+    * list_reduce total without changing the fold.
+    */
+  private lazy val dnsDecodeOracleSql: String = {
+    def codes(l: String) =
+      s"list_transform(range(1, length($l)+1), i -> ascii(substr($l, CAST(i AS INT), 1)))"
+    def step(i: Int) =
+      s"""s$i AS (
+         |  SELECT event_id, msg, start_pos,
+         |    CASE WHEN msg[pos+1] = 0 THEN pos
+         |         WHEN msg[pos+1] >= 192 THEN (msg[pos+1] - 192) * 256 + msg[pos+2]
+         |         ELSE pos + 1 + msg[pos+1] END AS pos,
+         |    CASE WHEN msg[pos+1] = 0 OR msg[pos+1] >= 192 THEN acc
+         |         ELSE list_append(acc, list_reduce(list_prepend('',
+         |           list_transform(range(pos+2, pos+2+msg[pos+1]),
+         |             i -> chr(CAST(msg[CAST(i AS INT)] AS INT)))), (a, b) -> a || b)) END AS acc
+         |  FROM s${i - 1})""".stripMargin
+    s"""WITH base AS (
+       |  SELECT event_id,
+       |    'e' || (event_id % 1000) AS l1, 'd' || (user_id % 100) AS l2,
+       |    'net' AS l3, 'x' || (user_id % 10) AS lp
+       |  FROM events WHERE event_id < 300),
+       |m AS (
+       |  SELECT event_id,
+       |    flatten([
+       |      list_prepend(length(l1), ${codes("l1")}),
+       |      list_prepend(length(l2), ${codes("l2")}),
+       |      list_prepend(length(l3), ${codes("l3")}),
+       |      [0],
+       |      list_prepend(length(lp), ${codes("lp")}),
+       |      [192, length(l1) + 1]]) AS msg,
+       |    length(l1) + length(l2) + length(l3) + 4 AS ptr_start
+       |  FROM base),
+       |starts AS (
+       |  SELECT event_id, msg, 0 AS start_pos FROM m
+       |  UNION ALL SELECT event_id, msg, ptr_start FROM m),
+       |s0 AS (
+       |  SELECT event_id, msg, start_pos, start_pos AS pos,
+       |    CAST([] AS VARCHAR[]) AS acc
+       |  FROM starts),
+       |${(1 to 6).map(step).mkString(",\n")}
+       |SELECT event_id,
+       |  max(CASE WHEN start_pos = 0 THEN name END) AS name_plain,
+       |  max(CASE WHEN start_pos <> 0 THEN name END) AS name_ptr
+       |FROM (SELECT event_id, start_pos, array_to_string(acc, '.') AS name FROM s6)
+       |GROUP BY event_id ORDER BY event_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ig_config_upsert" ->
       s"""WITH c AS (
@@ -894,6 +1003,34 @@ object IngestPack {
          |  event_id % 86400 AS next_beacon
          |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin
     },
+
+    // env expansion: the oracle recomputes raw AND expanded forms
+    // directly per path shape, so the engine's replace-fold (incl. the
+    // $USERNAME/$USER longest-first rule and unknown-var passthrough)
+    // must match string-for-string
+    "ig_envvar_expand" ->
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |    CASE CAST(event_id % 4 AS INT)
+         |      WHEN 0 THEN '$${HOME}/cmds/' || event_type || '.bin'
+         |      WHEN 1 THEN '$$TMPDIR/run-' || (event_id % 100)
+         |      WHEN 2 THEN '$$USERNAME/$$USER/' || event_id
+         |      ELSE '/opt/$$UNSET/x' END AS raw_path,
+         |    CASE CAST(event_id % 4 AS INT)
+         |      WHEN 0 THEN '/root/cmds/' || event_type || '.bin'
+         |      WHEN 1 THEN '/tmp/run-' || (event_id % 100)
+         |      WHEN 2 THEN 'adm/svc/' || event_id
+         |      ELSE '/opt/$$UNSET/x' END AS expanded
+         |  FROM events WHERE event_id < 300)
+         |SELECT event_id, raw_path, expanded FROM p ORDER BY event_id""".stripMargin,
+
+    // DNS codec: the byte list is REBUILT in SQL (length-prefixed
+    // labels + terminator + a trailing label + 0xC0 pointer) and the
+    // decode walk is replayed with a 6-step unrolled state chain —
+    // each step consumes one label, follows one pointer, or idles on
+    // the terminator — so the engine's pointer-following semantics are
+    // value-checked, not just round-tripped
+    "ig_dns_decode" -> dnsDecodeOracleSql,
 
     // mixed-version wire decode: both versions' fields derive from the
     // same event columns, so the oracle recomputes them per version —

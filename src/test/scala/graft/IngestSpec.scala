@@ -107,4 +107,23 @@ class IngestSpec extends AnyFunSuite {
     val valid = IngestPack.profileValidation(spark, dir).as[(String, String)].collect()
     assert(union.sorted.toSeq === valid.sorted.toSeq)
   }
+
+  test("env-var expansion: both forms, longest-name-first, unknown passthrough") {
+    import spark.implicits._
+    val env = Map("HOME" -> "/root", "USER" -> "svc", "USERNAME" -> "adm")
+    val got = Seq(
+      "${HOME}/a", "$HOME/b", "$USERNAME/$USER", "$USERX", "/opt/$NOPE/x", "plain")
+      .toDF("p")
+      .select(graft.operators.Configs.expandEnvPath(org.apache.spark.sql.functions.col("p"), env))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "/root/a", "/root/b",
+      // $USERNAME expands as USERNAME (longest first), never svc+"NAME"
+      "adm/svc",
+      // $USERX: USER is a prefix of the name actually present — the
+      // fold has no word-boundary notion (the reference stub has no
+      // spec for this either), so USER expands and X remains
+      "svcX",
+      "/opt/$NOPE/x", "plain"))
+  }
 }
