@@ -27,6 +27,12 @@ object CodecCodegen {
       s(h.beaconIp), s(h.dstIp), s(h.proxyIp), h.payload)
   }
 
+  def ppmDecode(buf: Array[Byte]): InternalRow = {
+    val s = CodecImpl.ppmDecode(buf)
+    if (s == null) null
+    else InternalRow(s.width, s.height, s.maxval, s.nPx, s.sumR, s.sumG, s.sumB)
+  }
+
   def tlvDecode(buf: Array[Byte]): ArrayData = {
     val entries = CodecImpl.tlvDecode(buf)
     new GenericArrayData(entries.map { case (t, bytes) =>

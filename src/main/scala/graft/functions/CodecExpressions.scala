@@ -230,6 +230,34 @@ object CodecExpressions {
     override def prettyName: String = "bthp_frame"
   }
 
+  val ppmStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("maxval", IntegerType, nullable = false),
+    StructField("n_px", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** `ppm_decode(BINARY) → STRUCT<width,height,maxval,n_px,sum_r,g,b>`:
+    * real P6 Netpbm decode (header grammar incl. comments + RGB
+    * raster channel sums); malformed input → null (error routing).
+    * See [[CodecImpl.ppmDecode]].
+    */
+  case class PpmDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ppmStatsType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecCodegen.ppmDecode(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        ${ev.value} = $Bridge.ppmDecode($b);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): PpmDecode = copy(c)
+    override def prettyName: String = "ppm_decode"
+  }
+
   /** Session-frame encrypt (`crypto.c:205-273`): payload + 256-bit
     * key → length-prefixed, zero-padded, AES-CBC-encrypted frame; the
     * IV is derived as md5(key) per `crypto.c:146`. CodegenFallback:
@@ -301,6 +329,7 @@ object CodecExpressions {
     c(AesFrameEncode(e(payload), e(key)))
   def aes_frame_decode(frame: Column, key: Column, maxLen: Column): Column =
     c(AesFrameDecode(e(frame), e(key), e(maxLen)))
+  def ppm_decode(col: Column): Column = c(PpmDecode(e(col)))
 
   /** SQL registration so the functions are usable from `spark.sql`. */
   def register(spark: SparkSession): Unit = {
@@ -325,5 +354,6 @@ object CodecExpressions {
     one("bthp_frame", es => BthpFrame(es))
     one("aes_frame_encode", es => AesFrameEncode(es(0), es(1)))
     one("aes_frame_decode", es => AesFrameDecode(es(0), es(1), es(2)))
+    one("ppm_decode", es => PpmDecode(es.head))
   }
 }

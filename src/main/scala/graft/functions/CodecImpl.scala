@@ -238,6 +238,63 @@ object CodecImpl {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------ PPM
+
+  /** Decoded P6 raster stats: header fields + per-channel byte sums
+    * (integer facts — no float hazard against the SQL oracle).
+    */
+  final case class PpmStats(width: Int, height: Int, maxval: Int,
+      nPx: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** P6 PPM (binary Netpbm) decode — a REAL public image format
+    * parsed without external libraries: ASCII header
+    * `P6 <width> <height> <maxval>` with arbitrary whitespace and
+    * `#`-to-end-of-line comments (the Netpbm header grammar), exactly
+    * one whitespace byte after maxval, then the width*height*3-byte
+    * RGB raster. Emits per-channel byte sums over the raster.
+    *
+    * Returns null on malformed input — wrong magic, missing/garbled
+    * header ints, nonpositive dims, maxval outside [1,255] (2-byte
+    * rasters unsupported), or truncated raster — the SQL-null error
+    * signal the ingest DAGs route on.
+    */
+  def ppmDecode(b: Array[Byte]): PpmStats = {
+    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return null
+    var pos = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        if (isWs(b(pos))) pos += 1
+        else if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      if (pos >= b.length || b(pos) < '0' || b(pos) > '9') return -1
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9' && v <= 0xFFFFFF) {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return null
+    if (pos >= b.length || !isWs(b(pos))) return null
+    pos += 1
+    val need = w.toLong * h * 3
+    if (need > b.length - pos) return null
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = pos
+    val end = pos + need.toInt
+    while (i < end) {
+      sr += b(i) & 0xFF; sg += b(i + 1) & 0xFF; sb += b(i + 2) & 0xFF
+      i += 3
+    }
+    PpmStats(w, h, mv, w * h, sr, sg, sb)
+  }
+
   /** RFC 1071 ones-complement checksum over big-endian 16-bit words,
     * odd trailing byte zero-padded — the semantics of
     * `client/trigger_network.c:99-111` (endian-agnostic by

@@ -115,6 +115,44 @@ object Multimodal {
         col("height"), col("n_frames"), array_max(col("frame_crcs")).as("max_frame_crc"))
       .orderBy("doc_id")
 
+  /** REAL public-format decode path (round 13): a P6 PPM payload per
+    * document — a genuine Netpbm header (`P6\n<w> <h>\n255\n`) plus a
+    * w·h·3-byte RGB raster whose bytes come from a deterministic md5
+    * chain — decoded by the native `ppm_decode` expression (header
+    * grammar incl. comments, channel byte sums). Unlike the stub
+    * seam above, nothing here is synthetic-in-name-only: the payload
+    * IS a valid PPM file any Netpbm tool would open, and the decode
+    * is a single codegen-resident expression, so the whole path stays
+    * inside WholeStageCodegen with no object boundary. Payloads of
+    * the `doc_id % 11 == 5` slice are truncated by one raster byte →
+    * decode yields SQL null → the malformed routing channel.
+    */
+  def ppmDecoded(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val w = (lit(4) + did % 5).cast("int")
+    val h = (lit(3) + did % 4).cast("int")
+    // 9 md5 blocks = 288 hex chars ≥ the largest raster (8·6·3 bytes)
+    val chain = concat((0 until 9).map(i =>
+      md5(concat(lit(s"px$i|"), did.cast("string")).cast("binary"))): _*)
+    val pix = unhex(substr(chain, lit(1), w * h * lit(6)))
+    val full = concat(
+      concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+        lit("\n255\n")).cast("binary"),
+      pix)
+    val payload = when(did % 11 === 5,
+      substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
+    val dec = graft.functions.CodecExpressions.ppm_decode(payload)
+    Tables.documents(spark, dir)
+      .select(did, dec.as("d"))
+      .select(did.as("doc_id"),
+        col("d").isNotNull.as("valid"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.maxval").as("maxval"), col("d.n_px").as("n_px"),
+        col("d.sum_r").as("sum_r"), col("d.sum_g").as("sum_g"),
+        col("d.sum_b").as("sum_b"))
+      .orderBy("doc_id")
+  }
+
   /** Row shape after the resize seam: the resized payload plus its
     * declared target geometry.
     */

@@ -749,6 +749,14 @@ object TrainingPack {
     */
   val mmResize: Q = (s, d) => Multimodal.resized(s, d)
 
+  /** REAL-format decode gate: genuine P6 PPM payloads decoded by the
+    * native ppm_decode expression, channel sums + malformed routing —
+    * see [[Multimodal.ppmDecoded]]. The oracle re-derives the header
+    * fields arithmetically and the channel sums over the hex pairs of
+    * the same md5 raster chain.
+    */
+  val mmPpmDecode: Q = (s, d) => Multimodal.ppmDecoded(s, d)
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -793,6 +801,7 @@ object TrainingPack {
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
     "mm_resize"            -> mmResize,
+    "mm_ppm_decode"        -> mmPpmDecode,
   )
 
   private val shCte =
@@ -1524,6 +1533,38 @@ object TrainingPack {
 
     "mm_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents ORDER BY doc_id",
+
+    // the real-format PPM gate replayed: header fields re-derived
+    // arithmetically, channel sums over the hex pairs of the same
+    // 9-block md5 raster chain (lowercase LUT — md5 output), the
+    // doc_id % 11 = 5 truncation slice → NULL row (decode reject)
+    "mm_ppm_decode" -> {
+      val lut = "0123456789abcdef"
+      def bv(j: String) =
+        s"""((strpos('$lut', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
+           | + (strpos('$lut', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
+      def chanSum(c: Int) =
+        s"CAST(list_sum(list_transform(range(0, w * h), p -> ${bv(s"3 * p + $c")})) AS BIGINT)"
+      val chain = (0 until 9).map(i => s"md5('px$i|' || doc_id)").mkString(" || ")
+      s"""WITH g AS (
+         |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         |    $chain AS chain
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, w, h, substr(chain, 1, CAST(w * h * 6 AS INT)) AS px,
+         |    doc_id % 11 = 5 AS trunc
+         |  FROM g)
+         |SELECT doc_id,
+         |  NOT trunc AS valid,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(w AS INT) END AS width,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(h AS INT) END AS height,
+         |  CASE WHEN trunc THEN NULL ELSE 255 END AS maxval,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(w * h AS INT) END AS n_px,
+         |  CASE WHEN trunc THEN NULL ELSE ${chanSum(0)} END AS sum_r,
+         |  CASE WHEN trunc THEN NULL ELSE ${chanSum(1)} END AS sum_g,
+         |  CASE WHEN trunc THEN NULL ELSE ${chanSum(2)} END AS sum_b
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
 
     "tx_sequence_packing" ->
       s"""WITH t AS (

@@ -381,4 +381,35 @@ class CodecImplSpec extends AnyFunSuite {
       hex("ffff") ++ new Array[Byte](14), key, iv)
     assert(CodecImpl.aesFrameDecode(big, key, iv, 65535) == null)
   }
+
+  test("ppm decode: golden 2x1 image, header grammar, channel sums") {
+    // P6, 2x1, maxval 255, pixels (1,2,3) (250,251,252)
+    val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 250.toByte, 251.toByte, 252.toByte)
+    val s = CodecImpl.ppmDecode(img)
+    assert(s != null && s.width == 2 && s.height == 1 && s.maxval == 255)
+    assert(s.nPx == 2 && s.sumR == 251L && s.sumG == 253L && s.sumB == 255L)
+    // Netpbm header grammar: comments and arbitrary whitespace between
+    // tokens decode to the same stats
+    val commented = "P6 # a comment\n # more\n 2\t1 # dims\n255\n".getBytes("US-ASCII") ++
+      img.drop("P6\n2 1\n255\n".length)
+    val c = CodecImpl.ppmDecode(commented)
+    assert(c == s)
+  }
+
+  test("ppm decode: malformed inputs reject as null") {
+    val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ new Array[Byte](6)
+    assert(CodecImpl.ppmDecode(img) != null)
+    // wrong magic (P5 = grayscale, unsupported)
+    assert(CodecImpl.ppmDecode("P5\n2 1\n255\n".getBytes("US-ASCII") ++ new Array[Byte](6)) == null)
+    // truncated raster
+    assert(CodecImpl.ppmDecode(img.dropRight(1)) == null)
+    // garbled / missing header ints
+    assert(CodecImpl.ppmDecode("P6\nx 1\n255\n".getBytes("US-ASCII")) == null)
+    // maxval out of the 1-byte range
+    assert(CodecImpl.ppmDecode("P6\n2 1\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](12)) == null)
+    // zero dimension
+    assert(CodecImpl.ppmDecode("P6\n0 1\n255\n".getBytes("US-ASCII")) == null)
+    assert(CodecImpl.ppmDecode(Array.empty[Byte]) == null)
+  }
 }
