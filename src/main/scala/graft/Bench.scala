@@ -123,12 +123,18 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) per-query values: full ns precision buys
+    // nothing at this scale and the driver's stdout capture keeps only
+    // a ~2000-char tail — shorter rows mean more queries survive the
+    // truncation window
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // both numbers surface in the artifact so a contaminated window is
     // visible AND self-corrected, instead of needing a judge re-run
     val rm = if (remeasured.isEmpty) "" else remeasured
-      .map { case (k, (a, b)) => "\"" + k + "\":{\"first\":" + a + ",\"second\":" + b + "}" }
+      .map { case (k, (a, b)) => "\"" + k + "\":{\"first\":" + fmt(a) + ",\"second\":" + fmt(b) + "}" }
       .mkString(""","remeasured":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // guard status is part of the artifact: "armed:N" proves the
@@ -138,7 +144,10 @@ object Bench {
       if (!sfDir.contains("sf0.1")) "off:not-sf0.1"
       else if (refs.isEmpty) "DISARMED:no-refs"
       else s"armed:${refs.size}"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","guard":"$guard","queries":$qs$rm,"sf":"$sfDir"}"""
+    // the summary repeats AFTER the queries map (distinct keys): the
+    // driver's tail-window capture truncates the FRONT of the line, so
+    // total/guard/row-count must also live at the end to stay auditable
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","guard":"$guard","queries":$qs$rm,"n_queries":${results.length},"total_sec":${fmt(total)},"guard_status":"$guard","sf":"$sfDir"}"""
     println(json)
     // The driver's per-round artifact keeps only the tail of stdout, which
     // truncates the per-query map once it outgrows the window (queries sort
