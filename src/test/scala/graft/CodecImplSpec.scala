@@ -397,6 +397,21 @@ class CodecImplSpec extends AnyFunSuite {
     assert(c == s)
   }
 
+  test("ppm decode: channel-sum property over random rasters") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 50) {
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(9)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val img = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+      val s = CodecImpl.ppmDecode(img)
+      assert(s != null && s.width == w && s.height == h && s.nPx == w * h)
+      def sum(c: Int) = px.indices.filter(_ % 3 == c).map(i => (px(i) & 0xFF).toLong).sum
+      assert(s.sumR == sum(0) && s.sumG == sum(1) && s.sumB == sum(2))
+      // trailing bytes after the raster are ignored, as Netpbm readers do
+      assert(CodecImpl.ppmDecode(img ++ Array[Byte](9, 9)) == s)
+    }
+  }
+
   test("ppm decode: malformed inputs reject as null") {
     val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ new Array[Byte](6)
     assert(CodecImpl.ppmDecode(img) != null)

@@ -70,6 +70,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= want.size - 10, s"too many withheld windows: ${want.size - got.size}")
   }
 
+  test("mixed-version wire decode: streaming rows equal the batch decode") {
+    // the listener analog (honeycomb.py:448-490): v1/v2 records arrive
+    // on a live stream and dispatch per record; the decode is a
+    // stateless projection, so the streaming run must emit EVERY row
+    // identically to batch — no watermark, nothing withheld
+    val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
+    EventStream.runToMemory(
+      graft.plans.BeaconPipeline.decodeMixedWire(stream), "wire_stream")
+    val got = spark.table("wire_stream").orderBy("rec_id").collect().toSeq
+    val want = graft.plans.BeaconPipeline.decodeMixedWire(batchEvents)
+      .orderBy("rec_id").collect().toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
   test("windowed aggregation: streaming result equals batch result") {
     val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
     EventStream.runToMemory(EventStream.windowedCounts(stream), "win_stream")
