@@ -100,18 +100,21 @@ object Bench {
     // co-tenant burst) can contaminate ALL reps of the queries that
     // run inside it — round 9's driver bench showed two queries at
     // 69-100x on unchanged code. Such contamination is transient, so
-    // any query whose median lands >3x its BASELINE.md reference is
+    // any query whose median lands above the 2x regression bar (the
+    // bar BASELINE.md holds rounds to — aligned in round 13; the
+    // original 3x trigger left 2-3x rows unadjudicated in a stall) is
     // re-measured in a second pass AFTER the sweep (the stall has
-    // passed by then) and keeps its best median. Only meaningful at
-    // the baseline's own scale (sf0.1).
+    // passed by then). Only meaningful at the baseline's own scale
+    // (sf0.1). Cost bound: a clean sweep re-measures at most the few
+    // rows single-run noise pushes past 2x.
     val refs = if (sfDir.contains("sf0.1")) baseline(sorted.map(_._1).toSet)
                else Map.empty[String, Double]
     val byName = sorted.toMap
     val remeasured = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = first.map { case (name, t) =>
       refs.get(name) match {
-        case Some(ref) if t > 3 * ref =>
-          System.err.println(f"[bench] $name%s ${t}%.2fs > 3x ref ${ref}%.2fs - re-measuring")
+        case Some(ref) if t > 2 * ref =>
+          System.err.println(f"[bench] $name%s ${t}%.2fs > 2x ref ${ref}%.2fs - re-measuring")
           val t2 = measure(byName(name))
           remeasured(name) = (t, t2)
           // keep the SECOND (post-stall) median, not min(first, second):
