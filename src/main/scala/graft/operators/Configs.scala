@@ -16,25 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Configs {
 
-  /** Env-var path expansion (SURVEY §2.8; reference intent at
-    * `server/client_session.c:632-639` — the C stub copies its input,
-    * the engine implements what the stub declares: expanding command
-    * paths against the session environment). Both `$VAR` and `${VAR}`
-    * forms expand from the given table; unknown variables pass through
-    * unchanged (the stub's copy semantics as the fallback).
-    *
-    * Pure column-expression fold over `replace` — codegen-friendly, no
-    * UDF. `${VAR}` is replaced before `$VAR`, and names expand
-    * longest-first, so `$HOME` can never clobber the prefix of
-    * `$HOMEDIR`. The env table is a handful of entries by nature, so
-    * folding it into the expression tree beats a join at any scale.
-    */
-  def expandEnvPath(path: org.apache.spark.sql.Column,
-      env: Map[String, String]): org.apache.spark.sql.Column =
-    env.toSeq.sortBy(-_._1.length).foldLeft(path) { case (acc, (k, v)) =>
-      replace(replace(acc, lit("${" + k + "}"), lit(v)), lit("$" + k), lit(v))
-    }
-
   /** base/updates must share schema: (key, version, payload...).
     * Returns one row per key: the highest-version record, updates
     * winning ties.

@@ -619,25 +619,27 @@ object IngestPack {
   }
 
   /** Env-var path expansion gate (§2.8,
-    * `server/client_session.c:632-639` intent): four path shapes per
-    * record — `${VAR}` form, bare `$VAR`, two vars including the
-    * `$USERNAME`/`$USER` prefix-collision pair (longest-first must
-    * win), and an unknown var that passes through unchanged. The
-    * oracle states the expanded strings directly, so the engine's
-    * replace-fold must expand exactly.
+    * `server/client_session.c:632-639` intent) over the NATIVE
+    * `expand_env` expression (`TextImpl.expandEnv` — identifier-
+    * boundary `$VAR` / `${VAR}`, unknown vars expand empty, `$$`
+    * escapes a literal dollar): four path shapes per record — `${VAR}`
+    * form, bare `$VAR`, the `$USERNAME`/`$USER` longest-identifier
+    * pair, and an unknown var + `$$` escape. The oracle states the
+    * expanded strings directly, so the expression must expand exactly.
     */
   val envvarExpand: Q = (s, d) => {
     val eid = col("event_id")
-    val env = Map("HOME" -> "/root", "TMPDIR" -> "/tmp",
-      "USER" -> "svc", "USERNAME" -> "adm")
+    val env = map(
+      lit("HOME"), lit("/root"), lit("TMPDIR"), lit("/tmp"),
+      lit("USER"), lit("svc"), lit("USERNAME"), lit("adm"))
     val raw = when(eid % 4 === 0,
         concat(lit("${HOME}/cmds/"), col("event_type"), lit(".bin")))
       .when(eid % 4 === 1, concat(lit("$TMPDIR/run-"), (eid % 100).cast("string")))
       .when(eid % 4 === 2, concat(lit("$USERNAME/$USER/"), eid.cast("string")))
-      .otherwise(lit("/opt/$UNSET/x"))
+      .otherwise(lit("/opt/$UNSET/x costs $$5"))
     Tables.events(s, d).filter(eid < 300)
       .select(eid.as("event_id"), raw.as("raw_path"),
-        graft.operators.Configs.expandEnvPath(raw, env).as("expanded"))
+        graft.functions.TextExpressions.expand_env(raw, env).as("expanded"))
       .orderBy("event_id")
   }
 
@@ -1005,9 +1007,10 @@ object IngestPack {
     },
 
     // env expansion: the oracle recomputes raw AND expanded forms
-    // directly per path shape, so the engine's replace-fold (incl. the
-    // $USERNAME/$USER longest-first rule and unknown-var passthrough)
-    // must match string-for-string
+    // directly per path shape, so the native expression's semantics —
+    // longest-identifier match ($USERNAME before $USER), unknown vars
+    // expanding to empty, and the $$ literal escape — must match
+    // string-for-string
     "ig_envvar_expand" ->
       s"""WITH p AS (
          |  SELECT event_id,
@@ -1015,12 +1018,12 @@ object IngestPack {
          |      WHEN 0 THEN '$${HOME}/cmds/' || event_type || '.bin'
          |      WHEN 1 THEN '$$TMPDIR/run-' || (event_id % 100)
          |      WHEN 2 THEN '$$USERNAME/$$USER/' || event_id
-         |      ELSE '/opt/$$UNSET/x' END AS raw_path,
+         |      ELSE '/opt/$$UNSET/x costs $$$$5' END AS raw_path,
          |    CASE CAST(event_id % 4 AS INT)
          |      WHEN 0 THEN '/root/cmds/' || event_type || '.bin'
          |      WHEN 1 THEN '/tmp/run-' || (event_id % 100)
          |      WHEN 2 THEN 'adm/svc/' || event_id
-         |      ELSE '/opt/$$UNSET/x' END AS expanded
+         |      ELSE '/opt//x costs $$5' END AS expanded
          |  FROM events WHERE event_id < 300)
          |SELECT event_id, raw_path, expanded FROM p ORDER BY event_id""".stripMargin,
 

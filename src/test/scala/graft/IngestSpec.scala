@@ -108,22 +108,19 @@ class IngestSpec extends AnyFunSuite {
     assert(union.sorted.toSeq === valid.sorted.toSeq)
   }
 
-  test("env-var expansion: both forms, longest-name-first, unknown passthrough") {
+  test("env-var expansion expression: identifier boundaries and escapes in-plan") {
     import spark.implicits._
-    val env = Map("HOME" -> "/root", "USER" -> "svc", "USERNAME" -> "adm")
-    val got = Seq(
-      "${HOME}/a", "$HOME/b", "$USERNAME/$USER", "$USERX", "/opt/$NOPE/x", "plain")
+    import org.apache.spark.sql.functions.{col, lit, map}
+    // TextImpl semantics are pinned in TrainingSpec; this asserts the
+    // EXPRESSION path (codegen, map-literal argument) end to end
+    val env = map(lit("HOME"), lit("/root"), lit("USER"), lit("svc"),
+      lit("USERNAME"), lit("adm"))
+    val got = Seq("${HOME}/a", "$USERNAME/$USER", "$USERX", "cost $$5")
       .toDF("p")
-      .select(graft.operators.Configs.expandEnvPath(org.apache.spark.sql.functions.col("p"), env))
+      .select(graft.functions.TextExpressions.expand_env(col("p"), env))
       .as[String].collect().toSeq
-    assert(got === Seq(
-      "/root/a", "/root/b",
-      // $USERNAME expands as USERNAME (longest first), never svc+"NAME"
-      "adm/svc",
-      // $USERX: USER is a prefix of the name actually present — the
-      // fold has no word-boundary notion (the reference stub has no
-      // spec for this either), so USER expands and X remains
-      "svcX",
-      "/opt/$NOPE/x", "plain"))
+    // $USERX matches the longest identifier USERX (absent -> empty),
+    // never the USER prefix
+    assert(got === Seq("/root/a", "adm/svc", "", "cost $5"))
   }
 }
