@@ -262,6 +262,58 @@ object IngestPack {
       .orderBy("doc_id")
   }
 
+  /** XTEA under the driver oracle (§2.2, `server/beacon.c:620-653`):
+    * variable-length payloads (1–3 blocks exercising the zero-padded
+    * tail) encrypted with the engine expression, the ciphertext hex
+    * REPLAYED in DuckDB — 32 Feistel rounds as a 64-half-step
+    * list_reduce over (v0, v1, sum) in mod-2³² BIGINT arithmetic, the
+    * byte→word marshalling over hex pairs. This moves the last
+    * non-AES codec from golden-only to oracle-checked (the same fall
+    * crc16 took in round 9). Engine-side rt_ok/len_ok pin the decrypt
+    * inverse and the block arithmetic.
+    */
+  val xteaRoundtrip: Q = (s, d) => {
+    val key = unhex(lit("000102030405060708090a0b0c0d0e0f"))
+    val msg = concat(lit("xt"), col("event_id").cast("string"), lit(":"),
+      expr("repeat('q', CAST(event_id % 9 AS INT))")).cast("binary")
+    Tables.events(s, d).filter(col("event_id") < 300)
+      .select(col("event_id"), msg.as("m"), CE.xtea_encrypt(msg, key).as("c"))
+      .select(col("event_id"),
+        octet_length(col("m")).cast("bigint").as("n"),
+        lower(hex(col("c"))).as("cipher"),
+        (octet_length(col("c")) ===
+          (octet_length(col("m")) + 7) - pmod(octet_length(col("m")) + 7, lit(8)))
+          .as("len_ok"),
+        (substr(CE.xtea_decrypt(col("c"), key), lit(1), octet_length(col("m")))
+          === col("m")).as("rt_ok"))
+      .orderBy("event_id")
+  }
+
+  /** The XOR codec family under the oracle (§2.2): seed-XOR
+    * (`client/trigger_protocols.c:213-227` — byte0 the seed, 0
+    * promoted to 0xFF), the promotion path itself (a 0x00-prefixed
+    * twin payload), sliding-key XOR
+    * (`trigger_protocols.c:889-897` — cyclic key from a per-record
+    * offset), and the bitwise-NOT string scramble
+    * (`common/strings/string_utils.c:16-24` ≡ XOR 0xFF, replayed
+    * through the same expression). The oracle recomputes every output
+    * byte over the payload's hex pairs.
+    */
+  val xorCodecs: Q = (s, d) => {
+    val p = concat(lit("px"), col("event_id").cast("string"), lit("/"),
+      col("event_type")).cast("binary")
+    val p0 = concat(unhex(lit("00")), p)
+    val skey = unhex(lit("0badc0de42"))
+    val off = (col("event_id") % 5).cast("int")
+    Tables.events(s, d).filter(col("event_id") < 300)
+      .select(col("event_id"),
+        lower(hex(CE.seed_xor(p))).as("seed_hex"),
+        lower(hex(CE.seed_xor(p0))).as("seed0_hex"),
+        lower(hex(CE.sliding_xor(p, skey, off))).as("slide_hex"),
+        lower(hex(CE.sliding_xor(p, unhex(lit("ff")), lit(0)))).as("not_hex"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------ trigger scheduling
 
   /** Delayed trigger with variance (§2.9, `trigger_listen.c:79-98`):
@@ -722,6 +774,8 @@ object IngestPack {
     "ig_proc_parse"      -> procParse,
     "ig_tlv_roundtrip"   -> tlvRoundtrip,
     "ig_aes_frame"       -> aesFrame,
+    "ig_xtea_roundtrip"  -> xteaRoundtrip,
+    "ig_xor_codecs"      -> xorCodecs,
   )
 
   private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
@@ -935,6 +989,59 @@ object IngestPack {
        |GROUP BY event_id ORDER BY event_id""".stripMargin
   }
 
+  /** XTEA replayed in DuckDB: per 8-byte block, the 32 Feistel rounds
+    * run as a 64-element list_reduce over state (v0, v1, s, i) — each
+    * half-step updates ONE word (even i: v0 + sum advance; odd i: v1),
+    * keeping every lambda field a small expression (a single-step
+    * fold with the v0'/s' expressions inlined three times miscomputes
+    * under DuckDB 1.0's lambda CSE — verified against the engine and
+    * a reference implementation, so the half-step shape is
+    * load-bearing, not style). All arithmetic is BIGINT mod 2³²,
+    * bit-identical to Java int wraparound; words marshal from the
+    * payload's hex spelling big-endian, the zero-padded tail via
+    * rpad '0'.
+    */
+  private lazy val xteaOracleSql: String = {
+    // key 000102...0f as four BE u32 words — must match the gate's literal
+    val kl = Seq(0x00010203L, 0x04050607L, 0x08090a0bL, 0x0c0d0e0fL)
+    def hexu32(pos: String): String = {
+      val terms = (0 until 8).map { i =>
+        s"(strpos('0123456789ABCDEF', substr(hxp, CAST(($pos)+$i AS INT), 1)) - 1) * ${1L << (4 * (7 - i))}"
+      }
+      "CAST(" + terms.mkString(" + ") + " AS BIGINT)"
+    }
+    val half =
+      s"""(a, x) -> CASE WHEN a.i % 2 = 0 THEN struct_pack(
+         |  v0 := (a.v0 + xor((xor((a.v1 * 16) % 4294967296, a.v1 // 32) + a.v1) % 4294967296,
+         |                    (a.s + kl[CAST(a.s % 4 AS INT) + 1]) % 4294967296)) % 4294967296,
+         |  v1 := a.v1, s := (a.s + 2654435769) % 4294967296, i := a.i + 1)
+         |ELSE struct_pack(v0 := a.v0,
+         |  v1 := (a.v1 + xor((xor((a.v0 * 16) % 4294967296, a.v0 // 32) + a.v0) % 4294967296,
+         |                    (a.s + kl[CAST((a.s // 2048) % 4 AS INT) + 1]) % 4294967296)) % 4294967296,
+         |  s := a.s, i := a.i + 1) END""".stripMargin
+    val zeroState = "struct_pack(v0 := CAST(0 AS BIGINT), v1 := CAST(0 AS BIGINT), " +
+      "s := CAST(0 AS BIGINT), i := CAST(0 AS BIGINT))"
+    s"""WITH kk AS (SELECT [${kl.mkString(", ")}] AS kl),
+       |bm AS (
+       |  SELECT event_id, 'xt' || event_id || ':' || repeat('q', CAST(event_id % 9 AS INT)) AS msg
+       |  FROM events WHERE event_id < 300),
+       |m AS (SELECT event_id, hex(encode(msg)) AS hx, octet_length(encode(msg)) AS n FROM bm),
+       |mp AS (SELECT event_id, n, rpad(hx, CAST(((n + 7) // 8) * 16 AS INT), '0') AS hxp,
+       |  (n + 7) // 8 AS nb FROM m),
+       |blocks AS (SELECT event_id, n, hxp, unnest(range(0, nb)) AS blk FROM mp),
+       |enc AS (SELECT event_id, n, blk,
+       |  list_reduce(list_prepend(
+       |    struct_pack(v0 := ${hexu32("blk*16+1")}, v1 := ${hexu32("blk*16+9")},
+       |      s := CAST(0 AS BIGINT), i := CAST(0 AS BIGINT)),
+       |    list_transform(range(64), x -> $zeroState)),
+       |    $half) AS st
+       |  FROM blocks, kk)
+       |SELECT event_id, CAST(max(n) AS BIGINT) AS n,
+       |  lower(string_agg(printf('%08x%08x', st.v0, st.v1), '' ORDER BY blk)) AS cipher,
+       |  TRUE AS len_ok, TRUE AS rt_ok
+       |FROM enc GROUP BY event_id ORDER BY event_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ig_config_upsert" ->
       s"""WITH c AS (
@@ -1026,6 +1133,30 @@ object IngestPack {
          |      ELSE '/opt//x costs $$5' END AS expanded
          |  FROM events WHERE event_id < 300)
          |SELECT event_id, raw_path, expanded FROM p ORDER BY event_id""".stripMargin,
+
+    "ig_xtea_roundtrip" -> xteaOracleSql,
+
+    // XOR codec family: every output byte recomputed over hex pairs —
+    // the seed constant is 'p' (0x70) by construction, the 0x00 twin
+    // pins the 0→0xFF promotion, the sliding key indexes cyclically
+    // from the per-record offset
+    "ig_xor_codecs" -> {
+      val bv = "((strpos('0123456789ABCDEF', substr(hx, CAST(2*j+1 AS INT), 1)) - 1) * 16 " +
+        "+ (strpos('0123456789ABCDEF', substr(hx, CAST(2*j+2 AS INT), 1)) - 1))"
+      def fold(body: String, from: String, until: String) =
+        s"list_reduce(list_prepend('', list_transform(range($from, $until), j -> $body)), (a, b) -> a || b)"
+      s"""WITH b AS (
+         |  SELECT event_id, 'px' || event_id || '/' || event_type AS msg
+         |  FROM events WHERE event_id < 300),
+         |m AS (SELECT event_id, hex(encode(msg)) AS hx, octet_length(encode(msg)) AS n FROM b),
+         |kk AS (SELECT [11, 173, 192, 222, 66] AS sk)
+         |SELECT event_id,
+         |  lower('70' || ${fold(s"printf('%02x', xor($bv, 112))", "1", "n")}) AS seed_hex,
+         |  lower('ff' || ${fold(s"printf('%02x', xor($bv, 255))", "0", "n")}) AS seed0_hex,
+         |  lower(${fold(s"printf('%02x', xor($bv, sk[CAST((event_id % 5 + j) % 5 AS INT) + 1]))", "0", "n")}) AS slide_hex,
+         |  lower(${fold(s"printf('%02x', xor($bv, 255))", "0", "n")}) AS not_hex
+         |FROM m, kk ORDER BY event_id""".stripMargin
+    },
 
     // DNS codec: the byte list is REBUILT in SQL (length-prefixed
     // labels + terminator + a trailing label + 0xC0 pointer) and the
