@@ -8,8 +8,13 @@ set -u
 REPO=/root/repo
 CLS=/tmp/graft_bench_classes
 OUT=${2:-/dev/stdout}
-if [ ! -d "$CLS" ]; then
-  cp -r "$REPO/target/scala-2.13/classes" "$CLS"
+# refresh the frozen snapshot whenever the compiled classes are newer:
+# an isolated re-measure against stale bytecode would feed wrong-build
+# timings into BASELINE.md adjudications
+SRC="$REPO/target/scala-2.13/classes"
+if [ ! -d "$CLS" ] || [ -n "$(find "$SRC" -newer "$CLS" -print -quit 2>/dev/null)" ]; then
+  rm -rf "$CLS"
+  cp -r "$SRC" "$CLS"
 fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \

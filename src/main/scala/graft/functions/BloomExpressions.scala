@@ -40,6 +40,12 @@ object BloomExpressions {
 
   /** Static probe entry point (also the codegen call target). */
   def probe(tagged: Array[Byte], hash: Long): Boolean = {
+    // a filter shorter than tag + payload is a caller bug (e.g. raw
+    // BloomFilter.writeTo bytes without the tag prefix) — fail loudly
+    // rather than index out of bounds or mis-key the cache
+    require(tagged.length > TagBytes,
+      s"bloom_might_contain_tagged expects a ${TagBytes}-byte content tag " +
+        s"followed by the serialized filter; got ${tagged.length} bytes")
     val key = new String(tagged, 0, TagBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     var bf = cache.get(key)
     if (bf == null) {

@@ -274,7 +274,11 @@ object CodecImpl {
       skipWs()
       if (pos >= b.length || b(pos) < '0' || b(pos) > '9') return -1
       var v = 0
-      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9' && v <= 0xFFFFFF) {
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        // a digit run past the sanity bound is a malformed header, not
+        // a number to truncate mid-run (stopping early would leave the
+        // leftover digits to mis-parse as the NEXT header field)
+        if (v > 0xFFFFFF) return -1
         v = v * 10 + (b(pos) - '0'); pos += 1
       }
       v

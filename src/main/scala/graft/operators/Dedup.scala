@@ -155,15 +155,40 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import graft.functions.BloomExpressions.bloom_might_contain_tagged
-    def shardOf(c: Column): Column = pmod(xxhash64(c), lit(nShards.toLong))
 
     // per-shard capacity: catalog count spread over shards with a 30%
     // skew margin (xxhash64 spreads fp uniformly; the margin absorbs
     // binomial variance). One cheap count per catalog version, like
     // the unsharded auto-sizing.
+    //
+    // BloomFilterAggregate silently CLAMPS its sizing to the
+    // runtime-filter confs (Math.min against maxNumItems/maxNumBits
+    // inside the aggregate — verified in the Spark 4.1.2 jar): a
+    // clamped filter would be built for 4M items but receive the full
+    // shard, saturate toward fpp≈1, and quietly stop prefiltering at
+    // exactly the >10⁸ scale this function exists for. So the shard
+    // count AUTO-RAISES until the per-shard capacity and bit count
+    // fit under both caps — correctness is untouched either way; this
+    // keeps the routing effective at any catalog size.
+    val spark2 = batch.sparkSession
+    val maxItems = spark2.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark2.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     val total = math.max(catalogFp.count(), 1024L)
-    val perShard = math.max(total / nShards * 13L / 10L, 1024L)
-    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(perShard, fpp)
+    def sized(n: Int): (Long, Long) = {
+      val per = math.max(total / n * 13L / 10L, 1024L)
+      (per, org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(per, fpp))
+    }
+    var nShardsEff = nShards
+    while ({ val (p, b) = sized(nShardsEff); p > maxItems || b > maxBits })
+      nShardsEff *= 2
+    if (nShardsEff != nShards)
+      System.err.println(s"[bloomScreenSharded] nShards raised $nShards -> $nShardsEff " +
+        s"so per-shard sizing fits under the runtime-filter caps " +
+        s"(catalog $total items, maxNumItems=$maxItems, maxNumBits=$maxBits)")
+    val (perShard, nBits) = sized(nShardsEff)
+    def shardOf(c: Column): Column = pmod(xxhash64(c), lit(nShardsEff.toLong))
     val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("fp"))),
       Literal(perShard), Literal(nBits)).toAggregateExpression())

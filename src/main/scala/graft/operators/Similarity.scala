@@ -85,7 +85,10 @@ object Similarity {
     // pair join to broadcast-BNLJ: derived inputs (e.g. the planted
     // twin's left join) otherwise inflate size estimates past the
     // broadcast threshold and the planner degrades to a shuffled
-    // CartesianProduct
+    // CartesianProduct. Consequence at misuse-scale: an input past the
+    // 8 GB broadcast cap fails FAST with a clear error — at any such
+    // size the n² pair count is infeasible regardless, so an explicit
+    // failure beats an accidental never-finishing cartesian
     a.join(broadcast(b), col("i") < col("j"))
       .filter(dotDouble(col("va"), col("vb")) >= threshold - 0.01)
       .withColumn("dot", dotDecimal(col("va"), col("vb")))

@@ -253,10 +253,13 @@ object TrainingPack {
   private def plantTwins(emb: DataFrame): DataFrame = {
     val twin = emb.select((col("vec_id") + 1).as("vec_id"),
       col("embedding").as("t_emb"))
-    emb.join(twin, Seq("vec_id"), "left")
+    // materialized: both consumers read the planted frame several
+    // times (the pair join's two sides, the LSH bucketing + verify),
+    // and without the pin each reference re-executes the self-join
+    graft.Shared.materialize(emb.join(twin, Seq("vec_id"), "left")
       .select(col("vec_id"),
         when(col("vec_id") % 97 === 1, coalesce(col("t_emb"), col("embedding")))
-          .otherwise(col("embedding")).as("embedding"))
+          .otherwise(col("embedding")).as("embedding")))
   }
 
   /** Oracle-exact all-pairs gate. The input is bounded to a

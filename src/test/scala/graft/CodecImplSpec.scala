@@ -423,6 +423,11 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.ppmDecode("P6\nx 1\n255\n".getBytes("US-ASCII")) == null)
     // maxval out of the 1-byte range
     assert(CodecImpl.ppmDecode("P6\n2 1\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](12)) == null)
+    // a width whose digit run overflows the sanity bound must REJECT,
+    // not truncate mid-number and mis-parse the leftover digits as the
+    // next header field
+    assert(CodecImpl.ppmDecode(
+      "P6\n167772164 2\n255\n".getBytes("US-ASCII") ++ new Array[Byte](96)) == null)
     // zero dimension
     assert(CodecImpl.ppmDecode("P6\n0 1\n255\n".getBytes("US-ASCII")) == null)
     assert(CodecImpl.ppmDecode(Array.empty[Byte]) == null)

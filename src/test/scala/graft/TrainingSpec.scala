@@ -868,6 +868,24 @@ class TrainingSpec extends AnyFunSuite {
       .select(pmod(xxhash64(col("fp")), lit(8L)).as("shard"), col("fp"))
       .groupBy("shard").count()
     assert(filters.count() <= 8 && filters.count() > 0)
+    // BloomFilterAggregate clamps sizing to the runtime-filter conf
+    // caps; the screen must auto-raise the shard count instead of
+    // silently building saturated filters — and stay exact while at it
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prev = spark.conf.get(itemsKey)
+    spark.conf.set(itemsKey, "1100") // catalog > cap at nShards = 1
+    try {
+      val raised = Dedup.bloomScreenSharded(batch, catalog, nShards = 1)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(raised === exact, "auto-raised sharding diverged")
+    } finally spark.conf.set(itemsKey, prev)
+  }
+
+  test("tagged bloom probe rejects an untagged/short filter loudly") {
+    val ex = intercept[Exception] {
+      graft.functions.BloomExpressions.probe(Array[Byte](1, 2, 3), 42L)
+    }
+    assert(ex.getMessage.contains("content tag"))
   }
 
   // -------------------------------------------------- sketch stats
