@@ -26,13 +26,13 @@ object Bench {
     * outcome is logged — an empty result at sf0.1 is reported inside the
     * bench artifact itself (`"guard"` field) instead of vanishing.
     */
-  private def baseline(names: Set[String]): Map[String, Double] = {
+  private def baseline(names: Set[String]): (Map[String, Double], String) = {
     val candidates = Seq("BASELINE.md", "/root/repo/BASELINE.md")
     val path = candidates.find(p => new java.io.File(p).isFile)
     path match {
       case None =>
         System.err.println(s"[bench] GUARD DISARMED: BASELINE.md not found in ${candidates.mkString(", ")} (cwd=${new java.io.File(".").getAbsolutePath})")
-        Map.empty
+        (Map.empty, "none")
       case Some(p) =>
         try {
           val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
@@ -46,11 +46,11 @@ object Bench {
             }.toList.toMap
             finally src.close()
           System.err.println(s"[bench] re-measure guard armed: ${refs.size} refs from $p (cwd=${new java.io.File(".").getAbsolutePath})")
-          refs
+          (refs, p)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] GUARD DISARMED: failed reading $p: $e")
-            Map.empty
+            (Map.empty, s"unreadable:$p")
         }
     }
   }
@@ -107,8 +107,9 @@ object Bench {
     // passed by then). Only meaningful at the baseline's own scale
     // (sf0.1). Cost bound: a clean sweep re-measures at most the few
     // rows single-run noise pushes past 2x.
-    val refs = if (sfDir.contains("sf0.1")) baseline(sorted.map(_._1).toSet)
-               else Map.empty[String, Double]
+    val (refs, refsSrc) =
+      if (sfDir.contains("sf0.1")) baseline(sorted.map(_._1).toSet)
+      else (Map.empty[String, Double], "off")
     val byName = sorted.toMap
     val remeasured = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = first.map { case (name, t) =>
@@ -143,10 +144,13 @@ object Bench {
     // guard status is part of the artifact: "armed:N" proves the
     // re-measure pass had N references to compare against; "DISARMED"
     // at sf0.1 is a loud defect, never a silent no-op (round-12 lesson)
+    // the refs SOURCE rides along so a fallback read (e.g. the
+    // canonical-path refs against a different checkout's build) is
+    // visible in the artifact, not just in stderr
     val guard =
       if (!sfDir.contains("sf0.1")) "off:not-sf0.1"
-      else if (refs.isEmpty) "DISARMED:no-refs"
-      else s"armed:${refs.size}"
+      else if (refs.isEmpty) s"DISARMED:no-refs:$refsSrc"
+      else s"armed:${refs.size}:$refsSrc"
     // the summary repeats AFTER the queries map (distinct keys): the
     // driver's tail-window capture truncates the FRONT of the line, so
     // total/guard/row-count must also live at the end to stay auditable

@@ -33,6 +33,12 @@ object CodecCodegen {
     else InternalRow(s.width, s.height, s.maxval, s.nPx, s.sumR, s.sumG, s.sumB)
   }
 
+  def bmpDecode(buf: Array[Byte]): InternalRow = {
+    val s = CodecImpl.bmpDecode(buf)
+    if (s == null) null
+    else InternalRow(s.width, s.height, s.topDown, s.nPx, s.sumR, s.sumG, s.sumB)
+  }
+
   def tlvDecode(buf: Array[Byte]): ArrayData = {
     val entries = CodecImpl.tlvDecode(buf)
     new GenericArrayData(entries.map { case (t, bytes) =>

@@ -258,6 +258,34 @@ object CodecExpressions {
     override def prettyName: String = "ppm_decode"
   }
 
+  val bmpStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("top_down", BooleanType, nullable = false),
+    StructField("n_px", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** `bmp_decode(BINARY) → STRUCT<width,height,top_down,n_px,sum_r,g,b>`:
+    * real uncompressed 24-bpp BMP decode (LE headers, BGR order,
+    * 4-byte row stride, bottom-up/top-down); malformed → null.
+    * See [[CodecImpl.bmpDecode]].
+    */
+  case class BmpDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = bmpStatsType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecCodegen.bmpDecode(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        ${ev.value} = $Bridge.bmpDecode($b);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): BmpDecode = copy(c)
+    override def prettyName: String = "bmp_decode"
+  }
+
   /** Session-frame encrypt (`crypto.c:205-273`): payload + 256-bit
     * key → length-prefixed, zero-padded, AES-CBC-encrypted frame; the
     * IV is derived as md5(key) per `crypto.c:146`. CodegenFallback:
@@ -330,6 +358,7 @@ object CodecExpressions {
   def aes_frame_decode(frame: Column, key: Column, maxLen: Column): Column =
     c(AesFrameDecode(e(frame), e(key), e(maxLen)))
   def ppm_decode(col: Column): Column = c(PpmDecode(e(col)))
+  def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
 
   /** SQL registration so the functions are usable from `spark.sql`. */
   def register(spark: SparkSession): Unit = {
@@ -355,5 +384,6 @@ object CodecExpressions {
     one("aes_frame_encode", es => AesFrameEncode(es(0), es(1)))
     one("aes_frame_decode", es => AesFrameDecode(es(0), es(1), es(2)))
     one("ppm_decode", es => PpmDecode(es.head))
+    one("bmp_decode", es => BmpDecode(es.head))
   }
 }

@@ -299,6 +299,60 @@ object CodecImpl {
     PpmStats(w, h, mv, w * h, sr, sg, sb)
   }
 
+  /** Decoded BMP raster stats — see [[bmpDecode]]. */
+  final case class BmpStats(width: Int, height: Int, topDown: Boolean,
+      nPx: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL)) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def leU16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** Uncompressed 24-bpp BMP decode — the second REAL public image
+    * format (Windows DIB, no external libraries), exercising decoder
+    * semantics PPM does not: little-endian multi-byte header fields,
+    * the 4-byte-aligned row stride (pad bytes skipped, never summed),
+    * BGR byte order, and bottom-up vs top-down rows via the sign of
+    * the height field. Accepts BITMAPFILEHEADER + 40-byte
+    * BITMAPINFOHEADER, planes=1, bpp=24, BI_RGB only.
+    *
+    * Returns null on malformed input — wrong magic, short/foreign
+    * header, unsupported bpp/compression/planes, nonpositive width,
+    * zero height, a declared file size disagreeing with the actual
+    * buffer, or an offset/raster overrunning it — the SQL-null error
+    * signal.
+    */
+  def bmpDecode(b: Array[Byte]): BmpStats = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    if (leU32(b, 2) != b.length) return null            // declared size must match
+    val pixOff = leU32(b, 10)
+    if (leU32(b, 14) != 40) return null                 // BITMAPINFOHEADER only
+    val w = leU32(b, 18).toInt                          // s32: top bit would go negative
+    val hRaw = leU32(b, 22).toInt
+    if (leU16(b, 26) != 1) return null                  // planes
+    if (leU16(b, 28) != 24) return null                 // bpp
+    if (leU32(b, 30) != 0) return null                  // BI_RGB
+    if (w <= 0 || hRaw == 0) return null
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val rowSize = ((3L * w) + 3L) & ~3L
+    if (pixOff < 54 || pixOff + rowSize * h > b.length) return null
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var r = 0
+    while (r < h) {
+      var i = (pixOff + r * rowSize).toInt
+      var c = 0
+      while (c < w) {                                   // pixel order on disk: B G R
+        sb += b(i) & 0xFF; sg += b(i + 1) & 0xFF; sr += b(i + 2) & 0xFF
+        i += 3; c += 1
+      }
+      r += 1                                            // stride skips the pad bytes
+    }
+    BmpStats(w, h, topDown, w * h, sr, sg, sb)
+  }
+
   /** RFC 1071 ones-complement checksum over big-endian 16-bit words,
     * odd trailing byte zero-padded — the semantics of
     * `client/trigger_network.c:99-111` (endian-agnostic by

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.CodecImpl
@@ -148,6 +148,73 @@ object Multimodal {
         col("d").isNotNull.as("valid"),
         col("d.width").as("width"), col("d.height").as("height"),
         col("d.maxval").as("maxval"), col("d.n_px").as("n_px"),
+        col("d.sum_r").as("sum_r"), col("d.sum_g").as("sum_g"),
+        col("d.sum_b").as("sum_b"))
+      .orderBy("doc_id")
+  }
+
+  /** Little-endian u32/u16 as binary columns (BMP header fields). */
+  private def le32(v: Column): Column = {
+    val hx = lpad(hex(v.cast("bigint")), 8, "0")
+    unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+  private def le16(v: Column): Column = {
+    val hx = lpad(hex(v.cast("bigint")), 4, "0")
+    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+
+  /** Second real-format decode path: an uncompressed 24-bpp BMP per
+    * document — BITMAPFILEHEADER + BITMAPINFOHEADER with genuine
+    * little-endian fields, BGR pixel triplets from the md5 chain,
+    * rows padded to the 4-byte stride, a `doc_id % 5 == 2` slice
+    * stored TOP-DOWN (negative height field) — decoded by the native
+    * `bmp_decode` expression. Exercises everything PPM cannot: LE
+    * marshalling, stride padding that must be skipped (w ∈ 4..8 gives
+    * pad 0–3 bytes per row), BGR order, and the height-sign row
+    * orientation. `doc_id % 13 == 7` payloads lose their last byte →
+    * the declared file size disagrees → decode null (reject channel).
+    */
+  def bmpDecoded(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val w = (lit(4) + did % 5).cast("int")
+    val h = (lit(3) + did % 4).cast("int")
+    val topDown = did % 5 === 2
+    val rowSize = (w * 3 + 3) - pmod(w * 3 + 3, lit(4))
+    val fileSize = lit(54) + rowSize * h
+    val hField = when(topDown, lit(4294967296L) - h).otherwise(h.cast("bigint"))
+    val chain = concat((0 until 9).map(i =>
+      md5(concat(lit(s"bx$i|"), did.cast("string")).cast("binary"))): _*)
+    val header = concat(
+      lit("BM").cast("binary"),
+      le32(fileSize),
+      unhex(lit("00000000")),   // reserved
+      le32(lit(54)),            // pixel-data offset
+      le32(lit(40)),            // BITMAPINFOHEADER size
+      le32(w), le32(hField),
+      le16(lit(1)), le16(lit(24)),
+      le32(lit(0)),             // BI_RGB
+      le32(lit(0)),             // image size (0 valid for BI_RGB)
+      le32(lit(0)), le32(lit(0)), le32(lit(0)), le32(lit(0)))
+    // rows laid down consecutively from the chain, so the pixel stream
+    // equals the chain prefix (the oracle sums over that prefix); each
+    // row gets its 0-3 stride pad bytes
+    val rowSegs = (0 until 6).map { r =>
+      when(lit(r) < h,
+        concat(unhex(substr(chain, w * lit(6) * r + 1, w * lit(6))),
+          unhex(substr(lit("000000"), lit(1), (rowSize - w * 3) * 2))))
+        .otherwise(lit(Array.emptyByteArray))
+    }
+    val full = concat(header +: rowSegs: _*)
+    val payload = when(did % 13 === 7,
+      substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
+    val dec = graft.functions.CodecExpressions.bmp_decode(payload)
+    Tables.documents(spark, dir)
+      .select(did, dec.as("d"))
+      .select(did.as("doc_id"),
+        col("d").isNotNull.as("valid"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.top_down").as("top_down"), col("d.n_px").as("n_px"),
         col("d.sum_r").as("sum_r"), col("d.sum_g").as("sum_g"),
         col("d.sum_b").as("sum_b"))
       .orderBy("doc_id")

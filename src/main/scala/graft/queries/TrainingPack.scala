@@ -772,6 +772,11 @@ object TrainingPack {
     */
   val mmPpmDecode: Q = (s, d) => Multimodal.ppmDecoded(s, d)
 
+  /** BMP twin of the real-format gate — LE headers, BGR, stride pads,
+    * top-down slice; see [[Multimodal.bmpDecoded]].
+    */
+  val mmBmpDecode: Q = (s, d) => Multimodal.bmpDecoded(s, d)
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -818,6 +823,7 @@ object TrainingPack {
     "mm_features"          -> mmFeatures,
     "mm_resize"            -> mmResize,
     "mm_ppm_decode"        -> mmPpmDecode,
+    "mm_bmp_decode"        -> mmBmpDecode,
   )
 
   private val shCte =
@@ -1553,6 +1559,39 @@ object TrainingPack {
 
     "mm_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents ORDER BY doc_id",
+
+    // the BMP twin replayed: the raster rows are laid down from the
+    // chain prefix (pads excluded by construction AND by the decoder's
+    // stride walk), pixels are BGR on disk, so sum_b is channel 0 and
+    // sum_r channel 2; the top-down slice only flips the flag (sums
+    // are row-order-independent); the truncation slice → NULL row
+    "mm_bmp_decode" -> {
+      val lut = "0123456789abcdef"
+      def bv(j: String) =
+        s"""((strpos('$lut', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
+           | + (strpos('$lut', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
+      def chanSum(c: Int) =
+        s"CAST(list_sum(list_transform(range(0, w * h), p -> ${bv(s"3 * p + $c")})) AS BIGINT)"
+      val chain = (0 until 9).map(i => s"md5('bx$i|' || doc_id)").mkString(" || ")
+      s"""WITH g AS (
+         |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         |    $chain AS chain
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, w, h, substr(chain, 1, CAST(w * h * 6 AS INT)) AS px,
+         |    doc_id % 13 = 7 AS trunc, doc_id % 5 = 2 AS td
+         |  FROM g)
+         |SELECT doc_id,
+         |  NOT trunc AS valid,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(w AS INT) END AS width,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(h AS INT) END AS height,
+         |  CASE WHEN trunc THEN NULL ELSE td END AS top_down,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(w * h AS INT) END AS n_px,
+         |  CASE WHEN trunc THEN NULL ELSE ${chanSum(2)} END AS sum_r,
+         |  CASE WHEN trunc THEN NULL ELSE ${chanSum(1)} END AS sum_g,
+         |  CASE WHEN trunc THEN NULL ELSE ${chanSum(0)} END AS sum_b
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
 
     // the real-format PPM gate replayed: header fields re-derived
     // arithmetically, channel sums over the hex pairs of the same

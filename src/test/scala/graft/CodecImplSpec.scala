@@ -397,6 +397,41 @@ class CodecImplSpec extends AnyFunSuite {
     assert(c == s)
   }
 
+  test("bmp decode: golden image, stride pads skipped, top-down flag, rejects") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def bmp(w: Int, hField: Long, rows: Array[Byte]): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le32(54L + rows.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w.toLong) ++ le32(hField) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ rows
+    // 2x2, rowSize = 8: per row 2 BGR pixels + 2 pad bytes; pads are
+    // NONZERO garbage — a decoder that sums the stride instead of the
+    // pixels gets different channel sums
+    val rows = Array[Byte](
+      1, 2, 3, 4, 5, 6, 99.toByte, 98.toByte, // row 0: (B1,G2,R3)(B4,G5,R6) + pad
+      7, 8, 9, 10, 11, 12, 97.toByte, 96.toByte)
+    val s = CodecImpl.bmpDecode(bmp(2, 2L, rows))
+    assert(s != null && s.width == 2 && s.height == 2 && !s.topDown && s.nPx == 4)
+    assert(s.sumB == 1 + 4 + 7 + 10 && s.sumG == 2 + 5 + 8 + 11 && s.sumR == 3 + 6 + 9 + 12)
+    // top-down: height field = -2 as u32; sums identical, flag flips
+    val td = CodecImpl.bmpDecode(bmp(2, 4294967296L - 2L, rows))
+    assert(td != null && td.topDown && td.height == 2 &&
+      td.sumR == s.sumR && td.sumG == s.sumG && td.sumB == s.sumB)
+    // rejects: wrong magic, truncated (declared size mismatch), wrong
+    // bpp, compressed, zero height
+    assert(CodecImpl.bmpDecode("XX".getBytes ++ bmp(2, 2L, rows).drop(2)) == null)
+    assert(CodecImpl.bmpDecode(bmp(2, 2L, rows).dropRight(1)) == null)
+    val wrongBpp = bmp(2, 2L, rows); wrongBpp(28) = 32
+    // declared size still matches, but bpp=32 must reject
+    assert(CodecImpl.bmpDecode(wrongBpp) == null)
+    val compressed = bmp(2, 2L, rows); compressed(30) = 1
+    assert(CodecImpl.bmpDecode(compressed) == null)
+    assert(CodecImpl.bmpDecode(bmp(2, 0L, rows)) == null)
+    assert(CodecImpl.bmpDecode(Array.empty[Byte]) == null)
+  }
+
   test("ppm decode: channel-sum property over random rasters") {
     val rnd = new scala.util.Random(13)
     for (_ <- 1 to 50) {
