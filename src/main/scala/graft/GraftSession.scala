@@ -92,6 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("aes_frame_decode", es => CE.AesFrameDecode(es(0), es(1), es(2)))
     inject("ppm_decode", es => CE.PpmDecode(es.head))
     inject("bmp_decode", es => CE.BmpDecode(es.head))
+    inject("wav_decode", es => CE.WavDecode(es.head))
     inject("simhash64", es => TE.SimHash64(es.head))
     inject("hamming64", es => TE.Hamming64(es(0), es(1)))
     inject("fnv1a64", es => TE.Fnv1a64(es.head))

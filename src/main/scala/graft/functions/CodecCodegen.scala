@@ -39,6 +39,12 @@ object CodecCodegen {
     else InternalRow(s.width, s.height, s.topDown, s.nPx, s.sumR, s.sumG, s.sumB)
   }
 
+  def wavDecode(buf: Array[Byte]): InternalRow = {
+    val s = CodecImpl.wavDecode(buf)
+    if (s == null) null
+    else InternalRow(s.channels, s.sampleRate, s.bits, s.nFrames, s.sumCh0, s.sumCh1)
+  }
+
   def tlvDecode(buf: Array[Byte]): ArrayData = {
     val entries = CodecImpl.tlvDecode(buf)
     new GenericArrayData(entries.map { case (t, bytes) =>

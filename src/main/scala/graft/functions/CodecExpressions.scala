@@ -286,6 +286,33 @@ object CodecExpressions {
     override def prettyName: String = "bmp_decode"
   }
 
+  val wavStatsType: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sum_ch0", LongType, nullable = false),
+    StructField("sum_ch1", LongType, nullable = false)))
+
+  /** `wav_decode(BINARY) → STRUCT<channels,sample_rate,bits,n_frames,
+    * sum_ch0,sum_ch1>`: real RIFF/WAVE PCM decode (16-bit LE signed
+    * samples, per-channel sums); malformed → null.
+    * See [[CodecImpl.wavDecode]].
+    */
+  case class WavDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = wavStatsType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecCodegen.wavDecode(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        ${ev.value} = $Bridge.wavDecode($b);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): WavDecode = copy(c)
+    override def prettyName: String = "wav_decode"
+  }
+
   /** Session-frame encrypt (`crypto.c:205-273`): payload + 256-bit
     * key → length-prefixed, zero-padded, AES-CBC-encrypted frame; the
     * IV is derived as md5(key) per `crypto.c:146`. CodegenFallback:
@@ -359,6 +386,7 @@ object CodecExpressions {
     c(AesFrameDecode(e(frame), e(key), e(maxLen)))
   def ppm_decode(col: Column): Column = c(PpmDecode(e(col)))
   def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
+  def wav_decode(col: Column): Column = c(WavDecode(e(col)))
 
   /** SQL registration so the functions are usable from `spark.sql`. */
   def register(spark: SparkSession): Unit = {
@@ -385,5 +413,6 @@ object CodecExpressions {
     one("aes_frame_decode", es => AesFrameDecode(es(0), es(1), es(2)))
     one("ppm_decode", es => PpmDecode(es.head))
     one("bmp_decode", es => BmpDecode(es.head))
+    one("wav_decode", es => WavDecode(es.head))
   }
 }

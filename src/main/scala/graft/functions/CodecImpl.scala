@@ -353,6 +353,52 @@ object CodecImpl {
     BmpStats(w, h, topDown, w * h, sr, sg, sb)
   }
 
+  /** Decoded WAV stats — see [[wavDecode]]. */
+  final case class WavStats(channels: Int, sampleRate: Int, bits: Int,
+      nFrames: Int, sumCh0: Long, sumCh1: Long)
+
+  /** RIFF/WAVE PCM decode — the REAL audio-format path (no external
+    * libraries): RIFF header, `fmt ` chunk (PCM, 16-bit only),
+    * `data` chunk, then interleaved signed 16-bit little-endian
+    * samples. Emits per-channel signed sample sums (mono: sum_ch1 is
+    * 0) — integer facts for the SQL oracle, like the image decoders.
+    *
+    * Returns null on malformed input: wrong magics, non-PCM, bits ≠
+    * 16, a riff/byte-rate/block-align field disagreeing with the
+    * arithmetic the format fixes, or a data chunk overrunning the
+    * buffer. Only the canonical 44-byte header layout (fmt then data)
+    * is accepted — the shape every PCM writer emits.
+    */
+  def wavDecode(b: Array[Byte]): WavStats = {
+    if (b == null || b.length < 44) return null
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE") || !tag(12, "fmt ") || !tag(36, "data"))
+      return null
+    if (leU32(b, 4) != b.length - 8) return null        // riff size
+    if (leU32(b, 16) != 16) return null                 // fmt chunk size
+    if (leU16(b, 20) != 1) return null                  // PCM
+    val nch = leU16(b, 22)
+    val rate = leU32(b, 24).toInt
+    val byteRate = leU32(b, 28)
+    val blockAlign = leU16(b, 32)
+    val bits = leU16(b, 34)
+    if (bits != 16 || nch < 1 || nch > 2 || rate <= 0) return null
+    if (blockAlign != nch * 2 || byteRate != rate.toLong * blockAlign) return null
+    val dataLen = leU32(b, 40)
+    if (dataLen % blockAlign != 0 || 44L + dataLen > b.length) return null
+    val frames = (dataLen / blockAlign).toInt
+    var s0 = 0L; var s1 = 0L
+    var f = 0
+    while (f < frames) {
+      val off = 44 + f * blockAlign
+      s0 += ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort
+      if (nch == 2) s1 += ((b(off + 2) & 0xFF) | (b(off + 3) << 8)).toShort
+      f += 1
+    }
+    WavStats(nch, rate, bits, frames, s0, s1)
+  }
+
   /** RFC 1071 ones-complement checksum over big-endian 16-bit words,
     * odd trailing byte zero-padded — the semantics of
     * `client/trigger_network.c:99-111` (endian-agnostic by

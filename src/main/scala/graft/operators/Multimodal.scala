@@ -220,6 +220,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The audio modality's real-format path: a RIFF/WAVE PCM payload
+    * per document — genuine 44-byte canonical header (RIFF size, fmt
+    * chunk, byte-rate/block-align arithmetic the decoder validates),
+    * interleaved signed 16-bit LE samples from the md5 chain, mono
+    * and stereo slices, three sample rates — decoded by the native
+    * `wav_decode` expression into per-channel signed sample sums.
+    * `doc_id % 9 == 4` payloads lose their last byte → the data chunk
+    * overruns → decode null (reject channel).
+    */
+  def wavDecoded(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val nch = (lit(1) + did % 2).cast("int")
+    val rate = when(did % 3 === 0, 8000).when(did % 3 === 1, 16000)
+      .otherwise(44100)
+    val frames = (lit(5) + did % 6).cast("int")
+    val dataLen = frames * nch * 2
+    val chain = concat((0 until 3).map(i =>
+      md5(concat(lit(s"wx$i|"), did.cast("string")).cast("binary"))): _*)
+    val full = concat(
+      lit("RIFF").cast("binary"), le32(lit(36) + dataLen),
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), le32(lit(16)),
+      le16(lit(1)), le16(nch), le32(rate), le32(rate * nch * 2),
+      le16(nch * 2), le16(lit(16)),
+      lit("data").cast("binary"), le32(dataLen),
+      unhex(substr(chain, lit(1), dataLen * 2)))
+    val payload = when(did % 9 === 4,
+      substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
+    val dec = graft.functions.CodecExpressions.wav_decode(payload)
+    Tables.documents(spark, dir)
+      .select(did, dec.as("d"))
+      .select(did.as("doc_id"),
+        col("d").isNotNull.as("valid"),
+        col("d.channels").as("channels"), col("d.sample_rate").as("sample_rate"),
+        col("d.bits").as("bits"), col("d.n_frames").as("n_frames"),
+        col("d.sum_ch0").as("sum_ch0"), col("d.sum_ch1").as("sum_ch1"))
+      .orderBy("doc_id")
+  }
+
   /** Row shape after the resize seam: the resized payload plus its
     * declared target geometry.
     */

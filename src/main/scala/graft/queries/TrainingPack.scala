@@ -777,6 +777,11 @@ object TrainingPack {
     */
   val mmBmpDecode: Q = (s, d) => Multimodal.bmpDecoded(s, d)
 
+  /** Audio real-format gate — RIFF/WAVE PCM, per-channel signed
+    * sample sums; see [[Multimodal.wavDecoded]].
+    */
+  val mmWavDecode: Q = (s, d) => Multimodal.wavDecoded(s, d)
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -824,6 +829,7 @@ object TrainingPack {
     "mm_resize"            -> mmResize,
     "mm_ppm_decode"        -> mmPpmDecode,
     "mm_bmp_decode"        -> mmBmpDecode,
+    "mm_wav_decode"        -> mmWavDecode,
   )
 
   private val shCte =
@@ -1559,6 +1565,45 @@ object TrainingPack {
 
     "mm_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents ORDER BY doc_id",
+
+    // the WAV gate replayed: interleaved s16le samples from the chain
+    // — sample j's value is lowByte(2j) + 256*highByte(2j+1), signed
+    // by subtracting 65536 at >= 32768; channel c sums stride by nch;
+    // the truncation slice → NULL row
+    "mm_wav_decode" -> {
+      val lut = "0123456789abcdef"
+      def bv(j: String) =
+        s"""((strpos('$lut', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
+           | + (strpos('$lut', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
+      def sval(s: String) = {
+        val raw = s"(${bv(s"2 * ($s)")} + 256 * ${bv(s"2 * ($s) + 1")})"
+        s"(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+      }
+      def chanSum(c: Int) =
+        s"CAST(list_sum(list_transform(range(0, fr), f -> ${sval(s"f * nch + $c")})) AS BIGINT)"
+      val chain = (0 until 3).map(i => s"md5('wx$i|' || doc_id)").mkString(" || ")
+      s"""WITH g AS (
+         |  SELECT doc_id, 1 + doc_id % 2 AS nch,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         |      ELSE 44100 END AS rate,
+         |    5 + doc_id % 6 AS fr, $chain AS chain
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, nch, rate, fr,
+         |    substr(chain, 1, CAST(fr * nch * 4 AS INT)) AS px,
+         |    doc_id % 9 = 4 AS trunc
+         |  FROM g)
+         |SELECT doc_id,
+         |  NOT trunc AS valid,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(nch AS INT) END AS channels,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(rate AS INT) END AS sample_rate,
+         |  CASE WHEN trunc THEN NULL ELSE 16 END AS bits,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(fr AS INT) END AS n_frames,
+         |  CASE WHEN trunc THEN NULL ELSE ${chanSum(0)} END AS sum_ch0,
+         |  CASE WHEN trunc THEN NULL
+         |       WHEN nch = 2 THEN ${chanSum(1)} ELSE CAST(0 AS BIGINT) END AS sum_ch1
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
 
     // the BMP twin replayed: the raster rows are laid down from the
     // chain prefix (pads excluded by construction AND by the decoder's

@@ -432,6 +432,41 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.bmpDecode(Array.empty[Byte]) == null)
   }
 
+  test("wav decode: golden stereo PCM, signed samples, rejects") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def wav(nch: Int, rate: Int, data: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(36L + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(nch) ++ le32(rate.toLong) ++
+        le32(rate.toLong * nch * 2) ++ le16(nch * 2) ++ le16(16) ++
+        "data".getBytes ++ le32(data.length.toLong) ++ data
+    // 2 stereo frames: ch0 = [1, -2], ch1 = [-32768, 32767]
+    val data = le16(1) ++ le16(0x8000) ++ le16(0xFFFE) ++ le16(0x7FFF)
+    val s = CodecImpl.wavDecode(wav(2, 16000, data))
+    assert(s != null && s.channels == 2 && s.sampleRate == 16000 &&
+      s.bits == 16 && s.nFrames == 2)
+    assert(s.sumCh0 == 1L - 2L && s.sumCh1 == -32768L + 32767L)
+    // mono: ch1 sum stays 0
+    val m = CodecImpl.wavDecode(wav(1, 8000, le16(5) ++ le16(0xFFFB)))
+    assert(m != null && m.channels == 1 && m.nFrames == 2 &&
+      m.sumCh0 == 5L - 5L && m.sumCh1 == 0L)
+    // rejects: magic, riff-size mismatch (truncation), non-PCM, wrong
+    // bits, block-align arithmetic, data overrun
+    assert(CodecImpl.wavDecode("RIFX".getBytes ++ wav(1, 8000, data).drop(4)) == null)
+    assert(CodecImpl.wavDecode(wav(2, 16000, data).dropRight(1)) == null)
+    val nonPcm = wav(2, 16000, data); nonPcm(20) = 3
+    assert(CodecImpl.wavDecode(nonPcm) == null)
+    val bits8 = wav(2, 16000, data); bits8(34) = 8
+    assert(CodecImpl.wavDecode(bits8) == null)
+    val badAlign = wav(2, 16000, data); badAlign(32) = 2
+    assert(CodecImpl.wavDecode(badAlign) == null)
+    val overrun = wav(2, 16000, data); overrun(40) = (data.length + 4).toByte
+    assert(CodecImpl.wavDecode(overrun) == null)
+    assert(CodecImpl.wavDecode(Array.empty[Byte]) == null)
+  }
+
   test("ppm decode: channel-sum property over random rasters") {
     val rnd = new scala.util.Random(13)
     for (_ <- 1 to 50) {
