@@ -93,6 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("ppm_decode", es => CE.PpmDecode(es.head))
     inject("bmp_decode", es => CE.BmpDecode(es.head))
     inject("wav_decode", es => CE.WavDecode(es.head))
+    inject("y4m_decode", es => CE.Y4mDecode(es.head))
     inject("simhash64", es => TE.SimHash64(es.head))
     inject("hamming64", es => TE.Hamming64(es(0), es(1)))
     inject("fnv1a64", es => TE.Fnv1a64(es.head))

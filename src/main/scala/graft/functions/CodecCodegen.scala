@@ -45,6 +45,12 @@ object CodecCodegen {
     else InternalRow(s.channels, s.sampleRate, s.bits, s.nFrames, s.sumCh0, s.sumCh1)
   }
 
+  def y4mDecode(buf: Array[Byte]): InternalRow = {
+    val s = CodecImpl.y4mDecode(buf)
+    if (s == null) null
+    else InternalRow(s.width, s.height, s.fpsNum, s.fpsDen, s.nFrames, s.sumY, s.sumC)
+  }
+
   def tlvDecode(buf: Array[Byte]): ArrayData = {
     val entries = CodecImpl.tlvDecode(buf)
     new GenericArrayData(entries.map { case (t, bytes) =>

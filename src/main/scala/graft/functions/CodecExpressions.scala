@@ -313,6 +313,34 @@ object CodecExpressions {
     override def prettyName: String = "wav_decode"
   }
 
+  val y4mStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps_num", IntegerType, nullable = false),
+    StructField("fps_den", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sum_y", LongType, nullable = false),
+    StructField("sum_c", LongType, nullable = false)))
+
+  /** `y4m_decode(BINARY) → STRUCT<width,height,fps_num,fps_den,
+    * n_frames,sum_y,sum_c>`: real YUV4MPEG2 decode (header tags,
+    * FRAME-marker walk, 4:2:0 plane split); malformed → null.
+    * See [[CodecImpl.y4mDecode]].
+    */
+  case class Y4mDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = y4mStatsType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecCodegen.y4mDecode(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        ${ev.value} = $Bridge.y4mDecode($b);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): Y4mDecode = copy(c)
+    override def prettyName: String = "y4m_decode"
+  }
+
   /** Session-frame encrypt (`crypto.c:205-273`): payload + 256-bit
     * key → length-prefixed, zero-padded, AES-CBC-encrypted frame; the
     * IV is derived as md5(key) per `crypto.c:146`. CodegenFallback:
@@ -387,6 +415,7 @@ object CodecExpressions {
   def ppm_decode(col: Column): Column = c(PpmDecode(e(col)))
   def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
   def wav_decode(col: Column): Column = c(WavDecode(e(col)))
+  def y4m_decode(col: Column): Column = c(Y4mDecode(e(col)))
 
   /** SQL registration so the functions are usable from `spark.sql`. */
   def register(spark: SparkSession): Unit = {
@@ -414,5 +443,6 @@ object CodecExpressions {
     one("ppm_decode", es => PpmDecode(es.head))
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))
+    one("y4m_decode", es => Y4mDecode(es.head))
   }
 }

@@ -399,6 +399,78 @@ object CodecImpl {
     WavStats(nch, rate, bits, frames, s0, s1)
   }
 
+  /** Decoded Y4M stats — see [[y4mDecode]]. */
+  final case class Y4mStats(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      nFrames: Int, sumY: Long, sumC: Long)
+
+  /** YUV4MPEG2 (Y4M) decode — the REAL video-format path (no external
+    * libraries): the ASCII stream header (`YUV4MPEG2` + space-
+    * separated `W`/`H`/`F<num>:<den>` tags, `C420` or an absent
+    * colourspace tag = 4:2:0 default), then repeated `FRAME` markers
+    * each followed by a raw 4:2:0 plane set (w·h luma + 2·(w/2·h/2)
+    * chroma bytes). Emits the frame count and the luma/chroma byte
+    * sums across all frames — the video-specific semantics are the
+    * per-frame marker walk and the plane split.
+    *
+    * Returns null on malformed input: wrong magic, missing/garbled
+    * W/H/F tags, an unsupported colourspace tag, odd dimensions
+    * (invalid for 4:2:0), a FRAME marker missing where a frame must
+    * start, or a truncated plane set. A stream with zero frames is
+    * valid (n_frames 0).
+    */
+  def y4mDecode(b: Array[Byte]): Y4mStats = {
+    val magic = "YUV4MPEG2"
+    if (b == null || b.length < magic.length + 1) return null
+    if (!magic.indices.forall(i => b(i) == magic.charAt(i).toByte)) return null
+    var pos = magic.length
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    // header params up to the newline
+    while (pos < b.length && b(pos) != '\n') {
+      if (b(pos) != ' ') return null
+      pos += 1
+      val start = pos
+      while (pos < b.length && b(pos) != ' ' && b(pos) != '\n') pos += 1
+      if (pos <= start) return null
+      val tok = new String(b, start, pos - start, StandardCharsets.US_ASCII)
+      tok.charAt(0) match {
+        case 'W' => w = tok.drop(1).toIntOption.getOrElse(return null)
+        case 'H' => h = tok.drop(1).toIntOption.getOrElse(return null)
+        case 'F' =>
+          val parts = tok.drop(1).split(':')
+          if (parts.length != 2) return null
+          fn = parts(0).toIntOption.getOrElse(return null)
+          fd = parts(1).toIntOption.getOrElse(return null)
+        case 'C' => if (tok != "C420") return null
+        case _   => () // Ip, A, X… tags are legal and ignored
+      }
+    }
+    if (pos >= b.length) return null
+    pos += 1 // consume the header newline
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return null
+    if (w % 2 != 0 || h % 2 != 0) return null
+    val ySz = w * h
+    val frameSz = ySz + (w / 2) * (h / 2) * 2
+    val marker = "FRAME"
+    var sy = 0L; var sc = 0L; var frames = 0
+    while (pos < b.length) {
+      if (pos + marker.length > b.length ||
+        !marker.indices.forall(i => b(pos + i) == marker.charAt(i).toByte)) return null
+      pos += marker.length
+      while (pos < b.length && b(pos) != '\n') pos += 1 // frame params
+      if (pos >= b.length) return null
+      pos += 1
+      if (pos + frameSz > b.length) return null
+      var i = pos
+      val yEnd = pos + ySz
+      while (i < yEnd) { sy += b(i) & 0xFF; i += 1 }
+      val cEnd = pos + frameSz
+      while (i < cEnd) { sc += b(i) & 0xFF; i += 1 }
+      pos += frameSz
+      frames += 1
+    }
+    Y4mStats(w, h, fn, fd, frames, sy, sc)
+  }
+
   /** RFC 1071 ones-complement checksum over big-endian 16-bit words,
     * odd trailing byte zero-padded — the semantics of
     * `client/trigger_network.c:99-111` (endian-agnostic by

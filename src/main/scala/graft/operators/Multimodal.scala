@@ -259,6 +259,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The video modality's real-format path: a YUV4MPEG2 stream per
+    * document — genuine ASCII stream header (`W`/`H`/`F25:1 Ip A0:0
+    * C420` tags), 1–3 `FRAME`-marked raw 4:2:0 plane sets whose bytes
+    * come from the md5 chain (even dims only, as 4:2:0 requires) —
+    * decoded by the native `y4m_decode` expression into the frame
+    * count and luma/chroma byte sums. The video-specific decode work
+    * is the per-frame marker walk and the plane split; frame
+    * SAMPLING over decoded frames stays with the stub seam above.
+    * `doc_id % 7 == 3` payloads lose their last byte → the final
+    * plane set truncates → decode null (reject channel).
+    */
+  def y4mDecoded(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val w = (lit(4) + (did % 3) * 2).cast("int")   // 4, 6, 8 — even
+    val h = (lit(2) + (did % 2) * 2).cast("int")   // 2, 4 — even
+    val nf = (lit(1) + did % 3).cast("int")        // 1..3 frames
+    val frameSz = w * h + (w / 2) * (h / 2) * 2
+    val chain = concat((0 until 9).map(i =>
+      md5(concat(lit(s"vx$i|"), did.cast("string")).cast("binary"))): _*)
+    val header = concat(lit("YUV4MPEG2 W"), w.cast("string"),
+      lit(" H"), h.cast("string"), lit(" F25:1 Ip A0:0 C420\n")).cast("binary")
+    val frameSegs = (0 until 3).map { f =>
+      when(lit(f) < nf,
+        concat(lit("FRAME\n").cast("binary"),
+          unhex(substr(chain, frameSz * lit(2) * f + 1, frameSz * 2))))
+        .otherwise(lit(Array.emptyByteArray))
+    }
+    val full = concat(header +: frameSegs: _*)
+    val payload = when(did % 7 === 3,
+      substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
+    val dec = graft.functions.CodecExpressions.y4m_decode(payload)
+    Tables.documents(spark, dir)
+      .select(did, dec.as("d"))
+      .select(did.as("doc_id"),
+        col("d").isNotNull.as("valid"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.fps_num").as("fps_num"), col("d.fps_den").as("fps_den"),
+        col("d.n_frames").as("n_frames"),
+        col("d.sum_y").as("sum_y"), col("d.sum_c").as("sum_c"))
+      .orderBy("doc_id")
+  }
+
   /** Row shape after the resize seam: the resized payload plus its
     * declared target geometry.
     */

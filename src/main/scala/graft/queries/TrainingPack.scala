@@ -782,6 +782,11 @@ object TrainingPack {
     */
   val mmWavDecode: Q = (s, d) => Multimodal.wavDecoded(s, d)
 
+  /** Video real-format gate — YUV4MPEG2 frame walk + 4:2:0 plane
+    * split; see [[Multimodal.y4mDecoded]].
+    */
+  val mmY4mDecode: Q = (s, d) => Multimodal.y4mDecoded(s, d)
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -830,6 +835,7 @@ object TrainingPack {
     "mm_ppm_decode"        -> mmPpmDecode,
     "mm_bmp_decode"        -> mmBmpDecode,
     "mm_wav_decode"        -> mmWavDecode,
+    "mm_y4m_decode"        -> mmY4mDecode,
   )
 
   private val shCte =
@@ -1565,6 +1571,40 @@ object TrainingPack {
 
     "mm_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents ORDER BY doc_id",
+
+    // the Y4M gate replayed: frame f's luma bytes are the chain slice
+    // [f*fsz, f*fsz + w*h), chroma the remaining w*h/2 — nested
+    // list_sum over frames × plane bytes; the truncation slice → NULL
+    "mm_y4m_decode" -> {
+      val lut = "0123456789abcdef"
+      def bv(j: String) =
+        s"""((strpos('$lut', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
+           | + (strpos('$lut', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
+      def planeSum(from: String, until: String) =
+        s"""CAST(list_sum(list_transform(range(0, nf), f ->
+           |  list_sum(list_transform(range($from, $until), j -> ${bv("f * fsz + j")})))) AS BIGINT)""".stripMargin
+      val chain = (0 until 9).map(i => s"md5('vx$i|' || doc_id)").mkString(" || ")
+      s"""WITH g AS (
+         |  SELECT doc_id, 4 + (doc_id % 3) * 2 AS w, 2 + (doc_id % 2) * 2 AS h,
+         |    1 + doc_id % 3 AS nf, $chain AS chain
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, w, h, nf, w * h AS ysz,
+         |    w * h + (w // 2) * (h // 2) * 2 AS fsz,
+         |    substr(chain, 1, CAST((w * h + (w // 2) * (h // 2) * 2) * nf * 2 AS INT)) AS px,
+         |    doc_id % 7 = 3 AS trunc
+         |  FROM g)
+         |SELECT doc_id,
+         |  NOT trunc AS valid,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(w AS INT) END AS width,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(h AS INT) END AS height,
+         |  CASE WHEN trunc THEN NULL ELSE 25 END AS fps_num,
+         |  CASE WHEN trunc THEN NULL ELSE 1 END AS fps_den,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(nf AS INT) END AS n_frames,
+         |  CASE WHEN trunc THEN NULL ELSE ${planeSum("0", "ysz")} END AS sum_y,
+         |  CASE WHEN trunc THEN NULL ELSE ${planeSum("ysz", "fsz")} END AS sum_c
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
 
     // the WAV gate replayed: interleaved s16le samples from the chain
     // — sample j's value is lowByte(2j) + 256*highByte(2j+1), signed

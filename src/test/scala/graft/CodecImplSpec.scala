@@ -467,6 +467,38 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.wavDecode(Array.empty[Byte]) == null)
   }
 
+  test("y4m decode: header tags, frame walk, plane split, rejects") {
+    def y4m(header: String, frames: Array[Byte]*): Array[Byte] =
+      frames.foldLeft(header.getBytes("US-ASCII")) { (acc, fr) =>
+        acc ++ "FRAME\n".getBytes("US-ASCII") ++ fr
+      }
+    // 2x2 C420: 4 luma + 2 chroma bytes per frame
+    val f1 = Array[Byte](1, 2, 3, 4, 10, 20)
+    val f2 = Array[Byte](5, 6, 7, 8, 30, 40)
+    val s = CodecImpl.y4mDecode(y4m("YUV4MPEG2 W2 H2 F25:1 Ip A0:0 C420\n", f1, f2))
+    assert(s != null && s.width == 2 && s.height == 2 &&
+      s.fpsNum == 25 && s.fpsDen == 1 && s.nFrames == 2)
+    assert(s.sumY == (1 + 2 + 3 + 4) + (5 + 6 + 7 + 8))
+    assert(s.sumC == (10 + 20) + (30 + 40))
+    // absent colourspace tag defaults to 4:2:0; unknown X tags ignored;
+    // zero frames is a valid stream
+    val z = CodecImpl.y4mDecode(y4m("YUV4MPEG2 W2 H2 F30:1 Xname=v\n"))
+    assert(z != null && z.nFrames == 0 && z.fpsNum == 30)
+    // frame params after the marker are legal and skipped
+    val p = CodecImpl.y4mDecode(y4m("YUV4MPEG2 W2 H2 F25:1\n") ++
+      "FRAME Iunused\n".getBytes("US-ASCII") ++ f1)
+    assert(p != null && p.nFrames == 1 && p.sumY == 1 + 2 + 3 + 4)
+    // rejects
+    assert(CodecImpl.y4mDecode(y4m("YUV4MPEG3 W2 H2 F25:1\n", f1)) == null)
+    assert(CodecImpl.y4mDecode(y4m("YUV4MPEG2 W3 H2 F25:1\n", f1)) == null) // odd dim
+    assert(CodecImpl.y4mDecode(y4m("YUV4MPEG2 W2 H2\n", f1)) == null)       // no F tag
+    assert(CodecImpl.y4mDecode(y4m("YUV4MPEG2 W2 H2 F25:1 C444\n", f1)) == null)
+    assert(CodecImpl.y4mDecode(y4m("YUV4MPEG2 W2 H2 F25:1\n", f1).dropRight(1)) == null)
+    assert(CodecImpl.y4mDecode(y4m("YUV4MPEG2 W2 H2 F25:1\n", f1) ++
+      Array[Byte]('J', 'U', 'N', 'K')) == null)                              // garbage between frames
+    assert(CodecImpl.y4mDecode(Array.empty[Byte]) == null)
+  }
+
   test("ppm decode: channel-sum property over random rasters") {
     val rnd = new scala.util.Random(13)
     for (_ <- 1 to 50) {
