@@ -337,6 +337,10 @@ object CodecImpl {
     if (w <= 0 || hRaw == 0) return null
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
+    // 0x80000000 survives math.abs still negative — reject it with the
+    // rest of the malformed-geometry class instead of bypassing the
+    // raster bounds check via a negative product
+    if (h <= 0) return null
     val rowSize = ((3L * w) + 3L) & ~3L
     if (pixOff < 54 || pixOff + rowSize * h > b.length) return null
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -387,6 +391,9 @@ object CodecImpl {
     if (blockAlign != nch * 2 || byteRate != rate.toLong * blockAlign) return null
     val dataLen = leU32(b, 40)
     if (dataLen % blockAlign != 0 || 44L + dataLen > b.length) return null
+    // canonical layout: riff size must equal 36 + dataLen exactly
+    // (with the b.length-8 check above this also bans trailing junk)
+    if (leU32(b, 4) != 36L + dataLen) return null
     val frames = (dataLen / blockAlign).toInt
     var s0 = 0L; var s1 = 0L
     var f = 0
@@ -448,8 +455,14 @@ object CodecImpl {
     pos += 1 // consume the header newline
     if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return null
     if (w % 2 != 0 || h % 2 != 0) return null
+    // dimension sanity bound: beyond it w*h arithmetic overflows Int
+    // and a negative frame size would walk the buffer at negative
+    // indexes — same malformed-header class ppmDecode rejects
+    if (w > 0xFFFF || h > 0xFFFF) return null
+    val frameSzL = w.toLong * h + (w / 2).toLong * (h / 2) * 2
+    if (frameSzL > b.length) return null
     val ySz = w * h
-    val frameSz = ySz + (w / 2) * (h / 2) * 2
+    val frameSz = frameSzL.toInt
     val marker = "FRAME"
     var sy = 0L; var sc = 0L; var frames = 0
     while (pos < b.length) {

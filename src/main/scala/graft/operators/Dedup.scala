@@ -176,18 +176,37 @@ object Dedup {
     val maxBits = spark2.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     val total = math.max(catalogFp.count(), 1024L)
+    val floorItems = 1024L
+    val floorBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(floorItems, fpp)
     def sized(n: Int): (Long, Long) = {
-      val per = math.max(total / n * 13L / 10L, 1024L)
+      val per = math.max(total / n * 13L / 10L, floorItems)
       (per, org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(per, fpp))
     }
+    // raising shards converges toward the floor sizing, so the loop
+    // terminates iff the caps admit the floor; with caps below it
+    // (pathological conf) no shard count can help — clamp to the caps
+    // instead (filters may saturate toward fpp 1; exactness is
+    // unaffected, the anti-join just sees more maybe-hits) and say so
+    val capsAdmitFloor = maxItems >= floorItems && maxBits >= floorBits
     var nShardsEff = nShards
-    while ({ val (p, b) = sized(nShardsEff); p > maxItems || b > maxBits })
-      nShardsEff *= 2
+    if (capsAdmitFloor)
+      while ({ val (p, b) = sized(nShardsEff); p > maxItems || b > maxBits })
+        nShardsEff *= 2
     if (nShardsEff != nShards)
       System.err.println(s"[bloomScreenSharded] nShards raised $nShards -> $nShardsEff " +
         s"so per-shard sizing fits under the runtime-filter caps " +
         s"(catalog $total items, maxNumItems=$maxItems, maxNumBits=$maxBits)")
-    val (perShard, nBits) = sized(nShardsEff)
+    val (perShard, nBits) = {
+      val (p, b) = sized(nShardsEff)
+      if (capsAdmitFloor) (p, b)
+      else {
+        System.err.println(s"[bloomScreenSharded] runtime-filter caps below the " +
+          s"minimum sizing (maxNumItems=$maxItems, maxNumBits=$maxBits) — " +
+          s"clamping; the prefilter may saturate but results stay exact")
+        (math.min(p, maxItems), math.min(b, maxBits))
+      }
+    }
     def shardOf(c: Column): Column = pmod(xxhash64(c), lit(nShardsEff.toLong))
     val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("fp"))),

@@ -1094,6 +1094,15 @@ object TrainingPack {
        |${annRankSql("short")}""".stripMargin
   }
 
+  /** Byte value at 0-based offset `j` of the lowercase-hex column
+    * `px` — the shared byte-extraction arithmetic of the real-format
+    * media oracles (md5 output is lowercase hex). One copy: a fix to
+    * the bounds/CAST arithmetic applies to every media gate at once.
+    */
+  private def pxByte(j: String): String =
+    s"""((strpos('0123456789abcdef', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
+       | + (strpos('0123456789abcdef', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
+
   /** Exact-decimal rank + final projection over a `(query_id, vec_id)`
     * CTE named by `src` — the closing stages of both ANN oracles.
     */
@@ -1576,13 +1585,9 @@ object TrainingPack {
     // [f*fsz, f*fsz + w*h), chroma the remaining w*h/2 — nested
     // list_sum over frames × plane bytes; the truncation slice → NULL
     "mm_y4m_decode" -> {
-      val lut = "0123456789abcdef"
-      def bv(j: String) =
-        s"""((strpos('$lut', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
-           | + (strpos('$lut', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
       def planeSum(from: String, until: String) =
         s"""CAST(list_sum(list_transform(range(0, nf), f ->
-           |  list_sum(list_transform(range($from, $until), j -> ${bv("f * fsz + j")})))) AS BIGINT)""".stripMargin
+           |  list_sum(list_transform(range($from, $until), j -> ${pxByte("f * fsz + j")})))) AS BIGINT)""".stripMargin
       val chain = (0 until 9).map(i => s"md5('vx$i|' || doc_id)").mkString(" || ")
       s"""WITH g AS (
          |  SELECT doc_id, 4 + (doc_id % 3) * 2 AS w, 2 + (doc_id % 2) * 2 AS h,
@@ -1611,12 +1616,8 @@ object TrainingPack {
     // by subtracting 65536 at >= 32768; channel c sums stride by nch;
     // the truncation slice → NULL row
     "mm_wav_decode" -> {
-      val lut = "0123456789abcdef"
-      def bv(j: String) =
-        s"""((strpos('$lut', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
-           | + (strpos('$lut', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
       def sval(s: String) = {
-        val raw = s"(${bv(s"2 * ($s)")} + 256 * ${bv(s"2 * ($s) + 1")})"
+        val raw = s"(${pxByte(s"2 * ($s)")} + 256 * ${pxByte(s"2 * ($s) + 1")})"
         s"(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
       }
       def chanSum(c: Int) =
@@ -1651,12 +1652,8 @@ object TrainingPack {
     // sum_r channel 2; the top-down slice only flips the flag (sums
     // are row-order-independent); the truncation slice → NULL row
     "mm_bmp_decode" -> {
-      val lut = "0123456789abcdef"
-      def bv(j: String) =
-        s"""((strpos('$lut', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
-           | + (strpos('$lut', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
       def chanSum(c: Int) =
-        s"CAST(list_sum(list_transform(range(0, w * h), p -> ${bv(s"3 * p + $c")})) AS BIGINT)"
+        s"CAST(list_sum(list_transform(range(0, w * h), p -> ${pxByte(s"3 * p + $c")})) AS BIGINT)"
       val chain = (0 until 9).map(i => s"md5('bx$i|' || doc_id)").mkString(" || ")
       s"""WITH g AS (
          |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
@@ -1683,12 +1680,8 @@ object TrainingPack {
     // 9-block md5 raster chain (lowercase LUT — md5 output), the
     // doc_id % 11 = 5 truncation slice → NULL row (decode reject)
     "mm_ppm_decode" -> {
-      val lut = "0123456789abcdef"
-      def bv(j: String) =
-        s"""((strpos('$lut', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
-           | + (strpos('$lut', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
       def chanSum(c: Int) =
-        s"CAST(list_sum(list_transform(range(0, w * h), p -> ${bv(s"3 * p + $c")})) AS BIGINT)"
+        s"CAST(list_sum(list_transform(range(0, w * h), p -> ${pxByte(s"3 * p + $c")})) AS BIGINT)"
       val chain = (0 until 9).map(i => s"md5('px$i|' || doc_id)").mkString(" || ")
       s"""WITH g AS (
          |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,

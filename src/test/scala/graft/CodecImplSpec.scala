@@ -429,6 +429,9 @@ class CodecImplSpec extends AnyFunSuite {
     val compressed = bmp(2, 2L, rows); compressed(30) = 1
     assert(CodecImpl.bmpDecode(compressed) == null)
     assert(CodecImpl.bmpDecode(bmp(2, 0L, rows)) == null)
+    // height 0x80000000: math.abs keeps it negative — must reject, not
+    // return garbage stats through a bypassed bounds check
+    assert(CodecImpl.bmpDecode(bmp(2, 0x80000000L, rows)) == null)
     assert(CodecImpl.bmpDecode(Array.empty[Byte]) == null)
   }
 
@@ -464,6 +467,12 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.wavDecode(badAlign) == null)
     val overrun = wav(2, 16000, data); overrun(40) = (data.length + 4).toByte
     assert(CodecImpl.wavDecode(overrun) == null)
+    // trailing junk with a patched riff size: canonical layout demands
+    // riff size == 36 + dataLen, so the junk must reject
+    val junk = wav(2, 16000, data) ++ Array[Byte](9, 9, 9, 9)
+    val sz = junk.length - 8
+    junk(4) = (sz & 0xFF).toByte; junk(5) = ((sz >> 8) & 0xFF).toByte
+    assert(CodecImpl.wavDecode(junk) == null)
     assert(CodecImpl.wavDecode(Array.empty[Byte]) == null)
   }
 
@@ -497,6 +506,10 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.y4mDecode(y4m("YUV4MPEG2 W2 H2 F25:1\n", f1) ++
       Array[Byte]('J', 'U', 'N', 'K')) == null)                              // garbage between frames
     assert(CodecImpl.y4mDecode(Array.empty[Byte]) == null)
+    // dimension bomb: w*h would overflow Int and walk negative indexes
+    // — must reject, not throw
+    assert(CodecImpl.y4mDecode(y4m("YUV4MPEG2 W65536 H65536 F25:1\n", f1)) == null)
+    assert(CodecImpl.y4mDecode(y4m("YUV4MPEG2 W60000 H60000 F25:1\n", f1)) == null)
   }
 
   test("ppm decode: channel-sum property over random rasters") {

@@ -878,6 +878,13 @@ class TrainingSpec extends AnyFunSuite {
       val raised = Dedup.bloomScreenSharded(batch, catalog, nShards = 1)
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(raised === exact, "auto-raised sharding diverged")
+      // pathological caps BELOW the 1024-item sizing floor: no shard
+      // count can fit — the screen must clamp (not loop forever) and
+      // the possibly-saturated filters must leave the answer exact
+      spark.conf.set(itemsKey, "100")
+      val clamped = Dedup.bloomScreenSharded(batch, catalog, nShards = 1)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(clamped === exact, "cap-clamped sharding diverged")
     } finally spark.conf.set(itemsKey, prev)
   }
 
