@@ -332,8 +332,10 @@ object Similarity {
     * Deterministic for a fixed corpus: the stop round is a pure
     * function of the data, and the result equals
     * `ivfCentroidsTrained(emb, k, roundsRun)` exactly (pinned by
-    * spec — no oracle, the round count is data-dependent and static
-    * SQL can't iterate-until-converged).
+    * spec). Static SQL can't iterate-until-converged, but with a
+    * CAPPED maxIters the driver oracle replays every capped round
+    * and the movement probe, so the gate's stop round is
+    * value-checked (round 13).
     *
     * @return (trained centroids, rounds actually run)
     */
@@ -582,8 +584,8 @@ object Similarity {
     * `maxIters`). The movement check collects the 128-row codebook
     * per round (driver-side by design; corpus work stays distributed).
     * Result equals `pqCodebooksTrained(emb, nSub, nCodes, roundsRun)`
-    * exactly — pinned by spec, no oracle (the round count is
-    * data-dependent; static SQL cannot iterate-until-converged).
+    * exactly — pinned by spec; the capped-round driver gate's stop
+    * round is SQL-oracled the same way as the IVF twin (round 13).
     *
     * @return (trained codebooks, rounds actually run)
     */

@@ -716,10 +716,14 @@ object TrainingPack {
     * driver gate: run [[Similarity.ivfCentroidsConverged]], then
     * replay the FIXED-round trainer for the round count it actually
     * ran and emit per-centroid equality. The round count is
-    * data-dependent, so no static SQL oracle exists (rows-only check);
-    * the semantic claim — converged ≡ trained(roundsRun), exactly — is
-    * carried in the output itself: every row must show
-    * `replay_equal = true`, and the spec pins the same identity.
+    * data-dependent — rows-only in rounds 12–13 — but the gate's loop
+    * is CAPPED at 4 rounds, so since round 13 the oracle computes all
+    * capped round states in SQL, replays the convergence probe (max
+    * centroid movement vs tol) and selects the stop round with a
+    * CASE: `rounds_run` is value-checked against DuckDB. The
+    * converged ≡ trained(roundsRun) identity additionally rides in
+    * the output (`replay_equal`, all true), with the spec pinning the
+    * same identity.
     */
   val annIvfConverged: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -735,8 +739,9 @@ object TrainingPack {
       .orderBy("cid")
   }
 
-  /** Operational PQ-codebook training gate — same shape as
-    * [[annIvfConverged]] for [[Similarity.pqCodebooksConverged]]:
+  /** Operational PQ-codebook training gate — same shape (and same
+    * round-13 SQL convergence oracle) as [[annIvfConverged]] for
+    * [[Similarity.pqCodebooksConverged]]:
     * (sub, cw_id, rounds_run, replay_equal), all rows true.
     */
   val annPqConverged: Q = (s, d) => {
@@ -1392,6 +1397,61 @@ object TrainingPack {
          |${lloydCtes(2)},
          |${ivfProbeCtes("cents2")},
          |${annRankSql("cand")}""".stripMargin,
+
+    // the convergence-STOPPED trainer, oracled (round 13 — this gate
+    // was rows-only since round 12): static SQL cannot iterate until
+    // converged, but the engine's loop is CAPPED at 4 rounds, so the
+    // oracle computes all capped round states (the validated Lloyd
+    // chain), REPLAYS the convergence probe — max |float→double
+    // centroid movement| between consecutive rounds vs tol 1e-3 — and
+    // selects the stop round with a CASE. The data-dependent
+    // rounds_run is now value-checked, not just row-counted.
+    "ann_ivf_converged" -> {
+      def mv(a: String, b: String) =
+        s"""(SELECT max(list_max(list_transform(list_zip(a.ce, b.ce),
+           |  x -> abs(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))
+           | FROM $a a JOIN $b b USING (cid))""".stripMargin
+      s"""WITH cents0 AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+         |${lloydCtes(4)},
+         |mv AS (SELECT ${mv("cents0", "cents1")} AS m1,
+         |  ${mv("cents1", "cents2")} AS m2, ${mv("cents2", "cents3")} AS m3),
+         |k AS (SELECT CASE WHEN m1 <= 0.001 THEN 1 WHEN m2 <= 0.001 THEN 2
+         |  WHEN m3 <= 0.001 THEN 3 ELSE 4 END AS rounds_run FROM mv)
+         |SELECT c.cid, CAST(k.rounds_run AS INT) AS rounds_run,
+         |  TRUE AS replay_equal
+         |FROM cents0 c, k ORDER BY c.cid""".stripMargin
+    },
+
+    // the PQ convergence-stopped trainer, same construction over the
+    // per-subspace codebook chain: movement is the max over every
+    // (sub, cw_id) codeword component between consecutive rounds
+    "ann_pq_converged" -> {
+      def mv(a: String, b: String) =
+        s"""(SELECT max(list_max(list_transform(list_zip(a.cwv, b.cwv),
+           |  x -> abs(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))
+           | FROM $a a JOIN $b b USING (sub, cw_id))""".stripMargin
+      s"""WITH subs AS (SELECT unnest(range(8)) AS sub),
+         |cw0 AS (
+         |  SELECT sub, vec_id AS cw_id, emb[sub*8+1 : sub*8+8] AS cwv FROM (
+         |    SELECT e.vec_id, e.embedding AS emb, s2.sub,
+         |      ROW_NUMBER() OVER (PARTITION BY s2.sub
+         |        ORDER BY md5('pq' || s2.sub || '|' || e.vec_id), e.vec_id) AS r
+         |    FROM embeddings e, subs s2)
+         |  WHERE r <= 16),
+         |vs AS (
+         |  SELECT e.vec_id, s2.sub, e.embedding[s2.sub*8+1 : s2.sub*8+8] AS vsv
+         |  FROM embeddings e, subs s2),
+         |${pqLloydCtes(4)},
+         |mv AS (SELECT ${mv("cw0", "cw1")} AS m1,
+         |  ${mv("cw1", "cw2")} AS m2, ${mv("cw2", "cw3")} AS m3),
+         |k AS (SELECT CASE WHEN m1 <= 0.001 THEN 1 WHEN m2 <= 0.001 THEN 2
+         |  WHEN m3 <= 0.001 THEN 3 ELSE 4 END AS rounds_run FROM mv)
+         |SELECT c.sub, c.cw_id, CAST(k.rounds_run AS INT) AS rounds_run,
+         |  TRUE AS replay_equal
+         |FROM cw0 c, k ORDER BY c.sub, c.cw_id""".stripMargin
+    },
 
     // IVF-PQ replayed end-to-end: per-subspace md5-sampled codebooks,
     // argmin-L2 encoding (as argmax dot(vs,cw) - dot(cw,cw)/2, double
