@@ -74,7 +74,29 @@ object Quickstart {
         |        '10.0.0.1', NULL)) AS h
         |      FROM documents ORDER BY doc_id LIMIT 3)""".stripMargin).show()
 
-    // 7. End-to-end ingest DAG with partitioned landing
+    // 7. Real-format media decode from SQL: the multimodal columns
+    // story with genuine public formats (PPM here; bmp_decode,
+    // wav_decode, y4m_decode are registered the same way)
+    println("== decode a real P6 PPM payload in SQL ==")
+    spark.sql(
+      """SELECT d.width, d.height, d.n_px, d.sum_r, d.sum_g, d.sum_b,
+        |  ppm_decode(CAST('garbage' AS BINARY)) IS NULL AS rejects_malformed
+        |FROM (SELECT ppm_decode(
+        |    CAST('P6' || chr(10) || '2 1' || chr(10) || '255' || chr(10) AS BINARY)
+        |      || unhex('0102030405ff')) AS d)""".stripMargin).show()
+
+    // 8. Incremental dedup against a catalog, Bloom-prefiltered: the
+    // sharded screen is the 1e8+-catalog shape (per-shard filters
+    // probed as join columns), and its answer is exactly the exact
+    // screen's
+    println("== sharded-Bloom incremental screen (new docs vs catalog) ==")
+    val allDocs = Tables.documents(spark, dataDir)
+    val catalogFp = allDocs.filter(col("doc_id") < 50)
+      .select(md5(graft.operators.TextOps.norm(col("text"))).as("fp")).distinct()
+    Dedup.bloomScreenSharded(allDocs.filter(col("doc_id") >= 50), catalogFp)
+      .orderBy("doc_id").show(3)
+
+    // 9. End-to-end ingest DAG with partitioned landing
     println(s"== beacon ingest DAG -> $outDir ==")
     val r = BeaconPipeline.run(spark, dataDir, outDir)
     println(s"good=${r.good.count()} bad=${r.bad.count()} " +
