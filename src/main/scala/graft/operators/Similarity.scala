@@ -337,21 +337,27 @@ object Similarity {
     * and the movement probe, so the gate's stop round is
     * value-checked (round 13).
     *
-    * @return (trained centroids, rounds actually run)
+    * @return (trained centroids, rounds actually run, the per-round
+    *   movement trace — `moves(r-1)` is the max component movement
+    *   after round r; exactly `roundsRun` entries). The trace is what
+    *   the driver gate surfaces so the convergence PROBE itself is
+    *   oracle-checked, not just the stop round it produced.
     */
   def ivfCentroidsConverged(embeddings: DataFrame, nCentroids: Int = 16,
-      maxIters: Int = 8, tol: Double = 1e-3, dim: Int = 64): (DataFrame, Int) = {
+      maxIters: Int = 8, tol: Double = 1e-3, dim: Int = 64): (DataFrame, Int, Seq[Double]) = {
     requireDim(embeddings, dim)
     var cents = ivfCentroids(embeddings, nCentroids)
     var rounds = 0
     var moved = Double.MaxValue
+    val moves = Seq.newBuilder[Double]
     while (rounds < maxIters && moved > tol) {
       val next = lloydRound(embeddings, cents, dim)
       moved = maxCentroidMove(cents, next)
+      moves += moved
       cents = next
       rounds += 1
     }
-    (cents, rounds)
+    (cents, rounds, moves.result())
   }
 
   /** Max absolute per-component centroid movement between two centroid
@@ -587,17 +593,20 @@ object Similarity {
     * exactly — pinned by spec; the capped-round driver gate's stop
     * round is SQL-oracled the same way as the IVF twin (round 13).
     *
-    * @return (trained codebooks, rounds actually run)
+    * @return (trained codebooks, rounds actually run, per-round
+    *   movement trace — same contract as
+    *   [[ivfCentroidsConverged]]'s)
     */
   def pqCodebooksConverged(embeddings: DataFrame, nSub: Int = 8,
       nCodes: Int = 16, maxIters: Int = 8, tol: Double = 1e-3,
-      dim: Int = 64): (DataFrame, Int) = {
+      dim: Int = 64): (DataFrame, Int, Seq[Double]) = {
     requireDim(embeddings, dim)
     def byKey(df: DataFrame): Map[(Int, Long), Seq[Float]] = df.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
     var cw = pqCodebooksSampled(embeddings, nSub, nCodes, dim)
     var rounds = 0
     var moved = Double.MaxValue
+    val moves = Seq.newBuilder[Double]
     // same one-explode-feeds-every-round cache as pqCodebooksTrained;
     // the per-round byKey collect is itself an eager read
     val vs = subvectors(embeddings, nSub, dim)
@@ -608,10 +617,11 @@ object Similarity {
       moved = p.iterator.flatMap { case (k, v) =>
         v.zip(n(k)).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }
       }.max
+      moves += moved
       cw = next
       rounds += 1
     } finally vs.unpersist(false)
-    (cw, rounds)
+    (cw, rounds, moves.result())
   }
 
   /** Same operator over any (vec_id, embedding) table (spec seam).

@@ -731,10 +731,17 @@ object TrainingPack {
     // gate's claim is the converged ≡ trained(roundsRun) identity,
     // which holds at any stop round, and the cap keeps the bench row
     // from doubling the sweep's trainer cost
-    val (cents, rounds) = Similarity.ivfCentroidsConverged(emb, maxIters = 4)
+    val (cents, rounds, moves) = Similarity.ivfCentroidsConverged(emb, maxIters = 4)
+    // the movement trace rides in the output RAW (|float→double|
+    // diffs are bit-identical across engines, so no rounding): even
+    // when the corpus never converges early and rounds_run sits at
+    // the cap, the probe ARITHMETIC is hash-checked round by round
+    def m(r: Int): Column =
+      if (r <= rounds) lit(moves(r - 1)) else lit(null).cast("double")
     val replay = Similarity.ivfCentroidsTrained(emb, 16, rounds)
     cents.toDF("cid", "ce").join(replay.toDF("cid", "re"), "cid")
       .select(col("cid"), lit(rounds).as("rounds_run"),
+        m(1).as("m1"), m(2).as("m2"), m(3).as("m3"), m(4).as("m4"),
         (col("ce") === col("re")).as("replay_equal"))
       .orderBy("cid")
   }
@@ -746,11 +753,14 @@ object TrainingPack {
     */
   val annPqConverged: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val (cw, rounds) = Similarity.pqCodebooksConverged(emb, maxIters = 4)
+    val (cw, rounds, moves) = Similarity.pqCodebooksConverged(emb, maxIters = 4)
+    def m(r: Int): Column =
+      if (r <= rounds) lit(moves(r - 1)) else lit(null).cast("double")
     val replay = Similarity.pqCodebooksTrained(emb, iters = rounds)
     cw.toDF("sub", "cw_id", "cw").join(
         replay.toDF("sub", "cw_id", "rw"), Seq("sub", "cw_id"))
       .select(col("sub"), col("cw_id"), lit(rounds).as("rounds_run"),
+        m(1).as("m1"), m(2).as("m2"), m(3).as("m3"), m(4).as("m4"),
         (col("cw") === col("rw")).as("replay_equal"))
       .orderBy("sub", "cw_id")
   }
@@ -987,6 +997,15 @@ object TrainingPack {
        |    FROM embeddings e, $cents c)
        |  WHERE r = 1)""".stripMargin
 
+  /** The md5-sampled IVF centroid init — ONE copy of the sampling CTE
+    * shared by the trained-IVF and convergence oracles (a drifted salt
+    * in one copy would silently desynchronize them).
+    */
+  private val ivfCents0Cte: String =
+    """cents0 AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16)""".stripMargin
+
   private def lloydCtes(iters: Int): String =
     (1 to iters).map { k =>
       s"""${argmaxAsgSql(s"asg${k - 1}", s"cents${k - 1}")},
@@ -1036,6 +1055,23 @@ object TrainingPack {
     * and residual IVF-PQ oracles, whose training chains are identical
     * once those two CTEs are bound.
     */
+  /** The PQ base CTEs — subspace index table, md5-sampled codebook
+    * init, subvector frame — ONE copy shared by the IVF-PQ and
+    * PQ-convergence oracles.
+    */
+  private val pqBaseCtes: String =
+    """subs AS (SELECT unnest(range(8)) AS sub),
+      |cw0 AS (
+      |  SELECT sub, vec_id AS cw_id, emb[sub*8+1 : sub*8+8] AS cwv FROM (
+      |    SELECT e.vec_id, e.embedding AS emb, s2.sub,
+      |      ROW_NUMBER() OVER (PARTITION BY s2.sub
+      |        ORDER BY md5('pq' || s2.sub || '|' || e.vec_id), e.vec_id) AS r
+      |    FROM embeddings e, subs s2)
+      |  WHERE r <= 16),
+      |vs AS (
+      |  SELECT e.vec_id, s2.sub, e.embedding[s2.sub*8+1 : s2.sub*8+8] AS vsv
+      |  FROM embeddings e, subs s2)""".stripMargin
+
   private def pqLloydCtes(rounds: Int): String =
     (1 to rounds).map { k =>
       s"""pasg${k - 1} AS (
@@ -1062,17 +1098,7 @@ object TrainingPack {
     val lloyd = pqLloydCtes(rounds)
     val fin = s"cw$rounds"
     s"""WITH $ivfCandCtes,
-       |subs AS (SELECT unnest(range(8)) AS sub),
-       |cw0 AS (
-       |  SELECT sub, vec_id AS cw_id, emb[sub*8+1 : sub*8+8] AS cwv FROM (
-       |    SELECT e.vec_id, e.embedding AS emb, s2.sub,
-       |      ROW_NUMBER() OVER (PARTITION BY s2.sub
-       |        ORDER BY md5('pq' || s2.sub || '|' || e.vec_id), e.vec_id) AS r
-       |    FROM embeddings e, subs s2)
-       |  WHERE r <= 16),
-       |vs AS (
-       |  SELECT e.vec_id, s2.sub, e.embedding[s2.sub*8+1 : s2.sub*8+8] AS vsv
-       |  FROM embeddings e, subs s2)${if (rounds > 0) ",\n" + lloyd else ""},
+       |$pqBaseCtes${if (rounds > 0) ",\n" + lloyd else ""},
        |codes AS (
        |  SELECT vec_id, sub, cw_id AS code FROM (
        |    SELECT v.vec_id, v.sub, c.cw_id,
@@ -1391,9 +1417,7 @@ object TrainingPack {
     // in SQL before the probe stage — the means follow the engine's
     // exact float->double->decimal->double->real conversion chain
     "ann_topk_ivf_trained" ->
-      s"""WITH cents0 AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+      s"""WITH $ivfCents0Cte,
          |${lloydCtes(2)},
          |${ivfProbeCtes("cents2")},
          |${annRankSql("cand")}""".stripMargin,
@@ -1411,17 +1435,20 @@ object TrainingPack {
         s"""(SELECT max(list_max(list_transform(list_zip(a.ce, b.ce),
            |  x -> abs(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))
            | FROM $a a JOIN $b b USING (cid))""".stripMargin
-      s"""WITH cents0 AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+      s"""WITH $ivfCents0Cte,
          |${lloydCtes(4)},
          |mv AS (SELECT ${mv("cents0", "cents1")} AS m1,
-         |  ${mv("cents1", "cents2")} AS m2, ${mv("cents2", "cents3")} AS m3),
+         |  ${mv("cents1", "cents2")} AS m2, ${mv("cents2", "cents3")} AS m3,
+         |  ${mv("cents3", "cents4")} AS m4),
          |k AS (SELECT CASE WHEN m1 <= 0.001 THEN 1 WHEN m2 <= 0.001 THEN 2
          |  WHEN m3 <= 0.001 THEN 3 ELSE 4 END AS rounds_run FROM mv)
          |SELECT c.cid, CAST(k.rounds_run AS INT) AS rounds_run,
+         |  mv.m1 AS m1,
+         |  CASE WHEN k.rounds_run >= 2 THEN mv.m2 END AS m2,
+         |  CASE WHEN k.rounds_run >= 3 THEN mv.m3 END AS m3,
+         |  CASE WHEN k.rounds_run >= 4 THEN mv.m4 END AS m4,
          |  TRUE AS replay_equal
-         |FROM cents0 c, k ORDER BY c.cid""".stripMargin
+         |FROM cents0 c, k, mv ORDER BY c.cid""".stripMargin
     },
 
     // the PQ convergence-stopped trainer, same construction over the
@@ -1432,25 +1459,20 @@ object TrainingPack {
         s"""(SELECT max(list_max(list_transform(list_zip(a.cwv, b.cwv),
            |  x -> abs(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))
            | FROM $a a JOIN $b b USING (sub, cw_id))""".stripMargin
-      s"""WITH subs AS (SELECT unnest(range(8)) AS sub),
-         |cw0 AS (
-         |  SELECT sub, vec_id AS cw_id, emb[sub*8+1 : sub*8+8] AS cwv FROM (
-         |    SELECT e.vec_id, e.embedding AS emb, s2.sub,
-         |      ROW_NUMBER() OVER (PARTITION BY s2.sub
-         |        ORDER BY md5('pq' || s2.sub || '|' || e.vec_id), e.vec_id) AS r
-         |    FROM embeddings e, subs s2)
-         |  WHERE r <= 16),
-         |vs AS (
-         |  SELECT e.vec_id, s2.sub, e.embedding[s2.sub*8+1 : s2.sub*8+8] AS vsv
-         |  FROM embeddings e, subs s2),
+      s"""WITH $pqBaseCtes,
          |${pqLloydCtes(4)},
          |mv AS (SELECT ${mv("cw0", "cw1")} AS m1,
-         |  ${mv("cw1", "cw2")} AS m2, ${mv("cw2", "cw3")} AS m3),
+         |  ${mv("cw1", "cw2")} AS m2, ${mv("cw2", "cw3")} AS m3,
+         |  ${mv("cw3", "cw4")} AS m4),
          |k AS (SELECT CASE WHEN m1 <= 0.001 THEN 1 WHEN m2 <= 0.001 THEN 2
          |  WHEN m3 <= 0.001 THEN 3 ELSE 4 END AS rounds_run FROM mv)
          |SELECT c.sub, c.cw_id, CAST(k.rounds_run AS INT) AS rounds_run,
+         |  mv.m1 AS m1,
+         |  CASE WHEN k.rounds_run >= 2 THEN mv.m2 END AS m2,
+         |  CASE WHEN k.rounds_run >= 3 THEN mv.m3 END AS m3,
+         |  CASE WHEN k.rounds_run >= 4 THEN mv.m4 END AS m4,
          |  TRUE AS replay_equal
-         |FROM cw0 c, k ORDER BY c.sub, c.cw_id""".stripMargin
+         |FROM cw0 c, k, mv ORDER BY c.sub, c.cw_id""".stripMargin
     },
 
     // IVF-PQ replayed end-to-end: per-subspace md5-sampled codebooks,

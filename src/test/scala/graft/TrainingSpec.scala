@@ -366,7 +366,7 @@ class TrainingSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Array[Float])].collect().map(c => (c._1, c._2.toSeq)).toMap
-    val (cents, rounds) = Similarity.ivfCentroidsConverged(emb, 16, maxIters = 12)
+    val (cents, rounds, _) = Similarity.ivfCentroidsConverged(emb, 16, maxIters = 12)
     assert(rounds >= 1, "converged without running a single round")
     assert(rounds < 12, s"did not converge within maxIters: $rounds rounds")
     // the stop is a pure function of the data: result == the fixed-round
@@ -449,7 +449,7 @@ class TrainingSpec extends AnyFunSuite {
 
   test("convergence-stopped PQ training equals the fixed-round trainer bit-for-bit") {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val (cw, rounds) = Similarity.pqCodebooksConverged(emb, maxIters = 6)
+    val (cw, rounds, _) = Similarity.pqCodebooksConverged(emb, maxIters = 6)
     assert(rounds >= 1 && rounds <= 6, s"implausible round count $rounds")
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSet
