@@ -435,6 +435,59 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.bmpDecode(Array.empty[Byte]) == null)
   }
 
+  test("bmp decode: channel-sum property over random geometries") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 40) {
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(7)
+      val rowSize = ((3 * w) + 3) & ~3
+      val topDown = rnd.nextBoolean()
+      // per-row pixels + NONZERO pad garbage the decoder must skip
+      val px = Array.fill(h, w * 3)(rnd.nextInt(256).toByte)
+      val rows = px.flatMap(r => r ++ Array.fill(rowSize - w * 3)(rnd.nextInt(256).toByte))
+      val hField = if (topDown) 4294967296L - h else h.toLong
+      val img = "BM".getBytes ++ le32(54L + rows.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w.toLong) ++ le32(hField) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ rows
+      val s = CodecImpl.bmpDecode(img)
+      assert(s != null && s.width == w && s.height == h && s.topDown == topDown)
+      def sum(c: Int) = px.flatten.grouped(3).map(p => (p(c) & 0xFF).toLong).sum
+      assert(s.sumB == sum(0) && s.sumG == sum(1) && s.sumR == sum(2),
+        s"w=$w h=$h topDown=$topDown")
+      assert(CodecImpl.bmpDecode(img.dropRight(1)) == null)
+    }
+  }
+
+  test("wav decode: per-channel signed-sum property over random streams") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val rnd = new scala.util.Random(37)
+    for (_ <- 1 to 40) {
+      val nch = 1 + rnd.nextInt(2)
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val frames = 1 + rnd.nextInt(12)
+      val samples = Array.fill(frames * nch)(rnd.nextInt(65536))
+      val data = samples.flatMap(le16)
+      val img = "RIFF".getBytes ++ le32(36L + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(nch) ++ le32(rate.toLong) ++
+        le32(rate.toLong * nch * 2) ++ le16(nch * 2) ++ le16(16) ++
+        "data".getBytes ++ le32(data.length.toLong) ++ data
+      val s = CodecImpl.wavDecode(img)
+      assert(s != null && s.channels == nch && s.sampleRate == rate &&
+        s.nFrames == frames)
+      def signed(v: Int): Long = if (v >= 32768) v - 65536L else v.toLong
+      def chSum(c: Int) = samples.indices.filter(_ % nch == c).map(i => signed(samples(i))).sum
+      assert(s.sumCh0 == chSum(0), s"nch=$nch frames=$frames")
+      assert(s.sumCh1 == (if (nch == 2) chSum(1) else 0L))
+      assert(CodecImpl.wavDecode(img.dropRight(1)) == null)
+    }
+  }
+
   test("wav decode: golden stereo PCM, signed samples, rejects") {
     def le32(v: Long): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
