@@ -314,6 +314,35 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  /** Chunk + reassembly under the oracle (§2.1's TCP beacon sink /
+    * listener pair, `server/beacon.c:553-588` chunk loop,
+    * `honeycomb.py:413-445` reassembly): per record a variable-length
+    * payload is split into 7-byte chunks (1–20 per record), every
+    * third chunk is DUPLICATED (the at-least-once retransmit), and
+    * [[graft.operators.Reassembly.reassemble]] must dedup, reorder
+    * and concatenate back. The oracle recomputes the recovered text
+    * and the chunk arithmetic directly, so the dedup-sort-concat fold
+    * and its contiguity accounting are value-checked.
+    */
+  val chunkReassembly: Q = (s, d) => {
+    import graft.operators.Reassembly
+    val payload = concat(lit("rs"), col("event_id").cast("string"), lit("|"),
+      expr("repeat('ab', CAST(event_id % 13 AS INT))"), col("event_type"))
+    val blobs = Tables.events(s, d).filter(col("event_id") < 300)
+      .select(col("event_id").cast("string").as("stream_id"),
+        payload.cast("binary").as("orig"))
+    val chunks = Reassembly.chunk(
+      blobs.withColumnRenamed("orig", "blob"), chunkSize = 7)
+    val withDups = chunks.union(chunks.filter(pmod(col("offset"), lit(21L)) === 0))
+    Reassembly.reassemble(withDups)
+      .join(blobs, "stream_id")
+      .select(col("stream_id").cast("bigint").as("event_id"),
+        col("blob").cast("string").as("recovered"),
+        col("n_chunks"), col("total_bytes"), col("contiguous"),
+        (col("blob") === col("orig")).as("rt_ok"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------ trigger scheduling
 
   /** Delayed trigger with variance (§2.9, `trigger_listen.c:79-98`):
@@ -776,6 +805,7 @@ object IngestPack {
     "ig_aes_frame"       -> aesFrame,
     "ig_xtea_roundtrip"  -> xteaRoundtrip,
     "ig_xor_codecs"      -> xorCodecs,
+    "ig_chunk_reassembly" -> chunkReassembly,
   )
 
   private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
@@ -1135,6 +1165,21 @@ object IngestPack {
          |SELECT event_id, raw_path, expanded FROM p ORDER BY event_id""".stripMargin,
 
     "ig_xtea_roundtrip" -> xteaOracleSql,
+
+    // chunk+reassembly: recovered text and chunk arithmetic recomputed
+    // directly — the dedup/order/concat fold must reproduce the
+    // payload byte-for-byte through duplicated out-of-key retransmits
+    "ig_chunk_reassembly" ->
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |    'rs' || event_id || '|' || repeat('ab', CAST(event_id % 13 AS INT))
+         |      || event_type AS pay
+         |  FROM events WHERE event_id < 300)
+         |SELECT event_id, pay AS recovered,
+         |  CAST((octet_length(encode(pay)) + 6) // 7 AS BIGINT) AS n_chunks,
+         |  CAST(octet_length(encode(pay)) AS BIGINT) AS total_bytes,
+         |  TRUE AS contiguous, TRUE AS rt_ok
+         |FROM p ORDER BY event_id""".stripMargin,
 
     // XOR codec family: every output byte recomputed over hex pairs —
     // the seed constant is 'p' (0x70) by construction, the 0x00 twin
