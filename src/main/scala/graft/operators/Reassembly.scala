@@ -52,9 +52,13 @@ object Reassembly {
       .select(col("stream_id"), (col("ci") * chunkSize).as("offset"),
         expr(s"substring(blob, CAST(ci * $chunkSize + 1 AS INT), $chunkSize)").as("data"))
 
-  /** Convenience for specs: synthetic chunk stream with duplicated
-    * retransmits injected deterministically.
+  /** Convenience for specs and gates: synthetic chunk stream with
+    * every `everyNth`-th chunk duplicated deterministically (the
+    * at-least-once retransmit). `chunkSize` must match the stride the
+    * chunks were cut at.
     */
-  def withRetransmits(chunks: DataFrame, everyNth: Int = 3): DataFrame =
-    chunks.union(chunks.filter(pmod(col("offset"), lit(everyNth * 4052L)) === 0))
+  def withRetransmits(chunks: DataFrame, chunkSize: Int = 4052,
+      everyNth: Int = 3): DataFrame =
+    chunks.union(chunks.filter(
+      pmod(col("offset"), lit(everyNth.toLong * chunkSize)) === 0))
 }

@@ -317,8 +317,10 @@ object IngestPack {
   /** Chunk + reassembly under the oracle (§2.1's TCP beacon sink /
     * listener pair, `server/beacon.c:553-588` chunk loop,
     * `honeycomb.py:413-445` reassembly): per record a variable-length
-    * payload is split into 7-byte chunks (1–20 per record), every
-    * third chunk is DUPLICATED (the at-least-once retransmit), and
+    * payload is split into 7-byte chunks (2–6 per record on this
+    * corpus — every stream multi-chunk, every third chunk offset
+    * covered by the duplication), every third chunk is DUPLICATED
+    * (the at-least-once retransmit), and
     * [[graft.operators.Reassembly.reassemble]] must dedup, reorder
     * and concatenate back. The oracle recomputes the recovered text
     * and the chunk arithmetic directly, so the dedup-sort-concat fold
@@ -333,7 +335,7 @@ object IngestPack {
         payload.cast("binary").as("orig"))
     val chunks = Reassembly.chunk(
       blobs.withColumnRenamed("orig", "blob"), chunkSize = 7)
-    val withDups = chunks.union(chunks.filter(pmod(col("offset"), lit(21L)) === 0))
+    val withDups = Reassembly.withRetransmits(chunks, chunkSize = 7)
     Reassembly.reassemble(withDups)
       .join(blobs, "stream_id")
       .select(col("stream_id").cast("bigint").as("event_id"),
