@@ -34,6 +34,14 @@ object Bench {
         System.err.println(s"[bench] GUARD DISARMED: BASELINE.md not found in ${candidates.mkString(", ")} (cwd=${new java.io.File(".").getAbsolutePath})")
         (Map.empty, "none")
       case Some(p) =>
+        // the canonical-path fallback can arm the guard with ANOTHER
+        // tree's reference timings when run from a different checkout —
+        // refsSrc records the path in the artifact, and this warning
+        // makes the mismatch loud at run time too
+        if (p.startsWith("/") &&
+            !new java.io.File(".").getCanonicalPath.startsWith("/root/repo"))
+          System.err.println(s"[bench] WARNING: using fallback refs $p from " +
+            s"cwd=${new java.io.File(".").getCanonicalPath} — refs may belong to a different tree")
         try {
           val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
           val refs =

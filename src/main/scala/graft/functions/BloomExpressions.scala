@@ -32,8 +32,11 @@ object BloomExpressions {
 
   /** Executor-local deserialized-filter cache. Bounded: a catalog
     * version contributes `nShards` entries (tens, not thousands);
-    * crossing the bound clears wholesale rather than tracking LRU —
-    * correctness never depends on residency, only speed.
+    * crossing the bound evicts a single arbitrary entry — never the
+    * whole map, so a working set larger than the bound (many shards ×
+    * concurrent catalog versions) degrades to one eviction per miss
+    * instead of wholesale re-deserialization. Correctness never
+    * depends on residency, only speed.
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
   private val MaxEntries = 256
@@ -51,7 +54,10 @@ object BloomExpressions {
     if (bf == null) {
       bf = BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(tagged, TagBytes, tagged.length - TagBytes))
-      if (cache.size() >= MaxEntries) cache.clear()
+      while (cache.size() >= MaxEntries) {
+        val it = cache.keySet().iterator()
+        if (it.hasNext) { it.next(); it.remove() } // evict one, keep the rest warm
+      }
       cache.put(key, bf)
     }
     bf.mightContainLong(hash)
@@ -62,7 +68,12 @@ object BloomExpressions {
     * joins null; callers treat null as definitely-new).
     */
   case class BloomMightContainTagged(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    // declared input types buy analysis-time errors (and INT→BIGINT
+    // hash coercion) instead of a runtime ClassCastException in eval
+    override def inputTypes: Seq[DataType] =
+      Seq(org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.LongType)
     override def dataType: DataType = BooleanType
     override def nullSafeEval(f: Any, h: Any): Any =
       probe(f.asInstanceOf[Array[Byte]], h.asInstanceOf[Long])

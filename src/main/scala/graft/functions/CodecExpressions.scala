@@ -244,7 +244,9 @@ object CodecExpressions {
     * raster channel sums); malformed input → null (error routing).
     * See [[CodecImpl.ppmDecode]].
     */
-  case class PpmDecode(child: Expression) extends UnaryExpression {
+  case class PpmDecode(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = ppmStatsType
     override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any =
@@ -272,7 +274,9 @@ object CodecExpressions {
     * 4-byte row stride, bottom-up/top-down); malformed → null.
     * See [[CodecImpl.bmpDecode]].
     */
-  case class BmpDecode(child: Expression) extends UnaryExpression {
+  case class BmpDecode(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = bmpStatsType
     override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any =
@@ -299,7 +303,9 @@ object CodecExpressions {
     * samples, per-channel sums); malformed → null.
     * See [[CodecImpl.wavDecode]].
     */
-  case class WavDecode(child: Expression) extends UnaryExpression {
+  case class WavDecode(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = wavStatsType
     override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any =
@@ -327,7 +333,9 @@ object CodecExpressions {
     * FRAME-marker walk, 4:2:0 plane split); malformed → null.
     * See [[CodecImpl.y4mDecode]].
     */
-  case class Y4mDecode(child: Expression) extends UnaryExpression {
+  case class Y4mDecode(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = y4mStatsType
     override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any =

@@ -151,6 +151,7 @@ object Dedup {
     */
   def bloomScreenSharded(batch: DataFrame, catalogFp: DataFrame,
       nShards: Int = 8, fpp: Double = 0.01): DataFrame = {
+    require(nShards >= 1, s"bloomScreenSharded needs nShards >= 1, got $nShards")
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge

@@ -73,9 +73,36 @@ object Similarity {
       threshold: Double = 0.95): DataFrame =
     embeddingNearDupFrom(Tables.embeddings(spark, dir), threshold)
 
+  /** Broadcast-side budget for the exact all-pairs path: half Spark's
+    * 8 GB broadcast hard cap, so the check fires before the engine's
+    * opaque failure would.
+    */
+  val MaxExactBroadcastBytes: Long = 4L << 30
+
+  /** Build-time guardrail for [[embeddingNearDupFrom]]: past the
+    * broadcast cap the n² pair count is infeasible regardless, so the
+    * misuse error names the fix instead of surfacing Spark's 8 GB
+    * broadcast message. Estimate is rows × (8 B × dim + array/row
+    * overhead) — deliberately rough; it only needs the right order of
+    * magnitude.
+    */
+  private[graft] def requireExactSized(rows: Long, dim: Int,
+      cap: Long = MaxExactBroadcastBytes): Unit = {
+    val est = rows * (8L * dim + 64L)
+    require(est <= cap,
+      s"embeddingNearDup's exact all-pairs path broadcasts the full vector table " +
+        s"(~$est bytes for $rows rows x $dim dims, cap $cap): " +
+        s"use embeddingNearDupLsh, the bucketed scale path, for inputs this size")
+  }
+
   /** Same operator over any (vec_id, embedding) table (spec seam). */
   def embeddingNearDupFrom(embeddings: DataFrame,
       threshold: Double = 0.95): DataFrame = {
+    // one cheap pre-pass (count + max dim) so oversize misuse fails
+    // fast with a message that names the scale path
+    val sized = embeddings.agg(
+      count(lit(1)), coalesce(max(size(col("embedding"))), lit(0))).head()
+    requireExactSized(sized.getLong(0), sized.getInt(1))
     val a = embeddings
       .select(col("vec_id").as("i"), col("embedding").as("va"))
     val b = embeddings

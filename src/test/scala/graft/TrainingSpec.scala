@@ -574,6 +574,17 @@ class TrainingSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- lsh).size} of ${exact.size} planted pairs: ${exact -- lsh}")
   }
 
+  test("exact embedding near-dup past the broadcast cap fails fast naming the LSH path") {
+    // the guardrail itself, at misuse scale (no 4 GB table needed)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.requireExactSized(rows = 2_000_000_000L, dim = 1024)
+    }
+    assert(e.getMessage.contains("embeddingNearDupLsh"),
+      s"misuse error must name the scale path: ${e.getMessage}")
+    // and in-band sizes pass untouched
+    Similarity.requireExactSized(rows = 200_000L, dim = 64)
+  }
+
   test("materialized shared subtrees release: cache empty after Shared.releaseAll") {
     spark.catalog.clearCache()
     queries.TrainingPack.txTopTerms(spark, dir).count()
