@@ -349,6 +349,43 @@ object CodecExpressions {
     override def prettyName: String = "y4m_decode"
   }
 
+  /** `bz2_compress(BINARY) → BINARY`: bzip2 wire compression
+    * (`server/compression.c:13-31`, block size 9). Static call into
+    * [[CodecImpl]] keeps whole-stage codegen intact.
+    */
+  case class Bz2Compress(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      CodecImpl.bz2Compress(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Impl.bz2Compress($b)")
+    override protected def withNewChildInternal(c: Expression): Bz2Compress = copy(c)
+    override def prettyName: String = "bz2_compress"
+  }
+
+  /** `bz2_decompress(BINARY, max_len INT) → BINARY`: version ≥ 23
+    * payload decompression (`honeycomb.py:209-213`); malformed stream
+    * or output past max_len → null (error routing + bomb cap).
+    */
+  case class Bz2Decompress(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any, m: Any): Any =
+      CodecImpl.bz2Decompress(v.asInstanceOf[Array[Byte]], m.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, m) => s"""
+        ${ev.value} = $Impl.bz2Decompress($b, $m);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Bz2Decompress =
+      copy(l, r)
+    override def prettyName: String = "bz2_decompress"
+  }
+
   /** Session-frame encrypt (`crypto.c:205-273`): payload + 256-bit
     * key → length-prefixed, zero-padded, AES-CBC-encrypted frame; the
     * IV is derived as md5(key) per `crypto.c:146`. CodegenFallback:
@@ -420,6 +457,9 @@ object CodecExpressions {
     c(AesFrameEncode(e(payload), e(key)))
   def aes_frame_decode(frame: Column, key: Column, maxLen: Column): Column =
     c(AesFrameDecode(e(frame), e(key), e(maxLen)))
+  def bz2_compress(col: Column): Column = c(Bz2Compress(e(col)))
+  def bz2_decompress(col: Column, maxLen: Column): Column =
+    c(Bz2Decompress(e(col), e(maxLen)))
   def ppm_decode(col: Column): Column = c(PpmDecode(e(col)))
   def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
   def wav_decode(col: Column): Column = c(WavDecode(e(col)))
@@ -448,6 +488,8 @@ object CodecExpressions {
     one("bthp_frame", es => BthpFrame(es))
     one("aes_frame_encode", es => AesFrameEncode(es(0), es(1)))
     one("aes_frame_decode", es => AesFrameDecode(es(0), es(1), es(2)))
+    one("bz2_compress", es => Bz2Compress(es.head))
+    one("bz2_decompress", es => Bz2Decompress(es(0), es(1)))
     one("ppm_decode", es => PpmDecode(es.head))
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))

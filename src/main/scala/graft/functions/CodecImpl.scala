@@ -635,6 +635,51 @@ object CodecImpl {
   /** Bitwise-NOT string scramble (`common/strings/string_utils.c:16-24`). */
   def scramble(bytes: Array[Byte]): Array[Byte] = bytes.map(b => (~b).toByte)
 
+  // ------------------------------------------------ bzip2 wire codec
+
+  /** bzip2 wire compression (`server/compression.c:13-31`:
+    * `BZ2_bzBuffToBuffCompress(..., blockSize100k=9, verbosity=0,
+    * workFactor=30)` — commons-compress implements the same bzlib
+    * format; block size 9 matches the reference, workFactor only
+    * affects the fallback sort's effort, not the output bytes for
+    * non-degenerate input). Produces the `BZh9`-magic stream the
+    * version ≥ 23 beacon payload carries on the wire.
+    */
+  def bz2Compress(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val out = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos, 9)
+    try out.write(data) finally out.close()
+    bos.toByteArray
+  }
+
+  /** bzip2 wire decompression (`honeycomb.py:209-213` — version ≥ 23
+    * payloads are `bz2.decompress`ed before TLV parsing). Returns
+    * null (error routing, like the media decoders) on a missing BZh
+    * magic, a malformed stream, or decompressed output past `maxLen` —
+    * the cap stops a hostile tiny-payload decompression bomb from
+    * taking out an executor (same discipline as the Y4M
+    * dimension-bomb reject).
+    */
+  def bz2Decompress(data: Array[Byte], maxLen: Int): Array[Byte] = {
+    if (data.length < 4 || data(0) != 'B' || data(1) != 'Z' || data(2) != 'h') return null
+    try {
+      val in = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(data))
+      try {
+        val bos = new java.io.ByteArrayOutputStream(math.min(maxLen, data.length * 4 + 64))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) {
+          if (bos.size() + n > maxLen) return null
+          bos.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        bos.toByteArray
+      } finally in.close()
+    } catch { case _: java.io.IOException => null }
+  }
+
   // ------------------------------------------ AES-CBC session framing
 
   /** Session IV derivation: md5 of the session key

@@ -166,9 +166,62 @@ object BeaconPipeline {
         .otherwise(tlvField(2).cast("string").cast("bigint")).as("uptime_s"))
   }
 
+  /** Compressed-wire corpus + version-gated decode — the bzip2 codec
+    * seam carrying REAL bytes: `server/compression.c:13-31` compresses
+    * the survey packet client-side (block size 9),
+    * `honeycomb.py:209-213` decompresses iff version ≥ 23. ids ≡ 0
+    * (mod 3) emit version 22 (plain TLV on the wire, the
+    * pre-compression format); the rest version 29, their TLV payload
+    * genuinely bzip2-compressed. The type-3 survey blob is repetitive
+    * proc-style text so compression actually shrinks the record, and
+    * every output field is derived THROUGH the decompressed bytes —
+    * so a passthrough "codec" fails the BZh magic/shrink receipts and
+    * a wrong decompress fails the field hash.
+    *
+    * Scale: per-row codec work inside whole-stage codegen (static-call
+    * expressions), no shuffle at all — the 100 TB shape is "decompress
+    * where the scan runs".
+    */
+  def decodeCompressedWire(e: DataFrame): DataFrame = {
+    val uid = col("user_id")
+    val eid = col("event_id")
+    val macHex = lpad(hex(uid * 131071 % 281474976710656L), 12, "0")
+    val mac = lower(concat_ws("-", (0 until 6).map(i => substring(macHex, 1 + 2 * i, 2)): _*))
+    val uptime = (uid * 37 % 864000).cast("bigint")
+    val blob = repeat(concat(lit("pid="), (eid % 32768).cast("string"),
+      lit(" state=S name=beacond\n")), 16)
+    val tlv = CE.tlv_encode(array(
+      struct(lit(1).as("type"), mac.cast("binary").as("value")),
+      struct(lit(2).as("type"), uptime.cast("string").cast("binary").as("value")),
+      struct(lit(3).as("type"), blob.cast("binary").as("value"))))
+    val wire = e.select(eid.as("rec_id"),
+      when(eid % 3 === 0, 22).otherwise(29).as("version"),
+      when(eid % 3 === 0, tlv).otherwise(CE.bz2_compress(tlv)).as("payload"))
+
+    val isC = col("version") >= 23
+    // 1 MiB cap: survey payloads are KBs; anything larger is a bomb
+    val plainPay = when(isC, CE.bz2_decompress(col("payload"), lit(1 << 20)))
+      .otherwise(col("payload"))
+    val fields = CE.tlv_decode(plainPay)
+    def tlvField(t: Int): Column =
+      element_at(filter(fields, f => f.getField("type") === t), 1).getField("value")
+    val hasMagic = hex(substring(col("payload"), 1, 3)) === "425A68" // "BZh"
+    wire.select(col("rec_id"), col("version"),
+      tlvField(1).cast("string").as("mac"),
+      tlvField(2).cast("string").cast("bigint").as("uptime_s"),
+      octet_length(tlvField(3)).as("blob_len"),
+      // real-bytes receipts: v>=23 wire records carry the BZh stream
+      // magic (plain TLV starts with type byte 0x01, so a passthrough
+      // can never fake this) and genuinely shrank vs the decompressed
+      // payload; v<23 records must NOT look compressed
+      when(isC, hasMagic).otherwise(!hasMagic).as("magic_ok"),
+      (!isC || octet_length(col("payload")) < octet_length(plainPay)).as("shrunk"))
+  }
+
   /** Decoded beacon: TLV fields back to named columns (version-aware —
-    * `honeycomb.py:209-213` gates bz2 on version ≥ 23; storage codecs
-    * are the parquet layer's job here, so the gate only tags the row).
+    * `honeycomb.py:209-213` gates bz2 on version ≥ 23; the wire-level
+    * decompression itself is exercised with real bytes by
+    * [[decodeCompressedWire]] / gate ig_bz2_wire).
     */
   def decode(beacons: DataFrame): DataFrame = {
     val fields = CE.tlv_decode(col("raw_tlv"))

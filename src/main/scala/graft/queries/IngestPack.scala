@@ -755,6 +755,26 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  /** DNS name ENCODE driver gate (§2.2, `server/dns_client.c:78-92`:
+    * dotted name → length-prefixed labels + 0 terminator). The oracle
+    * rebuilds the exact wire bytes in SQL (label length prefix +
+    * character codes, hex-spelled), so the encode output is
+    * VALUE-checked byte for byte — the companion of ig_dns_decode's
+    * pointer-walk replay; rt_ok additionally pins decode(encode(x))
+    * == x through the engine's own decoder.
+    */
+  val dnsEncode: Q = (s, d) => {
+    val eid = col("event_id"); val uid = col("user_id")
+    val name = concat(lit("e"), (eid % 1000).cast("string"),
+      lit(".d"), (uid % 100).cast("string"), lit(".net"))
+    val enc = CE.dns_name_encode(name)
+    Tables.events(s, d).filter(eid < 300)
+      .select(eid.as("event_id"), name.as("name"),
+        hex(enc).as("enc_hex"),
+        (CE.dns_name_decode(enc, lit(0)) === name).as("rt_ok"))
+      .orderBy("event_id")
+  }
+
   /** Mixed-version wire decode (§2.1 legacy ingest): 32-byte v1
     * records and v2 TLV payloads in one corpus, dispatched on
     * first-payload length exactly as the LP (`honeycomb.py:474-489`)
@@ -769,12 +789,39 @@ object IngestPack {
       Tables.events(s, d).filter(col("event_id") < 300))
       .orderBy("rec_id")
 
+  /** bzip2 wire decode (§2.2, `server/compression.c:13-31` compress /
+    * `honeycomb.py:209-213` version-gated decompress): version ≥ 23
+    * records carry GENUINELY bzip2-compressed TLV payloads, version 22
+    * plain TLV; the engine decompresses through the real codec
+    * ([[graft.plans.BeaconPipeline.decodeCompressedWire]]). bz2 bytes
+    * are not SQL-replayable, so the oracle recomputes every decoded
+    * field arithmetically (the round-trip must land exactly) and pins
+    * the engine-asserted wire receipts — BZh magic on compressed rows
+    * only, compressed strictly smaller than plain — at literal TRUE.
+    */
+  val bz2Wire: Q = (s, d) =>
+    graft.plans.BeaconPipeline.decodeCompressedWire(
+      Tables.events(s, d).filter(col("event_id") < 300))
+      .orderBy("rec_id")
+
+  /** Streaming parity driver gate (§2.9): the engine side EXECUTES the
+    * Structured Streaming path — file-source micro-batches, session
+    * window state merged across batches, memory sink — and the oracle
+    * is the batch gap-sessionization SQL (same >= 30 min boundary rule
+    * as dq24_session_window, with per-session bounds). See
+    * [[graft.streaming.EventStream.sessionReplayGate]].
+    */
+  val streamSessions: Q = (s, d) =>
+    graft.streaming.EventStream.sessionReplayGate(s, d)
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "ig_beacon_dag"      -> beaconDag,
     "ig_ver1_decode"     -> ver1Decode,
+    "ig_bz2_wire"        -> bz2Wire,
     "ig_dns_decode"      -> dnsDecode,
+    "ig_dns_encode"      -> dnsEncode,
     "ig_envvar_expand"   -> envvarExpand,
     "ig_key_gate"        -> keyGate,
     "ig_profile_valid"   -> profileValidation,
@@ -808,6 +855,7 @@ object IngestPack {
     "ig_xtea_roundtrip"  -> xteaRoundtrip,
     "ig_xor_codecs"      -> xorCodecs,
     "ig_chunk_reassembly" -> chunkReassembly,
+    "ig_stream_sessions" -> streamSessions,
   )
 
   private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
@@ -1021,6 +1069,34 @@ object IngestPack {
        |GROUP BY event_id ORDER BY event_id""".stripMargin
   }
 
+  /** The DNS encode replayed in DuckDB: the wire byte list is rebuilt
+    * as [len(l1)] ++ codes(l1) ++ [len(l2)] ++ codes(l2) ++ [len(l3)]
+    * ++ codes(l3) ++ [0] — the `dns_client.c:78-92` label walk — and
+    * hex-spelled for the value compare.
+    */
+  private lazy val dnsEncodeOracleSql: String = {
+    def codes(l: String) =
+      s"list_transform(range(1, length($l)+1), i -> ascii(substr($l, CAST(i AS INT), 1)))"
+    s"""WITH base AS (
+       |  SELECT event_id,
+       |    'e' || (event_id % 1000) AS l1, 'd' || (user_id % 100) AS l2,
+       |    'net' AS l3
+       |  FROM events WHERE event_id < 300),
+       |m AS (
+       |  SELECT event_id, l1 || '.' || l2 || '.' || l3 AS name,
+       |    flatten([
+       |      list_prepend(length(l1), ${codes("l1")}),
+       |      list_prepend(length(l2), ${codes("l2")}),
+       |      list_prepend(length(l3), ${codes("l3")}),
+       |      [0]]) AS msg
+       |  FROM base)
+       |SELECT event_id, name,
+       |  list_reduce(list_prepend('', list_transform(msg, c -> printf('%02X', c))),
+       |    (a, b) -> a || b) AS enc_hex,
+       |  TRUE AS rt_ok
+       |FROM m ORDER BY event_id""".stripMargin
+  }
+
   /** XTEA replayed in DuckDB: per 8-byte block, the 32 Feistel rounds
     * run as a 64-element list_reduce over state (v0, v1, s, i) — each
     * half-step updates ONE word (even i: v0 + sum advance; odd i: v1),
@@ -1212,6 +1288,31 @@ object IngestPack {
     // the terminator — so the engine's pointer-following semantics are
     // value-checked, not just round-tripped
     "ig_dns_decode" -> dnsDecodeOracleSql,
+    "ig_dns_encode" -> dnsEncodeOracleSql,
+
+    // the engine side runs Structured Streaming micro-batches; the
+    // oracle is the BATCH gap-sessionization — stream == batch is the
+    // claim under check. session_window's boundary is exclusive (a gap
+    // of exactly 30 min starts a new session) → >=; s_end is the
+    // window end = last event + gap
+    "ig_stream_sessions" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |      OR ts - LAG(ts) OVER w >= INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, ts,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_no
+         |  FROM g)
+         |SELECT user_id,
+         |  epoch_us(MIN(ts)) AS s_start,
+         |  epoch_us(MAX(ts)) + 1800000000 AS s_end,
+         |  COUNT(*) AS n_events
+         |FROM s GROUP BY user_id, session_no
+         |ORDER BY user_id, s_start""".stripMargin,
 
     // mixed-version wire decode: both versions' fields derive from the
     // same event columns, so the oracle recomputes them per version —
@@ -1224,6 +1325,22 @@ object IngestPack {
          |  lower(concat_ws('-', substr($h,1,2), substr($h,3,2), substr($h,5,2),
          |    substr($h,7,2), substr($h,9,2), substr($h,11,2))) AS mac,
          |  user_id * 37 % 864000 AS uptime_s
+         |FROM events WHERE event_id < 300 ORDER BY rec_id""".stripMargin
+    },
+
+    // bz2 itself is not SQL-replayable; the oracle recomputes the
+    // fields the engine must recover THROUGH the real decompression
+    // (exact round-trip) and pins the wire receipts at TRUE
+    "ig_bz2_wire" -> {
+      val h = "lpad(to_hex(user_id * 131071 % 281474976710656), 12, '0')"
+      s"""SELECT event_id AS rec_id,
+         |  CASE WHEN event_id % 3 = 0 THEN 22 ELSE 29 END AS version,
+         |  lower(concat_ws('-', substr($h,1,2), substr($h,3,2), substr($h,5,2),
+         |    substr($h,7,2), substr($h,9,2), substr($h,11,2))) AS mac,
+         |  user_id * 37 % 864000 AS uptime_s,
+         |  CAST(16 * length('pid=' || CAST(event_id % 32768 AS VARCHAR)
+         |    || ' state=S name=beacond' || chr(10)) AS INT) AS blob_len,
+         |  TRUE AS magic_ok, TRUE AS shrunk
          |FROM events WHERE event_id < 300 ORDER BY rec_id""".stripMargin
     },
 

@@ -158,6 +158,45 @@ object EventStream {
     q.awaitTermination()
   }
 
+  private val gateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Deterministic micro-batch REPLAY of the session-window stream for
+    * the driver gate (ig_stream_sessions): the events table lands once
+    * as time-range-sliced parquet, is read back as a file-source
+    * stream two files per micro-batch, and the 30-minute
+    * session-window aggregation runs in COMPLETE output mode — so
+    * cross-batch session-state merging is genuinely exercised while
+    * the final memory-sink table equals the batch formulation over all
+    * data regardless of batch boundaries (no watermark-gated tail to
+    * make emission nondeterministic). This puts stream==batch parity
+    * under the driver's DuckDB oracle, not only the ScalaTest suite.
+    */
+  def sessionReplayGate(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"))
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcDir = s"${sys.props("java.io.tmpdir")}/graft_stream_src_$suffix"
+    if (!new java.io.File(s"$srcDir/_SUCCESS").exists)
+      src.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(srcDir)
+    val agg = stream
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start"),
+        unix_micros(col("session_window.end")).as("s_end"),
+        col("n_events"))
+    // fresh sink name per invocation: bench re-runs this gate in one
+    // session and memory sinks are session-global
+    val name = s"sess_replay_gate_${gateSeq.incrementAndGet()}"
+    runToMemory(agg, name, outputMode = "complete")
+    spark.table(name).orderBy("user_id", "s_start")
+  }
+
   /** Checkpointed incremental run: processes only files not yet seen by
     * this checkpoint, appending to a parquet sink — the hcOwt loop as
     * one engine call.

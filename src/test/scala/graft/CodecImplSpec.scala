@@ -600,4 +600,32 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.ppmDecode("P6\n0 1\n255\n".getBytes("US-ASCII")) == null)
     assert(CodecImpl.ppmDecode(Array.empty[Byte]) == null)
   }
+
+  // ------------------------------------------------------ bzip2 wire
+
+  test("bz2 wire codec: round-trip, real shrink, magic, rejects, bomb cap") {
+    // round-trip over random binary (incompressible) and text
+    for (n <- Seq(0, 1, 63, 4096)) {
+      val data = randBytes(n)
+      val c = CodecImpl.bz2Compress(data)
+      assert(c.take(3).sameElements("BZh".getBytes("US-ASCII")), s"magic missing at n=$n")
+      assert(CodecImpl.bz2Decompress(c, 1 << 20).sameElements(data), s"round-trip broke at n=$n")
+    }
+    // repetitive survey-style text genuinely shrinks
+    val blob = ("pid=123 state=S name=beacond\n" * 32).getBytes("US-ASCII")
+    val cb = CodecImpl.bz2Compress(blob)
+    assert(cb.length < blob.length, s"no shrink: ${cb.length} vs ${blob.length}")
+    // plain (uncompressed) bytes reject on the magic check
+    assert(CodecImpl.bz2Decompress(blob, 1 << 20) == null)
+    // corrupted stream rejects as null, never throws (error routing)
+    val corrupt = cb.clone(); corrupt(cb.length / 2) = (corrupt(cb.length / 2) ^ 0x55).toByte
+    assert(CodecImpl.bz2Decompress(corrupt, 1 << 20) == null)
+    // truncated stream rejects
+    assert(CodecImpl.bz2Decompress(cb.dropRight(5), 1 << 20) == null)
+    // decompression bomb: output past maxLen rejects instead of OOMing
+    val bomb = CodecImpl.bz2Compress(new Array[Byte](1 << 22)) // 4 MiB of zeros, ~tiny wire
+    assert(bomb.length < 4096, s"zeros should compress tiny, got ${bomb.length}")
+    assert(CodecImpl.bz2Decompress(bomb, 1 << 20) == null, "bomb must hit the cap")
+    assert(CodecImpl.bz2Decompress(bomb, 1 << 22).length == (1 << 22), "in-cap output intact")
+  }
 }
