@@ -31,6 +31,34 @@ object Skew {
       .groupBy(col("key"))
       .agg(finalAggs.head, finalAggs.tail: _*)
 
+  /** Skew-safe join against an IN-PLAN dim — the round-10 rehearsal's
+    * blocking condition (PLANS.md): AQE's `OptimizeSkewedJoin` only
+    * matches `SMJ(Sort(shuffle), Sort(shuffle))`, and a dim computed
+    * in the same plan (e.g. an aggregate over the fact) pipelines
+    * between its shuffle and the join, so the skewed fact partition is
+    * never split and one task eats the hot key. Cutting the dim's
+    * lineage with an eager `localCheckpoint` (dims are small by
+    * definition; blocks stay on executors, nothing is collected to
+    * the driver) turns it into a fresh scan that re-shuffles for the
+    * join, restoring the shape the skew split can match.
+    *
+    * Prefer LANDING a reused dim (`plans/BucketedLayout`) — that is
+    * the production discipline; this is the in-flight variant for
+    * one-shot dims. For shapes AQE still can't split (non-SMJ joins,
+    * skewed aggregations) use [[saltedJoin]]/[[saltedAgg]].
+    *
+    * Third blocking condition (pinned in SkewSpec): the split is also
+    * REJECTED when a downstream operator reuses the join's hash
+    * distribution — e.g. `groupBy(key)` straight after the join —
+    * because splitting the partition would break the required
+    * distribution. If the post-join aggregation is on the join key,
+    * the skew split cannot engage regardless of dim shape; route the
+    * hot side through [[saltedAgg]] instead.
+    */
+  def skewSafeDimJoin(fact: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "inner"): DataFrame =
+    fact.join(dim.localCheckpoint(true), Seq(key), joinType)
+
   /** Salted equi-join: `left` (skewed) gets a salt per row; `right`
     * is exploded across all `buckets` salt values so every
     * (key, salt) pair finds its match. Exact for inner/left joins on
