@@ -814,6 +814,14 @@ object IngestPack {
   val streamSessions: Q = (s, d) =>
     graft.streaming.EventStream.sessionReplayGate(s, d)
 
+  /** Windowed-aggregation streaming parity gate (§2.9): same replay
+    * harness, 6-hour tumbling windows with count + decimal sum —
+    * window state carried across micro-batches, oracle = the batch
+    * window arithmetic.
+    */
+  val streamWindows: Q = (s, d) =>
+    graft.streaming.EventStream.windowReplayGate(s, d)
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -856,6 +864,7 @@ object IngestPack {
     "ig_xor_codecs"      -> xorCodecs,
     "ig_chunk_reassembly" -> chunkReassembly,
     "ig_stream_sessions" -> streamSessions,
+    "ig_stream_windows"  -> streamWindows,
   )
 
   private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
@@ -1313,6 +1322,16 @@ object IngestPack {
          |  COUNT(*) AS n_events
          |FROM s GROUP BY user_id, session_no
          |ORDER BY user_id, s_start""".stripMargin,
+
+    // Spark's window() aligns tumbling windows to the epoch, so the
+    // oracle floors epoch micros to the 6 h stride directly
+    "ig_stream_windows" ->
+      s"""SELECT
+         |  epoch_us(ts) // 21600000000 * 21600000000 AS w_start,
+         |  event_type,
+         |  COUNT(*) AS n,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     // mixed-version wire decode: both versions' fields derive from the
     // same event columns, so the oracle recomputes them per version —

@@ -171,19 +171,26 @@ object EventStream {
     * make emission nondeterministic). This puts stream==batch parity
     * under the driver's DuckDB oracle, not only the ScalaTest suite.
     */
-  def sessionReplayGate(spark: SparkSession, dir: String): DataFrame = {
+  /** Land the events table once per (session, scale dir) as
+    * time-range-sliced parquet (8 files → 4 micro-batches at 2 files
+    * per trigger) and open it as a file-source stream — the shared
+    * front end of the streaming replay gates.
+    */
+  private def replaySource(spark: SparkSession, dir: String): DataFrame = {
     val src = graft.Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
     val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val srcDir = s"${sys.props("java.io.tmpdir")}/graft_stream_src_$suffix"
+    val srcDir = s"${sys.props("java.io.tmpdir")}/graft_stream_src_v2_$suffix"
     if (!new java.io.File(s"$srcDir/_SUCCESS").exists)
       src.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
-
-    val stream = spark.readStream
+    spark.readStream
       .schema(src.schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(srcDir)
-    val agg = stream
+  }
+
+  def sessionReplayGate(spark: SparkSession, dir: String): DataFrame = {
+    val agg = replaySource(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -195,6 +202,26 @@ object EventStream {
     val name = s"sess_replay_gate_${gateSeq.incrementAndGet()}"
     runToMemory(agg, name, outputMode = "complete")
     spark.table(name).orderBy("user_id", "s_start")
+  }
+
+  /** Windowed-aggregation twin of [[sessionReplayGate]]
+    * (ig_stream_windows): 6-hour tumbling event-time windows with
+    * count + exact decimal sum, state carried across the same
+    * micro-batched replay, complete-mode sink — the streaming
+    * execution of [[windowedCounts]]'s shape under the driver's batch
+    * SQL oracle.
+    */
+  def windowReplayGate(spark: SparkSession, dir: String): DataFrame = {
+    val agg = replaySource(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total_raw"))
+      .select(unix_micros(col("window.start")).as("w_start"),
+        col("event_type"), col("n"),
+        round(col("total_raw"), 2).cast("double").as("total"))
+    val name = s"win_replay_gate_${gateSeq.incrementAndGet()}"
+    runToMemory(agg, name, outputMode = "complete")
+    spark.table(name).orderBy("w_start", "event_type")
   }
 
   /** Checkpointed incremental run: processes only files not yet seen by
