@@ -34,6 +34,23 @@ object Shared {
     reg.remove(spark).foreach(_.foreach(_.unpersist(false)))
   }
 
+  /** Content fingerprint of a source-table directory: a short stable
+    * hash over the (name, length, mtime) of its files. Landing paths
+    * derived from a scale dir embed this, so a DRIVER-side testdata
+    * regeneration can never pair a stale `/tmp` landing with fresh
+    * source parquet (the landing's `_SUCCESS`-gated idempotence would
+    * otherwise happily serve the old corpus). Pure FileSystem listing,
+    * no Spark job.
+    */
+  def srcFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val listing = fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString("|")
+    f"${scala.util.hashing.MurmurHash3.stringHash(listing)}%08x"
+  }
+
   /** Scope mark: an identity snapshot of the frames currently pinned
     * on `spark`. Pair with [[releaseSince]] so a library step that
     * pins intermediates can release exactly its own — a blanket

@@ -529,8 +529,11 @@ object IngestPack {
     */
   val retentionSweep: Q = (s, d) => {
     val ev = Tables.events(s, d)
+    // fingerprint-suffixed landing: a testdata regen invalidates it
+    // instead of pairing fresh oracle reads with a stale swept landing
     val root = s"${sys.props("java.io.tmpdir")}/graft_retain/" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_")
+      d.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + graft.Shared.srcFingerprint(s, d)
     val cut = ev.agg(date_sub(max(to_date(col("ts"))), 6)).head.getDate(0)
     val done = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
     if (!done.getFileSystem(s.sessionState.newHadoopConf()).exists(done))

@@ -179,7 +179,10 @@ object EventStream {
   private def replaySource(spark: SparkSession, dir: String): DataFrame = {
     val src = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // suffix carries a source fingerprint: a driver-side testdata regen
+    // invalidates the landing instead of silently serving stale rows
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.Shared.srcFingerprint(spark, dir)
     val srcDir = s"${sys.props("java.io.tmpdir")}/graft_stream_src_v2_$suffix"
     if (!new java.io.File(s"$srcDir/_SUCCESS").exists)
       src.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
