@@ -38,8 +38,8 @@ object Bench {
         // tree's reference timings when run from a different checkout —
         // refsSrc records the path in the artifact, and this warning
         // makes the mismatch loud at run time too
-        if (p.startsWith("/") &&
-            !new java.io.File(".").getCanonicalPath.startsWith("/root/repo"))
+        val cwd = new java.io.File(".").getCanonicalPath
+        if (p.startsWith("/") && cwd != "/root/repo" && !cwd.startsWith("/root/repo/"))
           System.err.println(s"[bench] WARNING: using fallback refs $p from " +
             s"cwd=${new java.io.File(".").getCanonicalPath} — refs may belong to a different tree")
         try {
@@ -137,15 +137,22 @@ object Bench {
             // self-consistent.
             System.err.println(f"[bench] $name%s still ${t2}%.2fs > 2x ref - isolated adjudication")
             System.gc(); Thread.sleep(3000)
+            var failed = false
             val iso = (1 to 3).map { _ =>
               val t0 = System.nanoTime()
-              try { byName(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+              try { byName(name)(spark, sfDir).count() }
+              catch { case _: Throwable => failed = true }
               val dt = (System.nanoTime() - t0) / 1e9
               Shared.releaseAll(spark); spark.catalog.clearCache()
               dt
             }
             val med = iso.sorted.apply(1)
-            val verdict = if (med <= 2 * ref) "in-band" else "above-bar"
+            // a rep that THREW produced a fast-failure elapsed time, not
+            // a measurement — never let it certify the row as in-band
+            val verdict =
+              if (failed) "error"
+              else if (med <= 2 * ref) "in-band"
+              else "above-bar"
             adjudicated(name) = (ref, iso, verdict)
             System.err.println(f"[bench] $name%s adjudicated: median ${med}%.2fs vs ref ${ref}%.2fs -> $verdict%s")
           }

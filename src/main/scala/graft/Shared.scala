@@ -51,6 +51,22 @@ object Shared {
     f"${scala.util.hashing.MurmurHash3.stringHash(listing)}%08x"
   }
 
+  /** Regen hygiene for fingerprint-suffixed landings: delete every
+    * sibling under `parentDir` that shares `prefix` but is not
+    * `keepName` — otherwise each testdata regeneration strands a full
+    * corpus copy in tmp forever.
+    */
+  def pruneSiblings(spark: SparkSession, parentDir: String, prefix: String,
+      keepName: String): Unit = {
+    val parent = new org.apache.hadoop.fs.Path(parentDir)
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && n != keepName) fs.delete(st.getPath, true)
+      }
+  }
+
   /** Scope mark: an identity snapshot of the frames currently pinned
     * on `spark`. Pair with [[releaseSince]] so a library step that
     * pins intermediates can release exactly its own — a blanket

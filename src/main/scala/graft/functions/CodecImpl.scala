@@ -677,7 +677,13 @@ object CodecImpl {
         }
         bos.toByteArray
       } finally in.close()
-    } catch { case _: java.io.IOException => null }
+    } catch {
+      // NonFatal, not just IOException: commons-compress can throw
+      // unchecked exceptions (e.g. array bounds from corrupt Huffman
+      // tables) on crafted streams that pass the magic check — the
+      // error-routing contract is null, never a task-killing throw
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   // ------------------------------------------ AES-CBC session framing

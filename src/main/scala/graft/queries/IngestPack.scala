@@ -531,9 +531,12 @@ object IngestPack {
     val ev = Tables.events(s, d)
     // fingerprint-suffixed landing: a testdata regen invalidates it
     // instead of pairing fresh oracle reads with a stale swept landing
-    val root = s"${sys.props("java.io.tmpdir")}/graft_retain/" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + graft.Shared.srcFingerprint(s, d)
+    // (stale siblings pruned below so regens don't accumulate copies)
+    val dirPart = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val rootName = dirPart + "_" + graft.Shared.srcFingerprint(s, d)
+    val retainBase = s"${sys.props("java.io.tmpdir")}/graft_retain"
+    graft.Shared.pruneSiblings(s, retainBase, dirPart + "_", rootName)
+    val root = s"$retainBase/$rootName"
     val cut = ev.agg(date_sub(max(to_date(col("ts"))), 6)).head.getDate(0)
     val done = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
     if (!done.getFileSystem(s.sessionState.newHadoopConf()).exists(done))

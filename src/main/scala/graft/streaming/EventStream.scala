@@ -158,7 +158,18 @@ object EventStream {
     q.awaitTermination()
   }
 
-  private val gateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** One memory-sink table per replay gate, dropped and rebuilt per
+    * invocation: a unique name per call would leak the full aggregated
+    * result on the driver heap for the session's lifetime (bench runs
+    * each gate many times; memory-sink temp views outlive
+    * clearCache/releaseAll).
+    */
+  private def replayToTable(spark: SparkSession, agg: DataFrame,
+      name: String): DataFrame = {
+    spark.catalog.dropTempView(name)
+    runToMemory(agg, name, outputMode = "complete")
+    spark.table(name)
+  }
 
   /** Deterministic micro-batch REPLAY of the session-window stream for
     * the driver gate (ig_stream_sessions): the events table lands once
@@ -181,11 +192,14 @@ object EventStream {
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
     // suffix carries a source fingerprint: a driver-side testdata regen
     // invalidates the landing instead of silently serving stale rows
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + graft.Shared.srcFingerprint(spark, dir)
-    val srcDir = s"${sys.props("java.io.tmpdir")}/graft_stream_src_v2_$suffix"
-    if (!new java.io.File(s"$srcDir/_SUCCESS").exists)
+    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val name = s"graft_stream_src_v2_${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
+    val srcDir = s"${sys.props("java.io.tmpdir")}/$name"
+    if (!new java.io.File(s"$srcDir/_SUCCESS").exists) {
+      graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
+        s"graft_stream_src_v2_${dirPart}_", name)
       src.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+    }
     spark.readStream
       .schema(src.schema)
       .option("maxFilesPerTrigger", 2)
@@ -200,11 +214,7 @@ object EventStream {
         unix_micros(col("session_window.start")).as("s_start"),
         unix_micros(col("session_window.end")).as("s_end"),
         col("n_events"))
-    // fresh sink name per invocation: bench re-runs this gate in one
-    // session and memory sinks are session-global
-    val name = s"sess_replay_gate_${gateSeq.incrementAndGet()}"
-    runToMemory(agg, name, outputMode = "complete")
-    spark.table(name).orderBy("user_id", "s_start")
+    replayToTable(spark, agg, "sess_replay_gate").orderBy("user_id", "s_start")
   }
 
   /** Windowed-aggregation twin of [[sessionReplayGate]]
@@ -222,9 +232,7 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("w_start"),
         col("event_type"), col("n"),
         round(col("total_raw"), 2).cast("double").as("total"))
-    val name = s"win_replay_gate_${gateSeq.incrementAndGet()}"
-    runToMemory(agg, name, outputMode = "complete")
-    spark.table(name).orderBy("w_start", "event_type")
+    replayToTable(spark, agg, "win_replay_gate").orderBy("w_start", "event_type")
   }
 
   /** Checkpointed incremental run: processes only files not yet seen by
