@@ -781,6 +781,24 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  /** RFC 1071 ones-complement checksum driver gate (§2.8,
+    * `client/trigger_payload.c` ICMP/IP header sums): per record a
+    * variable-length payload (odd and even lengths both present via
+    * the event_type mix) checksummed by the native `ip_cksum`
+    * expression; the oracle rebuilds the big-endian 16-bit word list
+    * from the hex spelling and REPLAYS the end-around-carry fold in
+    * SQL, complement included — previously spec-only (golden
+    * vectors), now value-checked per row by the driver.
+    */
+  val ipCksumGate: Q = (s, d) => {
+    val p = concat(lit("ck"), col("event_id").cast("string"), lit(":"),
+      col("event_type")).cast("binary")
+    Tables.events(s, d).filter(col("event_id") < 300)
+      .select(col("event_id"), octet_length(p).as("n"),
+        CE.ip_cksum(p).as("cksum"))
+      .orderBy("event_id")
+  }
+
   /** Mixed-version wire decode (§2.1 legacy ingest): 32-byte v1
     * records and v2 TLV payloads in one corpus, dispatched on
     * first-payload length exactly as the LP (`honeycomb.py:474-489`)
@@ -871,6 +889,7 @@ object IngestPack {
     "ig_chunk_reassembly" -> chunkReassembly,
     "ig_stream_sessions" -> streamSessions,
     "ig_stream_windows"  -> streamWindows,
+    "ig_ip_cksum"        -> ipCksumGate,
   )
 
   private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
@@ -1112,6 +1131,36 @@ object IngestPack {
        |FROM m ORDER BY event_id""".stripMargin
   }
 
+  /** RFC 1071 replayed in DuckDB: big-endian 16-bit words rebuilt from
+    * the payload's hex spelling (odd tail padded low), folded with the
+    * reference's immediate end-around carry — one word's overflow is
+    * at most 1, so the carry is the exact `% 65536 + 1` branch — and
+    * complemented as 65535 − sum. Lambda kept small per the DuckDB
+    * list_reduce CSE hazard (see the XTEA oracle note).
+    */
+  private lazy val ipCksumOracleSql: String = {
+    def nib(pos: String) =
+      s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS INT), 1)) - 1)"
+    s"""WITH m AS (
+       |  SELECT event_id,
+       |    hex(encode('ck' || CAST(event_id AS VARCHAR) || ':' || event_type)) AS hx,
+       |    octet_length(encode('ck' || CAST(event_id AS VARCHAR) || ':' || event_type)) AS n
+       |  FROM events WHERE event_id < 300),
+       |w AS (
+       |  SELECT event_id, n,
+       |    list_transform(range(0, (n + 1) // 2), i ->
+       |      ${nib("4*i+1")} * 4096 + ${nib("4*i+2")} * 256 +
+       |      CASE WHEN 4*i+4 <= length(hx)
+       |           THEN ${nib("4*i+3")} * 16 + ${nib("4*i+4")}
+       |           ELSE 0 END) AS words
+       |  FROM m)
+       |SELECT event_id, CAST(n AS INT) AS n,
+       |  CAST(65535 - list_reduce(list_prepend(CAST(0 AS BIGINT), words),
+       |    (a, b) -> CASE WHEN a + b > 65535 THEN (a + b) % 65536 + 1
+       |              ELSE a + b END) AS INT) AS cksum
+       |FROM w ORDER BY event_id""".stripMargin
+  }
+
   /** XTEA replayed in DuckDB: per 8-byte block, the 32 Feistel rounds
     * run as a 64-element list_reduce over state (v0, v1, s, i) — each
     * half-step updates ONE word (even i: v0 + sum advance; odd i: v1),
@@ -1304,6 +1353,7 @@ object IngestPack {
     // value-checked, not just round-tripped
     "ig_dns_decode" -> dnsDecodeOracleSql,
     "ig_dns_encode" -> dnsEncodeOracleSql,
+    "ig_ip_cksum" -> ipCksumOracleSql,
 
     // the engine side runs Structured Streaming micro-batches; the
     // oracle is the BATCH gap-sessionization — stream == batch is the
