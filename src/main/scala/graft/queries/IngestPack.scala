@@ -846,6 +846,15 @@ object IngestPack {
   val streamWindows: Q = (s, d) =>
     graft.streaming.EventStream.windowReplayGate(s, d)
 
+  /** Checkpointed-ingest parity gate (§2.9 incremental file ingest):
+    * the engine runs the REAL checkpointed file-source ingest twice —
+    * the replay must append nothing — and the oracle recomputes the
+    * sunk per-user aggregates from the raw table with the exactly-once
+    * receipt pinned at 0.
+    */
+  val streamIngest: Q = (s, d) =>
+    graft.streaming.EventStream.ingestReplayGate(s, d)
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -890,6 +899,7 @@ object IngestPack {
     "ig_stream_sessions" -> streamSessions,
     "ig_stream_windows"  -> streamWindows,
     "ig_ip_cksum"        -> ipCksumGate,
+    "ig_stream_ingest"   -> streamIngest,
   )
 
   private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
@@ -1378,6 +1388,14 @@ object IngestPack {
          |  COUNT(*) AS n_events
          |FROM s GROUP BY user_id, session_no
          |ORDER BY user_id, s_start""".stripMargin,
+
+    // the engine executes the checkpointed ingest TWICE; counts must
+    // equal the raw table's and the replay delta must be zero
+    "ig_stream_ingest" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+         |  CAST(0 AS BIGINT) AS second_run_added
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Spark's window() aligns tumbling windows to the epoch, so the
     // oracle floors epoch micros to the 6 h stride directly

@@ -187,7 +187,12 @@ object EventStream {
     * per trigger) and open it as a file-source stream — the shared
     * front end of the streaming replay gates.
     */
-  private def replaySource(spark: SparkSession, dir: String): DataFrame = {
+  /** Land the replay source once per (scale dir, content fingerprint)
+    * and return its path + schema — shared by the streaming replay
+    * gates, which all micro-batch over the same 8 time-range slices.
+    */
+  private def replaySrcDir(spark: SparkSession, dir: String):
+      (String, org.apache.spark.sql.types.StructType) = {
     val src = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
     // suffix carries a source fingerprint: a driver-side testdata regen
@@ -200,8 +205,13 @@ object EventStream {
         s"graft_stream_src_v2_${dirPart}_", name)
       src.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
     }
+    (srcDir, src.schema)
+  }
+
+  private def replaySource(spark: SparkSession, dir: String): DataFrame = {
+    val (srcDir, schema) = replaySrcDir(spark, dir)
     spark.readStream
-      .schema(src.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(srcDir)
   }
@@ -233,6 +243,37 @@ object EventStream {
         col("event_type"), col("n"),
         round(col("total_raw"), 2).cast("double").as("total"))
     replayToTable(spark, agg, "win_replay_gate").orderBy("w_start", "event_type")
+  }
+
+  /** Checkpointed-ingest parity gate (ig_stream_ingest): run
+    * [[incrementalIngest]] over the micro-batched replay source into a
+    * fresh parquet sink, then run it AGAIN against the same checkpoint
+    * — the second pass must append NOTHING (exactly-once on replay,
+    * the hcOwt mtime-diff contract). Returns per-user counts over the
+    * sink plus the measured second-run delta; the oracle recomputes
+    * the counts from the raw table and pins the delta at 0. Sink and
+    * checkpoint are recreated per invocation, so the gate is
+    * deterministic in any JVM and under bench repetition.
+    */
+  def ingestReplayGate(spark: SparkSession, dir: String): DataFrame = {
+    val (srcDir, schema) = replaySrcDir(spark, dir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_gate"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val sink = s"$base/sink"
+    val ck = s"$base/ck"
+    incrementalIngest(spark, srcDir, schema, sink, ck)
+    val afterFirst = spark.read.parquet(sink).count()
+    incrementalIngest(spark, srcDir, schema, sink, ck) // replay: no new files
+    val sunk = spark.read.parquet(sink)
+    val afterSecond = sunk.count()
+    sunk.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("raw"))
+      .select(col("user_id"), col("n_events"),
+        round(col("raw"), 2).cast("double").as("total"),
+        lit(afterSecond - afterFirst).as("second_run_added"))
+      .orderBy("user_id")
   }
 
   /** Checkpointed incremental run: processes only files not yet seen by
