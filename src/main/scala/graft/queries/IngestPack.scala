@@ -781,6 +781,35 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  /** Quote-aware argv tokenization driver gate (§2.8,
+    * `client/parser.c:34-107` BuildArgv): command lines mixing plain
+    * args, double- and single-quoted groups (with embedded spaces),
+    * empty-quote tokens, unterminated quotes and multi-space runs. The
+    * engine tokenizes with the native `argv_tokenize` expression; the
+    * oracle REPLAYS the whole per-character state machine in SQL (a
+    * list_reduce over (quote, in_token, current, tokens) state — same
+    * fold family as the XTEA/crc16/DNS oracles), so quoting semantics
+    * are value-checked token by token, not just arg counts.
+    */
+  val argvTokens: Q = (s, d) => {
+    val eid = col("event_id")
+    val line = when(eid % 5 === 0,
+        concat(lit("run -a "), col("event_type")))
+      .when(eid % 5 === 1,
+        concat(lit("cp \"a b "), (eid % 7).cast("string"), lit("\" /tmp/x")))
+      .when(eid % 5 === 2,
+        concat(lit("exec 'q t' --id="), (eid % 9).cast("string"), lit(" \"\"")))
+      .when(eid % 5 === 3,
+        concat(lit("tail \"log "), eid.cast("string")))
+      .otherwise(concat(lit("a  b   "), col("event_type"), lit(" 'x'y")))
+    Tables.events(s, d).filter(eid < 300)
+      .select(eid.as("event_id"), line.as("line"),
+        size(graft.functions.TextExpressions.argv_tokenize(line)).as("n_args"),
+        concat_ws("\u001f",
+          graft.functions.TextExpressions.argv_tokenize(line)).as("args"))
+      .orderBy("event_id")
+  }
+
   /** RFC 1071 ones-complement checksum driver gate (§2.8,
     * `client/trigger_payload.c` ICMP/IP header sums): per record a
     * variable-length payload (odd and even lengths both present via
@@ -900,6 +929,7 @@ object IngestPack {
     "ig_stream_windows"  -> streamWindows,
     "ig_ip_cksum"        -> ipCksumGate,
     "ig_stream_ingest"   -> streamIngest,
+    "ig_argv_tokens"     -> argvTokens,
   )
 
   private def valuesSql(rows: Seq[(Any, Any)], c1: String, c2: String): String =
@@ -1141,6 +1171,70 @@ object IngestPack {
        |FROM m ORDER BY event_id""".stripMargin
   }
 
+  /** The argv state machine replayed in DuckDB as UNROLLED per-column
+    * CTE steps (the ig_dns_decode shape): step i consumes character i
+    * of the line — guarded to a no-op past end-of-line — updating
+    * (q, intok, cur, toks) as plain columnar CASE expressions. No
+    * lambdas at all: a first cut as a list_reduce fold MISCOMPUTED
+    * under DuckDB 1.0 (stale character indexing inside the lambda —
+    * 'tail' folded to 'tiil'; the XTEA-oracle CSE hazard, reconfirmed)
+    * and ran minutes instead of milliseconds. 24 steps cover the
+    * corpus's longest line (20 chars).
+    */
+  private lazy val argvOracleSql: String = {
+    // p.-qualified state reads: an unqualified `q` in the SELECT could
+    // bind to the same-named alias being defined (lateral aliases),
+    // not the previous step's column
+    def step(i: Int) = {
+      val c = s"substr(p.line, $i, 1)"
+      s"""s$i AS (
+         |  SELECT p.event_id, p.line, p.len,
+         |    CASE WHEN $i > p.len THEN p.q
+         |         WHEN p.q <> 0 AND ascii($c) = p.q THEN 0
+         |         WHEN p.q <> 0 THEN p.q
+         |         WHEN $c = '"' THEN 34 WHEN $c = '''' THEN 39
+         |         ELSE 0 END AS q,
+         |    CASE WHEN $i > p.len THEN p.intok
+         |         WHEN p.q <> 0 THEN true
+         |         WHEN $c = '"' OR $c = '''' THEN true
+         |         WHEN $c = ' ' THEN false
+         |         ELSE true END AS intok,
+         |    CASE WHEN $i > p.len THEN p.cur
+         |         WHEN p.q <> 0 AND ascii($c) = p.q THEN p.cur
+         |         WHEN p.q <> 0 THEN p.cur || $c
+         |         WHEN $c = '"' OR $c = '''' THEN p.cur
+         |         WHEN $c = ' ' THEN ''
+         |         ELSE p.cur || $c END AS cur,
+         |    CASE WHEN $i <= p.len AND p.q = 0 AND $c = ' ' AND p.intok
+         |         THEN list_append(p.toks, p.cur) ELSE p.toks END AS toks
+         |  FROM s${i - 1} AS p)""".stripMargin
+    }
+    val n = 24
+    s"""WITH base AS (
+       |  SELECT event_id,
+       |    CASE CAST(event_id % 5 AS INT)
+       |      WHEN 0 THEN 'run -a ' || event_type
+       |      WHEN 1 THEN 'cp "a b ' || (event_id % 7) || '" /tmp/x'
+       |      WHEN 2 THEN 'exec ''q t'' --id=' || (event_id % 9) || ' ""'
+       |      WHEN 3 THEN 'tail "log ' || event_id
+       |      ELSE 'a  b   ' || event_type || ' ''x''y'
+       |    END AS line
+       |  FROM events WHERE event_id < 300),
+       |s0 AS (
+       |  SELECT event_id, line, length(line) AS len,
+       |    0 AS q, false AS intok, '' AS cur, CAST([] AS VARCHAR[]) AS toks
+       |  FROM base),
+       |${(1 to n).map(step).mkString(",\n")},
+       |fin AS (
+       |  SELECT event_id, line,
+       |    CASE WHEN intok THEN list_append(toks, cur) ELSE toks END AS toks
+       |  FROM s$n)
+       |SELECT event_id, line,
+       |  CAST(len(toks) AS INT) AS n_args,
+       |  array_to_string(toks, chr(31)) AS args
+       |FROM fin ORDER BY event_id""".stripMargin
+  }
+
   /** RFC 1071 replayed in DuckDB: big-endian 16-bit words rebuilt from
     * the payload's hex spelling (odd tail padded low), folded with the
     * reference's immediate end-around carry — one word's overflow is
@@ -1364,6 +1458,7 @@ object IngestPack {
     "ig_dns_decode" -> dnsDecodeOracleSql,
     "ig_dns_encode" -> dnsEncodeOracleSql,
     "ig_ip_cksum" -> ipCksumOracleSql,
+    "ig_argv_tokens" -> argvOracleSql,
 
     // the engine side runs Structured Streaming micro-batches; the
     // oracle is the BATCH gap-sessionization — stream == batch is the
