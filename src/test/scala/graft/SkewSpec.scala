@@ -110,6 +110,27 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("third blocking condition: groupBy on the join key downstream defeats the split even with a cut dim") {
+    withSkewConfs {
+      val fact = skewedFact
+      val dimQ = fact.groupBy("k").agg(avg(col("v")).as("va"))
+      // identical join to the engaging shape above, but re-aggregated
+      // BY THE JOIN KEY: the aggregate requires hashpartitioning(k),
+      // which the join's output satisfies — splitting the skewed
+      // partition would break it, so AQE backs out of the skew split.
+      // If this ever starts engaging, Spark learned to re-shuffle after
+      // split joins — update the scaladoc's guidance toward saltedAgg.
+      val byKey = Skew.skewSafeDimJoin(fact, dimQ, "k")
+        .filter(col("v") > col("va"))
+        .groupBy("k").agg(count(lit(1)).as("n"), max(col("pad")).as("pmax"))
+      val plan = finalPlan(byKey)
+      assert(plan.contains("SortMergeJoin"), s"shape must stay an SMJ:\n$plan")
+      assert(!plan.contains("skew=true"),
+        "downstream keyed agg no longer blocks the skew split - " +
+          "revisit Skew.skewSafeDimJoin's guidance (saltedAgg route)")
+    }
+  }
+
   test("saltedJoin stays exact on the same skewed corpus (the non-SMJ fallback route)") {
     withSkewConfs {
       val fact = skewedFact
