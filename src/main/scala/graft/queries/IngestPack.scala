@@ -1179,7 +1179,12 @@ object IngestPack {
     * under DuckDB 1.0 (stale character indexing inside the lambda —
     * 'tail' folded to 'tiil'; the XTEA-oracle CSE hazard, reconfirmed)
     * and ran minutes instead of milliseconds. 24 steps cover the
-    * corpus's longest line (20 chars).
+    * corpus's longest line (20 chars; event_type tops out at
+    * 'purchase'); lines PAST the unroll emit NULL tokens instead of a
+    * silent truncation, so a testdata regen that lengthens event_type
+    * fails with an obvious NULL signature pointing at the corpus, not
+    * at a phantom tokenizer bug. (Separator set is space-only like the
+    * corpus; the engine's isWhitespace superset is exercised by spec.)
     */
   private lazy val argvOracleSql: String = {
     // p.-qualified state reads: an unqualified `q` in the SELECT could
@@ -1226,12 +1231,12 @@ object IngestPack {
        |  FROM base),
        |${(1 to n).map(step).mkString(",\n")},
        |fin AS (
-       |  SELECT event_id, line,
+       |  SELECT event_id, line, len,
        |    CASE WHEN intok THEN list_append(toks, cur) ELSE toks END AS toks
        |  FROM s$n)
        |SELECT event_id, line,
-       |  CAST(len(toks) AS INT) AS n_args,
-       |  array_to_string(toks, chr(31)) AS args
+       |  CASE WHEN len > $n THEN NULL ELSE CAST(len(toks) AS INT) END AS n_args,
+       |  CASE WHEN len > $n THEN NULL ELSE array_to_string(toks, chr(31)) END AS args
        |FROM fin ORDER BY event_id""".stripMargin
   }
 

@@ -171,22 +171,6 @@ object EventStream {
     spark.table(name)
   }
 
-  /** Deterministic micro-batch REPLAY of the session-window stream for
-    * the driver gate (ig_stream_sessions): the events table lands once
-    * as time-range-sliced parquet, is read back as a file-source
-    * stream two files per micro-batch, and the 30-minute
-    * session-window aggregation runs in COMPLETE output mode — so
-    * cross-batch session-state merging is genuinely exercised while
-    * the final memory-sink table equals the batch formulation over all
-    * data regardless of batch boundaries (no watermark-gated tail to
-    * make emission nondeterministic). This puts stream==batch parity
-    * under the driver's DuckDB oracle, not only the ScalaTest suite.
-    */
-  /** Land the events table once per (session, scale dir) as
-    * time-range-sliced parquet (8 files → 4 micro-batches at 2 files
-    * per trigger) and open it as a file-source stream — the shared
-    * front end of the streaming replay gates.
-    */
   /** Land the replay source once per (scale dir, content fingerprint)
     * and return its path + schema — shared by the streaming replay
     * gates, which all micro-batch over the same 8 time-range slices.
@@ -208,6 +192,9 @@ object EventStream {
     (srcDir, src.schema)
   }
 
+  /** The landed replay source opened as a file stream, two files per
+    * micro-batch (8 slices → 4 batches).
+    */
   private def replaySource(spark: SparkSession, dir: String): DataFrame = {
     val (srcDir, schema) = replaySrcDir(spark, dir)
     spark.readStream
@@ -216,6 +203,15 @@ object EventStream {
       .parquet(srcDir)
   }
 
+  /** Deterministic micro-batch REPLAY of the session-window stream for
+    * the driver gate (ig_stream_sessions): the 30-minute session-window
+    * aggregation runs over [[replaySource]] in COMPLETE output mode —
+    * cross-batch session-state merging is genuinely exercised while the
+    * final memory-sink table equals the batch formulation over all data
+    * regardless of batch boundaries (no watermark-gated tail to make
+    * emission nondeterministic). This puts stream==batch parity under
+    * the driver's DuckDB oracle, not only the ScalaTest suite.
+    */
   def sessionReplayGate(spark: SparkSession, dir: String): DataFrame = {
     val agg = replaySource(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -257,8 +253,23 @@ object EventStream {
     */
   def ingestReplayGate(spark: SparkSession, dir: String): DataFrame = {
     val (srcDir, schema) = replaySrcDir(spark, dir)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_gate"
+    // sink/checkpoint keyed by (scale dir, process): a concurrent
+    // driver process (bench sweep vs verify run, or another scale
+    // factor) must never delete a live checkpoint mid-stream. Own key
+    // is recreated per invocation; other processes' leftovers are
+    // GC'd only once stale (2h past their last write).
+    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_gate_${dirPart}_" +
+      ProcessHandle.current().pid()
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val parent = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("graft_ingest_gate_") && n != new org.apache.hadoop.fs.Path(base).getName
+          && st.getModificationTime < cutoff)
+        fs.delete(st.getPath, true)
+    }
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val sink = s"$base/sink"
     val ck = s"$base/ck"
