@@ -182,7 +182,16 @@ object BeaconPipeline {
     * expressions), no shuffle at all — the 100 TB shape is "decompress
     * where the scan runs".
     */
-  def decodeCompressedWire(e: DataFrame): DataFrame = {
+  def decodeCompressedWire(e: DataFrame): DataFrame =
+    decodeWirePayloads(compressedWireCorpus(e))
+
+  /** The synthetic mixed-version wire corpus: (rec_id, version,
+    * payload) where v29 payloads are genuinely bzip2-compressed TLV
+    * and v22 plain TLV. Client-side compression cost lives HERE (as it
+    * does on the implants); [[decodeWirePayloads]] is the analytics
+    * side.
+    */
+  def compressedWireCorpus(e: DataFrame): DataFrame = {
     val uid = col("user_id")
     val eid = col("event_id")
     val macHex = lpad(hex(uid * 131071 % 281474976710656L), 12, "0")
@@ -194,10 +203,16 @@ object BeaconPipeline {
       struct(lit(1).as("type"), mac.cast("binary").as("value")),
       struct(lit(2).as("type"), uptime.cast("string").cast("binary").as("value")),
       struct(lit(3).as("type"), blob.cast("binary").as("value"))))
-    val wire = e.select(eid.as("rec_id"),
+    e.select(eid.as("rec_id"),
       when(eid % 3 === 0, 22).otherwise(29).as("version"),
       when(eid % 3 === 0, tlv).otherwise(CE.bz2_compress(tlv)).as("payload"))
+  }
 
+  /** Version-gated decode over an already-landed wire table
+    * (rec_id, version, payload) — the shape a real LP analytics user
+    * runs against archived beacon records.
+    */
+  def decodeWirePayloads(wire: DataFrame): DataFrame = {
     val isC = col("version") >= 23
     // 1 MiB cap: survey payloads are KBs; anything larger is a bomb
     val plainPay = when(isC, CE.bz2_decompress(col("payload"), lit(1 << 20)))
