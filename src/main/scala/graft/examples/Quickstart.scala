@@ -96,7 +96,25 @@ object Quickstart {
     Dedup.bloomScreenSharded(allDocs.filter(col("doc_id") >= 50), catalogFp)
       .orderBy("doc_id").show(3)
 
-    // 9. End-to-end ingest DAG with partitioned landing
+    // 9. Wire codecs from SQL: real bzip2 round-trip with the
+    // version-gated decode's bomb cap, quote-aware argv tokenization,
+    // and the RFC 1071 checksum
+    println("== bz2 wire codec + argv + cksum from SQL ==")
+    spark.sql(
+      """SELECT CAST(bz2_decompress(bz2_compress(CAST(text AS BINARY)), 1048576)
+        |         AS STRING) = text AS bz2_rt,
+        |  argv_tokenize('cp "a b" /tmp/x') AS argv,
+        |  ip_cksum(CAST(text AS BINARY)) AS cksum
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).show(truncate = false)
+
+    // 10. Version-gated wire decode over a mixed v22/v29 corpus —
+    // v29 payloads genuinely bzip2-compressed, decompressed in-plan
+    println("== mixed-version compressed wire decode ==")
+    BeaconPipeline.decodeWirePayloads(
+      BeaconPipeline.compressedWireCorpus(
+        Tables.events(spark, dataDir).filter(col("event_id") < 6))).show()
+
+    // 11. End-to-end ingest DAG with partitioned landing
     println(s"== beacon ingest DAG -> $outDir ==")
     val r = BeaconPipeline.run(spark, dataDir, outDir)
     println(s"good=${r.good.count()} bad=${r.bad.count()} " +
