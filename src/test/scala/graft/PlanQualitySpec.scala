@@ -91,6 +91,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nbytes/crc not computed by expressions before mapPartitions:\n$s")
   }
 
+  test("compressed-wire decode is shuffle-free and codegen-resident") {
+    // the 100 TB shape for per-row codecs: decompress where the scan
+    // runs — no Exchange anywhere, bz2/TLV expressions inside a
+    // WholeStageCodegen span
+    val plan = planString(graft.plans.BeaconPipeline.decodeCompressedWire(
+      Tables.events(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("event_id") < 300)))
+    assert(!plan.contains("Exchange"), s"codec path must not shuffle:\n$plan")
+    assert(plan.contains("*("), s"codec path fell out of codegen:\n$plan")
+  }
+
   test("dedup candidate generation never degrades to a cartesian product") {
     import graft.operators.Dedup
     for (df <- Seq(Dedup.ngramJaccard(spark, dir), Dedup.minhashLsh(spark, dir),
