@@ -49,6 +49,13 @@ object Quickstart {
     println("== near-dup clusters (keep = component min) ==")
     Dedup.connectedComponents(pairs.select("i", "j")).orderBy("doc_id").show(5)
 
+    // substring-level dedup: verbatim cross-document passages as
+    // token spans (cut/redact input), plus the boilerplate survey
+    println("== cross-doc duplicate 5-gram spans ==")
+    Dedup.dupSpans(spark, dataDir).orderBy("doc_id", "span_start").show(5)
+    println("== top boilerplate 3-grams ==")
+    Dedup.topNgrams(spark, dataDir).show(5)
+
     // 4. Similarity search: exact baseline, then the scale paths
     // (IVF cells, trained quantizer, 8-byte PQ codes)
     println("== cosine top-3 for the first 2 vectors (exact) ==")

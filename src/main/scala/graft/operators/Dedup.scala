@@ -680,4 +680,97 @@ object Dedup {
       .select(col("doc_id"), TextExpressions.simhash64(ts).as("sh"))
     simhashPairsFrom(sig, maxHamming)
   }
+
+  /** Positional k-grams: one row per gram OCCURRENCE with its 0-based
+    * token offset (unlike [[shinglesOf]], which is distinct-per-doc —
+    * span detection needs every occurrence and its position).
+    */
+  def positionalGrams(docs: DataFrame, k: Int): DataFrame = {
+    val ts = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("ts")) - (k - 1)),
+        i => concat_ws(" ", slice(col("ts"), i, lit(k))))))
+      .withColumnRenamed("col", "gram")
+  }
+
+  /** Cross-document duplicate n-gram SPANS — substring-level dedup.
+    * Whole-document near-dup (MinHash/SimHash) passes a pair of mostly
+    * distinct documents that share a long verbatim run (a license
+    * header, a boilerplate footer, a quoted passage); repeated
+    * >= k-token substrings are exactly what substring-level training
+    * -data dedup targets (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — their suffix-array criterion,
+    * approximated here scalably by duplicated positional k-grams).
+    *
+    * A k-gram is duplicated when it occurs in >= `minDocs` distinct
+    * documents; per document, duplicated gram offsets then merge into
+    * maximal spans (gaps-and-islands: a gram whose start is within k
+    * of the previous duplicated start overlaps-or-adjoins the running
+    * span's token coverage). Output is one row per (doc, span) with
+    * inclusive 0-based token bounds — the downstream cut/redact stage
+    * consumes exactly this shape.
+    *
+    * Scale shape: gram construction is a codegen'd projection on the
+    * scan (no shuffle); the document-frequency screen shuffles once on
+    * the gram with map-side partial aggregation; positions re-join the
+    * screened grams with a semi-join (shuffle bounded by gram
+    * postings, never document pairs); the span merge is one
+    * doc_id-partitioned window whose state per doc is its duplicated
+    * positions only. No driver-side state anywhere. At 100 TB, swap
+    * the shuffle key to xxhash64(gram) to cut shuffle bytes ~(8/k·w)×
+    * — the plain-string key here keeps the driver gate exactly
+    * value-checkable (a 64-bit collision could mint a false span).
+    */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = ShingleN,
+      minDocs: Int = 2): DataFrame =
+    dupSpansFrom(Tables.documents(spark, dir), k, minDocs)
+
+  /** [[dupSpans]] over an arbitrary (doc_id, text, …) frame. */
+  def dupSpansFrom(docs: DataFrame, k: Int = ShingleN,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"dupSpans: k must be >= 1, got $k")
+    require(minDocs >= 2, s"dupSpans: minDocs must be >= 2, got $minDocs")
+    val grams = positionalGrams(docs, k)
+    val dupGrams = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("gram")
+    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Corpus boilerplate mining: the `topN` most frequent k-grams with
+    * occurrence and document-frequency counts — the survey pass that
+    * feeds stop-shingle caps ([[graft.queries.TrainingPack.PipelineMaxBucket]])
+    * and boilerplate-strip lists. One gram-keyed shuffle with partial
+    * aggregation, then a driver-bounded top-N (TakeOrderedAndProject —
+    * per-partition heaps of `topN` rows, never a global sort). Ties at
+    * the cut rank break on the gram string so the result is total-order
+    * deterministic.
+    */
+  def topNgrams(spark: SparkSession, dir: String, k: Int = 3,
+      topN: Int = 20): DataFrame =
+    topNgramsFrom(Tables.documents(spark, dir), k, topN)
+
+  /** [[topNgrams]] over an arbitrary (doc_id, text, …) frame. */
+  def topNgramsFrom(docs: DataFrame, k: Int, topN: Int): DataFrame =
+    positionalGrams(docs, k)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(topN)
 }

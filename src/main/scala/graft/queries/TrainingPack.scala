@@ -802,9 +802,24 @@ object TrainingPack {
     */
   val mmY4mDecode: Q = (s, d) => Multimodal.y4mDecoded(s, d)
 
+  /** Substring-level dedup: cross-document duplicate 5-gram spans
+    * (inclusive 0-based token bounds per doc) — see [[Dedup.dupSpans]].
+    * Deterministic: spans are disjoint per doc, so (doc_id, span_start)
+    * is a total order.
+    */
+  val txDupSpans: Q = (s, d) =>
+    Dedup.dupSpans(s, d).orderBy("doc_id", "span_start")
+
+  /** Corpus boilerplate mining: top-20 3-grams by occurrence count
+    * (ties broken on the gram) — see [[Dedup.topNgrams]].
+    */
+  val txTopNgrams: Q = (s, d) => Dedup.topNgrams(s, d)
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "tx_dup_spans"         -> txDupSpans,
+    "tx_top_ngrams"        -> txTopNgrams,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1222,6 +1237,46 @@ object TrainingPack {
        |    (c, nb) -> xor((c * 16) % 65536, l[xor(c // 4096, nb) + 1]))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // positional 5-grams (every occurrence, 0-based offset), grams in
+    // >= 2 distinct docs, per-doc gaps-and-islands span merge (a NULL
+    // or > k gap to the previous duplicated start breaks the island;
+    // CASE WHEN NULL-guard: NULL <= 5 is NULL -> ELSE 1, the same
+    // null-break the engine's when/otherwise takes)
+    "tx_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |dupg AS (
+         |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dupg)),
+         |b AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s AS (
+         |  SELECT doc_id, pos, SUM(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b)
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+         |  COUNT(*) AS n_grams
+         |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    "tx_top_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 2 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 1)) r(i)
+         |  WHERE len(ts) >= 3)
+         |SELECT gram, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM g GROUP BY gram
+         |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+
     "dd_exact_dedup" ->
       s"SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5($N) ORDER BY keep_id",
 

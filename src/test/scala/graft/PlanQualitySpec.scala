@@ -128,6 +128,21 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dup spans: df screen partial-aggregates; top ngrams plans as TakeOrdered") {
+    // the gram document-frequency screen must map-side combine before
+    // its shuffle (at 100 TB the gram stream is k x corpus tokens), and
+    // the boilerplate top-N must never global-sort the gram vocabulary
+    import graft.operators.Dedup
+    val spans = planString(Dedup.dupSpans(spark, dir))
+    assert(spans.contains("partial_count") || spans.contains("partial"),
+      s"df screen not partially aggregated:\n$spans")
+    assert(!spans.contains("CartesianProduct") && !spans.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join in dup-spans plan:\n$spans")
+    val top = planString(Dedup.topNgrams(spark, dir))
+    assert(top.contains("TakeOrderedAndProject"),
+      s"top ngrams fell back to a global sort:\n$top")
+  }
+
   test("ingest dims stay broadcast even at larger scale factors") {
     val plan = planString(queries.IngestPack.osDecode(spark, "/root/testdata/sf0.01"))
     assert(plan.contains("BroadcastHashJoin"), s"os dim not broadcast:\n$plan")

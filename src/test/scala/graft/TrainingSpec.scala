@@ -925,4 +925,61 @@ class TrainingSpec extends AnyFunSuite {
       assert(r.getLong(1) === n); assert(r.getLong(2) === dt)
     }
   }
+
+  // ---------------------------------------------- duplicate n-gram spans
+
+  test("dup spans: planted shared passages merge into exact spans; within-doc repeats don't count") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 0/1 share a 7-token run (tokens 2..8 of doc 0, 0..6 of doc 1)
+      (0L, "x0 x1 aa bb cc dd ee ff gg y0 y1 y2"),
+      (1L, "aa bb cc dd ee ff gg z0 z1 z2 z3 z4"),
+      // doc 2 has TWO disjoint shared regions with doc 3 -> two spans
+      (2L, "pp qq rr ss tt u0 u1 u2 u3 u4 u5 vv ww xx yy zz"),
+      (3L, "m0 pp qq rr ss tt m1 m2 m3 vv ww xx yy zz m4 m5"),
+      // doc 4 repeats a 5-gram WITHIN itself only -> 1 distinct doc, no span
+      (4L, "k0 k1 k2 k3 k4 k0 k1 k2 k3 k4 n0 n1 n2 n3 n4 n5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpansFrom(docs, k = 5, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(spans === Array(
+      (0L, 2, 8, 3L),  // 3 overlapping dup 5-grams merged into tokens 2..8
+      (1L, 0, 6, 3L),
+      (2L, 0, 4, 1L),  // 5-token shared run = exactly one shared 5-gram
+      (2L, 11, 15, 1L),
+      (3L, 1, 5, 1L),
+      (3L, 9, 13, 1L)))
+  }
+
+  test("dup spans: islands exactly k apart merge (contiguous coverage), k+1 apart split") {
+    import spark.implicits._
+    // both docs share runs a1..a5 and b1..b5; in doc 10 the runs are
+    // back-to-back (dup starts 0 and 5 — k apart, token coverage
+    // contiguous, MUST merge into one span even though the bridging
+    // grams a2..b1 etc. are unique to doc 10); in doc 11 they're
+    // separated by w1 w2 w3 (starts 0 and 8 — gap > k, two spans)
+    val docs = Seq(
+      (10L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+      (11L, "a1 a2 a3 a4 a5 w1 w2 w3 b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpansFrom(docs, k = 5, minDocs = 2)
+      .orderBy("doc_id", "span_start").as[(Long, Int, Int, Long)].collect()
+    assert(spans === Array((10L, 0, 9, 2L), (11L, 0, 4, 1L), (11L, 8, 12, 1L)))
+  }
+
+  test("top ngrams: counts match brute force, ties break on the gram string") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c a b c a b d"),
+      (1L, "a b c x y z"),
+      (2L, "x y z x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.topNgramsFrom(docs, k = 3, topN = 3)
+      .as[(String, Long, Long)].collect()
+    // brute force: "a b c" x3 (docs 0,1), "x y z" x3 (docs 1,2),
+    // "b c a" x2 (doc 0) — tie between "a b c" and "x y z" at n=3
+    // breaks on the gram string
+    assert(got === Array(("a b c", 3L, 2L), ("x y z", 3L, 2L), ("b c a", 2L, 1L)))
+  }
 }
