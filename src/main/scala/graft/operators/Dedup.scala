@@ -752,6 +752,70 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** The cut step of substring-level dedup: duplicated spans are
+    * REMOVED from every document except the keeper — the earliest doc
+    * (min doc_id) containing any gram of the span — and the cleaned
+    * text is reconstructed. This is [[dupSpansFrom]]'s downstream
+    * consumer as one operator: detect spans, decide a keeper per span
+    * (deterministic: min over the span's grams of each gram's global
+    * min doc_id), drop the cut ranges, re-concatenate surviving
+    * tokens in order.
+    *
+    * Output: (doc_id, n_before, n_after, text_cut) for every doc that
+    * retains at least one token. Keeper docs keep their text intact
+    * (n_before == n_after); non-keeper docs lose exactly their
+    * duplicated-span tokens.
+    *
+    * Scale shape: everything [[dupSpansFrom]] does, plus a token
+    * explode (corpus-token-sized, narrow) and a doc_id-equi join of
+    * tokens against cut spans (spans per doc are few; the BETWEEN
+    * range condition is a post-join filter on an equi-join, never a
+    * cartesian) and one ordered re-concatenation per doc (array_sort
+    * over collected (pos, token) structs — per-doc bounded state, the
+    * dq20 discipline).
+    */
+  def cutDupSpans(spark: SparkSession, dir: String, k: Int = ShingleN,
+      minDocs: Int = 2): DataFrame =
+    cutDupSpansFrom(Tables.documents(spark, dir), k, minDocs)
+
+  /** [[cutDupSpans]] over an arbitrary (doc_id, text, …) frame. */
+  def cutDupSpansFrom(docs: DataFrame, k: Int = ShingleN,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"cutDupSpans: k must be >= 1, got $k")
+    require(minDocs >= 2, s"cutDupSpans: minDocs must be >= 2, got $minDocs")
+    val grams = positionalGrams(docs, k)
+    // per duplicated gram: its document frequency and earliest doc
+    val gramMin = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("gmin"))
+      .filter(col("df") >= minDocs)
+      .select("gram", "gmin")
+    val dupPos = grams.join(gramMin, Seq("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("s"), (max("pos") + (k - 1)).as("e"),
+        min("gmin").as("keeper"))
+    val cut = spans.filter(col("keeper") =!= col("doc_id"))
+      .select(col("doc_id"), col("s"), col("e"))
+    val toks = docs
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_before"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("tpos", "tk")))
+    toks.join(cut, toks("doc_id") === cut("doc_id") &&
+        col("tpos").between(col("s"), col("e")), "left_anti")
+      .groupBy(col("doc_id"), col("n_before"))
+      .agg(count(lit(1)).as("n_after"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tk")))),
+          st => st.getField("tk"))).as("text_cut"))
+      .select(col("doc_id"), col("n_before"), col("n_after"), col("text_cut"))
+  }
+
   /** Corpus boilerplate mining: the `topN` most frequent k-grams with
     * occurrence and document-frequency counts — the survey pass that
     * feeds stop-shingle caps ([[graft.queries.TrainingPack.PipelineMaxBucket]])

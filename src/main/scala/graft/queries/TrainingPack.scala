@@ -815,11 +815,18 @@ object TrainingPack {
     */
   val txTopNgrams: Q = (s, d) => Dedup.topNgrams(s, d)
 
+  /** Substring-dedup CUT step: duplicated spans removed everywhere but
+    * the earliest containing doc, text reconstructed — see
+    * [[Dedup.cutDupSpans]]. One row per doc retaining >= 1 token.
+    */
+  val txSpanCut: Q = (s, d) => Dedup.cutDupSpans(s, d).orderBy("doc_id")
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "tx_dup_spans"         -> txDupSpans,
     "tx_top_ngrams"        -> txTopNgrams,
+    "tx_span_cut"          -> txSpanCut,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1264,6 +1271,48 @@ object TrainingPack {
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
          |  COUNT(*) AS n_grams
          |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    // the cut step on top of the tx_dup_spans machinery: per dup gram
+    // also its earliest doc (min over DISTINCT (gram, doc) pairs), a
+    // span's keeper = min over its grams' earliest docs, non-keeper
+    // spans become cut ranges, tokens outside every cut range
+    // re-concatenate in position order
+    "tx_span_cut" ->
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |gm AS (
+         |  SELECT gram, min(doc_id) AS gmin
+         |  FROM (SELECT DISTINCT gram, doc_id FROM g)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |p AS (SELECT g.doc_id, g.pos, gm.gmin FROM g JOIN gm USING (gram)),
+         |b AS (
+         |  SELECT doc_id, pos, gmin,
+         |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s AS (
+         |  SELECT doc_id, pos, gmin, SUM(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b),
+         |sp AS (
+         |  SELECT doc_id, MIN(pos) AS st, MAX(pos) + 4 AS en, MIN(gmin) AS keeper
+         |  FROM s GROUP BY doc_id, isl),
+         |cut AS (SELECT doc_id, st, en FROM sp WHERE keeper <> doc_id),
+         |tok AS (
+         |  SELECT doc_id, len(ts) AS n_before, CAST(i - 1 AS INT) AS tpos,
+         |    ts[CAST(i AS INT)] AS tk
+         |  FROM toks, unnest(range(1, len(ts) + 1)) r(i)),
+         |keep AS (
+         |  SELECT t.doc_id, t.n_before, t.tpos, t.tk FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |    WHERE c.doc_id = t.doc_id AND t.tpos BETWEEN c.st AND c.en))
+         |SELECT doc_id, CAST(MIN(n_before) AS INT) AS n_before,
+         |  COUNT(*) AS n_after,
+         |  string_agg(tk, ' ' ORDER BY tpos) AS text_cut
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tx_top_ngrams" ->
       s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),

@@ -968,6 +968,39 @@ class TrainingSpec extends AnyFunSuite {
     assert(spans === Array((10L, 0, 9, 2L), (11L, 0, 4, 1L), (11L, 8, 12, 1L)))
   }
 
+  test("span cut: keeper doc intact, later docs lose exactly the duplicated tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 0 is the earliest containing the shared run -> keeper
+      (0L, "x0 x1 aa bb cc dd ee ff gg y0 y1 y2"),
+      (1L, "aa bb cc dd ee ff gg z0 z1 z2 z3 z4"),
+      // doc 5 untouched by any duplication
+      (5L, "q0 q1 q2 q3 q4 q5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDupSpansFrom(docs, k = 5, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Long, String)].collect()
+    assert(out === Array(
+      (0L, 12, 12L, "x0 x1 aa bb cc dd ee ff gg y0 y1 y2"),
+      // doc 1 cuts tokens 0..6 (the span), keeps the z tail
+      (1L, 12, 5L, "z0 z1 z2 z3 z4"),
+      (5L, 6, 6L, "q0 q1 q2 q3 q4 q5")))
+  }
+
+  test("span cut: a fully duplicated later doc vanishes; keeper chain is earliest-doc") {
+    import spark.implicits._
+    val run = "s0 s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (3L, run),              // earliest containing the run -> keeper
+      (7L, run),              // exact later copy -> fully cut, no output row
+      (9L, "h0 " + run)       // later superset -> keeps only the head token
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDupSpansFrom(docs, k = 5, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Long, String)].collect()
+    assert(out === Array(
+      (3L, 7, 7L, run),
+      (9L, 8, 1L, "h0")))
+  }
+
   test("top ngrams: counts match brute force, ties break on the gram string") {
     import spark.implicits._
     val docs = Seq(
