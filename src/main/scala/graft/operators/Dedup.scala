@@ -752,6 +752,56 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Per-gram corpus statistics — the substring-dedup CATALOG shape:
+    * (gram, df = distinct containing docs, gmin = earliest doc). This
+    * is all the incremental screen needs from an already-ingested
+    * corpus: gram-stats-sized (vocabulary), never corpus-sized
+    * (positions stay with their batches).
+    */
+  def gramStats(docs: DataFrame, k: Int): DataFrame =
+    positionalGrams(docs, k).select("gram", "doc_id").distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("gmin"))
+
+  /** Incremental substring-dedup screen: duplicate n-gram spans in a
+    * NEW ingest batch, judged against the batch itself plus the
+    * [[gramStats]] of everything already ingested — the per-batch
+    * production shape (the full-corpus [[dupSpansFrom]] is the
+    * backfill/bootstrap pass). A batch gram is duplicated when its
+    * batch document frequency plus the catalog's reaches `minDocs`;
+    * spans merge per batch doc exactly as in [[dupSpansFrom]].
+    *
+    * Scale: the batch side is batch-sized throughout; the catalog join
+    * is gram-keyed against a stats table that grows with the
+    * VOCABULARY, not the corpus (and lands bucketed by gram in a real
+    * deployment, like the minhash band catalog in
+    * [[graft.plans.DedupCatalog]]).
+    */
+  def dupSpansIncrementalFrom(batch: DataFrame, historyStats: DataFrame,
+      k: Int = ShingleN, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"dupSpansIncremental: k must be >= 1, got $k")
+    require(minDocs >= 2, s"dupSpansIncremental: minDocs must be >= 2, got $minDocs")
+    val bg = positionalGrams(batch, k)
+    val dupGrams = bg.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("bdf"))
+      .join(historyStats.select(col("gram"), col("df")), Seq("gram"), "left")
+      .filter(col("bdf") + coalesce(col("df"), lit(0L)) >= minDocs)
+      .select("gram")
+    val dupPos = bg.join(dupGrams, Seq("gram"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** The cut step of substring-level dedup: duplicated spans are
     * REMOVED from every document except the keeper — the earliest doc
     * (min doc_id) containing any gram of the span — and the cleaned

@@ -821,12 +821,26 @@ object TrainingPack {
     */
   val txSpanCut: Q = (s, d) => Dedup.cutDupSpans(s, d).orderBy("doc_id")
 
+  /** Incremental substring-dedup screen: docs < 250 are the ingested
+    * corpus (reduced to gram STATS — the catalog shape), the rest the
+    * new batch; spans in batch docs judged against batch + catalog —
+    * see [[Dedup.dupSpansIncrementalFrom]].
+    */
+  val txDupSpansIncr: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.dupSpansIncrementalFrom(
+      docs.filter(col("doc_id") >= 250),
+      Dedup.gramStats(docs.filter(col("doc_id") < 250), Dedup.ShingleN))
+      .orderBy("doc_id", "span_start")
+  }
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "tx_dup_spans"         -> txDupSpans,
     "tx_top_ngrams"        -> txTopNgrams,
     "tx_span_cut"          -> txSpanCut,
+    "tx_dup_spans_incr"    -> txDupSpansIncr,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1260,6 +1274,42 @@ object TrainingPack {
          |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
          |  GROUP BY gram HAVING count(*) >= 2),
          |p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dupg)),
+         |b AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s AS (
+         |  SELECT doc_id, pos, SUM(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b)
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+         |  COUNT(*) AS n_grams
+         |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    // incremental screen: batch (docs >= 250) grams judged against
+    // batch df + history (docs < 250) gram-stats df; islands merged
+    // over batch positions only — the per-batch production shape
+    "tx_dup_spans_incr" ->
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |hs AS (
+         |  SELECT gram, count(*) AS df
+         |  FROM (SELECT DISTINCT gram, doc_id FROM g WHERE doc_id < 250)
+         |  GROUP BY gram),
+         |bs AS (
+         |  SELECT gram, count(*) AS bdf
+         |  FROM (SELECT DISTINCT gram, doc_id FROM g WHERE doc_id >= 250)
+         |  GROUP BY gram),
+         |dupg AS (
+         |  SELECT bs.gram FROM bs LEFT JOIN hs USING (gram)
+         |  WHERE bs.bdf + COALESCE(hs.df, 0) >= 2),
+         |p AS (
+         |  SELECT doc_id, pos FROM g
+         |  WHERE doc_id >= 250 AND gram IN (SELECT gram FROM dupg)),
          |b AS (
          |  SELECT doc_id, pos,
          |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk

@@ -1001,6 +1001,36 @@ class TrainingSpec extends AnyFunSuite {
       (9L, 8, 1L, "h0")))
   }
 
+  test("incremental span screen: catalog hits flag, stats-only catalog suffices, batch-internal dups count") {
+    import spark.implicits._
+    val history = Seq(
+      (0L, "h0 h1 aa bb cc dd ee h2 h3"),   // contributes grams of aa..ee
+      (1L, "h4 h5 h6 h7 h8 h9")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // hits the catalog: aa..ee present in history doc 0
+      (250L, "p0 aa bb cc dd ee p1 p2 p3"),
+      // batch-internal pair: both docs share ww..w4, absent from history
+      (251L, "ww wx wy wz w4 r0 r1 r2 r3"),
+      (252L, "q0 q1 ww wx wy wz w4 q2 q3"),
+      // unique content: no spans
+      (253L, "u0 u1 u2 u3 u4 u5 u6 u7 u8")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpansIncrementalFrom(batch,
+        Dedup.gramStats(history, 5), k = 5, minDocs = 2)
+      .orderBy("doc_id", "span_start").as[(Long, Int, Int, Long)].collect()
+    assert(spans === Array(
+      (250L, 1, 5, 1L),   // catalog hit: the aa..ee 5-gram at pos 1
+      (251L, 0, 4, 1L),   // batch-internal dup, both sides flagged
+      (252L, 2, 6, 1L)))
+    // the screen consumed ONLY (gram, df, gmin) from history — no
+    // history positions: same answer from a stats frame built by hand
+    val handStats = Seq(("aa bb cc dd ee", 1L, 0L)).toDF("gram", "df", "gmin")
+    val spans2 = Dedup.dupSpansIncrementalFrom(batch, handStats, 5, 2)
+      .orderBy("doc_id", "span_start").as[(Long, Int, Int, Long)].collect()
+    assert(spans2 === spans)
+  }
+
   test("top ngrams: counts match brute force, ties break on the gram string") {
     import spark.implicits._
     val docs = Seq(
