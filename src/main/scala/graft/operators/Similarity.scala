@@ -465,6 +465,45 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Metadata-FILTERED ANN over the IVF index — the pre- vs
+    * post-filtering problem of vector search: "top-k nearest WHERE
+    * <predicate>" must apply the predicate BELOW the ranking.
+    * Post-filtering (rank the unfiltered candidates, then filter the
+    * top-k) silently under-returns whenever the filter excludes any
+    * of the unfiltered winners — with a 1/3-selective predicate the
+    * expected yield is ~k/3, not k. Here the predicate prunes the
+    * candidate join's corpus side before the decimal ranking, so all
+    * k survivors come from the filtered set at the same plan shape
+    * (Catalyst pushes the predicate into the corpus scan; cell
+    * assignment and probing are untouched). IVF caveat shared with
+    * every probe-limited index: only members of probed cells are
+    * rankable, so a highly selective predicate wants a higher
+    * `nProbe` — the knob is exposed, and the under-return vs
+    * pre-filter contrast is pinned in TrainingSpec.
+    */
+  def ivfTopKFiltered(spark: SparkSession, dir: String, pred: Column,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16,
+      nProbe: Int = 6): DataFrame =
+    ivfTopKFilteredFrom(Tables.embeddings(spark, dir), pred, nQueries, k,
+      nCentroids, nProbe)
+
+  /** [[ivfTopKFiltered]] over any (vec_id, embedding, …) table. */
+  def ivfTopKFilteredFrom(embeddings: DataFrame, pred: Column,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16,
+      nProbe: Int = 6): DataFrame = {
+    val cand = ivfCandidates(embeddings, nQueries, nCentroids, nProbe, 0)
+    val qv = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val cv = embeddings.filter(pred).select(col("vec_id"), col("embedding").as("v"))
+    val scored = cand.join(qv, "query_id").join(cv, "vec_id")
+      .withColumn("dot", dotDecimal(col("q"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("dot"), 6).cast("double").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN via IVF-PQ — the memory-scale path: IVF cell pruning plus
     * product-quantized ranking. Each vector is stored as `nSub` small
     * codes (8 here — 8 bytes instead of 256 bytes of floats, the

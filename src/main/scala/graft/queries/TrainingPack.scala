@@ -221,6 +221,13 @@ object TrainingPack {
     */
   val annIvf: Q = (s, d) => Similarity.ivfTopK(s, d)
 
+  /** Metadata-filtered ANN: IVF top-k among corpus vectors with
+    * label ≡ 0 (mod 3), predicate below the ranking — see
+    * [[Similarity.ivfTopKFiltered]].
+    */
+  val annIvfFiltered: Q = (s, d) =>
+    Similarity.ivfTopKFiltered(s, d, col("label") % 3 === 0)
+
   /** IVF-PQ: the same IVF candidates ranked by 8-byte product-
     * quantized codes (ADC), exact re-rank of the 3k short list.
     */
@@ -860,6 +867,7 @@ object TrainingPack {
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
     "ann_topk_ivf"         -> annIvf,
+    "ann_topk_ivf_filtered" -> annIvfFiltered,
     "ann_topk_ivfpq"       -> annIvfPq,
     "ann_topk_ivfpq_trained" -> annIvfPqTrained,
     "ann_topk_ivf_trained" -> annIvfTrained,
@@ -1173,17 +1181,19 @@ object TrainingPack {
   /** Exact-decimal rank + final projection over a `(query_id, vec_id)`
     * CTE named by `src` — the closing stages of both ANN oracles.
     */
-  private def annRankSql(src: String) =
+  private def annRankSql(src: String, corpusPred: Option[String] = None) = {
+    val p = corpusPred.map(c => s" AND $c").getOrElse("")
     s"""s AS (
        |  SELECT $src.query_id, $src.vec_id, ${dotDec.format("qa.embedding", "ca.embedding")} AS dot
        |  FROM $src JOIN embeddings qa ON qa.vec_id = $src.query_id
-       |    JOIN embeddings ca ON ca.vec_id = $src.vec_id),
+       |    JOIN embeddings ca ON ca.vec_id = $src.vec_id$p),
        |r AS (
        |  SELECT query_id, vec_id, dot,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
        |  FROM s)
        |SELECT query_id, rank, vec_id, CAST(ROUND(dot, 6) AS DOUBLE) AS score
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The engine's ±1 hyperplane matrix (Similarity.hyperplaneSigns —
     * deterministic from avalanched fnv1a64) as a DuckDB list-of-lists
@@ -1566,6 +1576,12 @@ object TrainingPack {
     "ann_topk_ivf" ->
       s"""WITH $ivfCandCtes,
          |${annRankSql("cand")}""".stripMargin,
+
+    // filtered ANN: identical candidate CTEs, the label predicate
+    // applied on the corpus join BELOW the ranking — pre-filtering
+    "ann_topk_ivf_filtered" ->
+      s"""WITH $ivfCandCtes,
+         |${annRankSql("cand", Some("ca.label % 3 = 0"))}""".stripMargin,
 
     // trained-quantizer IVF: two deterministic Lloyd rounds replayed
     // in SQL before the probe stage — the means follow the engine's

@@ -173,6 +173,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val bnljOk = Set(
       "ann_topk_bruteforce",  // non-equi self-pair over a bounded (8-row) query set
       "ann_topk_ivf",         // 16-row centroid table broadcast-crossed for assignment
+      "ann_topk_ivf_filtered", // same 16-row centroid cross; the label filter itself is a pushed scan predicate
       "ann_topk_ivfpq",       // same 16-row centroid cross in its candidate stage
       "ann_topk_ivf_trained", // same cross, per Lloyd round and at probe time
       "ann_topk_ivfpq_trained", // same 16-row cross in its shared IVF candidate stage

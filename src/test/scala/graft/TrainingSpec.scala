@@ -926,6 +926,31 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ filtered ANN
+
+  test("filtered IVF: every hit satisfies the predicate; post-filtering would under-return") {
+    import spark.implicits._
+    val pred = col("label") % 3 === 0
+    val filtered = Similarity.ivfTopKFiltered(spark, dir, pred)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), "vec_id")
+      .select("query_id", "rank", "vec_id", "label")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_._4 % 3 == 0), "a hit escaped the predicate")
+    // pre-filtering yields k (or the probed-cell max) per query…
+    val perQuery = filtered.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ >= 8),
+      s"pre-filter yield collapsed: $perQuery")
+    // …while POST-filtering the unfiltered top-k under-returns: with a
+    // 1/3-selective label the unfiltered winners keep only ~k/3 rows
+    val post = Similarity.ivfTopK(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") % 3 === 0)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(post.values.forall(_ < 8) && post.values.sum < filtered.length,
+      s"post-filtering unexpectedly kept full yield: $post")
+  }
+
   // ---------------------------------------------- duplicate n-gram spans
 
   test("dup spans: planted shared passages merge into exact spans; within-doc repeats don't count") {
