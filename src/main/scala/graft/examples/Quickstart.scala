@@ -64,6 +64,9 @@ object Quickstart {
     Similarity.bruteForceTopK(spark, dataDir, nQueries = 2, k = 3).show()
     println("== same queries via IVF-PQ (approximate, 8-byte codes) ==")
     Similarity.ivfPqTopK(spark, dataDir, nQueries = 2, k = 3).show()
+    println("== filtered search: top-3 among label % 3 == 0 only ==")
+    Similarity.ivfTopKFiltered(spark, dataDir, col("label") % 3 === 0,
+      nQueries = 2, k = 3).show()
 
     // 5. SimHash fingerprints + Hamming distance from SQL
     println("== simhash neighbors of doc 0 ==")
