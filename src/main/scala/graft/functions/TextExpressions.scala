@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -13,7 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExpressions {
 
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       TextCodegen.simhash64(v.asInstanceOf[ArrayData])
@@ -24,7 +26,8 @@ object TextExpressions {
   }
 
   case class Hamming64(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
     override def dataType: DataType = IntegerType
     override def nullSafeEval(a: Any, b: Any): Any =
       TextImpl.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -34,7 +37,9 @@ object TextExpressions {
     override def prettyName: String = "hamming64"
   }
 
-  case class Fnv1a64(child: Expression) extends UnaryExpression {
+  case class Fnv1a64(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       TextCodegen.fnv1a64(v.asInstanceOf[UTF8String])
@@ -44,7 +49,9 @@ object TextExpressions {
     override def prettyName: String = "fnv1a64"
   }
 
-  case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  case class RollingFingerprint(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       TextCodegen.rollingFingerprint(v.asInstanceOf[UTF8String])
@@ -54,7 +61,9 @@ object TextExpressions {
     override def prettyName: String = "rolling_fingerprint"
   }
 
-  case class LangId(child: Expression) extends UnaryExpression {
+  case class LangId(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any =
       TextCodegen.langId(v.asInstanceOf[UTF8String])
@@ -64,7 +73,9 @@ object TextExpressions {
     override def prettyName: String = "lang_id"
   }
 
-  case class ArgvTokenize(child: Expression) extends UnaryExpression {
+  case class ArgvTokenize(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       TextCodegen.argvTokenize(v.asInstanceOf[UTF8String])
@@ -78,7 +89,8 @@ object TextExpressions {
     * path is a literal).
     */
   case class ExpandEnv(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType, MapType(StringType, StringType))
     override def dataType: DataType = StringType
     override def nullSafeEval(p: Any, m: Any): Any =
       TextCodegen.expandEnv(p.asInstanceOf[UTF8String],

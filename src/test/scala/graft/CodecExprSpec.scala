@@ -151,4 +151,16 @@ class CodecExprSpec extends AnyFunSuite {
       .select(CE.key_extract(col("b")).as("k")).as[Array[Byte]].head()
     assert(k.sameElements((1 to 16).map(_.toByte)))
   }
+
+  test("text expressions declare inputTypes: coercion at analysis, not runtime CCE") {
+    graft.functions.TextExpressions.register(spark)
+    // an INT argument to the string-typed functions coerces (int ->
+    // string) at analysis time instead of ClassCastException-ing in
+    // the executor; hamming64 coerces INT literals to BIGINT
+    assert(spark.sql("SELECT lang_id(123) AS l").head().getString(0) != null)
+    assert(spark.sql("SELECT fnv1a64(7) AS h").head().getLong(0) ==
+      spark.sql("SELECT fnv1a64('7') AS h").head().getLong(0))
+    assert(spark.sql("SELECT hamming64(5, 1) AS d").head().getInt(0) === 1)
+    assert(spark.sql("SELECT size(argv_tokenize(42)) AS n").head().getInt(0) === 1)
+  }
 }
