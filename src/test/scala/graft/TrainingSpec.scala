@@ -928,6 +928,27 @@ class TrainingSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ filtered ANN
 
+  test("filtered IVF: recall vs the FILTERED brute-force truth") {
+    import spark.implicits._
+    val pred = col("label") % 3 === 0
+    // ground truth: exact decimal top-10 restricted to the predicate
+    val emb = Tables.embeddings(spark, dir)
+    val keep = emb.filter(pred).select(col("vec_id")).as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 8, k = 500)
+      .filter(col("vec_id").isInCollection(keep))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rank"))))
+      .filter(col("r") <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val filtered = Similarity.ivfTopKFiltered(spark, dir, pred)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect filtered).size.toDouble / brute.size
+    // filtering can't LOWER recall vs unfiltered IVF's ~0.74: the same
+    // cells are probed and the truth set shrinks with the corpus
+    assert(recall >= 0.6, s"filtered IVF recall too low: $recall")
+  }
+
   test("filtered IVF: every hit satisfies the predicate; post-filtering would under-return") {
     import spark.implicits._
     val pred = col("label") % 3 === 0
@@ -1054,6 +1075,42 @@ class TrainingSpec extends AnyFunSuite {
     val spans2 = Dedup.dupSpansIncrementalFrom(batch, handStats, 5, 2)
       .orderBy("doc_id", "span_start").as[(Long, Int, Int, Long)].collect()
     assert(spans2 === spans)
+  }
+
+  test("dup spans: randomized corpora match an independent in-memory reference") {
+    import spark.implicits._
+    // reference implementation: straight-line Scala over token arrays,
+    // no shared code with the operator beyond the definition itself
+    def refSpans(docs: Seq[(Long, String)], k: Int): Seq[(Long, Int, Int, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val gramDocs = scala.collection.mutable.Map[String, Set[Long]]()
+      for ((id, ts) <- toks; i <- 0 to ts.length - k)
+        gramDocs.updateWith(ts.slice(i, i + k).mkString(" ")) {
+          s => Some(s.getOrElse(Set.empty) + id)
+        }
+      val dup = gramDocs.filter(_._2.size >= 2).keySet
+      toks.flatMap { case (id, ts) =>
+        val pos = (0 to ts.length - k).filter(i => dup(ts.slice(i, i + k).mkString(" ")))
+        val islands = pos.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: t, p) if p - h.head <= k => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse).reverse
+        islands.map(is => (id, is.head, is.last + k - 1, is.length.toLong))
+      }.sortBy(s => (s._1, s._2))
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      // small vocabulary forces heavy accidental sharing; varying doc
+      // lengths cover sub-k docs and long multi-island ones
+      val docs = (0L until 12L).map { id =>
+        val n = 3 + rnd.nextInt(25)
+        id -> (1 to n).map(_ => s"w${rnd.nextInt(8)}").mkString(" ")
+      }
+      val got = Dedup.dupSpansFrom(docs.toDF("doc_id", "text"), k = 4, minDocs = 2)
+        .orderBy("doc_id", "span_start").as[(Long, Int, Int, Long)].collect().toSeq
+      assert(got === refSpans(docs, 4), s"trial $trial diverged")
+    }
   }
 
   test("top ngrams: counts match brute force, ties break on the gram string") {
