@@ -752,6 +752,47 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** WITHIN-document repetition spans — the surgical twin of the
+    * Gopher repetition SIGNALS (`TextOps` dup-3-gram fraction flags a
+    * doc; this localizes the repeats so a cleanup stage can cut them,
+    * the C4-family discipline). A position repeats when its k-gram
+    * occurred EARLIER in the same document; repeat positions merge
+    * into maximal spans with the same gaps-and-islands rule as
+    * [[dupSpansFrom]]. The first occurrence is never marked, so
+    * cutting every returned span leaves exactly one copy of each
+    * repeated run.
+    *
+    * Scale: one window over (doc_id, gram) for the first-occurrence
+    * mark and one over doc_id for the merge — both partition-bounded
+    * by a single document's grams, no corpus-wide key anywhere.
+    */
+  def intraDupSpans(spark: SparkSession, dir: String,
+      k: Int = ShingleN): DataFrame =
+    intraDupSpansFrom(Tables.documents(spark, dir), k)
+
+  /** [[intraDupSpans]] over an arbitrary (doc_id, text, …) frame. */
+  def intraDupSpansFrom(docs: DataFrame, k: Int = ShingleN): DataFrame = {
+    require(k >= 1, s"intraDupSpans: k must be >= 1, got $k")
+    val grams = positionalGrams(docs, k)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "gram")
+    val repeats = grams
+      .withColumn("first", min("pos").over(wg))
+      .filter(col("pos") > col("first"))
+      .select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    repeats
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Per-gram corpus statistics — the substring-dedup CATALOG shape:
     * (gram, df = distinct containing docs, gmin = earliest doc). This
     * is all the incremental screen needs from an already-ingested

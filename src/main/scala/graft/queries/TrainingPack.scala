@@ -841,6 +841,12 @@ object TrainingPack {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Within-doc repetition spans (3-grams so the corpus's natural
+    * repeats surface) — see [[Dedup.intraDupSpans]].
+    */
+  val txIntraSpans: Q = (s, d) =>
+    Dedup.intraDupSpans(s, d, k = 3).orderBy("doc_id", "span_start")
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -848,6 +854,7 @@ object TrainingPack {
     "tx_top_ngrams"        -> txTopNgrams,
     "tx_span_cut"          -> txSpanCut,
     "tx_dup_spans_incr"    -> txDupSpansIncr,
+    "tx_intra_spans"       -> txIntraSpans,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1329,6 +1336,33 @@ object TrainingPack {
          |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
          |  FROM b)
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+         |  COUNT(*) AS n_grams
+         |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    // within-doc repetition: a position repeats iff its 3-gram
+    // occurred earlier in the SAME doc (min-pos window), islands
+    // merged as in tx_dup_spans with k=3
+    "tx_intra_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 2 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 1)) r(i)
+         |  WHERE len(ts) >= 3),
+         |f AS (
+         |  SELECT doc_id, pos,
+         |    MIN(pos) OVER (PARTITION BY doc_id, gram) AS fp
+         |  FROM g),
+         |p AS (SELECT doc_id, pos FROM f WHERE pos > fp),
+         |b AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER w <= 3 THEN 0 ELSE 1 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s AS (
+         |  SELECT doc_id, pos, SUM(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b)
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
          |  COUNT(*) AS n_grams
          |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
 

@@ -1077,6 +1077,25 @@ class TrainingSpec extends AnyFunSuite {
     assert(spans2 === spans)
   }
 
+  test("intra-doc spans: periodic repeats mark everything after the first period") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c d e" three times: repeat 5-gram starts at 5..10 — one
+      // span covering tokens 5..14, so cutting it leaves one copy
+      (0L, "a b c d e a b c d e a b c d e"),
+      // two DISJOINT repeats of one phrase far apart -> repeat at the
+      // second site only
+      (1L, "k0 k1 k2 k3 k4 m0 m1 m2 m3 m4 m5 m6 k0 k1 k2 k3 k4"),
+      // no repetition
+      (2L, "u0 u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.intraDupSpansFrom(docs, k = 5)
+      .orderBy("doc_id", "span_start").as[(Long, Int, Int, Long)].collect()
+    assert(spans === Array(
+      (0L, 5, 14, 6L),
+      (1L, 12, 16, 1L)))
+  }
+
   test("dup spans: randomized corpora match an independent in-memory reference") {
     import spark.implicits._
     // reference implementation: straight-line Scala over token arrays,
