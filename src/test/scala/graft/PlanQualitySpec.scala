@@ -141,6 +141,23 @@ class PlanQualitySpec extends AnyFunSuite {
     val top = planString(Dedup.topNgrams(spark, dir))
     assert(top.contains("TakeOrderedAndProject"),
       s"top ngrams fell back to a global sort:\n$top")
+    // family-wide: the cut, incremental, and within-doc variants must
+    // never pick up a degenerate join or a single-partition exchange
+    // (every window is doc- or (doc, gram)-partitioned)
+    val family = Seq(
+      Dedup.cutDupSpans(spark, dir),
+      Dedup.dupSpansIncrementalFrom(
+        graft.Tables.documents(spark, dir).filter(org.apache.spark.sql.functions.col("doc_id") >= 250),
+        Dedup.gramStats(
+          graft.Tables.documents(spark, dir).filter(org.apache.spark.sql.functions.col("doc_id") < 250), 5)),
+      Dedup.intraDupSpans(spark, dir))
+    family.foreach { df =>
+      val s = planString(df)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"degenerate join in span-family plan:\n$s")
+      assert(!s.contains("Exchange SinglePartition"),
+        s"single-partition exchange in span-family plan:\n$s")
+    }
   }
 
   test("ingest dims stay broadcast even at larger scale factors") {
