@@ -828,16 +828,22 @@ object TrainingPack {
     */
   val txSpanCut: Q = (s, d) => Dedup.cutDupSpans(s, d).orderBy("doc_id")
 
-  /** Incremental substring-dedup screen: docs < 250 are the ingested
-    * corpus (reduced to gram STATS — the catalog shape), the rest the
-    * new batch; spans in batch docs judged against batch + catalog —
-    * see [[Dedup.dupSpansIncrementalFrom]].
+  /** Incremental substring-dedup screen against the LANDED gram-stats
+    * catalog ([[graft.plans.GramCatalog]]): docs < 125 land as ingest
+    * partition 0, docs 125–249 APPEND as ingest batch 1, and the
+    * screen of the new batch (docs ≥ 250) reads the MERGED view
+    * (SUM df / MIN gmin per gram, co-partitioned — no Exchange). The
+    * oracle computes one-shot stats over all docs < 250, so the
+    * land + append + merge lifecycle is proven invisible to the
+    * verdict — the mergeable-stats claim under the driver's hash.
     */
   val txDupSpansIncr: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    Dedup.dupSpansIncrementalFrom(
-      docs.filter(col("doc_id") >= 250),
-      Dedup.gramStats(docs.filter(col("doc_id") < 250), Dedup.ShingleN))
+    val cat = graft.plans.GramCatalog.land(s,
+      docs.filter(col("doc_id") < 125), s"spans_$d")
+    graft.plans.GramCatalog.append(s,
+      docs.filter(col("doc_id") >= 125 && col("doc_id") < 250), cat, 1L)
+    graft.plans.GramCatalog.screen(s, docs.filter(col("doc_id") >= 250), cat)
       .orderBy("doc_id", "span_start")
   }
 

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.plans.GramCatalog
+
+/** Landed gram-stats catalog: the screen over the bucketed stats
+  * table must equal the self-contained in-plan incremental screen,
+  * appended batches must merge into visible history (SUM df across
+  * partitions), the merge aggregate must read the bucketed layout
+  * without an Exchange, and a fresh session must reattach to landed
+  * state without losing appends.
+  */
+class GramCatalogSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = Tables.documents(spark, dir).select("doc_id", "text")
+
+  test("screen against the landed catalog equals the in-plan incremental screen") {
+    val hist = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val cat = GramCatalog.land(spark, hist, "spec_eq")
+    try {
+      val landed = GramCatalog.screen(spark, batch, cat)
+        .orderBy("doc_id", "span_start").collect().toSeq
+      val inPlan = Dedup.dupSpansIncrementalFrom(batch,
+          Dedup.gramStats(hist, Dedup.ShingleN))
+        .orderBy("doc_id", "span_start").collect().toSeq
+      Shared.releaseAll(spark)
+      assert(landed.nonEmpty && landed === inPlan)
+    } finally GramCatalog.drop(spark, cat)
+  }
+
+  test("append merges into history: a cross-partition gram flags; the bound excludes it") {
+    import spark.implicits._
+    val hist = Seq((0L, "h0 h1 h2 h3 h4 h5")).toDF("doc_id", "text")
+    val b1 = Seq((100L, "aa bb cc dd ee x0 x1")).toDF("doc_id", "text")
+    val b2 = Seq((200L, "y0 aa bb cc dd ee y1")).toDF("doc_id", "text")
+    val cat = GramCatalog.land(spark, hist, "spec_merge")
+    try {
+      // before the append nothing matches b2 (aa..ee unseen)
+      val before = GramCatalog.screen(spark, b2, cat).collect()
+      assert(before.isEmpty, s"unexpected spans before append: ${before.toSeq}")
+      GramCatalog.append(spark, b1, cat, 1L)
+      // after: the gram has df 1 (partition 1) + 1 (batch) = 2 -> span
+      val after = GramCatalog.screen(spark, b2, cat)
+        .as[(Long, Int, Int, Long)].collect()
+      assert(after === Array((200L, 1, 5, 1L)), s"got: ${after.toSeq}")
+      // a replayed batch bounded at its own horizon sees none of it
+      val bounded = GramCatalog.screen(spark, b2, cat, maxIngestId = Some(0L))
+        .collect()
+      assert(bounded.isEmpty, s"bound ignored: ${bounded.toSeq}")
+      // idempotent replay: re-appending batch 1 overwrites, never
+      // double-counts (df stays 2, same single span)
+      GramCatalog.append(spark, b1, cat, 1L)
+      val replayed = GramCatalog.screen(spark, b2, cat)
+        .as[(Long, Int, Int, Long)].collect()
+      assert(replayed === after)
+    } finally GramCatalog.drop(spark, cat)
+  }
+
+  test("the merge aggregate reads the bucketed stats table without an Exchange") {
+    val cat = GramCatalog.land(spark, docs.filter(col("doc_id") < 250), "spec_plan")
+    try {
+      val df = GramCatalog.stats(spark, cat)
+      df.collect()
+      val top = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def pathsToScan(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p match {
+          case f: FileSourceScanExec if f.toString.contains("_stats") =>
+            Seq(p :: anc)
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(pathsToScan(_, p :: anc))
+      }
+      val paths = pathsToScan(top, Nil)
+      assert(paths.nonEmpty, s"stats table scan not found:\n$top")
+      paths.foreach { path =>
+        assert(!path.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"merge aggregate shuffled the bucketed stats table:\n$top")
+      }
+    } finally GramCatalog.drop(spark, cat)
+  }
+
+  test("a fresh session catalog reattaches to landed state without losing appends") {
+    import spark.implicits._
+    val hist = Seq((0L, "h0 h1 h2 h3 h4 h5")).toDF("doc_id", "text")
+    val b1 = Seq((100L, "aa bb cc dd ee x0 x1")).toDF("doc_id", "text")
+    val b2 = Seq((200L, "y0 aa bb cc dd ee y1")).toDF("doc_id", "text")
+    val cat = GramCatalog.land(spark, hist, "spec_restart")
+    try {
+      GramCatalog.append(spark, b1, cat, 1L)
+      // crash-restart: table entry lost, files survive
+      spark.sql(s"DROP TABLE ${cat.statsT}")
+      val cat2 = GramCatalog.land(spark, hist, "spec_restart")
+      assert(cat2 === cat)
+      val after = GramCatalog.screen(spark, b2, cat2)
+        .as[(Long, Int, Int, Long)].collect()
+      assert(after === Array((200L, 1, 5, 1L)),
+        s"appended history lost across the restart: ${after.toSeq}")
+    } finally GramCatalog.drop(spark, cat)
+  }
+}
