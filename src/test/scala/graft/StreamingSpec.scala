@@ -598,6 +598,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(3L), s"late-event key was not expired: $got")
   }
 
+  test("streaming gram screen equals the sequential batch loop; replay appends nothing") {
+    import spark.implicits._
+    import graft.plans.GramCatalog
+    import graft.operators.Dedup
+    // history carries run H; file 0 introduces run R (novel -> no
+    // span); file 1 repeats R (only the append loop can flag it) AND
+    // hits the catalog run H
+    val hist = Seq((0L, "h0 h1 h2 h3 h4 h5")).toDF("doc_id", "text")
+    val f0 = Seq((100L, "aa bb cc dd ee x0 x1")).toDF("doc_id", "text")
+    val f1 = Seq(
+      (200L, "y0 aa bb cc dd ee y1"),
+      (201L, "z0 z1 h0 h1 h2 h3 h4 z2")).toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("gram_src").toString
+    f0.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    f1.coalesce(1).write.mode("append").parquet(src)
+    val sink = java.nio.file.Files.createTempDirectory("gram_sink").toString + "/out"
+    val chk = java.nio.file.Files.createTempDirectory("gram_chk").toString
+    val cat = GramCatalog.land(spark, hist, "spec_stream_gram")
+    try {
+      graft.streaming.GramScreen.spanScreen(spark, src, f0.schema, cat, sink, chk)
+      val streamed = spark.read.parquet(sink)
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .as[(Long, Int, Int, Long)].collect().toSet
+      // the sequential loop over the same files in the same order
+      val loop = Seq(f0, f1).foldLeft(
+          (Set.empty[(Long, Int, Int, Long)], hist)) { case ((acc, history), b) =>
+        val spans = Dedup.dupSpansIncrementalFrom(b, Dedup.gramStats(history, 5))
+          .as[(Long, Int, Int, Long)].collect().toSet
+        (acc ++ spans, history.unionByName(b))
+      }._1
+      assert(streamed === loop, s"stream $streamed != loop $loop")
+      // the order-dependence is real: R flags in doc 200 (the LATER
+      // copy), never in doc 100; the catalog hit flags in doc 201
+      assert(streamed.map(_._1) === Set(200L, 201L))
+      // replay with the same checkpoint: sink unchanged, stats stable
+      val statsBefore = GramCatalog.stats(spark, cat).count()
+      graft.streaming.GramScreen.spanScreen(spark, src, f0.schema, cat, sink, chk)
+      assert(spark.read.parquet(sink)
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .as[(Long, Int, Int, Long)].collect().toSet === streamed)
+      assert(GramCatalog.stats(spark, cat).count() === statsBefore)
+    } finally GramCatalog.drop(spark, cat)
+  }
+
   test("missing chunk is detected by the resume-accounting invariant") {
     import spark.implicits._
     val blobs = Seq(("s1", Array.tabulate[Byte](9000)(_.toByte))).toDF("stream_id", "blob")
