@@ -853,6 +853,14 @@ object TrainingPack {
   val txIntraSpans: Q = (s, d) =>
     Dedup.intraDupSpans(s, d, k = 3).orderBy("doc_id", "span_start")
 
+  /** STREAMING span-screen parity gate: the engine side executes
+    * [[graft.streaming.GramScreen.spanScreen]] over mtime-ordered
+    * document slices with cross-batch catalog growth; the oracle is
+    * the sequential two-batch loop in SQL.
+    */
+  val txStreamSpans: Q = (s, d) =>
+    graft.streaming.GramScreen.spanScreenReplayGate(s, d)
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -861,6 +869,7 @@ object TrainingPack {
     "tx_span_cut"          -> txSpanCut,
     "tx_dup_spans_incr"    -> txDupSpansIncr,
     "tx_intra_spans"       -> txIntraSpans,
+    "tx_stream_spans"      -> txStreamSpans,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1344,6 +1353,57 @@ object TrainingPack {
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
          |  COUNT(*) AS n_grams
          |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    // streaming span screen replayed as the sequential two-batch
+    // loop: batch 0 ([250, 375)) screens against history (< 250),
+    // batch 1 (>= 375) against history + batch 0's stats (the df
+    // UNION-SUM is exactly the catalog's mergeable-stats view); doc
+    // ranges are disjoint and ordered, so (doc_id, span_start) totals
+    "tx_stream_spans" -> {
+      def spanCtes(p: String, batchPred: String, histStats: String) =
+        s"""${p}bs AS (
+           |  SELECT gram, count(*) AS bdf
+           |  FROM (SELECT DISTINCT gram, doc_id FROM g WHERE $batchPred)
+           |  GROUP BY gram),
+           |${p}d AS (
+           |  SELECT b.gram FROM ${p}bs b LEFT JOIN $histStats h USING (gram)
+           |  WHERE b.bdf + COALESCE(h.df, 0) >= 2),
+           |${p}p AS (
+           |  SELECT doc_id, pos FROM g
+           |  WHERE $batchPred AND gram IN (SELECT gram FROM ${p}d)),
+           |${p}b AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk
+           |  FROM ${p}p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |${p}s AS (
+           |  SELECT doc_id, pos, SUM(brk) OVER (
+           |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+           |  FROM ${p}b),
+           |${p}sp AS (
+           |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+           |    COUNT(*) AS n_grams
+           |  FROM ${p}s GROUP BY doc_id, isl)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |h0 AS (
+         |  SELECT gram, count(*) AS df
+         |  FROM (SELECT DISTINCT gram, doc_id FROM g WHERE doc_id < 250)
+         |  GROUP BY gram),
+         |${spanCtes("b0", "doc_id >= 250 AND doc_id < 375", "h0")},
+         |h1 AS (
+         |  SELECT gram, SUM(df) AS df FROM (
+         |    SELECT gram, df FROM h0
+         |    UNION ALL SELECT gram, bdf AS df FROM b0bs)
+         |  GROUP BY gram),
+         |${spanCtes("b1", "doc_id >= 375", "h1")}
+         |SELECT doc_id, span_start, span_end, n_grams FROM
+         |  (SELECT * FROM b0sp UNION ALL SELECT * FROM b1sp)
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
 
     // within-doc repetition: a position repeats iff its 3-gram
     // occurred earlier in the SAME doc (min-pos window), islands

@@ -51,4 +51,66 @@ object GramScreen {
       .start()
     q.awaitTermination()
   }
+
+  /** Driver-gate REPLAY of the streaming span screen
+    * (tx_stream_spans): documents ≥ 250 land once per (scale dir,
+    * content fingerprint) as two mtime-ordered parquet slices
+    * ([250, 375) then ≥ 375), docs < 250 land as the gram catalog,
+    * and [[spanScreen]] consumes the slices one file per micro-batch
+    * — screening batch 0 against the catalog and batch 1 against
+    * catalog + batch 0's appended stats. The oracle replays the
+    * sequential two-batch loop in SQL, so the ENGINE side of this
+    * gate genuinely executes Structured Streaming with cross-batch
+    * catalog growth while the verdict is value-checked batch by
+    * batch (the EventStream.sessionReplayGate discipline applied to
+    * the substring family).
+    *
+    * Determinism across invocations: the checkpoint/sink are
+    * per-(dir, process) and recreated per call; the catalog screen
+    * is bounded to ≤ batchId, so partitions appended by a previous
+    * invocation are invisible to the replayed batches and the
+    * re-append overwrites identical content.
+    */
+  def spanScreenReplayGate(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") < 250)
+    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcName = s"graft_gram_src_${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
+    val srcDir = s"${sys.props("java.io.tmpdir")}/$srcName"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    if (!new java.io.File(s"$srcDir/_SLICED").exists) {
+      graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
+        s"graft_gram_src_${dirPart}_", srcName)
+      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+      docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+      docs.filter(col("doc_id") >= 375)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      graft.plans.CatalogMaintenance.writeFile(fs,
+        new org.apache.hadoop.fs.Path(s"$srcDir/_SLICED"), "ok")
+    }
+    val cat = GramCatalog.land(spark, hist, s"stream_gate_$srcName")
+    // checkpoint/sink per (dir, process), recreated per invocation;
+    // stale other-process leftovers GC'd past 2h (ingestReplayGate's
+    // concurrency discipline)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_gram_gate_${dirPart}_" +
+      ProcessHandle.current().pid()
+    val parent = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("graft_gram_gate_") &&
+          n != new org.apache.hadoop.fs.Path(base).getName &&
+          st.getModificationTime < cutoff)
+        fs.delete(st.getPath, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = docs.schema
+    spanScreen(spark, srcDir, schema, cat, s"$base/sink", s"$base/ck")
+    spark.read.parquet(s"$base/sink")
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+      .orderBy("doc_id", "span_start")
+  }
 }
