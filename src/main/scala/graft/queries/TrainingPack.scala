@@ -839,8 +839,13 @@ object TrainingPack {
     */
   val txDupSpansIncr: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // content fingerprint in the catalog name: a driver-side testdata
+    // regen must land a FRESH catalog, never pair fresh oracle reads
+    // with stale landed stats (same discipline as the streaming
+    // replay sources)
     val cat = graft.plans.GramCatalog.land(s,
-      docs.filter(col("doc_id") < 125), s"spans_$d")
+      docs.filter(col("doc_id") < 125),
+      s"spans_${d}_${graft.Shared.srcFingerprint(s, d)}")
     graft.plans.GramCatalog.append(s,
       docs.filter(col("doc_id") >= 125 && col("doc_id") < 250), cat, 1L)
     graft.plans.GramCatalog.screen(s, docs.filter(col("doc_id") >= 250), cat)
