@@ -57,6 +57,8 @@ object Quickstart {
     Dedup.topNgrams(spark, dataDir).show(5)
     println("== span-cut: dup passages removed outside the earliest doc ==")
     Dedup.cutDupSpans(spark, dataDir).orderBy("doc_id").show(3)
+    println("== within-doc repetition spans (3-grams) ==")
+    Dedup.intraDupSpans(spark, dataDir, k = 3).orderBy("doc_id", "span_start").show(3)
 
     // 4. Similarity search: exact baseline, then the scale paths
     // (IVF cells, trained quantizer, 8-byte PQ codes)
