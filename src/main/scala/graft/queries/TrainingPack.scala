@@ -858,6 +858,40 @@ object TrainingPack {
   val txIntraSpans: Q = (s, d) =>
     Dedup.intraDupSpans(s, d, k = 3).orderBy("doc_id", "span_start")
 
+  /** Composed curation slice with a TEXT-REWRITING stage: exact dedup
+    * → substring span-cut over the survivors ([[Dedup.cutDupSpansFrom]])
+    * → quality scored on the CUT text. The point under check: the cut
+    * step composes into the DAG — quality inputs (token / stopword /
+    * punctuation / char counts, the tx_quality formula) are computed
+    * from the reconstructed text, so a doc whose boilerplate was cut
+    * scores on what a trainer would actually see.
+    */
+  val txPipelineCut: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val wFp = Window.partitionBy("fp")
+    val keep1 = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(TextOps.norm(col("text"))).as("fp"))
+      .withColumn("_m", min("doc_id").over(wFp))
+      .filter(col("doc_id") === col("_m")).drop("_m", "fp")
+    val cut = Dedup.cutDupSpansFrom(keep1.select(col("doc_id"), col("text")))
+    val ts = split(col("text_cut"), " ")
+    val nTok = col("n_after")
+    val nChr = length(col("text_cut")).cast("bigint")
+    val stop = TextOps.stopwordCount(ts).cast("bigint")
+    val punct = TextOps.punctCount(col("text_cut")).cast("bigint")
+    def intDiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("bigint")
+    val stopBp = intDiv(stop * 20000 + nTok, nTok * 2)
+    val punctBp = intDiv(punct * 20000 + nChr, nChr * 2)
+    val lenBp = least(lit(10000L), nTok * 100)
+    cut.join(keep1.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_before"), col("n_after"),
+        (stopBp * 4 + (lit(10000L) - punctBp) * 3 + lenBp * 3).as("quality"))
+      .orderBy("doc_id")
+  }
+
   /** STREAMING span-screen parity gate: the engine side executes
     * [[graft.streaming.GramScreen.spanScreen]] over mtime-ordered
     * document slices with cross-batch catalog growth; the oracle is
@@ -875,6 +909,7 @@ object TrainingPack {
     "tx_dup_spans_incr"    -> txDupSpansIncr,
     "tx_intra_spans"       -> txIntraSpans,
     "tx_stream_spans"      -> txStreamSpans,
+    "tx_pipeline_cut"      -> txPipelineCut,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1358,6 +1393,65 @@ object TrainingPack {
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
          |  COUNT(*) AS n_grams
          |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    // dedup -> span-cut -> quality-on-cut-text: the exact-dedup
+    // window, the full cut machinery over SURVIVORS only, then the
+    // tx_quality integer-bp formula computed from the kept tokens /
+    // reconstructed string
+    "tx_pipeline_cut" ->
+      s"""WITH base AS (SELECT doc_id, lang, $N AS t FROM documents),
+         |k1 AS (
+         |  SELECT doc_id, lang, t FROM (
+         |    SELECT doc_id, lang, t,
+         |      MIN(doc_id) OVER (PARTITION BY md5(t)) AS m FROM base)
+         |  WHERE doc_id = m),
+         |toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM k1),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |gm AS (
+         |  SELECT gram, min(doc_id) AS gmin
+         |  FROM (SELECT DISTINCT gram, doc_id FROM g)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |p AS (SELECT g.doc_id, g.pos, gm.gmin FROM g JOIN gm USING (gram)),
+         |b AS (
+         |  SELECT doc_id, pos, gmin,
+         |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s AS (
+         |  SELECT doc_id, pos, gmin, SUM(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b),
+         |sp AS (
+         |  SELECT doc_id, MIN(pos) AS st, MAX(pos) + 4 AS en, MIN(gmin) AS keeper
+         |  FROM s GROUP BY doc_id, isl),
+         |cut AS (SELECT doc_id, st, en FROM sp WHERE keeper <> doc_id),
+         |tok AS (
+         |  SELECT doc_id, len(ts) AS n_before, CAST(i - 1 AS INT) AS tpos,
+         |    ts[CAST(i AS INT)] AS tk
+         |  FROM toks, unnest(range(1, len(ts) + 1)) r(i)),
+         |keep AS (
+         |  SELECT t.doc_id, t.n_before, t.tpos, t.tk FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |    WHERE c.doc_id = t.doc_id AND t.tpos BETWEEN c.st AND c.en)),
+         |agg AS (
+         |  SELECT doc_id, CAST(MIN(n_before) AS INT) AS n_before,
+         |    COUNT(*) AS n_after,
+         |    string_agg(tk, ' ' ORDER BY tpos) AS txt,
+         |    CAST(SUM(CASE WHEN tk IN ($Stop) THEN 1 ELSE 0 END) AS BIGINT) AS stop
+         |  FROM keep GROUP BY doc_id),
+         |q AS (
+         |  SELECT a.doc_id, k1.lang, a.n_before, a.n_after, a.stop,
+         |    CAST(length(a.txt) AS BIGINT) AS n_chr,
+         |    CAST(length(regexp_replace(a.txt, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct
+         |  FROM agg a JOIN k1 USING (doc_id))
+         |SELECT doc_id, lang, n_before, n_after,
+         |  ((stop * 20000 + n_after) // (n_after * 2)) * 4
+         |    + (10000 - (punct * 20000 + n_chr) // (n_chr * 2)) * 3
+         |    + least(10000, n_after * 100) * 3 AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
 
     // streaming span screen replayed as the sequential two-batch
     // loop: batch 0 ([250, 375)) screens against history (< 250),
