@@ -98,6 +98,11 @@ object GramCatalog {
   def append(spark: SparkSession, docs: DataFrame, h: Handle,
       ingestId: Long): Unit = {
     require(ingestId > 0, s"ingestId must be > 0 (0 is the landing): $ingestId")
+    val f = CatalogMaintenance.readFloor(spark, h.root)
+    require(ingestId > f,
+      s"ingestId $ingestId is at or below the maintenance floor $f: that " +
+        "batch's stats were folded into the landing (or expired) — " +
+        "re-appending would DOUBLE its df contributions in the merged view")
     val mark = graft.Shared.mark(spark)
     try {
       val stats = Dedup.gramStats(docs, kOf(spark, h))
@@ -112,10 +117,48 @@ object GramCatalog {
     */
   def stats(spark: SparkSession, h: Handle,
       maxIngestId: Option[Long] = None): DataFrame = {
+    // a bound below the maintenance floor cannot be honored: folded
+    // partition 0 carries batches up to the floor, so the filter
+    // would silently include history the caller asked to exclude
+    maxIngestId.foreach { x =>
+      val f = CatalogMaintenance.readFloor(spark, h.root)
+      require(x >= f,
+        s"stats bound $x is below the catalog's maintenance floor $f " +
+          s"(batches <= $f were folded/expired; bounding below it is invalid)")
+    }
     val t = maxIngestId.fold(spark.table(h.statsT))(x =>
       spark.table(h.statsT).filter(col("ingest_id") <= x))
     t.groupBy("gram").agg(sum("df").as("df"), min("gmin").as("gmin"))
   }
+
+  private def tset(h: Handle) = CatalogMaintenance.TableSet(
+    Seq(h.statsT), Seq(s"${h.root}/stats"), h.root)
+
+  /** Fold ingest partitions 0..`upToIngestId` into the landing. For
+    * THIS catalog the generic fold is provably verdict-invisible:
+    * the merged view is SUM(df)/MIN(gmin) per gram, both associative
+    * over the folded rows — and the fold's replay-idempotence
+    * `distinct()` can never merge two legitimate rows, because
+    * disjoint ingest batches give the same gram different `gmin`
+    * values (gmin is a doc of the contributing batch). Pinned in
+    * GramCatalogSpec.
+    */
+  def compact(spark: SparkSession, h: Handle, upToIngestId: Long): Unit =
+    CatalogMaintenance.compact(spark, tset(h), upToIngestId)
+
+  /** Retention: drop ingest partitions below `minIngestId` — their
+    * grams' df contributions are FORGOTTEN by the merged view (aged
+    * history stops counting toward duplication), the cleanUp.py
+    * analog. With `archiveDir`, partitions demote to cold storage
+    * first.
+    */
+  def expire(spark: SparkSession, h: Handle, minIngestId: Long,
+      archiveDir: Option[String] = None): Unit =
+    CatalogMaintenance.expire(spark, tset(h), minIngestId, archiveDir)
+
+  /** The catalog's maintenance floor (0 = never maintained). */
+  def floor(spark: SparkSession, h: Handle): Long =
+    CatalogMaintenance.readFloor(spark, h.root)
 
   /** Screen a batch against the landed catalog — the per-ingest-batch
     * substring-dedup operator. `maxIngestId` bounds visible history

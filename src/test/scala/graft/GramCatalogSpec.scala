@@ -102,6 +102,53 @@ class GramCatalogSpec extends AnyFunSuite {
     } finally GramCatalog.drop(spark, cat)
   }
 
+  test("compact is invisible to the merged view; floors reject folded replays and stale bounds") {
+    import spark.implicits._
+    val hist = Seq((0L, "h0 h1 h2 h3 h4 h5")).toDF("doc_id", "text")
+    val b1 = Seq((100L, "aa bb cc dd ee x0 x1")).toDF("doc_id", "text")
+    val b2 = Seq((200L, "p0 p1 p2 p3 p4 p5 p6")).toDF("doc_id", "text")
+    val cat = GramCatalog.land(spark, hist, "spec_compact")
+    try {
+      GramCatalog.append(spark, b1, cat, 1L)
+      GramCatalog.append(spark, b2, cat, 2L)
+      val before = GramCatalog.stats(spark, cat)
+        .as[(String, Long, Long)].collect().toSet
+      def nParts = new java.io.File(s"${cat.root}/stats")
+        .listFiles().count(_.getName.startsWith("ingest_id="))
+      assert(nParts === 3)
+      GramCatalog.compact(spark, cat, 2L)
+      val after = GramCatalog.stats(spark, cat)
+        .as[(String, Long, Long)].collect().toSet
+      assert(after === before, "compaction changed the merged view")
+      assert(nParts === 1, "folded partitions not dropped")
+      assert(GramCatalog.floor(spark, cat) === 2L)
+      // folded batch ids can never re-append (their df would double)
+      intercept[IllegalArgumentException](GramCatalog.append(spark, b1, cat, 1L))
+      // a screen bound below the floor cannot be honored
+      intercept[IllegalArgumentException](
+        GramCatalog.stats(spark, cat, maxIngestId = Some(1L)).collect())
+      // at the floor is fine
+      assert(GramCatalog.stats(spark, cat, maxIngestId = Some(2L))
+        .as[(String, Long, Long)].collect().toSet === before)
+    } finally GramCatalog.drop(spark, cat)
+  }
+
+  test("expire forgets aged history: an expired gram stops flagging") {
+    import spark.implicits._
+    val hist = Seq((0L, "aa bb cc dd ee h0")).toDF("doc_id", "text")
+    val b1 = Seq((100L, "q0 q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val probe = Seq((200L, "y0 aa bb cc dd ee y1")).toDF("doc_id", "text")
+    val cat = GramCatalog.land(spark, hist, "spec_expire")
+    try {
+      GramCatalog.append(spark, b1, cat, 1L)
+      assert(GramCatalog.screen(spark, probe, cat).count() === 1L)
+      // drop the landing (partition 0): its aa..ee run is forgotten
+      GramCatalog.expire(spark, cat, minIngestId = 1L)
+      assert(GramCatalog.screen(spark, probe, cat).count() === 0L,
+        "expired history still flags")
+    } finally GramCatalog.drop(spark, cat)
+  }
+
   test("a fresh session catalog reattaches to landed state without losing appends") {
     import spark.implicits._
     val hist = Seq((0L, "h0 h1 h2 h3 h4 h5")).toDF("doc_id", "text")
