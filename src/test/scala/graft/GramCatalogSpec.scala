@@ -133,6 +133,38 @@ class GramCatalogSpec extends AnyFunSuite {
     } finally GramCatalog.drop(spark, cat)
   }
 
+  test("compact invariance holds across randomized disjoint batches") {
+    import spark.implicits._
+    // the "distinct() can never merge legitimate rows" proof leans on
+    // disjoint-batch gmins; exercise it over randomized small-vocab
+    // corpora where identical (gram, df) pairs across batches are
+    // common and only gmin separates them
+    val rnd = new scala.util.Random(23)
+    def mkDocs(ids: Range) = ids.map { id =>
+      (id.toLong, (1 to 6 + rnd.nextInt(14)).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    for (trial <- 1 to 3) {
+      val b0 = mkDocs(0 until 6).toDF("doc_id", "text")
+      val b1 = mkDocs(100 until 106).toDF("doc_id", "text")
+      val b2 = mkDocs(200 until 206).toDF("doc_id", "text")
+      val cat = GramCatalog.land(spark, b0, s"spec_rand_$trial", k = 4)
+      try {
+        GramCatalog.append(spark, b1, cat, 1L)
+        GramCatalog.append(spark, b2, cat, 2L)
+        val before = GramCatalog.stats(spark, cat)
+          .as[(String, Long, Long)].collect().toSet
+        GramCatalog.compact(spark, cat, 1L)
+        assert(GramCatalog.stats(spark, cat)
+          .as[(String, Long, Long)].collect().toSet === before,
+          s"trial $trial: partial compact changed the view")
+        GramCatalog.compact(spark, cat, 2L)
+        assert(GramCatalog.stats(spark, cat)
+          .as[(String, Long, Long)].collect().toSet === before,
+          s"trial $trial: full compact changed the view")
+      } finally GramCatalog.drop(spark, cat)
+    }
+  }
+
   test("expire forgets aged history: an expired gram stops flagging") {
     import spark.implicits._
     val hist = Seq((0L, "aa bb cc dd ee h0")).toDF("doc_id", "text")
