@@ -858,6 +858,49 @@ object TrainingPack {
   val txIntraSpans: Q = (s, d) =>
     Dedup.intraDupSpans(s, d, k = 3).orderBy("doc_id", "span_start")
 
+  /** Per-language quality-threshold CALIBRATION at a target keep
+    * fraction (70%): the "keep the best X% of each language" curation
+    * step, computed rank-exactly — the threshold is the largest
+    * quality score whose descending cumulative doc count reaches
+    * ceil(0.70·n) for the language, and every doc at or above it is
+    * kept (ties inclusive, so the kept fraction is minimal-≥-target).
+    *
+    * Scale shape: no doc-level sort anywhere. The score HISTOGRAM
+    * (lang, quality, count) is one partial-agg'd shuffle; the
+    * cumulative window runs over histogram rows (≤ langs × distinct
+    * integer scores — thousands, not docs); the per-lang threshold
+    * table broadcasts back onto the scored frame. A row_number()
+    * window per language — the naive form — would totally sort every
+    * language partition at corpus scale.
+    */
+  val txQualityThreshold: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ts = TextOps.tokens(col("text"))
+    val nTok = size(ts).cast("bigint")
+    val nChr = length(lower(col("text"))).cast("bigint")
+    val stop = TextOps.stopwordCount(ts).cast("bigint")
+    val punct = TextOps.punctCount(col("text")).cast("bigint")
+    def intDiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("bigint")
+    val stopBp = intDiv(stop * 20000 + nTok, nTok * 2)
+    val punctBp = intDiv(punct * 20000 + nChr, nChr * 2)
+    val quality = stopBp * 4 + (lit(10000L) - punctBp) * 3 +
+      least(lit(10000L), nTok * 100) * 3
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), quality.as("quality"))
+    val wCum = Window.partitionBy("lang").orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val th = scored.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .filter(col("cum") * 10000 >= col("n") * 7000)
+      .groupBy("lang").agg(max("quality").as("q_threshold"))
+    scored.join(broadcast(th), Seq("lang"))
+      .filter(col("quality") >= col("q_threshold"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("q_threshold"))
+      .orderBy("doc_id")
+  }
+
   /** Composed curation slice with a TEXT-REWRITING stage: exact dedup
     * → substring span-cut over the survivors ([[Dedup.cutDupSpansFrom]])
     * → quality scored on the CUT text. The point under check: the cut
@@ -910,6 +953,7 @@ object TrainingPack {
     "tx_intra_spans"       -> txIntraSpans,
     "tx_stream_spans"      -> txStreamSpans,
     "tx_pipeline_cut"      -> txPipelineCut,
+    "tx_quality_threshold" -> txQualityThreshold,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1393,6 +1437,35 @@ object TrainingPack {
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
          |  COUNT(*) AS n_grams
          |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    // per-lang keep-the-best-70%: threshold = largest quality whose
+    // descending cumulative count reaches ceil(0.7 n) for the lang;
+    // ties at the threshold kept (minimal >= target)
+    "tx_quality_threshold" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, lower(text) AS lt, $TS AS ts FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    ((CAST(len(list_filter(ts, x -> x IN ($Stop))) AS BIGINT) * 20000
+         |        + CAST(len(ts) AS BIGINT)) // (CAST(len(ts) AS BIGINT) * 2)) * 4
+         |    + (10000 - (CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS BIGINT) * 20000
+         |        + CAST(length(lt) AS BIGINT)) // (CAST(length(lt) AS BIGINT) * 2)) * 3
+         |    + least(10000, CAST(len(ts) AS BIGINT) * 100) * 3 AS quality
+         |  FROM t),
+         |h AS (SELECT lang, quality, count(*) AS c FROM m GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT lang, quality,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY quality DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(c) OVER (PARTITION BY lang) AS n
+         |  FROM h),
+         |th AS (
+         |  SELECT lang, MAX(quality) AS q_threshold FROM cm
+         |  WHERE cum * 10000 >= n * 7000 GROUP BY lang)
+         |SELECT m.doc_id, m.lang, m.quality, th.q_threshold
+         |FROM m JOIN th USING (lang)
+         |WHERE m.quality >= th.q_threshold
+         |ORDER BY m.doc_id""".stripMargin,
 
     // dedup -> span-cut -> quality-on-cut-text: the exact-dedup
     // window, the full cut machinery over SURVIVORS only, then the

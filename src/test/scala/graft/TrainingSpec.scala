@@ -1132,6 +1132,29 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("quality threshold: per-lang kept set is the minimal >= 70% prefix, ties inclusive") {
+    import spark.implicits._
+    val kept = graft.queries.TrainingPack.txQualityThreshold(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    // independent truth: score every doc, sort per lang, take the
+    // quality at rank ceil(0.7 n) as the threshold
+    val scored = graft.queries.TrainingPack.txQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .as[(Long, Long, String)].collect()
+    scored.groupBy(_._3).foreach { case (lang, rows) =>
+      val qs = rows.map(_._2).sorted(Ordering[Long].reverse)
+      val target = math.ceil(0.7 * qs.length).toInt
+      val threshold = qs(target - 1)
+      val expect = rows.filter(_._2 >= threshold).map(_._1).toSet
+      val got = kept.filter(_._2 == lang)
+      assert(got.map(_._1).toSet === expect, s"lang $lang kept set diverged")
+      assert(got.forall(_._4 == threshold), s"lang $lang threshold diverged")
+      assert(got.size >= target && got.size.toDouble / qs.length < 0.8,
+        s"lang $lang keep fraction off: ${got.size}/${qs.length}")
+    }
+  }
+
   test("pipeline-cut: quality is scored on the cut text, not the raw text") {
     import spark.implicits._
     val out = graft.queries.TrainingPack.txPipelineCut(spark, dir)
