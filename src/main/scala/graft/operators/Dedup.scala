@@ -738,6 +738,18 @@ object Dedup {
       .filter(col("df") >= minDocs)
       .select("gram")
     val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+    mergeIslands(dupPos.select("doc_id", "pos"), k)
+  }
+
+  /** Gaps-and-islands merge of duplicated gram start offsets into
+    * maximal spans — the one copy of the span family's merge rule:
+    * a start within k of the previous duplicated start overlaps or
+    * adjoins the running span's token coverage, a NULL or > k gap
+    * breaks the island. Input: (doc_id, pos [, extra cols]); output:
+    * (doc_id, span_start, span_end, n_grams [, extraAggs]).
+    */
+  private def mergeIslands(dupPos: DataFrame, k: Int,
+      extraAggs: Seq[Column] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     dupPos
@@ -747,9 +759,9 @@ object Dedup {
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min("pos").as("span_start"),
-        (max("pos") + (k - 1)).as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+        ((max("pos") + (k - 1)).as("span_end") +:
+          count(lit(1)).as("n_grams") +: extraAggs): _*)
+      .drop("isl")
   }
 
   /** WITHIN-document repetition spans — the surgical twin of the
@@ -779,18 +791,7 @@ object Dedup {
       .withColumn("first", min("pos").over(wg))
       .filter(col("pos") > col("first"))
       .select("doc_id", "pos")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    repeats
-      .withColumn("brk",
-        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
-      .withColumn("isl", sum("brk").over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min("pos").as("span_start"),
-        (max("pos") + (k - 1)).as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+    mergeIslands(repeats, k)
   }
 
   /** Per-gram corpus statistics — the substring-dedup CATALOG shape:
@@ -829,18 +830,7 @@ object Dedup {
       .filter(col("bdf") + coalesce(col("df"), lit(0L)) >= minDocs)
       .select("gram")
     val dupPos = bg.join(dupGrams, Seq("gram"), "left_semi")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    dupPos
-      .withColumn("brk",
-        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
-      .withColumn("isl", sum("brk").over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min("pos").as("span_start"),
-        (max("pos") + (k - 1)).as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+    mergeIslands(dupPos.select("doc_id", "pos"), k)
   }
 
   /** The cut step of substring-level dedup: duplicated spans are
@@ -882,18 +872,10 @@ object Dedup {
       .filter(col("df") >= minDocs)
       .select("gram", "gmin")
     val dupPos = grams.join(gramMin, Seq("gram"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val spans = dupPos
-      .withColumn("brk",
-        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
-      .withColumn("isl", sum("brk").over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min("pos").as("s"), (max("pos") + (k - 1)).as("e"),
-        min("gmin").as("keeper"))
-    val cut = spans.filter(col("keeper") =!= col("doc_id"))
-      .select(col("doc_id"), col("s"), col("e"))
+    val cut = mergeIslands(dupPos.select("doc_id", "pos", "gmin"), k,
+        Seq(min("gmin").as("keeper")))
+      .filter(col("keeper") =!= col("doc_id"))
+      .select(col("doc_id"), col("span_start").as("s"), col("span_end").as("e"))
     val toks = docs
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_before"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("tpos", "tk")))
