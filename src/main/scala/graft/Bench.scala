@@ -37,11 +37,16 @@ object Bench {
         // the canonical-path fallback can arm the guard with ANOTHER
         // tree's reference timings when run from a different checkout —
         // refsSrc records the path in the artifact, and this warning
-        // makes the mismatch loud at run time too
+        // makes the mismatch loud at run time too. "Another tree" is
+        // judged structurally: the refs file's own directory vs the
+        // cwd — not against any hardcoded checkout location, so a
+        // repo cloned elsewhere (or a second tree nested under the
+        // canonical path) is detected all the same
         val cwd = new java.io.File(".").getCanonicalPath
-        if (p.startsWith("/") && cwd != "/root/repo" && !cwd.startsWith("/root/repo/"))
-          System.err.println(s"[bench] WARNING: using fallback refs $p from " +
-            s"cwd=${new java.io.File(".").getCanonicalPath} — refs may belong to a different tree")
+        val refsDir = new java.io.File(p).getCanonicalFile.getParentFile.getPath
+        if (refsDir != cwd)
+          System.err.println(s"[bench] WARNING: using fallback refs $p (dir=$refsDir) from " +
+            s"cwd=$cwd — refs may belong to a different tree")
         try {
           val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
           val refs =

@@ -67,6 +67,39 @@ object Shared {
       }
   }
 
+  /** GC for per-process gate leftovers (streaming replay gates key
+    * their sink/checkpoint dirs by pid): delete every sibling of
+    * `keepName` under `parentDir` matching `prefix` whose NEWEST
+    * recursive mtime is older than `maxAgeMs`. The top-level dir's
+    * own mtime is NOT enough: POSIX directory mtime only changes when
+    * a direct child is added/removed, so a live stream writing under
+    * nested ck/offsets for hours looks idle at the top — staleness
+    * must be judged by the newest timestamp anywhere in the tree.
+    * Gate dirs are small (one sink + one checkpoint), so the
+    * recursive listing is bounded.
+    */
+  def gcStaleSiblings(spark: SparkSession, parentDir: String, prefix: String,
+      keepName: String, maxAgeMs: Long = 2L * 3600 * 1000): Unit = {
+    val parent = new org.apache.hadoop.fs.Path(parentDir)
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    def newestMtime(p: org.apache.hadoop.fs.Path, own: Long): Long = {
+      var newest = own
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
+    if (fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && n != keepName &&
+            st.getModificationTime < cutoff &&
+            scala.util.Try(newestMtime(st.getPath, st.getModificationTime))
+              .getOrElse(Long.MaxValue) < cutoff)
+          fs.delete(st.getPath, true)
+      }
+  }
+
   /** Scope mark: an identity snapshot of the frames currently pinned
     * on `spark`. Pair with [[releaseSince]] so a library step that
     * pins intermediates can release exactly its own — a blanket

@@ -833,27 +833,41 @@ object Dedup {
     mergeIslands(dupPos.select("doc_id", "pos"), k)
   }
 
-  /** The cut step of substring-level dedup: duplicated spans are
-    * REMOVED from every document except the keeper — the earliest doc
-    * (min doc_id) containing any gram of the span — and the cleaned
-    * text is reconstructed. This is [[dupSpansFrom]]'s downstream
-    * consumer as one operator: detect spans, decide a keeper per span
-    * (deterministic: min over the span's grams of each gram's global
-    * min doc_id), drop the cut ranges, re-concatenate surviving
-    * tokens in order.
+  /** The cut step of substring-level dedup: duplicated runs are
+    * REMOVED from every document except each run's keeper — decided
+    * PER GRAM, not per merged span. A token is cut iff it is covered
+    * by at least one duplicated k-gram whose earliest containing doc
+    * (global min doc_id) is ANOTHER document, and by no duplicated
+    * k-gram whose earliest doc is THIS document. This is
+    * [[dupSpansFrom]]'s downstream consumer as one operator: detect
+    * duplicated grams, decide survival token-by-token, drop the cut
+    * tokens, re-concatenate the survivors in order.
+    *
+    * Invariant (the "leave one copy" contract): every duplicated
+    * k-gram's full token extent survives intact in that gram's
+    * earliest doc. A span-level keeper (min over a merged span's
+    * grams) would break this when gaps-and-islands merges two
+    * ADJACENT duplicated passages with different earliest docs into
+    * one span — the span keeper need not contain the later passage,
+    * so its only copy could be cut from every document. The per-gram
+    * rule cannot: the passage's grams pin their tokens in the
+    * passage's own earliest doc.
     *
     * Output: (doc_id, n_before, n_after, text_cut) for every doc that
-    * retains at least one token. Keeper docs keep their text intact
-    * (n_before == n_after); non-keeper docs lose exactly their
-    * duplicated-span tokens.
+    * retains at least one token. A doc can be keeper of one passage
+    * and loser of another, so keeper-of-something does not imply
+    * n_before == n_after.
     *
-    * Scale shape: everything [[dupSpansFrom]] does, plus a token
-    * explode (corpus-token-sized, narrow) and a doc_id-equi join of
-    * tokens against cut spans (spans per doc are few; the BETWEEN
-    * range condition is a post-join filter on an equi-join, never a
-    * cartesian) and one ordered re-concatenation per doc (array_sort
-    * over collected (pos, token) structs — per-doc bounded state, the
-    * dq20 discipline).
+    * Scale shape: everything [[dupSpansFrom]] does, plus a bounded
+    * k-wide coverage explode over DUPLICATED positions only (k rows
+    * per dup gram, never corpus-token-sized unless the corpus is all
+    * duplicate), a (doc_id, tpos)-keyed partial-aggregated rollup of
+    * the cut decision, one doc_id+tpos equi anti-join of the token
+    * stream against the cut set, and one ordered re-concatenation per
+    * doc (array_sort over collected (pos, token) structs — per-doc
+    * bounded state, the dq20 discipline). No window over dup
+    * positions is needed at all: the token-level rule IS the coverage
+    * union the gaps-and-islands merge used to reconstruct.
     */
   def cutDupSpans(spark: SparkSession, dir: String, k: Int = ShingleN,
       minDocs: Int = 2): DataFrame =
@@ -872,15 +886,22 @@ object Dedup {
       .filter(col("df") >= minDocs)
       .select("gram", "gmin")
     val dupPos = grams.join(gramMin, Seq("gram"))
-    val cut = mergeIslands(dupPos.select("doc_id", "pos", "gmin"), k,
-        Seq(min("gmin").as("keeper")))
-      .filter(col("keeper") =!= col("doc_id"))
-      .select(col("doc_id"), col("span_start").as("s"), col("span_end").as("e"))
+    // coverage explode: each duplicated gram at pos covers tokens
+    // [pos, pos+k-1]; per (doc, token) the cut decision is a max-fold
+    // over covering grams (keeper-here wins over cut-from-elsewhere)
+    val del = dupPos
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"),
+        (col("gmin") === col("doc_id")).as("kf"))
+      .groupBy("doc_id", "tpos")
+      .agg(max(when(col("kf"), 0).otherwise(1)).as("hc"),
+        max(when(col("kf"), 1).otherwise(0)).as("hk"))
+      .filter(col("hc") === 1 && col("hk") === 0)
+      .select("doc_id", "tpos")
     val toks = docs
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_before"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("tpos", "tk")))
-    toks.join(cut, toks("doc_id") === cut("doc_id") &&
-        col("tpos").between(col("s"), col("e")), "left_anti")
+    toks.join(del, Seq("doc_id", "tpos"), "left_anti")
       .groupBy(col("doc_id"), col("n_before"))
       .agg(count(lit(1)).as("n_after"),
         concat_ws(" ", transform(

@@ -98,11 +98,23 @@ object Similarity {
   /** Same operator over any (vec_id, embedding) table (spec seam). */
   def embeddingNearDupFrom(embeddings: DataFrame,
       threshold: Double = 0.95): DataFrame = {
-    // one cheap pre-pass (count + max dim) so oversize misuse fails
-    // fast with a message that names the scale path
-    val sized = embeddings.agg(
-      count(lit(1)), coalesce(max(size(col("embedding"))), lit(0))).head()
-    requireExactSized(sized.getLong(0), sized.getInt(1))
+    // oversize-misuse guard, kept LAZY for the common case: first ask
+    // Catalyst's plan statistics (free — no job); only when that
+    // upper-bound estimate crosses the cap run the precise count+dim
+    // pre-pass, so a derived plan with inflated stats (join-multiplied
+    // estimates) still gets judged on its real size instead of being
+    // wrongly rejected, while plainly-small inputs pay zero extra
+    // scans. A stats UNDERestimate past the cap (compressed scan
+    // estimates run ~raw-size for float arrays, inside the 2x margin
+    // the half-of-8GB cap leaves) falls through to Spark's own
+    // broadcast error at action time — fail-fast is best-effort, the
+    // hard cap still holds.
+    val statsBytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statsBytes > BigInt(MaxExactBroadcastBytes)) {
+      val sized = embeddings.agg(
+        count(lit(1)), coalesce(max(size(col("embedding"))), lit(0))).head()
+      requireExactSized(sized.getLong(0), sized.getInt(1))
+    }
     val a = embeddings
       .select(col("vec_id").as("i"), col("embedding").as("va"))
     val b = embeddings

@@ -54,10 +54,25 @@ object Skew {
     * distribution. If the post-join aggregation is on the join key,
     * the skew split cannot engage regardless of dim shape; route the
     * hot side through [[saltedAgg]] instead.
+    *
+    * Caveats of the lineage cut (know what you're buying):
+    *  - EAGER: the checkpoint launches a Spark job at
+    *    DataFrame-CONSTRUCTION time, before the caller triggers any
+    *    action — this builder is not a pure plan assembler.
+    *  - `localCheckpoint` blocks are NON-REPLICATED executor blocks
+    *    and lineage is truncated: losing an executor afterwards fails
+    *    the downstream query instead of recomputing. Fine for
+    *    interactive/one-shot work; for a long-running production job
+    *    pass `reliable = true`, which uses a filesystem `checkpoint`
+    *    (survives executor loss; requires
+    *    `sparkContext.setCheckpointDir` and costs one small write of
+    *    the dim).
     */
   def skewSafeDimJoin(fact: DataFrame, dim: DataFrame, key: String,
-      joinType: String = "inner"): DataFrame =
-    fact.join(dim.localCheckpoint(true), Seq(key), joinType)
+      joinType: String = "inner", reliable: Boolean = false): DataFrame = {
+    val cut = if (reliable) dim.checkpoint(true) else dim.localCheckpoint(true)
+    fact.join(cut, Seq(key), joinType)
+  }
 
   /** Salted equi-join: `left` (skewed) gets a salt per row; `right`
     * is exploded across all `buckets` salt values so every

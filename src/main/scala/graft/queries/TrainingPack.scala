@@ -1489,26 +1489,21 @@ object TrainingPack {
          |  FROM (SELECT DISTINCT gram, doc_id FROM g)
          |  GROUP BY gram HAVING count(*) >= 2),
          |p AS (SELECT g.doc_id, g.pos, gm.gmin FROM g JOIN gm USING (gram)),
-         |b AS (
-         |  SELECT doc_id, pos, gmin,
-         |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk
-         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |s AS (
-         |  SELECT doc_id, pos, gmin, SUM(brk) OVER (
-         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-         |  FROM b),
-         |sp AS (
-         |  SELECT doc_id, MIN(pos) AS st, MAX(pos) + 4 AS en, MIN(gmin) AS keeper
-         |  FROM s GROUP BY doc_id, isl),
-         |cut AS (SELECT doc_id, st, en FROM sp WHERE keeper <> doc_id),
+         |cov AS (
+         |  SELECT doc_id, CAST(pos + o AS INT) AS tpos,
+         |    MAX(CASE WHEN gmin <> doc_id THEN 1 ELSE 0 END) AS hc,
+         |    MAX(CASE WHEN gmin = doc_id THEN 1 ELSE 0 END) AS hk
+         |  FROM p, unnest(range(0, 5)) r(o)
+         |  GROUP BY 1, 2),
+         |del AS (SELECT doc_id, tpos FROM cov WHERE hc = 1 AND hk = 0),
          |tok AS (
          |  SELECT doc_id, len(ts) AS n_before, CAST(i - 1 AS INT) AS tpos,
          |    ts[CAST(i AS INT)] AS tk
          |  FROM toks, unnest(range(1, len(ts) + 1)) r(i)),
          |keep AS (
          |  SELECT t.doc_id, t.n_before, t.tpos, t.tk FROM tok t
-         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
-         |    WHERE c.doc_id = t.doc_id AND t.tpos BETWEEN c.st AND c.en)),
+         |  WHERE NOT EXISTS (SELECT 1 FROM del d
+         |    WHERE d.doc_id = t.doc_id AND d.tpos = t.tpos)),
          |agg AS (
          |  SELECT doc_id, CAST(MIN(n_before) AS INT) AS n_before,
          |    COUNT(*) AS n_after,
@@ -1605,10 +1600,13 @@ object TrainingPack {
          |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
 
     // the cut step on top of the tx_dup_spans machinery: per dup gram
-    // also its earliest doc (min over DISTINCT (gram, doc) pairs), a
-    // span's keeper = min over its grams' earliest docs, non-keeper
-    // spans become cut ranges, tokens outside every cut range
-    // re-concatenate in position order
+    // also its earliest doc (min over DISTINCT (gram, doc) pairs);
+    // keepers are PER GRAM, not per merged span — a token is cut iff
+    // covered by a dup gram whose earliest doc is another doc and by
+    // none whose earliest doc is this doc (so every duplicated run
+    // survives intact in its own earliest doc even when adjacent runs
+    // with different earliest docs would merge into one span);
+    // survivors re-concatenate in position order
     "tx_span_cut" ->
       s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
          |g AS (
@@ -1621,26 +1619,21 @@ object TrainingPack {
          |  FROM (SELECT DISTINCT gram, doc_id FROM g)
          |  GROUP BY gram HAVING count(*) >= 2),
          |p AS (SELECT g.doc_id, g.pos, gm.gmin FROM g JOIN gm USING (gram)),
-         |b AS (
-         |  SELECT doc_id, pos, gmin,
-         |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk
-         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |s AS (
-         |  SELECT doc_id, pos, gmin, SUM(brk) OVER (
-         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-         |  FROM b),
-         |sp AS (
-         |  SELECT doc_id, MIN(pos) AS st, MAX(pos) + 4 AS en, MIN(gmin) AS keeper
-         |  FROM s GROUP BY doc_id, isl),
-         |cut AS (SELECT doc_id, st, en FROM sp WHERE keeper <> doc_id),
+         |cov AS (
+         |  SELECT doc_id, CAST(pos + o AS INT) AS tpos,
+         |    MAX(CASE WHEN gmin <> doc_id THEN 1 ELSE 0 END) AS hc,
+         |    MAX(CASE WHEN gmin = doc_id THEN 1 ELSE 0 END) AS hk
+         |  FROM p, unnest(range(0, 5)) r(o)
+         |  GROUP BY 1, 2),
+         |del AS (SELECT doc_id, tpos FROM cov WHERE hc = 1 AND hk = 0),
          |tok AS (
          |  SELECT doc_id, len(ts) AS n_before, CAST(i - 1 AS INT) AS tpos,
          |    ts[CAST(i AS INT)] AS tk
          |  FROM toks, unnest(range(1, len(ts) + 1)) r(i)),
          |keep AS (
          |  SELECT t.doc_id, t.n_before, t.tpos, t.tk FROM tok t
-         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
-         |    WHERE c.doc_id = t.doc_id AND t.tpos BETWEEN c.st AND c.en))
+         |  WHERE NOT EXISTS (SELECT 1 FROM del d
+         |    WHERE d.doc_id = t.doc_id AND d.tpos = t.tpos))
          |SELECT doc_id, CAST(MIN(n_before) AS INT) AS n_before,
          |  COUNT(*) AS n_after,
          |  string_agg(tk, ' ' ORDER BY tpos) AS text_cut

@@ -262,14 +262,8 @@ object EventStream {
     val base = s"${sys.props("java.io.tmpdir")}/graft_ingest_gate_${dirPart}_" +
       ProcessHandle.current().pid()
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    val parent = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"))
-    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-    fs.listStatus(parent).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("graft_ingest_gate_") && n != new org.apache.hadoop.fs.Path(base).getName
-          && st.getModificationTime < cutoff)
-        fs.delete(st.getPath, true)
-    }
+    graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
+      "graft_ingest_gate_", new org.apache.hadoop.fs.Path(base).getName)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val sink = s"$base/sink"
     val ck = s"$base/ck"

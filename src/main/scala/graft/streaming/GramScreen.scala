@@ -97,15 +97,8 @@ object GramScreen {
     // concurrency discipline)
     val base = s"${sys.props("java.io.tmpdir")}/graft_gram_gate_${dirPart}_" +
       ProcessHandle.current().pid()
-    val parent = new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir"))
-    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-    fs.listStatus(parent).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("graft_gram_gate_") &&
-          n != new org.apache.hadoop.fs.Path(base).getName &&
-          st.getModificationTime < cutoff)
-        fs.delete(st.getPath, true)
-    }
+    graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
+      "graft_gram_gate_", new org.apache.hadoop.fs.Path(base).getName)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val schema = docs.schema
     spanScreen(spark, srcDir, schema, cat, s"$base/sink", s"$base/ck")

@@ -1032,6 +1032,31 @@ class TrainingSpec extends AnyFunSuite {
       (5L, 6, 6L, "q0 q1 q2 q3 q4 q5")))
   }
 
+  test("span cut: adjacent passages with different earliest docs each survive in their own keeper") {
+    import spark.implicits._
+    // passage A (a1..a5) is earliest in doc 1; passage B (b1..b5) is
+    // earliest in doc 2, where it sits ADJACENT to A — the merged
+    // island in doc 2 spans both passages. A span-level keeper
+    // (min gmin = 1) would cut the whole island from doc 2 AND cut B
+    // from doc 3 (keeper 2 <> 3), deleting every copy of B. The
+    // per-gram rule must keep B intact in doc 2.
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5"),
+      (2L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+      (3L, "b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDupSpansFrom(docs, k = 5, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Long, String)].collect()
+    assert(out === Array(
+      (1L, 5, 5L, "a1 a2 a3 a4 a5"),
+      // doc 2 loses A (earliest elsewhere) but keeps B (earliest HERE)
+      (2L, 10, 5L, "b1 b2 b3 b4 b5")))
+    // the invariant the fix protects: every duplicated run still has
+    // at least one surviving copy somewhere
+    val joined = out.map(_._4).mkString(" ")
+    assert(joined.contains("a1 a2 a3 a4 a5") && joined.contains("b1 b2 b3 b4 b5"))
+  }
+
   test("span cut: a fully duplicated later doc vanishes; keeper chain is earliest-doc") {
     import spark.implicits._
     val run = "s0 s1 s2 s3 s4 s5 s6"
