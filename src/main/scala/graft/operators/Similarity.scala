@@ -439,6 +439,52 @@ object Similarity {
       .groupBy("vec_id").agg(max(col("s")).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
 
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means,
+    * then within each cluster drop every vector that has a
+    * LOWER-id cluster-mate with cosine ≥ `threshold`. This is the
+    * paper's one-pass rule (each item judged against its whole
+    * cluster, one representative survives per tight semantic group);
+    * the transitive-closure alternative is [[embeddingNearDupLsh]] +
+    * the CC machinery in [[Dedup]].
+    *
+    * Returns the DROPPED set: (vec_id, cid, kept_by, max_cos) —
+    * kept_by is the smallest similar lower-id cluster-mate (the
+    * witness), max_cos the largest decimal-exact cosine to any such
+    * mate, rounded to 6 for the gate. Survivors = embeddings minus
+    * these vec_ids.
+    *
+    * Scale shape — the whole point of SemDeDup over exact all-pairs:
+    * assignment is the broadcast-argmax scan ([[ivfAssign]]'s
+    * map-side-combined shape, no n×C shuffle), and the pair join is
+    * EQUI on cid — the shuffle is cluster-keyed and the pair count is
+    * Σ n_c² over cells, never corpus n². At 100 TB, nCentroids grows
+    * with the corpus (the paper runs 50k clusters for LAION) so cells
+    * stay bounded; the double-dot prefilter keeps the exact decimal
+    * verify off all but candidate pairs. Assignment ties and the
+    * drop rule are id-tiebroken, so the result is deterministic and
+    * engine-portable (the driver gate replays clustering + rule in
+    * SQL).
+    */
+  def semanticDedupFrom(embeddings: DataFrame, nCentroids: Int = 16,
+      threshold: Double = 0.95, trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) ivfCentroidsTrained(embeddings, nCentroids, trainIters)
+      else ivfCentroids(embeddings, nCentroids)
+    val withC = embeddings.join(ivfAssignWith(embeddings, cents), "vec_id")
+    val a = withC.select(col("cid"), col("vec_id").as("i"), col("embedding").as("va"))
+    val b = withC.select(col("cid"), col("vec_id").as("j"), col("embedding").as("vb"))
+    a.join(b, Seq("cid")).filter(col("i") < col("j"))
+      .filter(dotDouble(col("va"), col("vb")) >= threshold - 0.01)
+      .withColumn("dot", dotDecimal(col("va"), col("vb")))
+      .filter(col("dot") >= threshold)
+      .groupBy(col("j").as("vec_id"), col("cid"))
+      .agg(min("i").as("kept_by"), max("dot").as("md"))
+      .select(col("vec_id"), col("cid"), col("kept_by"),
+        round(col("md"), 6).cast("double").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   private[operators] def ivfCandidates(embeddings: DataFrame,
       nQueries: Int, nCentroids: Int, nProbe: Int,
       trainIters: Int = 0): DataFrame = {

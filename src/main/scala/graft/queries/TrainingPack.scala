@@ -284,6 +284,16 @@ object TrainingPack {
   val ddEmbeddingNearDupLsh: Q = (s, d) => Similarity.embeddingNearDupLshFrom(
     plantTwins(Tables.embeddings(s, d).select("vec_id", "embedding")))
 
+  /** SemDeDup gate: cluster-then-prune semantic dedup over the same
+    * planted-twin slice as the exact gate — twins are near-identical,
+    * so they co-cluster and the gate asserts the drop rule actually
+    * fires (kept_by = the twin). Oracle replays seeding, argmax
+    * assignment, and the within-cluster rule verbatim.
+    */
+  val ddSemantic: Q = (s, d) => Similarity.semanticDedupFrom(
+    plantTwins(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+      .select("vec_id", "embedding")))
+
   /** Incremental embedding screen: even vec_ids are the historical
     * corpus — LANDED once per (session, scale dir) as VecCatalog's
     * bucketed bucket-key/vector tables, the production state-store
@@ -969,6 +979,7 @@ object TrainingPack {
     "dd_embedding_neardup" -> ddEmbeddingNearDup,
     "dd_embedding_neardup_lsh" -> ddEmbeddingNearDupLsh,
     "dd_embedding_incremental" -> ddEmbIncremental,
+    "dd_semantic_dedup"    -> ddSemantic,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
@@ -1818,6 +1829,38 @@ object TrainingPack {
          |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM p)
          |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d
          |WHERE dot >= CAST('0.95' AS DECIMAL(38,12)) ORDER BY i, j""".stripMargin,
+
+    // SemDeDup replay: planted slice -> md5-seeded centroids -> argmax
+    // assignment (dot DESC, cid tiebreak) -> within-cluster pairs ->
+    // drop rule (exists lower-id mate with decimal cos >= 0.95)
+    "dd_semantic_dedup" ->
+      s"""WITH sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+         |pe AS (
+         |  SELECT s.vec_id,
+         |    CASE WHEN s.vec_id % 97 = 1 THEN COALESCE(t.embedding, s.embedding)
+         |         ELSE s.embedding END AS embedding
+         |  FROM sl s LEFT JOIN sl t ON t.vec_id = s.vec_id - 1),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM pe
+         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM pe e, cents c)
+         |  WHERE r = 1),
+         |wc AS (SELECT e.vec_id, e.embedding, a.cid FROM pe e JOIN asg a USING (vec_id)),
+         |p AS (
+         |  SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+         |    a.embedding AS va, b.embedding AS vb
+         |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
+         |d AS (SELECT cid, i, j, ${dotDec.format("va", "vb")} AS dot FROM p)
+         |SELECT j AS vec_id, cid, MIN(i) AS kept_by,
+         |  CAST(ROUND(MAX(dot), 6) AS DOUBLE) AS max_cos
+         |FROM d WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
+         |GROUP BY j, cid ORDER BY vec_id""".stripMargin,
 
     "ann_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -574,6 +574,34 @@ class TrainingSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- lsh).size} of ${exact.size} planted pairs: ${exact -- lsh}")
   }
 
+  test("semantic dedup: co-clustered twins dropped with their base as witness, nothing else") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def draw() = normalize(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val bases = (0 until 10).map(_ => draw())
+    val twins = bases.map(b => normalize(b.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)))
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      twins.zipWithIndex.map { case (v, i) => ((i + 10).toLong, v) }
+    val emb = rows.toDF("vec_id", "embedding")
+    // expected drops: exactly the twins that share a cluster with
+    // their base (random bases have cos far below threshold, so the
+    // only >= 0.95 pairs are (i, i+10))
+    val cid = Similarity.ivfAssign(emb, nCentroids = 4)
+      .as[(Long, Long)].collect().toMap
+    val expected = (0 until 10).collect {
+      case i if cid(i.toLong) == cid((i + 10).toLong) => (i + 10).toLong -> i.toLong
+    }.toMap
+    assert(expected.size >= 8,
+      s"plant degenerate: only ${expected.size} twin pairs co-clustered")
+    val out = Similarity.semanticDedupFrom(emb, nCentroids = 4)
+      .select("vec_id", "kept_by").as[(Long, Long)].collect().toMap
+    assert(out === expected)
+  }
+
   test("exact embedding near-dup past the broadcast cap fails fast naming the LSH path") {
     // the guardrail itself, at misuse scale (no 4 GB table needed)
     val e = intercept[IllegalArgumentException] {
