@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, LangModel, Multimodal, Similarity, TextOps}
 import graft.functions.{TextExpressions, TextImpl}
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -911,6 +911,13 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM quality score: character-trigram model trained on
+    * the doc_id % 10 == 0 slice, every doc scored by integer-exact
+    * average trigram probability ([[LangModel.lmScoreFrom]] — all
+    * BIGINT floor arithmetic, so the oracle replays it to the bit).
+    */
+  val txLmScore: Q = (s, d) => LangModel.lmScore(s, d)
+
   /** Composed curation slice with a TEXT-REWRITING stage: exact dedup
     * → substring span-cut over the survivors ([[Dedup.cutDupSpansFrom]])
     * → quality scored on the CUT text. The point under check: the cut
@@ -964,6 +971,7 @@ object TrainingPack {
     "tx_stream_spans"      -> txStreamSpans,
     "tx_pipeline_cut"      -> txPipelineCut,
     "tx_quality_threshold" -> txQualityThreshold,
+    "tx_lm_score"          -> txLmScore,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1477,6 +1485,29 @@ object TrainingPack {
          |FROM m JOIN th USING (lang)
          |WHERE m.quality >= th.q_threshold
          |ORDER BY m.doc_id""".stripMargin,
+
+    // CCNet-style char-trigram LM score: Laplace-smoothed
+    // P(nxt|ctx) = (n3+1)/(n2+V) from the doc_id % 10 = 0 training
+    // slice, per-trigram probability scaled by 1e9 and floor-divided,
+    // per-doc mean floor-divided again - pure BIGINT arithmetic
+    "tx_lm_score" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tr AS (
+        |  SELECT doc_id, substr(lt, CAST(i AS INT), 2) AS ctx,
+        |    substr(lt, CAST(i AS INT) + 2, 1) AS nxt
+        |  FROM t, unnest(range(1, length(lt) - 1)) r(i)
+        |  WHERE length(lt) >= 3),
+        |m3 AS (SELECT ctx, nxt, count(*) AS n3 FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        |m2 AS (SELECT ctx, SUM(n3) AS n2 FROM m3 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT nxt) AS vsz FROM m3),
+        |sc AS (
+        |  SELECT tr.doc_id,
+        |    (COALESCE(m3.n3, 0) + 1) * 1000000000 // (COALESCE(m2.n2, 0) + v.vsz) AS p
+        |  FROM tr LEFT JOIN m3 USING (ctx, nxt) LEFT JOIN m2 USING (ctx), v)
+        |SELECT doc_id, COUNT(*) AS n_tri,
+        |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS avg_p_e9
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // dedup -> span-cut -> quality-on-cut-text: the exact-dedup
     // window, the full cut machinery over SURVIVORS only, then the

@@ -574,6 +574,29 @@ class TrainingSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- lsh).size} of ${exact.size} planted pairs: ${exact -- lsh}")
   }
 
+  test("LM score: reference-like text outscores gibberish on both surfaces") {
+    import spark.implicits._
+    // training slice = doc_id % 10 == 0: repetitive English-like text;
+    // doc 1 reuses the training trigrams, doc 3 is alphabet soup
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the dog sat on the log"),
+      (10L, "the rat sat on the hat and the cat ate the bat"),
+      (20L, "a dog and a cat sat on a mat in the sun"),
+      (1L, "the cat sat on the log and the dog ate the mat"),
+      (3L, "xq zvw kjq pxf wzy qjx vkz fxp yqw zxj")
+    ).toDF("doc_id", "text")
+    val score = operators.LangModel.lmScoreFrom(docs)
+      .select("doc_id", "avg_p_e9").as[(Long, Long)].collect().toMap
+    assert(score(1L) > 3 * score(3L),
+      s"in-distribution doc must far outscore gibberish: $score")
+    val perp = operators.LangModel.lmPerplexityFrom(docs)
+      .select("doc_id", "perplexity").as[(Long, Double)].collect().toMap
+    assert(perp(1L) < perp(3L) / 2,
+      s"in-distribution doc must have far lower perplexity: $perp")
+    // every doc with >= 3 chars gets a row; scores are positive
+    assert(score.keySet === Set(0L, 10L, 20L, 1L, 3L) && score.values.forall(_ > 0))
+  }
+
   test("semantic dedup: co-clustered twins dropped with their base as witness, nothing else") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
