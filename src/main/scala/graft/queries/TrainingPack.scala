@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, LangModel, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, LangModel, Mixer, Multimodal, Similarity, TextOps}
 import graft.functions.{TextExpressions, TextImpl}
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -918,6 +918,15 @@ object TrainingPack {
     */
   val txLmScore: Q = (s, d) => LangModel.lmScore(s, d)
 
+  /** Temperature-mix gate: α = 0.5 domain smoothing over lang at a
+    * half-corpus target ([[Mixer.temperatureMixFrom]]); the output
+    * carries each survivor's domain size and hex cut so the weight
+    * algebra itself is value-checked, not just the survivor set.
+    */
+  val txDomainMix: Q = (s, d) => Mixer.temperatureMix(s, d)
+    .select(col("doc_id"), col("lang"), col("n_dom"), col("hcut6"))
+    .orderBy("doc_id")
+
   /** Composed curation slice with a TEXT-REWRITING stage: exact dedup
     * → substring span-cut over the survivors ([[Dedup.cutDupSpansFrom]])
     * → quality scored on the CUT text. The point under check: the cut
@@ -972,6 +981,7 @@ object TrainingPack {
     "tx_pipeline_cut"      -> txPipelineCut,
     "tx_quality_threshold" -> txQualityThreshold,
     "tx_lm_score"          -> txLmScore,
+    "tx_domain_mix"        -> txDomainMix,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1508,6 +1518,22 @@ object TrainingPack {
         |SELECT doc_id, COUNT(*) AS n_tri,
         |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS avg_p_e9
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // temperature mix: per-lang counts -> floor(sqrt*1000) weights ->
+    // half-corpus target -> integer quota -> 24-bit hex keep cut ->
+    // md5-prefix survival, all BIGINT floor arithmetic
+    "tx_domain_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+        |u AS (SELECT lang, nd, CAST(floor(sqrt(nd) * 1000) AS BIGINT) AS ud FROM n),
+        |tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS ntot,
+        |  CAST(SUM(ud) AS BIGINT) AS usum FROM u),
+        |t AS (SELECT lang, nd, ud * (ntot * 1 // 2) // usum AS td FROM u, tot),
+        |h AS (SELECT lang, nd AS n_dom,
+        |  printf('%06x', least(16777215, td * 16777216 // nd)) AS hcut6 FROM t)
+        |SELECT d.doc_id, d.lang, h.n_dom, h.hcut6
+        |FROM documents d JOIN h USING (lang)
+        |WHERE substr(md5('mix|' || doc_id), 1, 6) < h.hcut6
+        |ORDER BY doc_id""".stripMargin,
 
     // dedup -> span-cut -> quality-on-cut-text: the exact-dedup
     // window, the full cut machinery over SURVIVORS only, then the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.TextImpl
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Mixer, Multimodal, Similarity}
 
 /** Engine-native training-data operators: semantics that have no DuckDB
   * analog, checked against planted structure in the synthetic corpus
@@ -572,6 +572,32 @@ class TrainingSpec extends AnyFunSuite {
       s"plant broken: exact=$exact")
     assert(lsh === exact,
       s"LSH missed ${(exact -- lsh).size} of ${exact.size} planted pairs: ${exact -- lsh}")
+  }
+
+  test("temperature mix: tail domain upsampled vs head, total near target, cap engages") {
+    import spark.implicits._
+    // head domain 900 docs, tail domain 100: α = 0.5 gives the tail
+    // 3x the weight-per-doc of the head (sqrt(100)/100 vs
+    // sqrt(900)/900), so its keep RATE must be ~3x the head's
+    val docs = ((0L until 900L).map(i => (i, "en")) ++
+      (900L until 1000L).map(i => (i, "fi"))).toDF("doc_id", "lang")
+    val kept = Mixer.temperatureMixFrom(docs, col("lang"))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val en = kept.count(_._2 == "en").toDouble / 900
+    val fi = kept.count(_._2 == "fi").toDouble / 100
+    assert(fi > 2 * en && fi < 4.5 * en,
+      s"tail keep rate $fi must be ~3x head $en")
+    // md5 prefixes are uniform: the realized total tracks the
+    // half-corpus target (quota algebra is exact; survival is
+    // hash-thresholded, so allow sampling noise)
+    assert(math.abs(kept.length - 500) < 80, s"total ${kept.length} far from target 500")
+    // a 2-doc domain's quota exceeds keep-all: the hex cut must cap
+    val docs2 = docs.union(Seq((1000L, "xx"), (1001L, "xx")).toDF("doc_id", "lang"))
+    val cuts = Mixer.temperatureMixFrom(docs2, col("lang"))
+      .filter(col("lang") === "xx").select("hcut6").distinct()
+      .as[String].collect()
+    assert(cuts.isEmpty || cuts === Array("ffffff"),
+      s"tiny domain must cap at keep-all: ${cuts.toSeq}")
   }
 
   test("LM score: reference-like text outscores gibberish on both surfaces") {
