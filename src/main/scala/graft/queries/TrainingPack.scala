@@ -918,6 +918,39 @@ object TrainingPack {
     */
   val txLmScore: Q = (s, d) => LangModel.lmScore(s, d)
 
+  /** LM-score threshold calibration — the CCNet head/middle/tail cut
+    * composed from [[txLmScore]]'s model: keep each language's most
+    * reference-like ~70 % by average trigram probability. Calibration
+    * runs on MILLI-scale score buckets (avg_p_e9 div 1e6 — ≤ 1000
+    * values), so the cumulative window covers a bounded histogram even
+    * though raw e9 scores are nearly doc-unique; the cut is rank-exact
+    * at bucket granularity (ties-inclusive at the elected bucket),
+    * which is the production trade — a corpus-sized per-lang sort for
+    * the last 1e-3 of rank precision buys nothing.
+    */
+  val txLmThreshold: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // pinned: both the calibration branch and the final keep filter
+    // read the scored frame — without the pin each consumer re-runs
+    // the whole trigram scoring pipeline (the Shared.materialize
+    // contract; Verify/Bench release after the action)
+    val scored = graft.Shared.materialize(
+      LangModel.lmScore(s, d).select("doc_id", "avg_p_e9")
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .withColumn("pbkt", expr("avg_p_e9 div 1000000")))
+    val wCum = Window.partitionBy("lang").orderBy(col("pbkt").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val th = scored.groupBy("lang", "pbkt").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .filter(col("cum") * 10000 >= col("n") * 7000)
+      .groupBy("lang").agg(max("pbkt").as("b_threshold"))
+    scored.join(broadcast(th), Seq("lang"))
+      .filter(col("pbkt") >= col("b_threshold"))
+      .select(col("doc_id"), col("lang"), col("avg_p_e9"), col("b_threshold"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-mix gate: α = 0.5 domain smoothing over lang at a
     * half-corpus target ([[Mixer.temperatureMixFrom]]); the output
     * carries each survivor's domain size and hex cut so the weight
@@ -981,6 +1014,7 @@ object TrainingPack {
     "tx_pipeline_cut"      -> txPipelineCut,
     "tx_quality_threshold" -> txQualityThreshold,
     "tx_lm_score"          -> txLmScore,
+    "tx_lm_threshold"      -> txLmThreshold,
     "tx_domain_mix"        -> txDomainMix,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
@@ -1031,6 +1065,26 @@ object TrainingPack {
     "mm_wav_decode"        -> mmWavDecode,
     "mm_y4m_decode"        -> mmY4mDecode,
   )
+
+  /** Char-trigram LM model + per-trigram scaled probability CTEs
+    * (`sc(doc_id, p)`) — ONE copy shared by the score and threshold
+    * oracles so the model can never drift between them.
+    */
+  private val lmScoreCtes =
+    """t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+      |tr AS (
+      |  SELECT doc_id, substr(lt, CAST(i AS INT), 2) AS ctx,
+      |    substr(lt, CAST(i AS INT) + 2, 1) AS nxt
+      |  FROM t, unnest(range(1, length(lt) - 1)) r(i)
+      |  WHERE length(lt) >= 3),
+      |m3 AS (SELECT ctx, nxt, count(*) AS n3 FROM tr
+      |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+      |m2 AS (SELECT ctx, SUM(n3) AS n2 FROM m3 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT nxt) AS vsz FROM m3),
+      |sc AS (
+      |  SELECT tr.doc_id,
+      |    (COALESCE(m3.n3, 0) + 1) * 1000000000 // (COALESCE(m2.n2, 0) + v.vsz) AS p
+      |  FROM tr LEFT JOIN m3 USING (ctx, nxt) LEFT JOIN m2 USING (ctx), v)""".stripMargin
 
   private val shCte =
     s"""toks AS (
@@ -1501,23 +1555,35 @@ object TrainingPack {
     // slice, per-trigram probability scaled by 1e9 and floor-divided,
     // per-doc mean floor-divided again - pure BIGINT arithmetic
     "tx_lm_score" ->
-      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
-        |tr AS (
-        |  SELECT doc_id, substr(lt, CAST(i AS INT), 2) AS ctx,
-        |    substr(lt, CAST(i AS INT) + 2, 1) AS nxt
-        |  FROM t, unnest(range(1, length(lt) - 1)) r(i)
-        |  WHERE length(lt) >= 3),
-        |m3 AS (SELECT ctx, nxt, count(*) AS n3 FROM tr
-        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
-        |m2 AS (SELECT ctx, SUM(n3) AS n2 FROM m3 GROUP BY 1),
-        |v AS (SELECT count(DISTINCT nxt) AS vsz FROM m3),
-        |sc AS (
-        |  SELECT tr.doc_id,
-        |    (COALESCE(m3.n3, 0) + 1) * 1000000000 // (COALESCE(m2.n2, 0) + v.vsz) AS p
-        |  FROM tr LEFT JOIN m3 USING (ctx, nxt) LEFT JOIN m2 USING (ctx), v)
+      s"""WITH $lmScoreCtes
         |SELECT doc_id, COUNT(*) AS n_tri,
         |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS avg_p_e9
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the LM head-cut: same model CTEs, scores bucketed to milli
+    // scale (avg_p_e9 // 1e6), per-lang threshold = largest bucket
+    // whose descending cumulative count reaches 70%, ties inclusive
+    "tx_lm_threshold" ->
+      s"""WITH $lmScoreCtes,
+        |sco0 AS (
+        |  SELECT doc_id, CAST(SUM(p) // COUNT(*) AS BIGINT) AS avg_p_e9
+        |  FROM sc GROUP BY doc_id),
+        |sco AS (
+        |  SELECT s.doc_id, d.lang, s.avg_p_e9, s.avg_p_e9 // 1000000 AS pbkt
+        |  FROM sco0 s JOIN documents d USING (doc_id)),
+        |hh AS (SELECT lang, pbkt, count(*) AS c FROM sco GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT lang, pbkt,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY pbkt DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM hh),
+        |th AS (SELECT lang, MAX(pbkt) AS b_threshold FROM cm
+        |  WHERE cum * 10000 >= n * 7000 GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.avg_p_e9, th.b_threshold
+        |FROM sco s JOIN th USING (lang)
+        |WHERE s.pbkt >= th.b_threshold
+        |ORDER BY s.doc_id""".stripMargin,
 
     // temperature mix: per-lang counts -> floor(sqrt*1000) weights ->
     // half-corpus target -> integer quota -> 24-bit hex keep cut ->
