@@ -466,6 +466,50 @@ object Similarity {
     * engine-portable (the driver gate replays clustering + rule in
     * SQL).
     */
+  /** Incremental SemDeDup — the at-ingest twin of
+    * [[semanticDedupFrom]]: a new batch is judged inside the
+    * HISTORY's cluster geometry (centroids seeded from the ingested
+    * corpus, so verdicts are stable as batches arrive). A batch
+    * vector drops iff its cell contains a history vector at cosine ≥
+    * threshold (any id) or a LOWER-id batch-mate (the intra-batch
+    * rule — two twins arriving together yield one survivor, the
+    * DocScreen/VecScreen discipline). Returns the dropped set
+    * (vec_id, cid, kept_by = smallest similar mate, max_cos).
+    *
+    * Scale shape: both assignments are the broadcast-argmax scan; the
+    * two candidate joins are equi on cid with history cells bounded
+    * by the [[centroidsFor]] knob; batch-side work is batch-sized. In
+    * a deployment the history side lands cid-bucketed (the VecCatalog
+    * pattern with cid as the bucket key) so the per-batch screen
+    * never rescans raw history — here the operator takes the frames
+    * directly, the gate proving the verdict algebra.
+    */
+  def semanticScreenFrom(batch: DataFrame, hist: DataFrame,
+      nCentroids: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val cents = ivfCentroids(hist, nCentroids)
+    val h = hist.join(ivfAssignWith(hist, cents), "vec_id")
+      .select(col("cid"), col("vec_id").as("h_id"), col("embedding").as("vh"))
+    val b = batch.join(ivfAssignWith(batch, cents), "vec_id")
+      .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val histHits = b.join(h, Seq("cid"))
+      .filter(dotDouble(col("vb"), col("vh")) >= threshold - 0.01)
+      .withColumn("dot", dotDecimal(col("vb"), col("vh")))
+      .filter(col("dot") >= threshold)
+      .select(col("b_id"), col("cid"), col("h_id").as("mate"), col("dot"))
+    val b2 = b.select(col("cid"), col("b_id").as("i"), col("vb").as("vi"))
+    val selfHits = b.join(b2, Seq("cid")).filter(col("i") < col("b_id"))
+      .filter(dotDouble(col("vb"), col("vi")) >= threshold - 0.01)
+      .withColumn("dot", dotDecimal(col("vb"), col("vi")))
+      .filter(col("dot") >= threshold)
+      .select(col("b_id"), col("cid"), col("i").as("mate"), col("dot"))
+    histHits.unionByName(selfHits)
+      .groupBy(col("b_id").as("vec_id"), col("cid"))
+      .agg(min("mate").as("kept_by"), max("dot").as("md"))
+      .select(col("vec_id"), col("cid"), col("kept_by"),
+        round(col("md"), 6).cast("double").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   def semanticDedupFrom(embeddings: DataFrame, nCentroids: Int = 16,
       threshold: Double = 0.95, trainIters: Int = 0): DataFrame = {
     val cents =
@@ -975,6 +1019,25 @@ object Similarity {
       s"pAgree and recall must be in (0,1): $pAgree, $recall")
     val pTable = math.pow(pAgree, nPlanes)
     math.max(1, math.ceil(math.log(1 - recall) / math.log(1 - pTable)).toInt)
+  }
+
+  /** Cluster-count sizing for the IVF / [[semanticDedupFrom]] family —
+    * the SemDeDup scale knob as code (the paper's 50k-cluster regime
+    * for LAION-scale corpora). Cells average n/k vectors and the
+    * within-cell pair join costs Σ n_c² ≈ n²/k, so k must GROW with
+    * the corpus to keep cells (and per-cell quadratic work) bounded:
+    * k = round(n / targetCell), floored at 4 (below that the sampled
+    * init is the corpus) and capped at 2^20 (a million-row centroid
+    * frame is the practical broadcast ceiling for the argmax
+    * assignment — past it, assign hierarchically instead). The
+    * round-15 sf1 receipt (PLANS.md) measured the shape this keeps:
+    * 10× vectors at 4× clusters cost 4.7×, not 100×.
+    */
+  def centroidsFor(n: Long, targetCell: Long = 512): Int = {
+    require(n > 0 && targetCell > 0,
+      s"corpus size and target cell must be positive: $n, $targetCell")
+    val raw = math.round(n.toDouble / targetCell)
+    math.max(4L, math.min(1L << 20, raw)).toInt
   }
 
   /** MurmurHash3's public fmix64 avalanche finalizer. FNV-1a's final

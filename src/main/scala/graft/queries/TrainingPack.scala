@@ -315,6 +315,25 @@ object TrainingPack {
     graft.plans.VecCatalog.screen(s, batch, cat)
   }
 
+  /** Incremental SemDeDup gate: same even-history / odd-batch /
+    * every-seventh-planted-twin construction as
+    * [[ddEmbIncremental]], screened through the history's cluster
+    * geometry instead of LSH buckets
+    * ([[Similarity.semanticScreenFrom]] — history hits AND the
+    * intra-batch lower-id rule both exercised).
+    */
+  val ddSemanticIncr: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val twin = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("h_emb"))
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+      .join(twin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 3, col("h_emb"))
+          .otherwise(col("embedding")).as("embedding"))
+    Similarity.semanticScreenFrom(batch, hist)
+  }
+
   // ----------------------------------------------------- text analysis
 
   /** Token counting, three ways: whitespace tokens, letter-run words,
@@ -1032,6 +1051,7 @@ object TrainingPack {
     "dd_embedding_neardup_lsh" -> ddEmbeddingNearDupLsh,
     "dd_embedding_incremental" -> ddEmbIncremental,
     "dd_semantic_dedup"    -> ddSemantic,
+    "dd_semantic_incr"     -> ddSemanticIncr,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
@@ -1952,6 +1972,52 @@ object TrainingPack {
          |d AS (SELECT i, j, ${dotDec.format("va", "vb")} AS dot FROM p)
          |SELECT i, j, CAST(ROUND(dot, 6) AS DOUBLE) AS cos FROM d
          |WHERE dot >= CAST('0.95' AS DECIMAL(38,12)) ORDER BY i, j""".stripMargin,
+
+    // incremental SemDeDup: centroids seeded from HISTORY, both sides
+    // argmax-assigned, batch drops on a history cell-mate (any id) or
+    // a lower-id batch cell-mate, decimal cos >= 0.95
+    "dd_semantic_incr" ->
+      s"""WITH hist AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |batch AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN e.vec_id % 7 = 3 THEN h.embedding ELSE e.embedding END AS embedding
+         |  FROM embeddings e LEFT JOIN embeddings h ON h.vec_id = e.vec_id - 1
+         |  WHERE e.vec_id % 2 = 1),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM hist
+         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+         |hasg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM hist e, cents c)
+         |  WHERE r = 1),
+         |basg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM batch e, cents c)
+         |  WHERE r = 1),
+         |hh AS (SELECT a.cid, h.vec_id AS h_id, h.embedding AS vh
+         |  FROM hist h JOIN hasg a USING (vec_id)),
+         |bb AS (SELECT a.cid, b.vec_id AS b_id, b.embedding AS vb
+         |  FROM batch b JOIN basg a USING (vec_id)),
+         |hits AS (
+         |  SELECT bb.b_id, bb.cid, hh.h_id AS mate,
+         |    ${dotDec.format("bb.vb", "hh.vh")} AS dot
+         |  FROM bb JOIN hh ON bb.cid = hh.cid
+         |  WHERE ${dotDbl.format("bb.vb", "hh.vh")} >= 0.94
+         |  UNION ALL
+         |  SELECT x.b_id, x.cid, y.b_id AS mate,
+         |    ${dotDec.format("x.vb", "y.vb")} AS dot
+         |  FROM bb x JOIN bb y ON x.cid = y.cid AND y.b_id < x.b_id
+         |  WHERE ${dotDbl.format("x.vb", "y.vb")} >= 0.94)
+         |SELECT b_id AS vec_id, cid, MIN(mate) AS kept_by,
+         |  CAST(ROUND(MAX(dot), 6) AS DOUBLE) AS max_cos
+         |FROM hits WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
+         |GROUP BY b_id, cid ORDER BY vec_id""".stripMargin,
 
     // SemDeDup replay: planted slice -> md5-seeded centroids -> argmax
     // assignment (dot DESC, cid tiebreak) -> within-cluster pairs ->

@@ -508,6 +508,11 @@ class TrainingSpec extends AnyFunSuite {
     // recall companion: more planes -> more tables for the same recall
     assert(Similarity.tablesFor(8, 0.9, 0.9) > Similarity.tablesFor(4, 0.9, 0.9))
     assert(Similarity.tablesFor(4, 0.955, 0.99) >= 2)
+    // cluster-count twin (IVF/SemDeDup): n/targetCell, clamped [4, 2^20]
+    assert(Similarity.centroidsFor(8192, 512) === 16)
+    assert(Similarity.centroidsFor(400_000_000L, 512) === 781250)
+    assert(Similarity.centroidsFor(100, 512) === 4, "tiny corpus floors at 4 cells")
+    assert(Similarity.centroidsFor(Long.MaxValue / 2, 1) === (1 << 20), "broadcast ceiling")
     // occupancy: auto-sized tables keep MEAN bucket occupancy within
     // 4x of the target on the real corpus (hyperplane signs of random
     // unit vectors are near-balanced, not uniform — 4x absorbs the
@@ -649,6 +654,27 @@ class TrainingSpec extends AnyFunSuite {
     val out = Similarity.semanticDedupFrom(emb, nCentroids = 4)
       .select("vec_id", "kept_by").as[(Long, Long)].collect().toMap
     assert(out === expected)
+  }
+
+  test("semantic screen: history twin drops the batch copy; intra-batch twins leave one survivor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def draw() = normalize(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val h = (0L until 20L).map(i => (i, draw()))
+    val hist = h.toDF("vec_id", "embedding")
+    // batch: 100 copies history vec 4 (-> history hit), 101+102 fresh
+    // twins of each other (-> intra-batch: 102 drops, 101 survives),
+    // 103 fresh unique (-> survives)
+    val fresh = draw()
+    val batch = Seq((100L, h(4)._2), (101L, fresh), (102L, fresh), (103L, draw()))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticScreenFrom(batch, hist, nCentroids = 4)
+      .select("vec_id", "kept_by").as[(Long, Long)].collect().toMap
+    assert(out === Map(100L -> 4L, 102L -> 101L), s"got $out")
   }
 
   test("exact embedding near-dup past the broadcast cap fails fast naming the LSH path") {
