@@ -195,12 +195,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "ann_topk_ivf_trained", // same cross, per Lloyd round and at probe time
       "ann_topk_ivfpq_trained", // same 16-row cross in its shared IVF candidate stage
       "dd_embedding_neardup", // deliberate exact n^2 baseline; LSH twin is the scale path
+      "dd_semantic_dedup",    // the 16-row centroid broadcast cross for assignment
+      "dd_semantic_incr",     // same centroid cross, history-seeded, on both sides
+      "tx_lm_score",          // 1-row alphabet-size aggregate broadcast-crossed into scoring
+      "tx_lm_threshold",      // inherits tx_lm_score's 1-row alphabet cross
+      "tx_domain_mix",        // 1-row corpus-totals aggregate crossed into the quota algebra
       "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
       "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
       "dq09_validation",      // global scalar aggregate (1-row result)
       "dq21_count_distinct",  // global count-distinct (1-row result)
       "dq34_scalar_subquery", // the scalar aggregate itself
+      "tx_lm_score",          // the alphabet-size scalar aggregate (1-row result)
+      "tx_lm_threshold",      // same scalar via the scoring subtree
+      "tx_domain_mix",        // the corpus-totals scalar aggregate (1-row result)
       "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive
