@@ -930,6 +930,57 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** Per-domain TOKEN-budget curation — the step that turns a
+    * data-mix recipe into a concrete corpus: each language's budget
+    * comes from α = 0.5 temperature weights over its TOKEN mass
+    * ([[Mixer]]'s rule at token granularity, half the corpus total),
+    * and fills with its highest-quality documents (the tx_quality
+    * integer formula) — threshold elected on the (lang, quality)
+    * histogram with token-mass cumulative sums, ties inclusive, so
+    * realized budgets overshoot by at most one quality bucket. A
+    * domain whose sqrt-upweighted budget exceeds its own token mass
+    * keeps everything (the least(budget, total) clamp — small
+    * domains saturate rather than vanish). Same scale shape as the
+    * threshold family: histogram window, domain-sized budget algebra,
+    * broadcasts back onto the scored frame.
+    */
+  val txTokenBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ts = TextOps.tokens(col("text"))
+    val nTok = size(ts).cast("bigint")
+    val nChr = length(lower(col("text"))).cast("bigint")
+    val stop = TextOps.stopwordCount(ts).cast("bigint")
+    val punct = TextOps.punctCount(col("text")).cast("bigint")
+    def intDiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("bigint")
+    val quality = intDiv(stop * 20000 + nTok, nTok * 2) * 4 +
+      (lit(10000L) - intDiv(punct * 20000 + nChr, nChr * 2)) * 3 +
+      least(lit(10000L), nTok * 100) * 3
+    // pinned: domain totals, the histogram, and the final filter all
+    // read the scored frame
+    val scored = graft.Shared.materialize(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), quality.as("quality"), nTok.as("n_tok")))
+    val doms = scored.groupBy("lang").agg(sum("n_tok").as("td"))
+      .select(col("lang"), col("td"),
+        floor(sqrt(col("td")) * 1000).cast("long").as("ud"))
+    val tot = doms.agg(sum("td").as("ttot"), sum("ud").as("usum"))
+    val budgets = doms.crossJoin(broadcast(tot))
+      .select(col("lang"), expr("ud * (ttot * 1 div 2) div usum").as("b_budget"))
+    val wCum = Window.partitionBy("lang").orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val th = scored.groupBy("lang", "quality").agg(sum("n_tok").as("c"))
+      .join(broadcast(budgets), Seq("lang"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("tn", sum("c").over(Window.partitionBy("lang")))
+      .filter(col("cum") >= least(col("b_budget"), col("tn")))
+      .groupBy("lang").agg(max("quality").as("q_threshold"))
+    scored.join(broadcast(budgets), Seq("lang")).join(broadcast(th), Seq("lang"))
+      .filter(col("quality") >= col("q_threshold"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tok"),
+        col("b_budget"), col("q_threshold"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style LM quality score: character-trigram model trained on
     * the doc_id % 10 == 0 slice, every doc scored by integer-exact
     * average trigram probability ([[LangModel.lmScoreFrom]] — all
@@ -1035,6 +1086,7 @@ object TrainingPack {
     "tx_lm_score"          -> txLmScore,
     "tx_lm_threshold"      -> txLmThreshold,
     "tx_domain_mix"        -> txDomainMix,
+    "tx_token_budget"      -> txTokenBudget,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1604,6 +1656,41 @@ object TrainingPack {
         |FROM sco s JOIN th USING (lang)
         |WHERE s.pbkt >= th.b_threshold
         |ORDER BY s.doc_id""".stripMargin,
+
+    // token-budget curation: per-lang token mass -> sqrt weights ->
+    // half-total token budget -> quality-histogram election with
+    // token-cumulative sums, least(budget, total) saturation
+    "tx_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, lower(text) AS lt, $TS AS ts FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tok,
+         |    ((CAST(len(list_filter(ts, x -> x IN ($Stop))) AS BIGINT) * 20000
+         |        + CAST(len(ts) AS BIGINT)) // (CAST(len(ts) AS BIGINT) * 2)) * 4
+         |    + (10000 - (CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS BIGINT) * 20000
+         |        + CAST(length(lt) AS BIGINT)) // (CAST(length(lt) AS BIGINT) * 2)) * 3
+         |    + least(10000, CAST(len(ts) AS BIGINT) * 100) * 3 AS quality
+         |  FROM t),
+         |doms AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS td FROM m GROUP BY lang),
+         |u AS (SELECT lang, td, CAST(floor(sqrt(td) * 1000) AS BIGINT) AS ud FROM doms),
+         |tot AS (SELECT CAST(SUM(td) AS BIGINT) AS ttot,
+         |  CAST(SUM(ud) AS BIGINT) AS usum FROM u),
+         |bud AS (SELECT lang, ud * (ttot * 1 // 2) // usum AS b_budget FROM u, tot),
+         |hh AS (SELECT lang, quality, CAST(SUM(n_tok) AS BIGINT) AS c FROM m GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT lang, quality,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY quality DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(c) OVER (PARTITION BY lang) AS tn
+         |  FROM hh),
+         |th AS (
+         |  SELECT cm.lang, MAX(quality) AS q_threshold
+         |  FROM cm JOIN bud ON bud.lang = cm.lang
+         |  WHERE cum >= least(b_budget, tn) GROUP BY cm.lang)
+         |SELECT m.doc_id, m.lang, m.quality, m.n_tok, bud.b_budget, th.q_threshold
+         |FROM m JOIN bud USING (lang) JOIN th USING (lang)
+         |WHERE m.quality >= th.q_threshold
+         |ORDER BY m.doc_id""".stripMargin,
 
     // temperature mix: per-lang counts -> floor(sqrt*1000) weights ->
     // half-corpus target -> integer quota -> 24-bit hex keep cut ->

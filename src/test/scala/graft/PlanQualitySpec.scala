@@ -200,6 +200,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_lm_score",          // 1-row alphabet-size aggregate broadcast-crossed into scoring
       "tx_lm_threshold",      // inherits tx_lm_score's 1-row alphabet cross
       "tx_domain_mix",        // 1-row corpus-totals aggregate crossed into the quota algebra
+      "tx_token_budget",      // same 1-row totals cross, at token granularity
       "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
       "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
@@ -209,6 +210,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_lm_score",          // the alphabet-size scalar aggregate (1-row result)
       "tx_lm_threshold",      // same scalar via the scoring subtree
       "tx_domain_mix",        // the corpus-totals scalar aggregate (1-row result)
+      "tx_token_budget",      // its token-totals scalar aggregate (1-row result)
       "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive

@@ -605,6 +605,34 @@ class TrainingSpec extends AnyFunSuite {
       s"tiny domain must cap at keep-all: ${cuts.toSeq}")
   }
 
+  test("token budget: each lang's kept tokens reach min(budget, total), minimally") {
+    import spark.implicits._
+    val out = queries.TrainingPack.txTokenBudget(spark, dir)
+      .select("doc_id", "lang", "quality", "n_tok", "b_budget", "q_threshold")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    Shared.releaseAll(spark)
+    assert(out.nonEmpty)
+    val langDocs = Tables.documents(spark, dir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val budget = rows.head._5
+      val kept = rows.map(_._4).sum
+      val thr = rows.head._6
+      if (kept < budget)
+        // saturation clamp: under-budget means the lang's whole mass
+        // is below its budget — every doc of the lang must be kept
+        assert(rows.length == langDocs(lang),
+          s"$lang under budget ($kept < $budget) yet kept ${rows.length}/${langDocs(lang)} docs")
+      else {
+        // minimality at bucket granularity: dropping the threshold
+        // bucket's tokens goes below budget
+        val withoutThreshold = rows.filter(_._3 > thr).map(_._4).sum
+        assert(withoutThreshold < budget,
+          s"$lang threshold bucket not needed: $withoutThreshold >= $budget")
+      }
+    }
+  }
+
   test("LM score: reference-like text outscores gibberish on both surfaces") {
     import spark.implicits._
     // training slice = doc_id % 10 == 0: repetitive English-like text;
