@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
 import graft.functions.{CodecExpressions => CE, TextExpressions => TE}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, LangModel, Mixer, Similarity}
 import graft.plans.BeaconPipeline
 
 /** Runnable tour of the engine surface:
@@ -69,6 +69,17 @@ object Quickstart {
     println("== filtered search: top-3 among label % 3 == 0 only ==")
     Similarity.ivfTopKFiltered(spark, dataDir, col("label") % 3 === 0,
       nQueries = 2, k = 3).show()
+    println("== semantic dedup (SemDeDup): within-cluster cosine drops ==")
+    Similarity.semanticDedupFrom(
+      Tables.embeddings(spark, dataDir).select("vec_id", "embedding"),
+      nCentroids = Similarity.centroidsFor(500, targetCell = 128)).show(3)
+
+    // 4b. Corpus curation: LM quality, temperature mixing
+    println("== char-trigram LM score (CCNet-style; higher = more reference-like) ==")
+    LangModel.lmScore(spark, dataDir).orderBy(col("avg_p_e9").desc).show(3)
+    println("== temperature mix (alpha = 0.5): per-lang keep cuts ==")
+    Mixer.temperatureMix(spark, dataDir)
+      .groupBy("lang", "n_dom", "hcut6").count().orderBy("lang").show()
 
     // 5. SimHash fingerprints + Hamming distance from SQL
     println("== simhash neighbors of doc 0 ==")
