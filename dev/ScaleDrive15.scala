@@ -63,6 +63,21 @@ object ScaleDrive15 {
         Mixer.temperatureMix(spark, dir).count()
       }
       println(s"[scale15]   mixed in $n4")
+
+      val n5 = timed("txTokenBudget") {
+        val c = queries.TrainingPack.txTokenBudget(spark, dir).count()
+        Shared.releaseAll(spark)
+        c
+      }
+      println(s"[scale15]   budget-kept $n5")
+
+      val n6 = timed(s"semanticScreen (even hist / odd batch, k=$k)") {
+        val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        Similarity.semanticScreenFrom(
+          emb.filter(col("vec_id") % 2 === 1),
+          emb.filter(col("vec_id") % 2 === 0), nCentroids = k).count()
+      }
+      println(s"[scale15]   screen dropped $n6")
       spark.catalog.clearCache()
     }
     spark.stop()

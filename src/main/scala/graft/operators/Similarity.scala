@@ -483,6 +483,11 @@ object Similarity {
     * pattern with cid as the bucket key) so the per-batch screen
     * never rescans raw history — here the operator takes the frames
     * directly, the gate proving the verdict algebra.
+    *
+    * `hist` must be non-empty: the cluster geometry comes from it, so
+    * an empty history yields no cells and the screen returns empty
+    * (including the intra-batch rule). Bootstrap an empty corpus with
+    * [[semanticDedupFrom]] over the first batch instead.
     */
   def semanticScreenFrom(batch: DataFrame, hist: DataFrame,
       nCentroids: Int = 16, threshold: Double = 0.95): DataFrame = {
