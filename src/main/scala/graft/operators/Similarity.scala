@@ -304,7 +304,7 @@ object Similarity {
       s"embedding dimensions [${r.getInt(0)}, ${r.getInt(1)}] != expected $dim")
   }
 
-  private def ivfCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
+  private[graft] def ivfCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
     embeddings
       .withColumn("_h", md5(concat(lit("ivf|"), col("vec_id"))))
       .orderBy("_h", "vec_id").limit(nCentroids)
@@ -488,10 +488,17 @@ object Similarity {
     * an empty history yields no cells and the screen returns empty
     * (including the intra-batch rule). Bootstrap an empty corpus with
     * [[semanticDedupFrom]] over the first batch instead.
+    *
+    * `cents` pins an externally-trained/seeded centroid frame
+    * ((cid, ce) — e.g. the ORIGINAL landing's geometry for an ingest
+    * loop whose history grows with survivors, so verdicts never shift
+    * because a later arrival displaced a seed); by default centroids
+    * seed from `hist` itself.
     */
   def semanticScreenFrom(batch: DataFrame, hist: DataFrame,
-      nCentroids: Int = 16, threshold: Double = 0.95): DataFrame = {
-    val cents = ivfCentroids(hist, nCentroids)
+      nCentroids: Int = 16, threshold: Double = 0.95,
+      cents0: Option[DataFrame] = None): DataFrame = {
+    val cents = cents0.getOrElse(ivfCentroids(hist, nCentroids))
     val h = hist.join(ivfAssignWith(hist, cents), "vec_id")
       .select(col("cid"), col("vec_id").as("h_id"), col("embedding").as("vh"))
     val b = batch.join(ivfAssignWith(batch, cents), "vec_id")

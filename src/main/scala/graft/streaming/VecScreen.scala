@@ -98,4 +98,55 @@ object VecScreen {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming SemDeDup screen — the ingest loop of
+    * [[graft.operators.Similarity.semanticScreenFrom]]: each
+    * micro-batch is screened inside the ORIGINAL history's cluster
+    * geometry (centroids seeded once from `histEmb` and pinned, so a
+    * later arrival can never displace a seed and shift earlier
+    * verdicts) against history PLUS every earlier batch's survivors;
+    * survivors then land as accepted partition `batch_id=<n>`. Like
+    * the gram screen, verdicts are inherently order-dependent (the
+    * later copy flags), so the pinned parity contract is stream ==
+    * the sequential per-batch loop — StreamingSpec asserts it
+    * file-by-file, plus checkpoint-replay idempotence.
+    *
+    * Crash safety: the accepted read is BOUNDED to partitions
+    * < batchId, so a replayed batch cannot self-match against its own
+    * pre-crash append; both the verdict sink and the accepted dir are
+    * per-batch-partition overwrites (exactly-once under replay).
+    */
+  def semanticScreen(spark: SparkSession, srcDir: String, schema: StructType,
+      histEmb: DataFrame, sinkDir: String, checkpointDir: String,
+      acceptedDir: String, nCentroids: Int = 16,
+      threshold: Double = 0.95, maxFilesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    val hist0 = histEmb.localCheckpoint(true)
+    val cents0 = graft.operators.Similarity
+      .ivfCentroids(hist0, nCentroids).localCheckpoint(true)
+    val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val s = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(acceptedDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val prior =
+        if (fs.exists(new org.apache.hadoop.fs.Path(acceptedDir)))
+          s.read.option("basePath", acceptedDir).parquet(acceptedDir)
+            .filter(col("batch_id") < batchId)
+            .select("vec_id", "embedding")
+        else hist0.limit(0)
+      val verdicts = graft.operators.Similarity.semanticScreenFrom(
+          batch, hist0.unionByName(prior), nCentroids, threshold, Some(cents0))
+        .localCheckpoint(true)
+      verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      batch.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$acceptedDir/batch_id=$batchId")
+    }
+    val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch(screen)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

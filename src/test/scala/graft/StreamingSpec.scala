@@ -339,6 +339,57 @@ class StreamingSpec extends AnyFunSuite {
       "re-run with same checkpoint re-emitted rows")
   }
 
+  test("streaming semantic screen == sequential loop; survivors match across batches; replay adds nothing") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val hist = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 400)
+      .localCheckpoint(true)
+    val byId = emb.filter(col("vec_id").isin(300L, 11L, 13L))
+      .as[(Long, Array[Float])].collect().toMap
+    // f0: history hit (copy of hist 300) + novel X; f1: copy of X
+    // (flaggable only via f0's survivor) + intra-batch twins Y;
+    // f2: copy of Y (flaggable only via f1's survivor)
+    val slices = Seq(
+      Seq((301L, byId(300L)), (9001L, byId(11L))),
+      Seq((9003L, byId(11L)), (9005L, byId(13L)), (9007L, byId(13L))),
+      Seq((9009L, byId(13L))))
+    val src = Files.createTempDirectory("sem_src").toString
+    slices.foreach { rows =>
+      rows.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val sink = Files.createTempDirectory("sem_sink").toString + "/out"
+    val acc = Files.createTempDirectory("sem_acc").toString + "/acc"
+    val chk = Files.createTempDirectory("sem_chk").toString
+    val schema = slices.head.toDF("vec_id", "embedding").schema
+    graft.streaming.VecScreen.semanticScreen(
+      spark, src, schema, hist, sink, chk, acc)
+    val streamed = spark.read.parquet(sink)
+      .select("vec_id", "kept_by").as[(Long, Long)].collect().toSet
+    assert(streamed === Set((301L, 300L), (9003L, 9001L), (9007L, 9005L), (9009L, 9005L)),
+      s"unexpected streamed verdicts: $streamed")
+    // the pinned contract: stream == the sequential per-batch loop
+    // with the SAME pinned geometry and growing history
+    val cents0 = Similarity.ivfCentroids(hist, 16).localCheckpoint(true)
+    var histSoFar = hist
+    val loop = slices.flatMap { rows =>
+      val b = rows.toDF("vec_id", "embedding")
+      val v = Similarity.semanticScreenFrom(b, histSoFar, cents0 = Some(cents0))
+        .localCheckpoint(true)
+      histSoFar = histSoFar.unionByName(
+        b.join(v.select("vec_id"), Seq("vec_id"), "left_anti")).localCheckpoint(true)
+      v.select("vec_id", "kept_by").as[(Long, Long)].collect()
+    }.toSet
+    assert(streamed === loop, s"stream/loop diverged: ${streamed.diff(loop)} ${loop.diff(streamed)}")
+    // checkpointed replay: no new files -> sink and accepted unchanged
+    val before = spark.read.parquet(sink).count()
+    graft.streaming.VecScreen.semanticScreen(
+      spark, src, schema, hist, sink, chk, acc)
+    assert(spark.read.parquet(sink).count() === before,
+      "replay with same checkpoint re-emitted verdicts")
+  }
+
   test("vector appendAccepted: batch N+1 screened against batch N's survivors") {
     import spark.implicits._
     import graft.plans.VecCatalog
