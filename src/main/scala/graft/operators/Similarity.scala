@@ -431,7 +431,7 @@ object Similarity {
       if (trainIters > 0) ivfCentroidsTrained(embeddings, nCentroids, trainIters)
       else ivfCentroids(embeddings, nCentroids))
 
-  private def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
     embeddings.crossJoin(broadcast(cents))
       .select(col("vec_id"), struct(
         dotDouble(col("embedding"), col("ce")).as("cdot"),
@@ -503,24 +503,35 @@ object Similarity {
       .select(col("cid"), col("vec_id").as("h_id"), col("embedding").as("vh"))
     val b = batch.join(ivfAssignWith(batch, cents), "vec_id")
       .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("vb"))
-    val histHits = b.join(h, Seq("cid"))
+    val b2 = b.select(col("cid"), col("b_id").as("h_id"), col("vb").as("vh"))
+    val selfHits = semanticHits(b, b2, threshold, col("h_id") < col("b_id"))
+    semanticRollup(semanticHits(b, h, threshold).unionByName(selfHits))
+  }
+
+  /** Within-cell candidate hits: batch rows (cid, b_id, vb) against
+    * cell-mates (cid, h_id, vh), double prefilter then decimal
+    * verify — the shared core of the in-plan screen and the
+    * [[graft.plans.SemCatalog]] landed screen. `pairFilter` prunes
+    * pairs BEFORE any dot is computed (the intra-batch lower-id
+    * rule rides here so self- and mirrored pairs never reach the
+    * decimal verify).
+    */
+  private[graft] def semanticHits(b: DataFrame, h: DataFrame,
+      threshold: Double, pairFilter: Column = lit(true)): DataFrame =
+    b.join(h, Seq("cid"))
+      .filter(pairFilter)
       .filter(dotDouble(col("vb"), col("vh")) >= threshold - 0.01)
       .withColumn("dot", dotDecimal(col("vb"), col("vh")))
       .filter(col("dot") >= threshold)
       .select(col("b_id"), col("cid"), col("h_id").as("mate"), col("dot"))
-    val b2 = b.select(col("cid"), col("b_id").as("i"), col("vb").as("vi"))
-    val selfHits = b.join(b2, Seq("cid")).filter(col("i") < col("b_id"))
-      .filter(dotDouble(col("vb"), col("vi")) >= threshold - 0.01)
-      .withColumn("dot", dotDecimal(col("vb"), col("vi")))
-      .filter(col("dot") >= threshold)
-      .select(col("b_id"), col("cid"), col("i").as("mate"), col("dot"))
-    histHits.unionByName(selfHits)
-      .groupBy(col("b_id").as("vec_id"), col("cid"))
+
+  /** Hit rollup to the verdict shape (vec_id, cid, kept_by, max_cos). */
+  private[graft] def semanticRollup(hits: DataFrame): DataFrame =
+    hits.groupBy(col("b_id").as("vec_id"), col("cid"))
       .agg(min("mate").as("kept_by"), max("dot").as("md"))
       .select(col("vec_id"), col("cid"), col("kept_by"),
         round(col("md"), 6).cast("double").as("max_cos"))
       .orderBy("vec_id")
-  }
 
   def semanticDedupFrom(embeddings: DataFrame, nCentroids: Int = 16,
       threshold: Double = 0.95, trainIters: Int = 0): DataFrame = {
