@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
-import graft.plans.VecCatalog
+import graft.plans.{SemCatalog, VecCatalog}
 
 /** Streaming embedding dedup-at-ingest — the vector twin of
   * [[DocScreen]]: new vectors arriving as files are screened for
@@ -100,46 +100,61 @@ object VecScreen {
   }
 
   /** Streaming SemDeDup screen — the ingest loop of
-    * [[graft.operators.Similarity.semanticScreenFrom]]: each
-    * micro-batch is screened inside the ORIGINAL history's cluster
-    * geometry (centroids seeded once from `histEmb` and pinned, so a
-    * later arrival can never displace a seed and shift earlier
-    * verdicts) against history PLUS every earlier batch's survivors;
-    * survivors then land as accepted partition `batch_id=<n>`. Like
-    * the gram screen, verdicts are inherently order-dependent (the
-    * later copy flags), so the pinned parity contract is stream ==
-    * the sequential per-batch loop — StreamingSpec asserts it
-    * file-by-file, plus checkpoint-replay idempotence.
-    *
-    * Crash safety: the accepted read is BOUNDED to partitions
-    * < batchId, so a replayed batch cannot self-match against its own
-    * pre-crash append; both the verdict sink and the accepted dir are
-    * per-batch-partition overwrites (exactly-once under replay).
+    * [[graft.operators.Similarity.semanticScreenFrom]] over the
+    * LANDED semantic catalog: history is assigned once into
+    * [[SemCatalog]]'s cid-bucketed cells with its centroid geometry
+    * persisted and PINNED (a later arrival can never displace a seed
+    * and shift earlier verdicts); each micro-batch screens against
+    * the catalog bounded to ingest partitions ≤ batchId (a
+    * crash-replayed batch cannot self-match its own pre-crash
+    * append), adds the intra-batch lower-id rule under the same
+    * geometry, lands verdicts as `batch_id=<n>`, and appends its
+    * survivors as ingest partition batchId + 1 — per-batch cost
+    * scales with the batch, never the accumulated corpus. Catalog
+    * verdicts take precedence over intra-batch ones for the kept_by
+    * witness (the DocScreen/VecScreen discipline); the drop SET
+    * equals the sequential loop's either way. Like the gram screen,
+    * verdicts are inherently order-dependent (the later copy flags),
+    * so the pinned parity contract is stream == the sequential
+    * per-batch loop — StreamingSpec asserts it file-by-file, plus
+    * checkpoint-replay idempotence.
     */
   def semanticScreen(spark: SparkSession, srcDir: String, schema: StructType,
       histEmb: DataFrame, sinkDir: String, checkpointDir: String,
-      acceptedDir: String, nCentroids: Int = 16,
+      nCentroids: Int = 16, threshold: Double = 0.95,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val cat = SemCatalog.land(spark, histEmb,
+      s"sem_${DocScreen.canonical(spark, checkpointDir)}", nCentroids)
+    semanticScreenAgainstCatalog(spark, srcDir, schema, cat, sinkDir,
+      checkpointDir, threshold, maxFilesPerTrigger)
+  }
+
+  /** The production entry point: semantic-screen against an
+    * already-landed [[SemCatalog]] (history landed out-of-band).
+    */
+  def semanticScreenAgainstCatalog(spark: SparkSession, srcDir: String,
+      schema: StructType, cat: SemCatalog.Handle,
+      sinkDir: String, checkpointDir: String,
       threshold: Double = 0.95, maxFilesPerTrigger: Int = 1): Unit = {
     import org.apache.spark.sql.functions.col
-    val hist0 = histEmb.localCheckpoint(true)
-    val cents0 = graft.operators.Similarity
-      .ivfCentroids(hist0, nCentroids).localCheckpoint(true)
+    import graft.operators.Similarity
     val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
       val s = batch.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(acceptedDir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      val prior =
-        if (fs.exists(new org.apache.hadoop.fs.Path(acceptedDir)))
-          s.read.option("basePath", acceptedDir).parquet(acceptedDir)
-            .filter(col("batch_id") < batchId)
-            .select("vec_id", "embedding")
-        else hist0.limit(0)
-      val verdicts = graft.operators.Similarity.semanticScreenFrom(
-          batch, hist0.unionByName(prior), nCentroids, threshold, Some(cents0))
+      val catalogV = SemCatalog.screen(s, batch, cat, threshold,
+          maxIngestId = Some(batchId))
         .localCheckpoint(true)
+      val b = batch
+        .join(Similarity.ivfAssignWith(batch, SemCatalog.cents(s, cat)), "vec_id")
+        .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val b2 = b.select(col("cid"), col("b_id").as("h_id"), col("vb").as("vh"))
+      val intra = Similarity.semanticRollup(
+          Similarity.semanticHits(b, b2, threshold, col("h_id") < col("b_id")))
+        .join(catalogV.select("vec_id"), Seq("vec_id"), "left_anti")
+      val verdicts = catalogV.unionByName(intra).localCheckpoint(true)
       verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
-      batch.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$acceptedDir/batch_id=$batchId")
+      SemCatalog.append(s,
+        batch.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti"),
+        cat, batchId + 1)
     }
     val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
       .writeStream

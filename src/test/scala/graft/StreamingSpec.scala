@@ -360,34 +360,39 @@ class StreamingSpec extends AnyFunSuite {
       Thread.sleep(1100)
     }
     val sink = Files.createTempDirectory("sem_sink").toString + "/out"
-    val acc = Files.createTempDirectory("sem_acc").toString + "/acc"
     val chk = Files.createTempDirectory("sem_chk").toString
     val schema = slices.head.toDF("vec_id", "embedding").schema
-    graft.streaming.VecScreen.semanticScreen(
-      spark, src, schema, hist, sink, chk, acc)
-    val streamed = spark.read.parquet(sink)
-      .select("vec_id", "kept_by").as[(Long, Long)].collect().toSet
-    assert(streamed === Set((301L, 300L), (9003L, 9001L), (9007L, 9005L), (9009L, 9005L)),
-      s"unexpected streamed verdicts: $streamed")
-    // the pinned contract: stream == the sequential per-batch loop
-    // with the SAME pinned geometry and growing history
-    val cents0 = Similarity.ivfCentroids(hist, 16).localCheckpoint(true)
-    var histSoFar = hist
-    val loop = slices.flatMap { rows =>
-      val b = rows.toDF("vec_id", "embedding")
-      val v = Similarity.semanticScreenFrom(b, histSoFar, cents0 = Some(cents0))
-        .localCheckpoint(true)
-      histSoFar = histSoFar.unionByName(
-        b.join(v.select("vec_id"), Seq("vec_id"), "left_anti")).localCheckpoint(true)
-      v.select("vec_id", "kept_by").as[(Long, Long)].collect()
-    }.toSet
-    assert(streamed === loop, s"stream/loop diverged: ${streamed.diff(loop)} ${loop.diff(streamed)}")
-    // checkpointed replay: no new files -> sink and accepted unchanged
-    val before = spark.read.parquet(sink).count()
-    graft.streaming.VecScreen.semanticScreen(
-      spark, src, schema, hist, sink, chk, acc)
-    assert(spark.read.parquet(sink).count() === before,
-      "replay with same checkpoint re-emitted verdicts")
+    val cat = graft.plans.SemCatalog.land(spark, hist, "spec_sem_stream")
+    try {
+      graft.streaming.VecScreen.semanticScreenAgainstCatalog(
+        spark, src, schema, cat, sink, chk)
+      val streamed = spark.read.parquet(sink)
+        .select("vec_id", "kept_by").as[(Long, Long)].collect().toSet
+      assert(streamed === Set((301L, 300L), (9003L, 9001L), (9007L, 9005L), (9009L, 9005L)),
+        s"unexpected streamed verdicts: $streamed")
+      // the pinned contract: stream == the sequential per-batch loop
+      // with the SAME pinned geometry and growing history
+      val cents0 = Similarity.ivfCentroids(hist, 16).localCheckpoint(true)
+      var histSoFar = hist
+      val loop = slices.flatMap { rows =>
+        val b = rows.toDF("vec_id", "embedding")
+        val v = Similarity.semanticScreenFrom(b, histSoFar, cents0 = Some(cents0))
+          .localCheckpoint(true)
+        histSoFar = histSoFar.unionByName(
+          b.join(v.select("vec_id"), Seq("vec_id"), "left_anti")).localCheckpoint(true)
+        v.select("vec_id", "kept_by").as[(Long, Long)].collect()
+      }.toSet
+      assert(streamed === loop, s"stream/loop diverged: ${streamed.diff(loop)} ${loop.diff(streamed)}")
+      // checkpointed replay: no new files -> sink and catalog unchanged
+      val before = spark.read.parquet(sink).count()
+      val cellsBefore = spark.table(cat.cellsT).count()
+      graft.streaming.VecScreen.semanticScreenAgainstCatalog(
+        spark, src, schema, cat, sink, chk)
+      assert(spark.read.parquet(sink).count() === before,
+        "replay with same checkpoint re-emitted verdicts")
+      assert(spark.table(cat.cellsT).count() === cellsBefore,
+        "replay with same checkpoint re-appended survivors")
+    } finally graft.plans.SemCatalog.drop(spark, cat)
   }
 
   test("vector appendAccepted: batch N+1 screened against batch N's survivors") {
