@@ -334,6 +334,35 @@ object TrainingPack {
     Similarity.semanticScreenFrom(batch, hist)
   }
 
+  /** Compacted-semantic gate: the same odd batch screened against the
+    * even history assembled as SemCatalog landing (vec_id % 6 == 0 —
+    * also the geometry seed slice) + two appends (% 6 == 2, % 6 == 4)
+    * + compaction — a pure layout change the screen must be blind to.
+    * History-only verdicts (this corpus has no intra-batch pairs);
+    * the oracle replays seeding FROM THE LANDING SLICE, both
+    * assignments, and the hit rollup — the fold never appears in it.
+    */
+  val ddSemanticCompacted: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val twin = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("h_emb"))
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+      .join(twin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 3, col("h_emb"))
+          .otherwise(col("embedding")).as("embedding"))
+    // content fingerprint in the name: a driver-side testdata regen
+    // lands fresh, never pairs fresh oracle reads with stale cells
+    val cat = graft.plans.SemCatalog.land(s,
+      emb.filter(col("vec_id") % 6 === 0),
+      s"smc_${d}_${graft.Shared.srcFingerprint(s, d)}")
+    if (graft.plans.SemCatalog.floor(s, cat) < 2) {
+      graft.plans.SemCatalog.append(s, emb.filter(col("vec_id") % 6 === 2), cat, 1L)
+      graft.plans.SemCatalog.append(s, emb.filter(col("vec_id") % 6 === 4), cat, 2L)
+      graft.plans.SemCatalog.compact(s, cat, 2L)
+    }
+    graft.plans.SemCatalog.screen(s, batch, cat)
+  }
+
   // ----------------------------------------------------- text analysis
 
   /** Token counting, three ways: whitespace tokens, letter-run words,
@@ -1104,6 +1133,7 @@ object TrainingPack {
     "dd_embedding_incremental" -> ddEmbIncremental,
     "dd_semantic_dedup"    -> ddSemantic,
     "dd_semantic_incr"     -> ddSemanticIncr,
+    "dd_semantic_compacted" -> ddSemanticCompacted,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
@@ -2101,6 +2131,49 @@ object TrainingPack {
          |    ${dotDec.format("x.vb", "y.vb")} AS dot
          |  FROM bb x JOIN bb y ON x.cid = y.cid AND y.b_id < x.b_id
          |  WHERE ${dotDbl.format("x.vb", "y.vb")} >= 0.94)
+         |SELECT b_id AS vec_id, cid, MIN(mate) AS kept_by,
+         |  CAST(ROUND(MAX(dot), 6) AS DOUBLE) AS max_cos
+         |FROM hits WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
+         |GROUP BY b_id, cid ORDER BY vec_id""".stripMargin,
+
+    // compacted-semantic twin: geometry seeds from the LANDING slice
+    // (vec_id % 6 = 0), history = all evens (landing + both appends),
+    // history-only hits - the compaction fold never appears here: the
+    // engine's layout change must be invisible
+    "dd_semantic_compacted" ->
+      s"""WITH hist AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |batch AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN e.vec_id % 7 = 3 THEN h.embedding ELSE e.embedding END AS embedding
+         |  FROM embeddings e LEFT JOIN embeddings h ON h.vec_id = e.vec_id - 1
+         |  WHERE e.vec_id % 2 = 1),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 6 = 0
+         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+         |hasg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM hist e, cents c)
+         |  WHERE r = 1),
+         |basg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM batch e, cents c)
+         |  WHERE r = 1),
+         |hh AS (SELECT a.cid, h.vec_id AS h_id, h.embedding AS vh
+         |  FROM hist h JOIN hasg a USING (vec_id)),
+         |bb AS (SELECT a.cid, b.vec_id AS b_id, b.embedding AS vb
+         |  FROM batch b JOIN basg a USING (vec_id)),
+         |hits AS (
+         |  SELECT bb.b_id, bb.cid, hh.h_id AS mate,
+         |    ${dotDec.format("bb.vb", "hh.vh")} AS dot
+         |  FROM bb JOIN hh ON bb.cid = hh.cid
+         |  WHERE ${dotDbl.format("bb.vb", "hh.vh")} >= 0.94)
          |SELECT b_id AS vec_id, cid, MIN(mate) AS kept_by,
          |  CAST(ROUND(MAX(dot), 6) AS DOUBLE) AS max_cos
          |FROM hits WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
