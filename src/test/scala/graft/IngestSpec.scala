@@ -19,6 +19,45 @@ class IngestSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("gcStaleSiblings judges staleness by the newest RECURSIVE mtime, not the top dir's") {
+    val base = java.nio.file.Files.createTempDirectory("gcspec").toString
+    def mk(name: String, nestedFreshFile: Boolean): java.io.File = {
+      val d = new java.io.File(s"$base/gate_$name/ck/offsets")
+      d.mkdirs()
+      val f = new java.io.File(d, "0")
+      f.createNewFile()
+      val old = System.currentTimeMillis() - 3L * 3600 * 1000
+      // age everything, then (optionally) freshen only the NESTED file
+      // - POSIX dir mtimes at the top stay old either way
+      Seq(f, d, d.getParentFile, d.getParentFile.getParentFile)
+        .foreach(_.setLastModified(old))
+      if (nestedFreshFile) f.setLastModified(System.currentTimeMillis())
+      d.getParentFile.getParentFile
+    }
+    val live = mk("live", nestedFreshFile = true)   // old top, fresh checkpoint write
+    val dead = mk("dead", nestedFreshFile = false)  // old throughout
+    val keep = mk("keep", nestedFreshFile = false)  // old, but it's OUR dir
+    Shared.gcStaleSiblings(spark, base, "gate_", keep.getName)
+    assert(live.exists, "live gate dir (fresh nested write) was GC'd")
+    assert(!dead.exists, "fully-stale sibling survived GC")
+    assert(keep.exists, "own dir must never be GC'd")
+  }
+
+  test("skewSafeDimJoin reliable variant: filesystem checkpoint, identical rows") {
+    import spark.implicits._
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("ckrel").toString)
+    val fact = (0L until 1000L).map(i => (i % 7, i)).toDF("k", "v")
+    val dim = fact.groupBy("k").agg(count(lit(1)).as("n"))
+    val local = operators.Skew.skewSafeDimJoin(fact, dim, "k")
+      .as[(Long, Long, Long)].collect().toSet
+    val reliable = operators.Skew.skewSafeDimJoin(fact, dim, "k", reliable = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reliable === local && reliable.size === 1000)
+    prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("TLV beacon round-trip re-extracts the original fields") {
     import spark.implicits._
     val got = IngestPack.tlvRoundtrip(spark, dir)
