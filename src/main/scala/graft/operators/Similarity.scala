@@ -466,6 +466,47 @@ object Similarity {
     * engine-portable (the driver gate replays clustering + rule in
     * SQL).
     */
+  /** SemDeDup with the PAPER's keep policy (Abbas et al. 2023 §3):
+    * within each cluster, duplicate pairs close transitively into
+    * GROUPS (connected components over the ≥-threshold pair set —
+    * [[Dedup.connectedComponents]]'s alternating-star rounds), and
+    * each group keeps the member with the LOWEST cosine to its
+    * centroid — the paper's "keep cluster-atypical examples" rule —
+    * with the id as tie-break. [[semanticDedupFrom]] is the cheaper
+    * one-pass lower-id analog; this is the faithful variant.
+    *
+    * Returns every GROUPED vector: (vec_id, gid = component min, cid,
+    * centroid_cos, kept). Ungrouped vectors (no ≥-threshold mate)
+    * never appear — they are all keepers trivially.
+    *
+    * Scale shape: pair work is the same Σ n_c² cid-equi join; the
+    * closure runs over the PAIR set (dup-group-sized, never
+    * corpus-sized — the tx_pipeline asymmetry), and the keeper
+    * election windows over grouped vectors partitioned by gid.
+    */
+  def semanticDedupGroupsFrom(embeddings: DataFrame, nCentroids: Int = 16,
+      threshold: Double = 0.95): DataFrame = {
+    val cents = ivfCentroids(embeddings, nCentroids)
+    val cdots = embeddings.join(ivfAssignWith(embeddings, cents), "vec_id")
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("embedding"),
+        dotDouble(col("embedding"), col("ce")).as("cdot"))
+    val a = cdots.select(col("cid"), col("vec_id").as("i"), col("embedding").as("va"))
+    val b = cdots.select(col("cid"), col("vec_id").as("j"), col("embedding").as("vb"))
+    val pairs = a.join(b, Seq("cid")).filter(col("i") < col("j"))
+      .filter(dotDouble(col("va"), col("vb")) >= threshold - 0.01)
+      .filter(dotDecimal(col("va"), col("vb")) >= threshold)
+      .select("i", "j")
+    val w = Window.partitionBy("gid").orderBy(col("cdot").asc, col("vec_id").asc)
+    Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("gid"))
+      .join(cdots.select("vec_id", "cid", "cdot"), "vec_id")
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .select(col("vec_id"), col("gid"), col("cid"),
+        round(col("cdot"), 6).cast("double").as("centroid_cos"), col("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Incremental SemDeDup — the at-ingest twin of
     * [[semanticDedupFrom]]: a new batch is judged inside the
     * HISTORY's cluster geometry (centroids seeded from the ingested

@@ -294,6 +294,15 @@ object TrainingPack {
     plantTwins(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
       .select("vec_id", "embedding")))
 
+  /** Paper-policy SemDeDup gate: groups = transitive closure of the
+    * within-cluster pair set, keeper = lowest centroid-cosine member
+    * (ties by id). The oracle replays clustering, the pair set, the
+    * recursive closure, and the election.
+    */
+  val ddSemanticGroups: Q = (s, d) => Similarity.semanticDedupGroupsFrom(
+    plantTwins(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+      .select("vec_id", "embedding")))
+
   /** Incremental embedding screen: even vec_ids are the historical
     * corpus — LANDED once per (session, scale dir) as VecCatalog's
     * bucketed bucket-key/vector tables, the production state-store
@@ -1134,6 +1143,7 @@ object TrainingPack {
     "dd_semantic_dedup"    -> ddSemantic,
     "dd_semantic_incr"     -> ddSemanticIncr,
     "dd_semantic_compacted" -> ddSemanticCompacted,
+    "dd_semantic_groups"   -> ddSemanticGroups,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
@@ -2178,6 +2188,53 @@ object TrainingPack {
          |  CAST(ROUND(MAX(dot), 6) AS DOUBLE) AS max_cos
          |FROM hits WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
          |GROUP BY b_id, cid ORDER BY vec_id""".stripMargin,
+
+    // paper-policy SemDeDup: same clustering + pair set, groups by
+    // recursive transitive closure, keeper = lowest centroid-cosine
+    // member of each group (ties by id)
+    "dd_semantic_groups" ->
+      s"""WITH RECURSIVE sl AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+         |pe AS (
+         |  SELECT s.vec_id,
+         |    CASE WHEN s.vec_id % 97 = 1 THEN COALESCE(t.embedding, s.embedding)
+         |         ELSE s.embedding END AS embedding
+         |  FROM sl s LEFT JOIN sl t ON t.vec_id = s.vec_id - 1),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM pe
+         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+         |    FROM pe e, cents c)
+         |  WHERE r = 1),
+         |cd AS (
+         |  SELECT e.vec_id, a.cid, e.embedding,
+         |    ${dotDbl.format("e.embedding", "c.ce")} AS cdot
+         |  FROM pe e JOIN asg a USING (vec_id) JOIN cents c USING (cid)),
+         |p AS (
+         |  SELECT x.vec_id AS i, y.vec_id AS j
+         |  FROM cd x JOIN cd y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE ${dotDbl.format("x.embedding", "y.embedding")} >= 0.94
+         |    AND ${dotDec.format("x.embedding", "y.embedding")}
+         |      >= CAST('0.95' AS DECIMAL(38,12))),
+         |nodes AS (SELECT i AS id FROM p UNION SELECT j FROM p),
+         |edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, walk.r FROM walk JOIN edges e ON e.a = walk.id),
+         |g AS (SELECT id AS vec_id, min(r) AS gid FROM walk GROUP BY id),
+         |el AS (
+         |  SELECT g.vec_id, g.gid, cd.cid, cd.cdot,
+         |    ROW_NUMBER() OVER (PARTITION BY g.gid
+         |      ORDER BY cd.cdot ASC, g.vec_id ASC) AS rn
+         |  FROM g JOIN cd USING (vec_id))
+         |SELECT vec_id, gid, cid, CAST(ROUND(cdot, 6) AS DOUBLE) AS centroid_cos,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM el ORDER BY vec_id""".stripMargin,
 
     // SemDeDup replay: planted slice -> md5-seeded centroids -> argmax
     // assignment (dot DESC, cid tiebreak) -> within-cluster pairs ->

@@ -684,6 +684,49 @@ class TrainingSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("semantic groups: election keeps the member LEAST similar to its centroid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def draw() = normalize(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    // 8 well-separated singles + one tight pair whose members sit at
+    // DIFFERENT distances from everything else (so their centroid
+    // cosines differ and the election is non-trivial)
+    val singles = (0L until 8L).map(i => (i, draw()))
+    val base = draw()
+    val d1 = draw()
+    val p20 = normalize(base.zip(d1).map { case (x, y) => x + 0.03f * y })
+    val p21 = normalize(base.zip(d1).map { case (x, y) => x + 0.07f * y })
+    val rows = singles ++ Seq((20L, p20), (21L, p21))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupGroupsFrom(emb, nCentroids = 4)
+      .select("vec_id", "gid", "kept").as[(Long, Long, Int)].collect()
+    assert(out.map(_._1).toSet === Set(20L, 21L), s"grouped set wrong: ${out.toSeq}")
+    assert(out.forall(_._2 == 20L))
+    // expected keeper, computed from the documented rules alone:
+    // centroid = argmax dot among the md5-ordered first 4 seeds,
+    // keeper = the pair member with the LOWER centroid dot (id ties up)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = rows.sortBy { case (id, _) => (md5hex(s"ivf|$id"), id) }.take(4)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def cdot(v: Array[Float]): Double =
+      seeds.map { case (cid, ce) => (dot(v, ce), -cid) }.max._1
+    val expectKeep =
+      if (Ordering.Tuple2[Double, Long].lteq((cdot(p20), 20L), (cdot(p21), 21L))) 20L
+      else 21L
+    assert(math.abs(cdot(p20) - cdot(p21)) > 1e-6,
+      "degenerate plant: centroid cosines tied, election untested")
+    val kept = out.filter(_._3 == 1).map(_._1)
+    assert(kept.toSeq === Seq(expectKeep),
+      s"election wrong: kept ${kept.toSeq}, expected $expectKeep " +
+        s"(cdots ${cdot(p20)} vs ${cdot(p21)})")
+  }
+
   test("semantic screen: history twin drops the batch copy; intra-batch twins leave one survivor") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
