@@ -294,6 +294,28 @@ object TrainingPack {
     plantTwins(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
       .select("vec_id", "embedding")))
 
+  /** Cross-modal curation: the corpus filtered by its vector
+    * sidecar's semantic verdicts — documents whose embedding the
+    * SemDeDup drop rule flagged are removed (shared id domain,
+    * dq31's linkage; docs without a vector in the screened slice
+    * pass through), survivors rolled up per language. The join is a
+    * doc_id-equi ANTI join against a drop set that is dup-group-
+    * sized, so the cross-modal step adds one bounded broadcast at
+    * corpus scale.
+    */
+  val txSemanticCurate: Q = (s, d) => {
+    val drops = Similarity.semanticDedupFrom(
+      plantTwins(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+        .select("vec_id", "embedding")))
+      .select(col("vec_id").as("doc_id"))
+    Tables.documents(s, d)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("lang"), size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Paper-policy SemDeDup gate: groups = transitive closure of the
     * within-cluster pair set, keeper = lowest centroid-cosine member
     * (ties by id). The oracle replays clustering, the pair set, the
@@ -1144,6 +1166,7 @@ object TrainingPack {
     "dd_semantic_incr"     -> ddSemanticIncr,
     "dd_semantic_compacted" -> ddSemanticCompacted,
     "dd_semantic_groups"   -> ddSemanticGroups,
+    "tx_semantic_curate"   -> txSemanticCurate,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
@@ -1177,6 +1200,37 @@ object TrainingPack {
     "mm_wav_decode"        -> mmWavDecode,
     "mm_y4m_decode"        -> mmY4mDecode,
   )
+
+  /** SemDeDup drop-machinery CTEs (planted slice → seeding → argmax
+    * assignment → within-cluster pairs → decimal dots, ending at
+    * `d(cid, i, j, dot)`) — ONE copy shared by the dd_semantic_dedup
+    * gate and the cross-modal curation gate so the rule can never
+    * drift between them.
+    */
+  private lazy val semanticDropCtes =
+    s"""sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+       |pe AS (
+       |  SELECT s.vec_id,
+       |    CASE WHEN s.vec_id % 97 = 1 THEN COALESCE(t.embedding, s.embedding)
+       |         ELSE s.embedding END AS embedding
+       |  FROM sl s LEFT JOIN sl t ON t.vec_id = s.vec_id - 1),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM pe
+       |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
+       |    FROM pe e, cents c)
+       |  WHERE r = 1),
+       |wc AS (SELECT e.vec_id, e.embedding, a.cid FROM pe e JOIN asg a USING (vec_id)),
+       |p AS (
+       |  SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+       |    a.embedding AS va, b.embedding AS vb
+       |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
+       |d AS (SELECT cid, i, j, ${dotDec.format("va", "vb")} AS dot FROM p)""".stripMargin
 
   /** Char-trigram LM model + per-trigram scaled probability CTEs
     * (`sc(doc_id, p)`) — ONE copy shared by the score and threshold
@@ -2240,33 +2294,27 @@ object TrainingPack {
     // assignment (dot DESC, cid tiebreak) -> within-cluster pairs ->
     // drop rule (exists lower-id mate with decimal cos >= 0.95)
     "dd_semantic_dedup" ->
-      s"""WITH sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
-         |pe AS (
-         |  SELECT s.vec_id,
-         |    CASE WHEN s.vec_id % 97 = 1 THEN COALESCE(t.embedding, s.embedding)
-         |         ELSE s.embedding END AS embedding
-         |  FROM sl s LEFT JOIN sl t ON t.vec_id = s.vec_id - 1),
-         |cents AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM pe
-         |  ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 16),
-         |asg AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
-         |    FROM pe e, cents c)
-         |  WHERE r = 1),
-         |wc AS (SELECT e.vec_id, e.embedding, a.cid FROM pe e JOIN asg a USING (vec_id)),
-         |p AS (
-         |  SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
-         |    a.embedding AS va, b.embedding AS vb
-         |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  WHERE ${dotDbl.format("a.embedding", "b.embedding")} >= 0.94),
-         |d AS (SELECT cid, i, j, ${dotDec.format("va", "vb")} AS dot FROM p)
+      s"""WITH $semanticDropCtes
          |SELECT j AS vec_id, cid, MIN(i) AS kept_by,
          |  CAST(ROUND(MAX(dot), 6) AS DOUBLE) AS max_cos
          |FROM d WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
          |GROUP BY j, cid ORDER BY vec_id""".stripMargin,
+
+    // cross-modal curation: the corpus filtered by its vector
+    // sidecar's semantic verdicts - dropped vec_ids remove their
+    // documents (shared id domain, dq31's linkage); docs without a
+    // vector in the screened slice pass through; per-lang rollup of
+    // the surviving corpus
+    "tx_semantic_curate" ->
+      s"""WITH $semanticDropCtes,
+         |drops AS (
+         |  SELECT j AS doc_id FROM d
+         |  WHERE dot >= CAST('0.95' AS DECIMAL(38,12)) GROUP BY j)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(SUM(len($TS)) AS BIGINT) AS n_tokens
+         |FROM documents dd
+         |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = dd.doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "ann_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
