@@ -439,33 +439,6 @@ object Similarity {
       .groupBy("vec_id").agg(max(col("s")).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
 
-  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
-    * arXiv:2303.09540): cluster the embedding space with k-means,
-    * then within each cluster drop every vector that has a
-    * LOWER-id cluster-mate with cosine ≥ `threshold`. This is the
-    * paper's one-pass rule (each item judged against its whole
-    * cluster, one representative survives per tight semantic group);
-    * the transitive-closure alternative is [[embeddingNearDupLsh]] +
-    * the CC machinery in [[Dedup]].
-    *
-    * Returns the DROPPED set: (vec_id, cid, kept_by, max_cos) —
-    * kept_by is the smallest similar lower-id cluster-mate (the
-    * witness), max_cos the largest decimal-exact cosine to any such
-    * mate, rounded to 6 for the gate. Survivors = embeddings minus
-    * these vec_ids.
-    *
-    * Scale shape — the whole point of SemDeDup over exact all-pairs:
-    * assignment is the broadcast-argmax scan ([[ivfAssign]]'s
-    * map-side-combined shape, no n×C shuffle), and the pair join is
-    * EQUI on cid — the shuffle is cluster-keyed and the pair count is
-    * Σ n_c² over cells, never corpus n². At 100 TB, nCentroids grows
-    * with the corpus (the paper runs 50k clusters for LAION) so cells
-    * stay bounded; the double-dot prefilter keeps the exact decimal
-    * verify off all but candidate pairs. Assignment ties and the
-    * drop rule are id-tiebroken, so the result is deterministic and
-    * engine-portable (the driver gate replays clustering + rule in
-    * SQL).
-    */
   /** SemDeDup with the PAPER's keep policy (Abbas et al. 2023 §3):
     * within each cluster, duplicate pairs close transitively into
     * GROUPS (connected components over the ≥-threshold pair set —
@@ -574,15 +547,74 @@ object Similarity {
         round(col("md"), 6).cast("double").as("max_cos"))
       .orderBy("vec_id")
 
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means,
+    * then within each cluster drop every vector that has a
+    * LOWER-id cluster-mate with cosine ≥ `threshold`. This is the
+    * paper's one-pass rule (each item judged against its whole
+    * cluster, one representative survives per tight semantic group);
+    * the faithful grouped variant is [[semanticDedupGroupsFrom]].
+    *
+    * Returns the DROPPED set: (vec_id, cid, kept_by, max_cos) —
+    * kept_by is the smallest similar lower-id cluster-mate (the
+    * witness), max_cos the largest decimal-exact cosine to any such
+    * mate, rounded to 6 for the gate. Survivors = embeddings minus
+    * these vec_ids.
+    *
+    * Scale shape — the whole point of SemDeDup over exact all-pairs:
+    * assignment is the broadcast-argmax scan ([[ivfAssign]]'s
+    * map-side-combined shape, no n×C shuffle), and the pair join is
+    * EQUI on cid — the shuffle is cluster-keyed and the pair count is
+    * Σ n_c² over cells, never corpus n². At 100 TB, nCentroids grows
+    * with the corpus (the paper runs 50k clusters for LAION) so cells
+    * stay bounded; the double-dot prefilter keeps the exact decimal
+    * verify off all but candidate pairs. Assignment ties and the
+    * drop rule are id-tiebroken, so the result is deterministic and
+    * engine-portable (the driver gate replays clustering + rule in
+    * SQL).
+    *
+    * `maxCell` is the adversarial-cell guardrail (the minhash
+    * maxBucket/capStar discipline carried to clusters): a degenerate
+    * corpus can collapse into one cell — boilerplate embeddings,
+    * near-constant vectors — and the within-cell join goes n_c².
+    * Cells over the cap contribute only their LINEAR (cell-min,
+    * member) hub pairs: for the degenerate case that caused the
+    * over-fill (a cell of near-identical vectors) the hub reaches
+    * everything, so all copies still drop and the hub survives;
+    * heterogeneous over-full cells under-drop (the documented recall
+    * trade — raise nCentroids via [[centroidsFor]] to shrink cells
+    * instead when that matters). Small cells keep exact all-pairs
+    * semantics.
+    */
   def semanticDedupFrom(embeddings: DataFrame, nCentroids: Int = 16,
-      threshold: Double = 0.95, trainIters: Int = 0): DataFrame = {
+      threshold: Double = 0.95, trainIters: Int = 0,
+      maxCell: Option[Int] = None): DataFrame = {
     val cents =
       if (trainIters > 0) ivfCentroidsTrained(embeddings, nCentroids, trainIters)
       else ivfCentroids(embeddings, nCentroids)
     val withC = embeddings.join(ivfAssignWith(embeddings, cents), "vec_id")
     val a = withC.select(col("cid"), col("vec_id").as("i"), col("embedding").as("va"))
     val b = withC.select(col("cid"), col("vec_id").as("j"), col("embedding").as("vb"))
-    a.join(b, Seq("cid")).filter(col("i") < col("j"))
+    val pairs = maxCell match {
+      case None => a.join(b, Seq("cid")).filter(col("i") < col("j"))
+      case Some(cap) =>
+        val csz = withC.groupBy("cid")
+          .agg(count(lit(1)).as("n_c"), min("vec_id").as("cmin"))
+        val smallPairs = a
+          .join(broadcast(csz.filter(col("n_c") <= cap).select("cid")),
+            Seq("cid"), "left_semi")
+          .join(b, Seq("cid")).filter(col("i") < col("j"))
+        // over-full cells: the hub (= cell min) pairs with every other
+        // member — linear, and i < j holds because the hub is the min
+        val hubs = a.join(
+          broadcast(csz.filter(col("n_c") > cap)
+            .select(col("cid"), col("cmin"))),
+          Seq("cid"))
+          .filter(col("i") === col("cmin")).drop("n_c", "cmin")
+        val hubPairs = hubs.join(b, Seq("cid")).filter(col("i") =!= col("j"))
+        smallPairs.unionByName(hubPairs)
+    }
+    pairs
       .filter(dotDouble(col("va"), col("vb")) >= threshold - 0.01)
       .withColumn("dot", dotDecimal(col("va"), col("vb")))
       .filter(col("dot") >= threshold)

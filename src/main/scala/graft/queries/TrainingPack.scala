@@ -316,6 +316,17 @@ object TrainingPack {
       .orderBy("lang")
   }
 
+  /** Capped-cell SemDeDup gate: cap 30 splits the sf0.01 slice's
+    * cells into both guardrail branches (sizes run 16–42 there; at
+    * sf0.1 every cell over-fills, hub-only — the degenerate-cell
+    * regime the cap exists for). Over-full cells contribute only
+    * (cell-min, member) hub pairs; the oracle replays the size
+    * split and both branches.
+    */
+  val ddSemanticCapped: Q = (s, d) => Similarity.semanticDedupFrom(
+    plantTwins(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+      .select("vec_id", "embedding")), maxCell = Some(30))
+
   /** Paper-policy SemDeDup gate: groups = transitive closure of the
     * within-cluster pair set, keeper = lowest centroid-cosine member
     * (ties by id). The oracle replays clustering, the pair set, the
@@ -1167,6 +1178,7 @@ object TrainingPack {
     "dd_semantic_compacted" -> ddSemanticCompacted,
     "dd_semantic_groups"   -> ddSemanticGroups,
     "tx_semantic_curate"   -> txSemanticCurate,
+    "dd_semantic_capped"   -> ddSemanticCapped,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
@@ -1207,7 +1219,10 @@ object TrainingPack {
     * gate and the cross-modal curation gate so the rule can never
     * drift between them.
     */
-  private lazy val semanticDropCtes =
+  /** The planted slice → seeding → assignment prefix (`sl..wc`),
+    * shared by every planted-slice semantic oracle.
+    */
+  private lazy val semanticBaseCtes =
     s"""sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
        |pe AS (
        |  SELECT s.vec_id,
@@ -1224,7 +1239,10 @@ object TrainingPack {
        |        ORDER BY ${dotDbl.format("e.embedding", "c.ce")} DESC, c.cid) AS r
        |    FROM pe e, cents c)
        |  WHERE r = 1),
-       |wc AS (SELECT e.vec_id, e.embedding, a.cid FROM pe e JOIN asg a USING (vec_id)),
+       |wc AS (SELECT e.vec_id, e.embedding, a.cid FROM pe e JOIN asg a USING (vec_id))""".stripMargin
+
+  private lazy val semanticDropCtes =
+    s"""$semanticBaseCtes,
        |p AS (
        |  SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
        |    a.embedding AS va, b.embedding AS vb
@@ -2242,6 +2260,34 @@ object TrainingPack {
          |  CAST(ROUND(MAX(dot), 6) AS DOUBLE) AS max_cos
          |FROM hits WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
          |GROUP BY b_id, cid ORDER BY vec_id""".stripMargin,
+
+    // capped-cell SemDeDup: cells <= 30 keep exact all-pairs, cells
+    // over the cap contribute only (cell-min, member) hub pairs -
+    // both branches of the degenerate-cell guardrail replayed
+    "dd_semantic_capped" ->
+      s"""WITH $semanticBaseCtes,
+         |csz AS (SELECT cid, count(*) AS n_c, min(vec_id) AS cmin
+         |  FROM wc GROUP BY cid),
+         |small AS (
+         |  SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+         |    a.embedding AS va, b.embedding AS vb
+         |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN csz z ON z.cid = a.cid AND z.n_c <= 30),
+         |hub AS (
+         |  SELECT z.cid, h.vec_id AS i, m.vec_id AS j,
+         |    h.embedding AS va, m.embedding AS vb
+         |  FROM csz z
+         |  JOIN wc h ON h.cid = z.cid AND h.vec_id = z.cmin
+         |  JOIN wc m ON m.cid = z.cid AND m.vec_id <> z.cmin
+         |  WHERE z.n_c > 30),
+         |pp AS (SELECT * FROM small UNION ALL SELECT * FROM hub),
+         |pf AS (SELECT cid, i, j, va, vb FROM pp
+         |  WHERE ${dotDbl.format("va", "vb")} >= 0.94),
+         |d AS (SELECT cid, i, j, ${dotDec.format("va", "vb")} AS dot FROM pf)
+         |SELECT j AS vec_id, cid, MIN(i) AS kept_by,
+         |  CAST(ROUND(MAX(dot), 6) AS DOUBLE) AS max_cos
+         |FROM d WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
+         |GROUP BY j, cid ORDER BY vec_id""".stripMargin,
 
     // paper-policy SemDeDup: same clustering + pair set, groups by
     // recursive transitive closure, keeper = lowest centroid-cosine

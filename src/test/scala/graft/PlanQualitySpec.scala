@@ -200,6 +200,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "dd_semantic_compacted", // the landed-catalog screen's centroid cross
       "dd_semantic_groups",   // same centroid cross feeding the pair set + election
       "tx_semantic_curate",   // inherits dd_semantic_dedup's centroid cross
+      "dd_semantic_capped",   // same centroid cross + broadcast cell-size splits
       "tx_lm_score",          // 1-row alphabet-size aggregate broadcast-crossed into scoring
       "tx_lm_threshold",      // inherits tx_lm_score's 1-row alphabet cross
       "tx_domain_mix",        // 1-row corpus-totals aggregate crossed into the quota algebra

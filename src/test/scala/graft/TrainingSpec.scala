@@ -684,6 +684,45 @@ class TrainingSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("capped semantic dedup: hub reaches the whole degenerate family; capped subset of uncapped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def draw() = normalize(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    // a 6-copy degenerate family with the GLOBALLY smallest ids (so
+    // its cell's hub is provably a family member), a 2-copy pair, and
+    // random fillers; the construction requires family and pair to
+    // land in different cells (asserted - a shared cell would make
+    // the family hub the pair's hub too)
+    val fam = draw(); val pairV = draw()
+    val rows = (0L until 6L).map(i => (i, fam)) ++
+      Seq((10L, pairV), (11L, pairV)) ++
+      (20L until 30L).map(i => (i, draw()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cid = Similarity.ivfAssign(emb, nCentroids = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(cid(0L) != cid(10L), "degenerate construction: family and pair co-cell")
+    assert((20L until 30L).forall(f => cid(f) != cid(0L) || f > 5L),
+      "fillers may share the family cell only with larger ids")
+    val capped = Similarity.semanticDedupFrom(emb, nCentroids = 4, maxCell = Some(4))
+      .select("vec_id", "kept_by").as[(Long, Long)].collect().toMap
+    val uncapped = Similarity.semanticDedupFrom(emb, nCentroids = 4)
+      .select("vec_id", "kept_by").as[(Long, Long)].collect().toMap
+    // the degenerate family that CAUSED an over-full cell is fully
+    // dropped through its hub, identically to the uncapped rule
+    assert((1L to 5L).forall(v => capped.get(v).contains(0L)), s"$capped")
+    // the pair drops whichever branch its cell takes: exact if small,
+    // hub if over-full (10 is its cell's min among the >= 20 fillers)
+    assert(capped.get(11L).contains(10L), s"$capped")
+    // the cap only ever REMOVES candidate pairs: capped drops are a
+    // subset of uncapped drops
+    assert(capped.keySet.subsetOf(uncapped.keySet),
+      s"capped dropped rows uncapped kept: ${capped.keySet -- uncapped.keySet}")
+  }
+
   test("semantic groups: election keeps the member LEAST similar to its centroid") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
