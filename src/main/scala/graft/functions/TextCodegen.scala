@@ -35,4 +35,8 @@ object TextCodegen {
   }
 
   def sizeEncode(n: Long): Array[Byte] = CodecImpl.sizeEncode(n)
+
+  def bpeEncode(s: UTF8String): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(TextImpl.bpeEncode(s.toString))
 }

@@ -85,6 +85,25 @@ object TextExpressions {
     override def prettyName: String = "argv_tokenize"
   }
 
+  /** Byte-level BPE encode under the frozen [[BpeVocab]] table:
+    * `bpe_encode(text) → ARRAY<INT>` of token ids. Codegen-resident —
+    * the merge loop runs in one static call per row over the shared
+    * rank LUT (no per-row vocabulary materialization), so token
+    * counting / budgeting / packing in MODEL tokens stays inside
+    * WholeStageCodegen like the regex pretokenizer it upgrades.
+    */
+  case class BpeEncode(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextCodegen.bpeEncode(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextCodegen.bpeEncode($a)")
+    override protected def withNewChildInternal(c: Expression): BpeEncode = copy(c)
+    override def prettyName: String = "bpe_encode"
+  }
+
   /** Env expansion against a constant environment (foldable when the
     * path is a literal).
     */
@@ -111,6 +130,7 @@ object TextExpressions {
   def fnv1a64(s: Column): Column = c(Fnv1a64(e(s)))
   def rolling_fingerprint(s: Column): Column = c(RollingFingerprint(e(s)))
   def lang_id(s: Column): Column = c(LangId(e(s)))
+  def bpe_encode(s: Column): Column = c(BpeEncode(e(s)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -123,5 +143,6 @@ object TextExpressions {
     one("lang_id", es => LangId(es.head))
     one("argv_tokenize", es => ArgvTokenize(es.head))
     one("expand_env", es => ExpandEnv(es(0), es(1)))
+    one("bpe_encode", es => BpeEncode(es.head))
   }
 }

@@ -108,6 +108,103 @@ object TextImpl {
         else env.getOrElse(Option(m.group(2)).getOrElse(m.group(3)), "")))
   }
 
+  /** Byte-level BPE trainer (Sennrich et al. 2016 alg. 1 over the
+    * Radford et al. 2019 byte alphabet): pretokenize with
+    * [[BpeVocab.pretokenPattern]], count pretoken frequencies, then
+    * repeatedly merge the most frequent adjacent token pair — all
+    * occurrences, left-to-right non-overlapping — creating token id
+    * 256+rank. Tie-break: (count desc, left id asc, right id asc),
+    * fully deterministic. Returns the (left, right) merge list in
+    * rank order. Used ONCE to produce the frozen committed table in
+    * [[BpeVocab.merges]] (spec-pinned equal); kept as a library
+    * operator so a user can train a domain vocabulary on their own
+    * seed and freeze it the same way.
+    */
+  def bpeTrain(corpus: String, nMerges: Int): Vector[(Int, Int)] = {
+    val m = java.util.regex.Pattern.compile(BpeVocab.pretokenPattern).matcher(corpus)
+    val freq = scala.collection.mutable.Map[Vector[Int], Long]()
+    while (m.find()) {
+      val w = m.group().getBytes("UTF-8").map(_ & 0xFF).toVector
+      freq(w) = freq.getOrElse(w, 0L) + 1L
+    }
+    var words = freq.toVector.sortBy(_._1.mkString(","))
+    val out = Vector.newBuilder[(Int, Int)]
+    var next = 256
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val pc = scala.collection.mutable.Map[(Int, Int), Long]()
+      words.foreach { case (w, f) =>
+        var i = 0
+        while (i < w.length - 1) {
+          val p = (w(i), w(i + 1)); pc(p) = pc.getOrElse(p, 0L) + f; i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val best = pc.toVector.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        words = words.map { case (w, f) => (mergeAll(w, best, next), f) }
+        next += 1
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  private def mergeAll(w: Vector[Int], p: (Int, Int), nid: Int): Vector[Int] = {
+    val b = Vector.newBuilder[Int]
+    var i = 0
+    while (i < w.length) {
+      if (i < w.length - 1 && w(i) == p._1 && w(i + 1) == p._2) { b += nid; i += 2 }
+      else { b += w(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Byte-level BPE encode under the frozen [[BpeVocab]] table:
+    * pretokenize, then within each pretoken repeatedly merge the
+    * lowest-rank adjacent pair (leftmost on rank ties). One-at-a-time
+    * leftmost-min-rank merging is result-identical to the trainer's
+    * merge-all-occurrences step: a pair involving a token created at
+    * rank r can itself only have rank > r (it could not exist before
+    * r), so remaining occurrences of the current min-rank pair always
+    * stay ahead of anything a merge creates — the same invariant the
+    * SQL oracle's one-splice-per-recursion replay relies on.
+    */
+  def bpeEncode(text: String): Array[Int] = {
+    val m = java.util.regex.Pattern.compile(BpeVocab.pretokenPattern).matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    val lut = BpeVocab.rankLut
+    while (m.find()) {
+      val seq = scala.collection.mutable.ArrayBuffer[Int]()
+      m.group().getBytes("UTF-8").foreach(b => seq += (b & 0xFF))
+      var go = true
+      while (go && seq.length > 1) {
+        var bestRank = Int.MaxValue
+        var pos = -1
+        var i = 0
+        while (i < seq.length - 1) {
+          val r = lut((seq(i) << 10) | seq(i + 1))
+          if (r >= 0 && r < bestRank) { bestRank = r; pos = i }
+          i += 1
+        }
+        if (pos < 0) go = false
+        else { seq(pos) = 256 + bestRank; seq.remove(pos + 1) }
+      }
+      out ++= seq
+    }
+    out.toArray
+  }
+
+  /** Inverse of [[bpeEncode]] (lossless by construction: spellings
+    * concatenate back to the original pretoken bytes).
+    */
+  def bpeDecode(ids: Seq[Int]): String = {
+    val bytes = ids.iterator.flatMap(BpeVocab.spelling(_)).toArray
+    new String(bytes, "UTF-8")
+  }
+
   /** Tie-break precedence of the language identifier (earliest wins on
     * equal profile-match counts) — shared with the DuckDB oracle's
     * CASE chain.

@@ -31,8 +31,11 @@ import graft.Tables
   * partial-aggregated rollup. The alphabet size enters as a
   * broadcast scalar subquery, not a driver-side collect, so the
   * builder stays a lazy plan. At 100 TB nothing changes: the model
-  * still fits in one broadcast, and the corpus-side work is one
-  * scan + one aggregation.
+  * still fits in one broadcast, the corpus-side work is one scan +
+  * one aggregation, and the scaled probability (n3+1)·1e9 is
+  * computed in DECIMAL so trigram counts past ~9.2e9 (where the
+  * BIGINT intermediate would overflow — a 10% train slice of a
+  * 100 TB corpus gets there for common trigrams) stay exact.
   */
 object LangModel {
 
@@ -94,8 +97,12 @@ object LangModel {
       .join(broadcast(m2), Seq("ctx"), "left")
       .crossJoin(broadcast(v))
       .select(col("doc_id"),
-        expr(s"(coalesce(n3, 0L) + 1L) * ${ScaleE9}L div (coalesce(n2, 0L) + vsz)")
-          .as("p"))
+        // DECIMAL product: (n3+1)·1e9 overflows BIGINT once a single
+        // trigram count passes ~9.2e9 — real at 100 TB train slices.
+        // DECIMAL(28,0) holds counts to 1e19; `div` floors back to
+        // BIGINT, so the value is unchanged wherever BIGINT sufficed.
+        expr(s"cast(coalesce(n3, 0L) + 1L as decimal(28, 0)) * ${ScaleE9}L " +
+          "div (coalesce(n2, 0L) + vsz)").as("p"))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"), sum("p").as("sp"))
       .select(col("doc_id"), col("n_tri"),

@@ -99,18 +99,17 @@ object Similarity {
   def embeddingNearDupFrom(embeddings: DataFrame,
       threshold: Double = 0.95): DataFrame = {
     // oversize-misuse guard, kept LAZY for the common case: first ask
-    // Catalyst's plan statistics (free — no job); only when that
-    // upper-bound estimate crosses the cap run the precise count+dim
-    // pre-pass, so a derived plan with inflated stats (join-multiplied
-    // estimates) still gets judged on its real size instead of being
-    // wrongly rejected, while plainly-small inputs pay zero extra
-    // scans. A stats UNDERestimate past the cap (compressed scan
-    // estimates run ~raw-size for float arrays, inside the 2x margin
-    // the half-of-8GB cap leaves) falls through to Spark's own
-    // broadcast error at action time — fail-fast is best-effort, the
-    // hard cap still holds.
+    // Catalyst's plan statistics (free — no job); run the precise
+    // count+dim pre-pass whenever that estimate lands above OR within
+    // 4x under the cap — compressed parquet scans can understate
+    // in-memory float-array size by a small factor, so the uncertainty
+    // band around the cap gets the exact measurement (and the curated
+    // error) rather than falling through to Spark's opaque broadcast
+    // failure at action time. A derived plan with INFLATED stats
+    // (join-multiplied estimates) is still judged on its real size,
+    // and plainly-small inputs (est < cap/4) pay zero extra scans.
     val statsBytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (statsBytes > BigInt(MaxExactBroadcastBytes)) {
+    if (statsBytes > BigInt(MaxExactBroadcastBytes / 4)) {
       val sized = embeddings.agg(
         count(lit(1)), coalesce(max(size(col("embedding"))), lit(0))).head()
       requireExactSized(sized.getLong(0), sized.getInt(1))

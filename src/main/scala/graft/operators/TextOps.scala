@@ -34,9 +34,11 @@ object TextOps {
     * space-prefixed run of letters, digits, or other non-space
     * symbols, or a whitespace run. Alternation is leftmost-first in
     * both Java regex and DuckDB's RE2, so the count is engine-portable
-    * and the oracle shares this exact string.
+    * and the oracle shares this exact string. Canonical copy lives
+    * with the BPE vocabulary ([[graft.functions.BpeVocab]]) — the
+    * pretokenizer and the merge table version together.
     */
-  val bpePattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+  val bpePattern: String = graft.functions.BpeVocab.pretokenPattern
 
   /** Stopword list shared with the oracle SQL (quality scoring). */
   val stopwords: Seq[String] =

@@ -1052,6 +1052,97 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** Real subword tokenization: byte-level BPE under the frozen
+    * committed vocabulary ([[graft.functions.BpeVocab]] — trained
+    * once, frozen, spec-pinned) as a single codegen'd expression.
+    * Per doc: MODEL-token count plus two order-sensitive integer
+    * digests of the id sequence (sum and Σ id·position), so the
+    * oracle's recursive merge replay must reproduce the exact token
+    * STREAM, not just its length. The narrow `aggregate` folds keep
+    * the whole row inside one projection — no explode, no shuffle.
+    */
+  val txBpeTokens: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.bpe_encode(lower(col("text"))).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("bigint").as("n_tok"),
+        expr("aggregate(ids, 0L, (a, x) -> a + x)").as("sum_id"),
+        expr("aggregate(ids, named_struct('s', 0L, 'i', 0L), " +
+          "(a, x) -> named_struct('s', a.s + x * (a.i + 1), 'i', a.i + 1)).s")
+          .as("ord_fold"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget curation PRICED IN MODEL TOKENS: the
+    * [[txTokenBudget]] algebra (sqrt-temperature domain budgets,
+    * half-corpus target, quality-histogram threshold election) with
+    * every token total counted by the frozen BPE vocabulary instead
+    * of the regex pretokenizer. This is the difference between
+    * counting words and pricing a training mix — CJK/code-style
+    * domains mis-size systematically under regex tokens. Quality
+    * stays the committed text-property formula; only the CURRENCY of
+    * the budget changes, so the two gates isolate exactly that.
+    */
+  val txBpeBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ts = TextOps.tokens(col("text"))
+    val nTok = size(graft.functions.TextExpressions.bpe_encode(lower(col("text"))))
+      .cast("bigint")
+    val nReg = size(ts).cast("bigint")
+    val nChr = length(lower(col("text"))).cast("bigint")
+    val stop = TextOps.stopwordCount(ts).cast("bigint")
+    val punct = TextOps.punctCount(col("text")).cast("bigint")
+    def intDiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("bigint")
+    val quality = intDiv(stop * 20000 + nReg, nReg * 2) * 4 +
+      (lit(10000L) - intDiv(punct * 20000 + nChr, nChr * 2)) * 3 +
+      least(lit(10000L), nReg * 100) * 3
+    val scored = graft.Shared.materialize(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), quality.as("quality"), nTok.as("n_tok")))
+    val doms = scored.groupBy("lang").agg(sum("n_tok").as("td"))
+      .select(col("lang"), col("td"),
+        floor(sqrt(col("td")) * 1000).cast("long").as("ud"))
+    val tot = doms.agg(sum("td").as("ttot"), sum("ud").as("usum"))
+    val budgets = doms.crossJoin(broadcast(tot))
+      .select(col("lang"), expr("ud * (ttot * 1 div 2) div usum").as("b_budget"))
+    val wCum = Window.partitionBy("lang").orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val th = scored.groupBy("lang", "quality").agg(sum("n_tok").as("c"))
+      .join(broadcast(budgets), Seq("lang"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("tn", sum("c").over(Window.partitionBy("lang")))
+      .filter(col("cum") >= least(col("b_budget"), col("tn")))
+      .groupBy("lang").agg(max("quality").as("q_threshold"))
+    scored.join(broadcast(budgets), Seq("lang")).join(broadcast(th), Seq("lang"))
+      .filter(col("quality") >= col("q_threshold"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tok"),
+        col("b_budget"), col("q_threshold"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing in MODEL tokens: the [[txSequencePacking]]
+    * shard-parallel greedy bin fill with BPE counts as the length
+    * currency (bin capacity 1024 — BPE compresses ~4-5× over chars,
+    * so the smaller capacity keeps multiple bins per shard live at
+    * this corpus size). What a trainer actually packs into fixed
+    * context windows is model tokens; packing in regex tokens
+    * over/under-fills windows domain-dependently.
+    */
+  val txBpePack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(graft.functions.TextExpressions.bpe_encode(lower(col("text"))))
+          .cast("bigint").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before").cast("double") / 1024).cast("bigint"))
+      .select("doc_id", "shard", "n_tok", "bin")
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style LM quality score: character-trigram model trained on
     * the doc_id % 10 == 0 slice, every doc scored by integer-exact
     * average trigram probability ([[LangModel.lmScoreFrom]] — all
@@ -1158,6 +1249,9 @@ object TrainingPack {
     "tx_lm_threshold"      -> txLmThreshold,
     "tx_domain_mix"        -> txDomainMix,
     "tx_token_budget"      -> txTokenBudget,
+    "tx_bpe_tokens"        -> txBpeTokens,
+    "tx_bpe_budget"        -> txBpeBudget,
+    "tx_bpe_pack"          -> txBpePack,
     "dd_exact_dedup"       -> ddExact,
     "dd_incremental_dedup" -> ddIncremental,
     "dd_bloom_screen"      -> ddBloomScreen,
@@ -1540,6 +1634,63 @@ object TrainingPack {
        |    FROM approx)
        |  WHERE r <= 150),
        |${annRankSql("short")}""".stripMargin
+  }
+
+  /** The frozen-BPE encode replayed in SQL, ending at
+    * `bpe(doc_id, n_tok, sum_id, ord_fold)` — shared by every
+    * BPE-currency oracle. Pretokens (the committed regex over
+    * lower(text)) unnest WITH ordinality; each becomes its UTF-8
+    * byte id list; the recursive step splices ONE merge per
+    * iteration — the leftmost occurrence of the minimum-rank pair,
+    * rank looked up by `list_position` of the a·1000+b key in the
+    * frozen table's key list — which is result-identical to
+    * merge-all-occurrences because a pair involving a rank-r token
+    * can only rank > r (see TextImpl.bpeEncode). Rows with no
+    * rankable pair fall out of the recursion and are the finals.
+    */
+  private lazy val bpeCtes: String = {
+    val keys = graft.functions.BpeVocab.merges
+      .map { case (a, b) => a * 1000 + b }.mkString("[", ", ", "]")
+    s"""mm AS (SELECT $keys AS m),
+       |bpt AS (
+       |  SELECT doc_id, unnest(ps) AS p, unnest(range(1, len(ps) + 1)) AS pi
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '${TextOps.bpePattern}') AS ps
+       |        FROM documents)),
+       |binit AS (
+       |  SELECT doc_id, pi,
+       |    list_transform(range(0, octet_length(encode(p))),
+       |      j -> (strpos('0123456789ABCDEF', substr(hx, CAST(2*j+1 AS INT), 1)) - 1) * 16
+       |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*j+2 AS INT), 1)) - 1)) AS seq
+       |  FROM (SELECT doc_id, pi, p, hex(encode(p)) AS hx FROM bpt)),
+       |benc AS (
+       |  SELECT doc_id, pi, seq FROM binit
+       |  UNION ALL
+       |  SELECT doc_id, pi,
+       |    seq[1:pos-1] || [255 + minr] || seq[pos+2:len(seq)] AS seq
+       |  FROM (
+       |    SELECT doc_id, pi, seq,
+       |      list_min(list_filter(rk, r -> r > 0)) AS minr,
+       |      list_position(rk, list_min(list_filter(rk, r -> r > 0))) AS pos
+       |    FROM (
+       |      SELECT e.doc_id, e.pi, e.seq,
+       |        list_transform(range(1, len(e.seq)),
+       |          i -> list_position(m, e.seq[CAST(i AS INT)] * 1000 + e.seq[CAST(i+1 AS INT)])) AS rk
+       |      FROM benc e, mm) q
+       |    WHERE len(list_filter(rk, r -> r > 0)) > 0) s),
+       |bfin AS (
+       |  SELECT e.doc_id, e.pi, e.seq FROM benc e, mm
+       |  WHERE len(list_filter(list_transform(range(1, len(e.seq)),
+       |    i -> list_position(m, e.seq[CAST(i AS INT)] * 1000 + e.seq[CAST(i+1 AS INT)])), r -> r > 0)) = 0),
+       |btok AS (
+       |  SELECT doc_id, pi, unnest(seq) AS tid, unnest(range(1, len(seq) + 1)) AS tj FROM bfin),
+       |bpos AS (
+       |  SELECT doc_id, tid, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pi, tj) AS i FROM btok),
+       |bpe AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(count(p.tid), 0) AS BIGINT) AS n_tok,
+       |    CAST(COALESCE(sum(p.tid), 0) AS BIGINT) AS sum_id,
+       |    CAST(COALESCE(sum(p.tid * p.i), 0) AS BIGINT) AS ord_fold
+       |  FROM documents d LEFT JOIN bpos p USING (doc_id) GROUP BY d.doc_id)""".stripMargin
   }
 
   /** Byte value at 0-based offset `j` of the lowercase-hex column

@@ -111,9 +111,11 @@ object VecScreen {
     * geometry, lands verdicts as `batch_id=<n>`, and appends its
     * survivors as ingest partition batchId + 1 — per-batch cost
     * scales with the batch, never the accumulated corpus. Catalog
-    * verdicts take precedence over intra-batch ones for the kept_by
-    * witness (the DocScreen/VecScreen discipline); the drop SET
-    * equals the sequential loop's either way. Like the gram screen,
+    * and intra-batch hit verdicts merge through one min-rollup
+    * (min kept_by / max max_cos over both surfaces), so the witness
+    * matches [[graft.operators.Similarity.semanticScreenFrom]]'s
+    * exactly even when a vector has both kinds of mate. Like the
+    * gram screen,
     * verdicts are inherently order-dependent (the later copy flags),
     * so the pinned parity contract is stream == the sequential
     * per-batch loop — StreamingSpec asserts it file-by-file, plus
@@ -149,8 +151,17 @@ object VecScreen {
       val b2 = b.select(col("cid"), col("b_id").as("h_id"), col("vb").as("vh"))
       val intra = Similarity.semanticRollup(
           Similarity.semanticHits(b, b2, threshold, col("h_id") < col("b_id")))
-        .join(catalogV.select("vec_id"), Seq("vec_id"), "left_anti")
-      val verdicts = catalogV.unionByName(intra).localCheckpoint(true)
+      // min-rollup over the UNION of catalog and intra-batch verdicts
+      // — the exact Similarity.semanticScreenFrom algebra, so a batch
+      // vector with both a catalog mate and a LOWER-id intra-batch
+      // mate reports the same kept_by witness on both surfaces (the
+      // drop set was already identical; this aligns the witness).
+      // max_cos rounding commutes with max (round is monotone).
+      val verdicts = catalogV.unionByName(intra)
+        .groupBy("vec_id", "cid")
+        .agg(org.apache.spark.sql.functions.min("kept_by").as("kept_by"),
+          org.apache.spark.sql.functions.max("max_cos").as("max_cos"))
+        .localCheckpoint(true)
       verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       SemCatalog.append(s,
         batch.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti"),

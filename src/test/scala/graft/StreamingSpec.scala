@@ -349,11 +349,16 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Array[Float])].collect().toMap
     // f0: history hit (copy of hist 300) + novel X; f1: copy of X
     // (flaggable only via f0's survivor) + intra-batch twins Y;
-    // f2: copy of Y (flaggable only via f1's survivor)
+    // f2: copy of Y (flaggable only via f1's survivor); f3: two more
+    // copies of hist 300 with batch ids BELOW 300 — vector 7 has both
+    // a catalog mate (300) and a lower-id intra-batch mate (5), so
+    // its kept_by witness must be the min over BOTH surfaces (5), the
+    // semanticScreenFrom algebra
     val slices = Seq(
       Seq((301L, byId(300L)), (9001L, byId(11L))),
       Seq((9003L, byId(11L)), (9005L, byId(13L)), (9007L, byId(13L))),
-      Seq((9009L, byId(13L))))
+      Seq((9009L, byId(13L))),
+      Seq((5L, byId(300L)), (7L, byId(300L))))
     val src = Files.createTempDirectory("sem_src").toString
     slices.foreach { rows =>
       rows.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(src)
@@ -368,7 +373,8 @@ class StreamingSpec extends AnyFunSuite {
         spark, src, schema, cat, sink, chk)
       val streamed = spark.read.parquet(sink)
         .select("vec_id", "kept_by").as[(Long, Long)].collect().toSet
-      assert(streamed === Set((301L, 300L), (9003L, 9001L), (9007L, 9005L), (9009L, 9005L)),
+      assert(streamed === Set((301L, 300L), (9003L, 9001L), (9007L, 9005L), (9009L, 9005L),
+          (5L, 300L), (7L, 5L)),
         s"unexpected streamed verdicts: $streamed")
       // the pinned contract: stream == the sequential per-batch loop
       // with the SAME pinned geometry and growing history
