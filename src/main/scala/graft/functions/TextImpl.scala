@@ -108,6 +108,14 @@ object TextImpl {
         else env.getOrElse(Option(m.group(2)).getOrElse(m.group(3)), "")))
   }
 
+  /** The compiled pretokenizer, built once per JVM and shared by
+    * [[bpeTrain]] and [[bpeEncode]] — the encode path runs once per
+    * row inside a codegen'd expression, so per-row work must be
+    * matcher creation only, never Pattern compilation.
+    */
+  private val pretokenRegex: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(BpeVocab.pretokenPattern)
+
   /** Byte-level BPE trainer (Sennrich et al. 2016 alg. 1 over the
     * Radford et al. 2019 byte alphabet): pretokenize with
     * [[BpeVocab.pretokenPattern]], count pretoken frequencies, then
@@ -121,7 +129,7 @@ object TextImpl {
     * seed and freeze it the same way.
     */
   def bpeTrain(corpus: String, nMerges: Int): Vector[(Int, Int)] = {
-    val m = java.util.regex.Pattern.compile(BpeVocab.pretokenPattern).matcher(corpus)
+    val m = pretokenRegex.matcher(corpus)
     val freq = scala.collection.mutable.Map[Vector[Int], Long]()
     while (m.find()) {
       val w = m.group().getBytes("UTF-8").map(_ & 0xFF).toVector
@@ -173,7 +181,7 @@ object TextImpl {
     * SQL oracle's one-splice-per-recursion replay relies on.
     */
   def bpeEncode(text: String): Array[Int] = {
-    val m = java.util.regex.Pattern.compile(BpeVocab.pretokenPattern).matcher(text)
+    val m = pretokenRegex.matcher(text)
     val out = scala.collection.mutable.ArrayBuffer[Int]()
     val lut = BpeVocab.rankLut
     while (m.find()) {

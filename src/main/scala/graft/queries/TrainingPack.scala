@@ -1955,6 +1955,63 @@ object TrainingPack {
          |WHERE m.quality >= th.q_threshold
          |ORDER BY m.doc_id""".stripMargin,
 
+    // the frozen-BPE encode replayed merge-by-merge (bpeCtes): the
+    // recursive splice must reproduce the engine's exact token STREAM
+    // — count, id sum, and the position-weighted ord_fold all hash in
+    "tx_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT doc_id, n_tok, sum_id, ord_fold FROM bpe
+         |ORDER BY doc_id""".stripMargin,
+
+    // tx_token_budget's algebra with the token CURRENCY swapped to
+    // the frozen-BPE counts (n_tok from the bpe CTE); quality stays
+    // the regex-token formula — the two gates isolate the currency
+    "tx_bpe_budget" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |t AS (
+         |  SELECT doc_id, lang, lower(text) AS lt, $TS AS ts FROM documents),
+         |m AS (
+         |  SELECT t.doc_id, t.lang, b.n_tok,
+         |    ((CAST(len(list_filter(ts, x -> x IN ($Stop))) AS BIGINT) * 20000
+         |        + CAST(len(ts) AS BIGINT)) // (CAST(len(ts) AS BIGINT) * 2)) * 4
+         |    + (10000 - (CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS BIGINT) * 20000
+         |        + CAST(length(lt) AS BIGINT)) // (CAST(length(lt) AS BIGINT) * 2)) * 3
+         |    + least(10000, CAST(len(ts) AS BIGINT) * 100) * 3 AS quality
+         |  FROM t JOIN bpe b USING (doc_id)),
+         |doms AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS td FROM m GROUP BY lang),
+         |u AS (SELECT lang, td, CAST(floor(sqrt(td) * 1000) AS BIGINT) AS ud FROM doms),
+         |tot AS (SELECT CAST(SUM(td) AS BIGINT) AS ttot,
+         |  CAST(SUM(ud) AS BIGINT) AS usum FROM u),
+         |bud AS (SELECT lang, ud * (ttot * 1 // 2) // usum AS b_budget FROM u, tot),
+         |hh AS (SELECT lang, quality, CAST(SUM(n_tok) AS BIGINT) AS c FROM m GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT lang, quality,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY quality DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(c) OVER (PARTITION BY lang) AS tn
+         |  FROM hh),
+         |th AS (
+         |  SELECT cm.lang, MAX(quality) AS q_threshold
+         |  FROM cm JOIN bud ON bud.lang = cm.lang
+         |  WHERE cum >= least(b_budget, tn) GROUP BY cm.lang)
+         |SELECT m.doc_id, m.lang, m.quality, m.n_tok, bud.b_budget, th.q_threshold
+         |FROM m JOIN bud USING (lang) JOIN th USING (lang)
+         |WHERE m.quality >= th.q_threshold
+         |ORDER BY m.doc_id""".stripMargin,
+
+    // tx_sequence_packing's shard-parallel greedy fill priced in
+    // model tokens (bin capacity 1024, n_tok from the bpe CTE)
+    "tx_bpe_pack" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |t AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM bpe),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, shard, n_tok, CAST(cum_before // 1024 AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // temperature mix: per-lang counts -> floor(sqrt*1000) weights ->
     // half-corpus target -> integer quota -> 24-bit hex keep cut ->
     // md5-prefix survival, all BIGINT floor arithmetic

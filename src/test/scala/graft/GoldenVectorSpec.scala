@@ -99,4 +99,54 @@ class GoldenVectorSpec extends AnyFunSuite {
       assert(f"${CodecImpl.ipCksum(hex(in))}%04x" === want, in)
     }
   }
+
+  // ---------------------------------------------------------- BPE pins
+
+  test("BpeVocab.merges is exactly the frozen trainer output") {
+    // the versioned-artifact contract: the committed table IS
+    // bpeTrain over the committed seed — any trainer edit that would
+    // silently shift token ids across the lake fails here
+    import graft.functions.{BpeVocab, TextImpl}
+    assert(TextImpl.bpeTrain(BpeVocab.seedCorpus, BpeVocab.nMerges)
+      === BpeVocab.merges)
+  }
+
+  test("bpe encode golden vectors") {
+    import graft.functions.TextImpl
+    val gold: Seq[(String, Seq[Int])] = Seq(
+      "the table scan" -> Seq(257, 283, 287),
+      " the query engine reads the table" ->
+        Seq(258, 372, 378, 390, 371, 258, 283),
+      "a hash join on the key" ->
+        Seq(97, 364, 330, 336, 110, 258, 331),
+      "in 1995 and 2020 the count was 1000" ->
+        Seq(277, 357, 380, 262, 339, 309, 258, 334, 269, 275, 358, 48),
+      "a == b and a != b" ->
+        Seq(97, 375, 61, 267, 262, 259, 373, 61, 267),
+      "http://example -- yes... no..." ->
+        Seq(104, 411, 381, 387, 382, 402, 374, 45, 377, 297, 322, 376, 111, 322),
+      // out-of-seed words fall back to raw bytes (never dropped)
+      "zebra quartz vex" ->
+        Seq(122, 101, 98, 114, 97, 337, 117, 97, 347, 122, 294, 387),
+      "the the the" -> Seq(257, 258, 258), // bare "the" only word-initially
+      "" -> Seq(),
+      "   " -> Seq(32, 32, 32),
+      // uppercase is outside the lowercase word class -> byte-level
+      "The Table Scan" -> Seq(84, 104, 101, 32, 84, 97, 276, 32, 83, 285))
+    gold.foreach { case (s, want) =>
+      assert(TextImpl.bpeEncode(s).toSeq === want, s)
+    }
+  }
+
+  test("bpe decode inverts encode losslessly") {
+    import graft.functions.{BpeVocab, TextImpl}
+    val cases = Seq(
+      BpeVocab.seedCorpus,
+      "the table scan", "The Table Scan", "a == b", "", "  spaced  out  ",
+      "zebra quartz vex 9000!", "multi\n\nline\ttext", "1995-2020 :: ok...")
+    cases.foreach { s =>
+      assert(TextImpl.bpeDecode(TextImpl.bpeEncode(s).toIndexedSeq) === s,
+        s.take(40))
+    }
+  }
 }

@@ -205,6 +205,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_lm_threshold",      // inherits tx_lm_score's 1-row alphabet cross
       "tx_domain_mix",        // 1-row corpus-totals aggregate crossed into the quota algebra
       "tx_token_budget",      // same 1-row totals cross, at token granularity
+      "tx_bpe_budget",        // reviewed: txTokenBudget's audited 1-row totals
+                              // cross (doms.crossJoin(broadcast(tot)), bounded
+                              // by |lang| x 1) with BPE as the token currency
       "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
       "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
@@ -215,6 +218,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_lm_threshold",      // same scalar via the scoring subtree
       "tx_domain_mix",        // the corpus-totals scalar aggregate (1-row result)
       "tx_token_budget",      // its token-totals scalar aggregate (1-row result)
+      "tx_bpe_budget",        // reviewed: same token-totals scalar (1-row result)
       "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive
