@@ -33,6 +33,12 @@ object CodecCodegen {
     else InternalRow(s.width, s.height, s.maxval, s.nPx, s.sumR, s.sumG, s.sumB)
   }
 
+  def ppmResize(buf: Array[Byte], tw: Int, th: Int): InternalRow = {
+    val s = CodecImpl.ppmResizeStats(buf, tw, th)
+    if (s == null) null
+    else InternalRow(s.outW, s.outH, s.sumR, s.sumG, s.sumB, s.ordFold)
+  }
+
   def bmpDecode(buf: Array[Byte]): InternalRow = {
     val s = CodecImpl.bmpDecode(buf)
     if (s == null) null

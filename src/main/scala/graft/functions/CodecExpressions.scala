@@ -260,6 +260,39 @@ object CodecExpressions {
     override def prettyName: String = "ppm_decode"
   }
 
+  val ppmResizeType: StructType = StructType(Seq(
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("ord_fold", LongType, nullable = false)))
+
+  /** `ppm_resize(BINARY, INT, INT) → STRUCT<out_w,out_h,sum_r,g,b,ord_fold>`:
+    * P6 decode + integer bilinear resample to the target geometry
+    * (8.8 fixed point, replicate-border — [[CodecImpl.bilinear3]]),
+    * emitting channel sums plus the position-weighted byte fold that
+    * pins the exact resampled stream. Malformed payload or
+    * nonpositive target → null (error routing).
+    */
+  case class PpmResize(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, IntegerType)
+    override def dataType: DataType = ppmResizeType
+    override def nullable: Boolean = true
+    override def nullSafeEval(b: Any, tw: Any, th: Any): Any =
+      CodecCodegen.ppmResize(b.asInstanceOf[Array[Byte]],
+        tw.asInstanceOf[Int], th.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, tw, th) => s"""
+        ${ev.value} = $Bridge.ppmResize($b, $tw, $th);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): PpmResize =
+      copy(a, b, c)
+    override def prettyName: String = "ppm_resize"
+  }
+
   val bmpStatsType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -461,6 +494,8 @@ object CodecExpressions {
   def bz2_decompress(col: Column, maxLen: Column): Column =
     c(Bz2Decompress(e(col), e(maxLen)))
   def ppm_decode(col: Column): Column = c(PpmDecode(e(col)))
+  def ppm_resize(col: Column, tw: Column, th: Column): Column =
+    c(PpmResize(e(col), e(tw), e(th)))
   def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
   def wav_decode(col: Column): Column = c(WavDecode(e(col)))
   def y4m_decode(col: Column): Column = c(Y4mDecode(e(col)))
@@ -491,6 +526,7 @@ object CodecExpressions {
     one("bz2_compress", es => Bz2Compress(es.head))
     one("bz2_decompress", es => Bz2Decompress(es(0), es(1)))
     one("ppm_decode", es => PpmDecode(es.head))
+    one("ppm_resize", es => PpmResize(es(0), es(1), es(2)))
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))
     one("y4m_decode", es => Y4mDecode(es.head))

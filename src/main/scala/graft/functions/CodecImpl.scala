@@ -259,6 +259,26 @@ object CodecImpl {
     * signal the ingest DAGs route on.
     */
   def ppmDecode(b: Array[Byte]): PpmStats = {
+    val hd = ppmHeader(b)
+    if (hd == null) return null
+    val Array(w, h, mv, pos) = hd
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = pos
+    val end = pos + w * h * 3
+    while (i < end) {
+      sr += b(i) & 0xFF; sg += b(i + 1) & 0xFF; sb += b(i + 2) & 0xFF
+      i += 3
+    }
+    PpmStats(w, h, mv, w * h, sr, sg, sb)
+  }
+
+  /** Parse + validate a P6 header; returns `{w, h, maxval, rasterOff}`
+    * with the raster bounds already checked against the buffer, or
+    * null on any malformed-input condition [[ppmDecode]] rejects.
+    * Shared by the decode and resize paths so their accept/reject
+    * languages cannot drift.
+    */
+  private def ppmHeader(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return null
     var pos = 2
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
@@ -287,16 +307,98 @@ object CodecImpl {
     if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return null
     if (pos >= b.length || !isWs(b(pos))) return null
     pos += 1
-    val need = w.toLong * h * 3
-    if (need > b.length - pos) return null
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var i = pos
-    val end = pos + need.toInt
-    while (i < end) {
-      sr += b(i) & 0xFF; sg += b(i + 1) & 0xFF; sb += b(i + 2) & 0xFF
-      i += 3
+    if (w.toLong * h * 3 > b.length - pos) return null
+    Array(w, h, mv, pos)
+  }
+
+  /** Integer bilinear resample of an interleaved 3-channel raster —
+    * the resize kernel proper, independent of the container format.
+    * Pure 8.8 fixed point, so every engine (and the SQL oracle)
+    * reproduces it bit-exactly, no float rounding seam:
+    *
+    *   f = clamp((2d+1)·src·128 / dst − 128, 0, 256·(src−1))
+    *   lo = f >> 8;  frac = f & 255;  hi = min(lo+1, src−1)
+    *   out = ((256−fy)·((256−fx)·p00 + fx·p01)
+    *        +      fy ·((256−fx)·p10 + fx·p11)) >> 16
+    *
+    * (the half-pixel-center mapping — align_corners=false in the ML
+    * resize taxonomy — with floor division throughout; weights are
+    * exact because the numerators stay well under 2³¹). Edge pixels
+    * clamp (replicate-border), the standard CV convention.
+    */
+  def bilinear3(b: Array[Byte], off: Int, w: Int, h: Int,
+      tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * 3)
+    var o = 0
+    var dy = 0
+    while (dy < th) {
+      var fy = (2 * dy + 1) * h * 128 / th - 128
+      if (fy < 0) fy = 0
+      if (fy > 256 * (h - 1)) fy = 256 * (h - 1)
+      val y0 = fy >> 8; val wy = fy & 255
+      val y1 = if (y0 + 1 < h) y0 + 1 else h - 1
+      var dx = 0
+      while (dx < tw) {
+        var fx = (2 * dx + 1) * w * 128 / tw - 128
+        if (fx < 0) fx = 0
+        if (fx > 256 * (w - 1)) fx = 256 * (w - 1)
+        val x0 = fx >> 8; val wx = fx & 255
+        val x1 = if (x0 + 1 < w) x0 + 1 else w - 1
+        val i00 = off + 3 * (y0 * w + x0); val i01 = off + 3 * (y0 * w + x1)
+        val i10 = off + 3 * (y1 * w + x0); val i11 = off + 3 * (y1 * w + x1)
+        var c = 0
+        while (c < 3) {
+          val top = (256 - wx) * (b(i00 + c) & 0xFF) + wx * (b(i01 + c) & 0xFF)
+          val bot = (256 - wx) * (b(i10 + c) & 0xFF) + wx * (b(i11 + c) & 0xFF)
+          out(o) = (((256 - wy) * top + wy * bot) >> 16).toByte
+          o += 1; c += 1
+        }
+        dx += 1
+      }
+      dy += 1
     }
-    PpmStats(w, h, mv, w * h, sr, sg, sb)
+    out
+  }
+
+  /** P6 PPM decode + integer bilinear resize to `tw`×`th`: the REAL
+    * replacement for the stride-sample seam — an actual raster
+    * resample over actually-decoded planes. Null on malformed input
+    * (same header/raster language as [[ppmDecode]]) or nonpositive
+    * target geometry.
+    */
+  def ppmResize(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    if (tw <= 0 || th <= 0 || tw > 0xFFFF || th > 0xFFFF) return null
+    val hd = ppmHeader(b)
+    if (hd == null) return null
+    bilinear3(b, hd(3), hd(0), hd(1), tw, th)
+  }
+
+  /** Resized-raster facts for the relational surface: geometry,
+    * per-channel sums, and the position-weighted byte fold
+    * Σ (i+1)·byteᵢ — the fold pins the exact byte STREAM (order and
+    * values), so the oracle must reproduce the resample bit-for-bit,
+    * not just its totals. Fits comfortably in a Long for any raster
+    * the 16-bit geometry gate admits.
+    */
+  final case class PpmResizeStats(outW: Int, outH: Int,
+      sumR: Long, sumG: Long, sumB: Long, ordFold: Long)
+
+  def ppmResizeStats(b: Array[Byte], tw: Int, th: Int): PpmResizeStats = {
+    val r = ppmResize(b, tw, th)
+    if (r == null) return null
+    var sr = 0L; var sg = 0L; var sb = 0L; var fold = 0L
+    var i = 0
+    while (i < r.length) {
+      val v = r(i) & 0xFF
+      (i % 3: @annotation.switch) match {
+        case 0 => sr += v
+        case 1 => sg += v
+        case 2 => sb += v
+      }
+      fold += (i + 1).toLong * v
+      i += 1
+    }
+    PpmResizeStats(tw, th, sr, sg, sb, fold)
   }
 
   /** Decoded BMP raster stats — see [[bmpDecode]]. */

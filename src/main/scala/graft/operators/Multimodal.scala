@@ -127,8 +127,12 @@ object Multimodal {
     * the `doc_id % 11 == 5` slice are truncated by one raster byte →
     * decode yields SQL null → the malformed routing channel.
     */
-  def ppmDecoded(spark: SparkSession, dir: String): DataFrame = {
-    val did = col("doc_id")
+  /** The synthetic P6 payload column shared by the PPM gates: a
+    * genuine Netpbm header over a deterministic md5-chain raster
+    * (w = 4+id%5, h = 3+id%4), with the `doc_id % 11 == 5` slice
+    * truncated by one raster byte → decode null (reject channel).
+    */
+  private def ppmPayload(did: Column): Column = {
     val w = (lit(4) + did % 5).cast("int")
     val h = (lit(3) + did % 4).cast("int")
     // 9 md5 blocks = 288 hex chars ≥ the largest raster (8·6·3 bytes)
@@ -139,9 +143,13 @@ object Multimodal {
       concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
         lit("\n255\n")).cast("binary"),
       pix)
-    val payload = when(did % 11 === 5,
+    when(did % 11 === 5,
       substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
-    val dec = graft.functions.CodecExpressions.ppm_decode(payload)
+  }
+
+  def ppmDecoded(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val dec = graft.functions.CodecExpressions.ppm_decode(ppmPayload(did))
     Tables.documents(spark, dir)
       .select(did, dec.as("d"))
       .select(did.as("doc_id"),
@@ -150,6 +158,33 @@ object Multimodal {
         col("d.maxval").as("maxval"), col("d.n_px").as("n_px"),
         col("d.sum_r").as("sum_r"), col("d.sum_g").as("sum_g"),
         col("d.sum_b").as("sum_b"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL resize over the real-format path (round 17): the same P6
+    * payloads as [[ppmDecoded]], decoded and bilinear-resampled by
+    * the native `ppm_resize` expression — integer 8.8 fixed-point
+    * interpolation over actually-decoded planes (the stride-sample
+    * seam above keeps its own gate as the pluggable-codec contract).
+    * Targets vary per document and include a both-axis UPSCALE slice
+    * (`doc_id % 6 == 1` → 10×7, larger than any source raster), so
+    * the replicate-border clamp is exercised on both ends; the
+    * `doc_id % 11 == 5` truncation slice flows through as decode
+    * null. One codegen-resident expression per row — no object seam,
+    * no shuffle; the whole stage is scan → project.
+    */
+  def ppmResized(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val tw = when(did % 6 === 1, 10).otherwise(lit(2) + did % 3).cast("int")
+    val th = when(did % 6 === 1, 7).otherwise(lit(2) + did % 2).cast("int")
+    val dec = graft.functions.CodecExpressions.ppm_resize(ppmPayload(did), tw, th)
+    Tables.documents(spark, dir)
+      .select(did, dec.as("d"))
+      .select(did.as("doc_id"),
+        col("d").isNotNull.as("valid"),
+        col("d.out_w").as("out_w"), col("d.out_h").as("out_h"),
+        col("d.sum_r").as("sum_r"), col("d.sum_g").as("sum_g"),
+        col("d.sum_b").as("sum_b"), col("d.ord_fold").as("ord_fold"))
       .orderBy("doc_id")
   }
 

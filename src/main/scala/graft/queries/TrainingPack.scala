@@ -894,6 +894,15 @@ object TrainingPack {
     */
   val mmPpmDecode: Q = (s, d) => Multimodal.ppmDecoded(s, d)
 
+  /** REAL resize gate: integer 8.8 bilinear resample over the decoded
+    * PPM planes (upscale + downscale slices, replicate-border clamp)
+    * — see [[Multimodal.ppmResized]]. The oracle replays the fixed-
+    * point interpolation per output byte and re-folds the
+    * position-weighted stream digest, so the resample must reproduce
+    * bit-for-bit, not just in its channel totals.
+    */
+  val mmResizeReal: Q = (s, d) => Multimodal.ppmResized(s, d)
+
   /** BMP twin of the real-format gate — LE headers, BGR, stride pads,
     * top-down slice; see [[Multimodal.bmpDecoded]].
     */
@@ -1301,6 +1310,7 @@ object TrainingPack {
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
     "mm_resize"            -> mmResize,
+    "mm_resize_real"       -> mmResizeReal,
     "mm_ppm_decode"        -> mmPpmDecode,
     "mm_bmp_decode"        -> mmBmpDecode,
     "mm_wav_decode"        -> mmWavDecode,
@@ -2969,6 +2979,70 @@ object TrainingPack {
          |  CASE WHEN trunc THEN NULL ELSE ${chanSum(1)} END AS sum_g,
          |  CASE WHEN trunc THEN NULL ELSE ${chanSum(2)} END AS sum_b
          |FROM x ORDER BY doc_id""".stripMargin
+    },
+
+    // the real bilinear resize replayed byte-for-byte: staged
+    // list_transforms (coords -> neighbors -> 4-tap gather -> blend,
+    // kept separate because DuckDB's lambda engine miscomputes when a
+    // large subexpression is inlined many times — the XTEA lesson),
+    // each output byte the exact 8.8 fixed-point blend of its four
+    // clamped neighbors, then channel sums and the position-weighted
+    // stream fold over the flattened RGB list
+    "mm_resize_real" -> {
+      def pb(j: String) = pxByte(j)
+      val chain = (0 until 9).map(i => s"md5('px$i|' || doc_id)").mkString(" || ")
+      s"""WITH g AS (
+         |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         |    CASE WHEN doc_id % 6 = 1 THEN 10 ELSE 2 + doc_id % 3 END AS tw,
+         |    CASE WHEN doc_id % 6 = 1 THEN 7 ELSE 2 + doc_id % 2 END AS th,
+         |    $chain AS chain
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, w, h, tw, th,
+         |    substr(chain, 1, CAST(w * h * 6 AS INT)) AS px,
+         |    doc_id % 11 = 5 AS trunc
+         |  FROM g),
+         |s1 AS (
+         |  SELECT doc_id, w, h, tw, th, px, trunc,
+         |    list_transform(range(0, tw * th), p -> struct_pack(
+         |      fx := least(256 * (w - 1), greatest(0, (2 * (p % tw) + 1) * w * 128 // tw - 128)),
+         |      fy := least(256 * (h - 1), greatest(0, (2 * (p // tw) + 1) * h * 128 // th - 128)))) AS cs
+         |  FROM x),
+         |s2 AS (
+         |  SELECT doc_id, w, h, tw, th, px, trunc,
+         |    list_transform(cs, s -> struct_pack(
+         |      x0 := s.fx // 256, y0 := s.fy // 256,
+         |      x1 := least(s.fx // 256 + 1, w - 1), y1 := least(s.fy // 256 + 1, h - 1),
+         |      wx := s.fx % 256, wy := s.fy % 256)) AS nb
+         |  FROM s1),
+         |s3 AS (
+         |  SELECT doc_id, tw, th, trunc,
+         |    flatten(list_transform(nb, s -> list_transform([0, 1, 2], c -> struct_pack(
+         |      p00 := ${pb("3 * (s.y0 * w + s.x0) + c")},
+         |      p01 := ${pb("3 * (s.y0 * w + s.x1) + c")},
+         |      p10 := ${pb("3 * (s.y1 * w + s.x0) + c")},
+         |      p11 := ${pb("3 * (s.y1 * w + s.x1) + c")},
+         |      wx := s.wx, wy := s.wy)))) AS pv
+         |  FROM s2),
+         |s4 AS (
+         |  SELECT doc_id, tw, th, trunc,
+         |    list_transform(pv, v ->
+         |      ((256 - v.wy) * ((256 - v.wx) * v.p00 + v.wx * v.p01)
+         |        + v.wy * ((256 - v.wx) * v.p10 + v.wx * v.p11)) // 65536) AS ob
+         |  FROM s3)
+         |SELECT doc_id,
+         |  NOT trunc AS valid,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(tw AS INT) END AS out_w,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(th AS INT) END AS out_h,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(list_sum(list_transform(
+         |    range(0, tw * th), p -> ob[CAST(3 * p + 1 AS INT)])) AS BIGINT) END AS sum_r,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(list_sum(list_transform(
+         |    range(0, tw * th), p -> ob[CAST(3 * p + 2 AS INT)])) AS BIGINT) END AS sum_g,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(list_sum(list_transform(
+         |    range(0, tw * th), p -> ob[CAST(3 * p + 3 AS INT)])) AS BIGINT) END AS sum_b,
+         |  CASE WHEN trunc THEN NULL ELSE CAST(list_sum(list_transform(
+         |    range(0, tw * th * 3), i -> (i + 1) * ob[CAST(i + 1 AS INT)])) AS BIGINT) END AS ord_fold
+         |FROM s4 ORDER BY doc_id""".stripMargin
     },
 
     "tx_sequence_packing" ->

@@ -397,6 +397,63 @@ class CodecImplSpec extends AnyFunSuite {
     assert(c == s)
   }
 
+  test("ppm bilinear resize: golden pixels — center average, upscale clamp") {
+    // 2x2 -> 1x1: the single output pixel sits at the exact center,
+    // so 8.8 fixed point degenerates to the 4-pixel mean (wx=wy=128)
+    val px22 = Array[Byte](10, 20, 30, 200.toByte, 100, 0,
+      50, 60, 70, 140.toByte, 120, 100)
+    val img22 = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px22
+    assert(CodecImpl.ppmResize(img22, 1, 1).toSeq ===
+      Seq[Byte](100, 75, 50))
+    // 2x1 -> 3x1 UPSCALE: edge pixels clamp to the border (exact
+    // copies), the middle lands halfway (hand-computed fixed point:
+    // fx=-43->0 | 128 | 298->256)
+    val img21 = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 200.toByte, 100, 0)
+    assert(CodecImpl.ppmResize(img21, 3, 1).toSeq ===
+      Seq[Byte](10, 20, 30, 105, 60, 15, 200.toByte, 100, 0))
+  }
+
+  test("ppm bilinear resize: identity, bounds, and constant-raster properties") {
+    val r = new scala.util.Random(99)
+    for (_ <- 1 to 30) {
+      val w = 1 + r.nextInt(8); val h = 1 + r.nextInt(6)
+      val px = Array.fill(w * h * 3)(r.nextInt(256).toByte)
+      val img = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+      // identity geometry reproduces the raster exactly (all weights 0)
+      assert(CodecImpl.ppmResize(img, w, h).toSeq === px.toSeq)
+      // any geometry: every output byte within the raster's value range
+      val tw = 1 + r.nextInt(12); val th = 1 + r.nextInt(9)
+      val out = CodecImpl.ppmResize(img, tw, th)
+      assert(out.length == tw * th * 3)
+      val vals = px.map(_ & 0xFF)
+      assert(out.forall(b => (b & 0xFF) >= vals.min && (b & 0xFF) <= vals.max))
+    }
+    // constant raster resizes to the same constant at any geometry
+    val flat = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ Array.fill(18)(77.toByte)
+    assert(CodecImpl.ppmResize(flat, 7, 5).forall(_ == 77.toByte))
+  }
+
+  test("ppm bilinear resize: stats match the raster; rejects mirror decode") {
+    val r = new scala.util.Random(7)
+    val w = 5; val h = 4
+    val px = Array.fill(w * h * 3)(r.nextInt(256).toByte)
+    val img = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    val out = CodecImpl.ppmResize(img, 3, 2)
+    val st = CodecImpl.ppmResizeStats(img, 3, 2)
+    def sum(c: Int) = out.indices.filter(_ % 3 == c).map(i => (out(i) & 0xFF).toLong).sum
+    assert(st.outW == 3 && st.outH == 2)
+    assert(st.sumR == sum(0) && st.sumG == sum(1) && st.sumB == sum(2))
+    assert(st.ordFold == out.indices.map(i => (i + 1).toLong * (out(i) & 0xFF)).sum)
+    // the resize path rejects exactly what the decode path rejects
+    assert(CodecImpl.ppmResize(img.dropRight(1), 3, 2) == null)
+    assert(CodecImpl.ppmResize("P5\n2 1\n255\n".getBytes("US-ASCII") ++ new Array[Byte](6), 2, 2) == null)
+    // plus nonpositive / absurd target geometry
+    assert(CodecImpl.ppmResize(img, 0, 2) == null)
+    assert(CodecImpl.ppmResize(img, 2, -1) == null)
+    assert(CodecImpl.ppmResize(img, 100000, 2) == null)
+  }
+
   test("bmp decode: golden image, stride pads skipped, top-down flag, rejects") {
     def le32(v: Long): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
