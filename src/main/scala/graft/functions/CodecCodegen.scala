@@ -39,6 +39,9 @@ object CodecCodegen {
     else InternalRow(s.outW, s.outH, s.sumR, s.sumG, s.sumB, s.ordFold)
   }
 
+  def ppmDhash(buf: Array[Byte]): java.lang.Long = CodecImpl.ppmDhash(buf)
+  def ppmAhash(buf: Array[Byte]): java.lang.Long = CodecImpl.ppmAhash(buf)
+
   def bmpDecode(buf: Array[Byte]): InternalRow = {
     val s = CodecImpl.bmpDecode(buf)
     if (s == null) null

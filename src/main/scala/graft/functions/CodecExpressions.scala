@@ -293,6 +293,57 @@ object CodecExpressions {
     override def prettyName: String = "ppm_resize"
   }
 
+  /** `ppm_dhash(BINARY) → BIGINT`: perceptual difference hash — P6
+    * decode + integer bilinear to a 9×8 luma grid + horizontal
+    * gradient signs ([[CodecImpl.ppmDhash]]). Null on malformed
+    * payload. A single codegen-resident expression, so the signature
+    * stage of the perceptual near-dup pipeline is scan → project.
+    */
+  case class PpmDhash(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val r = CodecCodegen.ppmDhash(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val r = ctx.freshName("dh")
+        s"""
+        java.lang.Long $r = $Bridge.ppmDhash($b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+        """
+      })
+    override protected def withNewChildInternal(c: Expression): PpmDhash = copy(c)
+    override def prettyName: String = "ppm_dhash"
+  }
+
+  /** `ppm_ahash(BINARY) → BIGINT`: perceptual average hash — 8×8 luma
+    * grid, mean-threshold bits ([[CodecImpl.ppmAhash]]).
+    */
+  case class PpmAhash(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val r = CodecCodegen.ppmAhash(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val r = ctx.freshName("ah")
+        s"""
+        java.lang.Long $r = $Bridge.ppmAhash($b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+        """
+      })
+    override protected def withNewChildInternal(c: Expression): PpmAhash = copy(c)
+    override def prettyName: String = "ppm_ahash"
+  }
+
   val bmpStatsType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -496,6 +547,8 @@ object CodecExpressions {
   def ppm_decode(col: Column): Column = c(PpmDecode(e(col)))
   def ppm_resize(col: Column, tw: Column, th: Column): Column =
     c(PpmResize(e(col), e(tw), e(th)))
+  def ppm_dhash(col: Column): Column = c(PpmDhash(e(col)))
+  def ppm_ahash(col: Column): Column = c(PpmAhash(e(col)))
   def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
   def wav_decode(col: Column): Column = c(WavDecode(e(col)))
   def y4m_decode(col: Column): Column = c(Y4mDecode(e(col)))
@@ -527,6 +580,8 @@ object CodecExpressions {
     one("bz2_decompress", es => Bz2Decompress(es(0), es(1)))
     one("ppm_decode", es => PpmDecode(es.head))
     one("ppm_resize", es => PpmResize(es(0), es(1), es(2)))
+    one("ppm_dhash", es => PpmDhash(es.head))
+    one("ppm_ahash", es => PpmAhash(es.head))
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))
     one("y4m_decode", es => Y4mDecode(es.head))

@@ -401,6 +401,62 @@ object CodecImpl {
     PpmResizeStats(tw, th, sr, sg, sb, fold)
   }
 
+  /** BT.601 integer luma of the interleaved RGB pixel at offset `i`:
+    * (77·r + 150·g + 29·b) >> 8. The weights sum to 256, so the
+    * result stays in [0, 255] and — being pure integer arithmetic —
+    * every engine (and the SQL oracle, `// 256`) reproduces it
+    * exactly; a grayscale raster maps to its own value.
+    */
+  private def luma3(b: Array[Byte], i: Int): Int =
+    (77 * (b(i) & 0xFF) + 150 * (b(i + 1) & 0xFF) + 29 * (b(i + 2) & 0xFF)) >> 8
+
+  /** Difference hash (dHash) of a P6 payload — the classic perceptual
+    * image fingerprint: decode, bilinear-resample to a 9×8 luma grid
+    * ([[bilinear3]] + [[luma3]], all integer so bit-exact across
+    * engines), then one bit per horizontal gradient sign — bit
+    * y·8+x = 1 iff luma(x+1, y) > luma(x, y). Two images that
+    * differ only by scaling or mild retouching keep most gradient
+    * signs, so near-dups land within a small Hamming distance while
+    * the 64-bit space keeps random collisions negligible. Null on
+    * malformed payload (same reject language as [[ppmDecode]]).
+    */
+  def ppmDhash(b: Array[Byte]): java.lang.Long = {
+    val hd = ppmHeader(b)
+    if (hd == null) return null
+    val g = bilinear3(b, hd(3), hd(0), hd(1), 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val i0 = 3 * (y * 9 + x)
+        if (luma3(g, i0 + 3) > luma3(g, i0)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Average hash (aHash), dHash's mean-threshold sibling: 8×8 luma
+    * grid, bit y·8+x = 1 iff luma(x, y) > mean (integer mean =
+    * Σ/64 floor, strict compare). Null on malformed payload.
+    */
+  def ppmAhash(b: Array[Byte]): java.lang.Long = {
+    val hd = ppmHeader(b)
+    if (hd == null) return null
+    val g = bilinear3(b, hd(3), hd(0), hd(1), 8, 8)
+    val l = new Array[Int](64)
+    var s = 0
+    var i = 0
+    while (i < 64) { l(i) = luma3(g, 3 * i); s += l(i); i += 1 }
+    val mean = s / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (l(i) > mean) bits |= 1L << i; i += 1 }
+    bits
+  }
+
   /** Decoded BMP raster stats — see [[bmpDecode]]. */
   final case class BmpStats(width: Int, height: Int, topDown: Boolean,
       nPx: Int, sumR: Long, sumG: Long, sumB: Long)

@@ -188,6 +188,83 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Payload column for the perceptual-hash gates: the same P6
+    * grammar and md5-chain raster as [[ppmPayload]], with planted
+    * perceptual twins so the near-dup gate is non-vacuous on a
+    * random-noise corpus (the dd_embedding_neardup lesson):
+    *
+    *  - docs ≡ 3 (mod 7), id ≥ 20 reuse the raster chain of
+    *    doc_id − 20 — (w, h) has period lcm(5,4) = 20, so the mate's
+    *    geometry is identical and the doc is an exact pixel twin
+    *    (Hamming 0, guaranteed pair);
+    *  - docs ≡ 7 (mod 11), id ≥ 40 (and not in the first slice) take
+    *    doc_id − 40's chain with the first raster byte forced to
+    *    0xFF — a one-pixel retouch the hash should mostly absorb
+    *    (small, sometimes nonzero distance; a retouched pair near
+    *    the d ≤ 3 cut can fall either side, and the oracle replays
+    *    whichever side it falls);
+    *  - the `doc_id % 11 == 5` truncation slice stays → decode null,
+    *    so malformed payloads can never pair.
+    */
+  private def phashPayload(did: Column): Column = {
+    val exact = did % 7 === 3 && did >= 20
+    val pert = did % 11 === 7 && did >= 40 && !exact
+    val base = when(exact, did - 20).when(pert, did - 40).otherwise(did)
+    val w = (lit(4) + did % 5).cast("int")
+    val h = (lit(3) + did % 4).cast("int")
+    val chain = concat((0 until 9).map(i =>
+      md5(concat(lit(s"px$i|"), base.cast("string")).cast("binary"))): _*)
+    val hexLen = w * h * lit(6)
+    val pixHex = when(pert,
+      concat(lit("ff"), substr(chain, lit(3), hexLen - 2)))
+      .otherwise(substr(chain, lit(1), hexLen))
+    val full = concat(
+      concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+        lit("\n255\n")).cast("binary"),
+      unhex(pixHex))
+    when(did % 11 === 5,
+      substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
+  }
+
+  /** Per-document perceptual fingerprints over the twin-planted P6
+    * corpus: aHash (8×8 mean-threshold) and dHash (9×8 gradient-sign)
+    * as native codegen expressions — decode, integer bilinear to the
+    * hash grid, luma, bits, all inside one projection on the scan.
+    * The oracle replays the resample per output byte, the BT.601
+    * integer luma, and the exact 64-bit packing (sign bit via the
+    * min-long xor), so both fingerprints are hash-checked, not just
+    * shape-checked.
+    */
+  def phashes(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val p = phashPayload(did)
+    Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.ppm_ahash(p).as("ahash"),
+        graft.functions.CodecExpressions.ppm_dhash(p).as("dhash"))
+      .withColumn("valid", col("dhash").isNotNull)
+      .orderBy("doc_id")
+  }
+
+  /** Perceptual near-dup PAIRS: dHash signatures fed to the banded-
+    * Hamming pair join ([[Dedup.simhashPairsFrom]] — 4 disjoint
+    * 16-bit bands, pigeonhole-complete for d ≤ 3, shuffle key =
+    * (band, value), never the pair). The signature stage is a
+    * codegen projection on the scan; pair work is proportional to
+    * band-bucket collisions, not n² — the same scale shape as the
+    * text SimHash gate, now over decoded image rasters. The oracle
+    * recomputes every signature from the raster replay and verifies
+    * all pairs exhaustively (xor + bit_count).
+    */
+  def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val did = col("doc_id")
+    val sig = Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.ppm_dhash(phashPayload(did)).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.simhashPairsFrom(sig, maxHamming)
+  }
+
   /** Little-endian u32/u16 as binary columns (BMP header fields). */
   private def le32(v: Column): Column = {
     val hx = lpad(hex(v.cast("bigint")), 8, "0")

@@ -903,6 +903,18 @@ object TrainingPack {
     */
   val mmResizeReal: Q = (s, d) => Multimodal.ppmResized(s, d)
 
+  /** Perceptual image fingerprints (aHash 8×8 + dHash 9×8) over the
+    * twin-planted P6 corpus — see [[Multimodal.phashes]]. The oracle
+    * replays payload, resample, luma and bit packing exactly.
+    */
+  val mmPhash: Q = (s, d) => Multimodal.phashes(s, d)
+
+  /** Perceptual near-dup pairs: dHash signatures through the banded-
+    * Hamming pair join — see [[Multimodal.phashPairs]]; the oracle
+    * recomputes signatures and checks all pairs exhaustively.
+    */
+  val mmPhashPairs: Q = (s, d) => Multimodal.phashPairs(s, d)
+
   /** BMP twin of the real-format gate — LE headers, BGR, stride pads,
     * top-down slice; see [[Multimodal.bmpDecoded]].
     */
@@ -1311,6 +1323,8 @@ object TrainingPack {
     "mm_features"          -> mmFeatures,
     "mm_resize"            -> mmResize,
     "mm_resize_real"       -> mmResizeReal,
+    "mm_phash"             -> mmPhash,
+    "mm_phash_pairs"       -> mmPhashPairs,
     "mm_ppm_decode"        -> mmPpmDecode,
     "mm_bmp_decode"        -> mmBmpDecode,
     "mm_wav_decode"        -> mmWavDecode,
@@ -1711,6 +1725,96 @@ object TrainingPack {
   private def pxByte(j: String): String =
     s"""((strpos('0123456789abcdef', substr(px, CAST(2 * ($j) + 1 AS INT), 1)) - 1) * 16
        | + (strpos('0123456789abcdef', substr(px, CAST(2 * ($j) + 2 AS INT), 1)) - 1))""".stripMargin
+
+  /** Shared raster replay of the perceptual-hash oracles: the twin-
+    * planted payload chain (exact twins reuse doc_id−20's chain,
+    * retouched twins take doc_id−40's with the first byte forced to
+    * 0xFF), then per hash grid the staged bilinear replay of
+    * mm_resize_real (coords → neighbors → 4-tap gather → blend, each
+    * stage its own small lambda — the XTEA lesson) followed by the
+    * BT.601 integer luma, and finally the exact 64-bit packing: bits
+    * 0–62 as a power-of-two sum, bit 63 xor'd in as min-long so the
+    * signed BIGINT never overflows. Emits CTEs `dh` (doc_id, trunc,
+    * dh) and — when `withAhash` — `ah` (doc_id, ah).
+    */
+  private def phashCtes(withAhash: Boolean): String = {
+    val chain = (0 until 9).map(i => s"md5('px$i|' || bid)").mkString(" || ")
+    def resizeLuma(p: String, tw: Int, th: Int): String = {
+      val n = tw * th
+      s"""${p}1 AS (
+         |  SELECT doc_id, w, h, trunc, px,
+         |    list_transform(range(0, $n), p -> struct_pack(
+         |      fx := least(256 * (w - 1), greatest(0, (2 * (p % $tw) + 1) * w * 128 // $tw - 128)),
+         |      fy := least(256 * (h - 1), greatest(0, (2 * (p // $tw) + 1) * h * 128 // $th - 128)))) AS cs
+         |  FROM x),
+         |${p}2 AS (
+         |  SELECT doc_id, w, trunc, px,
+         |    list_transform(cs, s -> struct_pack(
+         |      x0 := s.fx // 256, y0 := s.fy // 256,
+         |      x1 := least(s.fx // 256 + 1, w - 1), y1 := least(s.fy // 256 + 1, h - 1),
+         |      wx := s.fx % 256, wy := s.fy % 256)) AS nb
+         |  FROM ${p}1),
+         |${p}3 AS (
+         |  SELECT doc_id, trunc,
+         |    flatten(list_transform(nb, s -> list_transform([0, 1, 2], cc -> struct_pack(
+         |      p00 := ${pxByte("3 * (s.y0 * w + s.x0) + cc")},
+         |      p01 := ${pxByte("3 * (s.y0 * w + s.x1) + cc")},
+         |      p10 := ${pxByte("3 * (s.y1 * w + s.x0) + cc")},
+         |      p11 := ${pxByte("3 * (s.y1 * w + s.x1) + cc")},
+         |      wx := s.wx, wy := s.wy)))) AS pv
+         |  FROM ${p}2),
+         |${p}4 AS (
+         |  SELECT doc_id, trunc,
+         |    list_transform(pv, v ->
+         |      ((256 - v.wy) * ((256 - v.wx) * v.p00 + v.wx * v.p01)
+         |        + v.wy * ((256 - v.wx) * v.p10 + v.wx * v.p11)) // 65536) AS ob
+         |  FROM ${p}3),
+         |${p}l AS (
+         |  SELECT doc_id, trunc,
+         |    list_transform(range(0, $n), p ->
+         |      (77 * ob[CAST(3 * p + 1 AS INT)] + 150 * ob[CAST(3 * p + 2 AS INT)]
+         |        + 29 * ob[CAST(3 * p + 3 AS INT)]) // 256) AS lum
+         |  FROM ${p}4)""".stripMargin
+    }
+    val dBit = (i0: String) => s"lum[CAST($i0 + 2 AS INT)] > lum[CAST($i0 + 1 AS INT)]"
+    val dhash =
+      s"""${resizeLuma("d", 9, 8)},
+         |dh AS (
+         |  SELECT doc_id, trunc,
+         |    xor(CAST(list_sum(list_transform(range(0, 63), k ->
+         |      CASE WHEN ${dBit("(k // 8) * 9 + (k % 8)")}
+         |           THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT),
+         |      CASE WHEN ${dBit("70")} THEN -9223372036854775807 - 1 ELSE 0 END) AS dh
+         |  FROM dl)""".stripMargin
+    val ahash =
+      s""",
+         |${resizeLuma("a", 8, 8)},
+         |am AS (SELECT doc_id, lum, CAST(list_sum(lum) // 64 AS BIGINT) AS mean FROM al),
+         |ah AS (
+         |  SELECT doc_id,
+         |    xor(CAST(list_sum(list_transform(range(0, 63), k ->
+         |      CASE WHEN lum[CAST(k + 1 AS INT)] > mean
+         |           THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT),
+         |      CASE WHEN lum[64] > mean THEN -9223372036854775807 - 1 ELSE 0 END) AS ah
+         |  FROM am)""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+       |    doc_id % 11 = 5 AS trunc,
+       |    (doc_id % 11 = 7 AND doc_id >= 40
+       |      AND NOT (doc_id % 7 = 3 AND doc_id >= 20)) AS pert,
+       |    CASE WHEN doc_id % 7 = 3 AND doc_id >= 20 THEN doc_id - 20
+       |         WHEN doc_id % 11 = 7 AND doc_id >= 40 THEN doc_id - 40
+       |         ELSE doc_id END AS bid
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, w, h, trunc, pert, $chain AS chain FROM g),
+       |x AS (
+       |  SELECT doc_id, w, h, trunc,
+       |    CASE WHEN pert THEN 'ff' || substr(chain, 3, CAST(w * h * 6 - 2 AS INT))
+       |         ELSE substr(chain, 1, CAST(w * h * 6 AS INT)) END AS px
+       |  FROM c),
+       |$dhash${if (withAhash) ahash else ""}""".stripMargin
+  }
 
   /** Exact-decimal rank + final projection over a `(query_id, vec_id)`
     * CTE named by `src` — the closing stages of both ANN oracles.
@@ -3044,6 +3148,32 @@ object TrainingPack {
          |    range(0, tw * th * 3), i -> (i + 1) * ob[CAST(i + 1 AS INT)])) AS BIGINT) END AS ord_fold
          |FROM s4 ORDER BY doc_id""".stripMargin
     },
+
+    // both perceptual fingerprints replayed exactly: twin-planted
+    // payload chain, staged bilinear to the 9x8/8x8 luma grids,
+    // BT.601 integer luma, 64-bit packing with the sign bit xor'd
+    // in as min-long (bits 0-62 sum, bit 63 can't overflow BIGINT)
+    "mm_phash" ->
+      s"""${phashCtes(withAhash = true)}
+         |SELECT d.doc_id,
+         |  CASE WHEN d.trunc THEN NULL ELSE a.ah END AS ahash,
+         |  CASE WHEN d.trunc THEN NULL ELSE d.dh END AS dhash,
+         |  NOT d.trunc AS valid
+         |FROM dh d JOIN ah a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the banded-Hamming pair join verified exhaustively: DuckDB
+    // recomputes every dHash from the raster replay and checks ALL
+    // pairs (xor + bit_count) -- equality holds because 4 disjoint
+    // 16-bit bands are pigeonhole-complete for d <= 3
+    "mm_phash_pairs" ->
+      s"""${phashCtes(withAhash = false)},
+         |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  bit_count(xor(a.dh, b.dh)) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+         |ORDER BY i, j""".stripMargin,
 
     "tx_sequence_packing" ->
       s"""WITH t AS (

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.CodecImpl
+import graft.functions.{CodecImpl, TextImpl}
 
 /** Golden vectors + properties for the pure codec layer (FIXTURES.md §3). */
 class CodecImplSpec extends AnyFunSuite {
@@ -452,6 +452,55 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.ppmResize(img, 0, 2) == null)
     assert(CodecImpl.ppmResize(img, 2, -1) == null)
     assert(CodecImpl.ppmResize(img, 100000, 2) == null)
+  }
+
+  private def ppmOf(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px(3 * (y * w + x) + c) = f(x, y).toByte
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+  }
+
+  test("perceptual hashes: golden bit patterns on ramps and a split field") {
+    // identity-geometry 9x8 ramp: grayscale luma equals the pixel value
+    // (BT.601 weights sum to 256), every horizontal gradient positive ->
+    // all 64 dHash bits set; the reverse ramp sets none
+    assert(CodecImpl.ppmDhash(ppmOf(9, 8, (x, _) => 20 * x)).longValue() == -1L)
+    assert(CodecImpl.ppmDhash(ppmOf(9, 8, (x, _) => 20 * (8 - x))).longValue() == 0L)
+    // 8x8 half-black/half-bright field: mean 100, bits set exactly where
+    // x >= 4 -> byte 0xF0 per row
+    assert(CodecImpl.ppmAhash(ppmOf(8, 8, (x, _) => if (x < 4) 0 else 200))
+      .longValue() == 0xF0F0F0F0F0F0F0F0L)
+    // constant raster: no luma exceeds the mean (strict >) -> aHash 0
+    assert(CodecImpl.ppmAhash(ppmOf(8, 8, (_, _) => 77)).longValue() == 0L)
+    // rejects mirror the decode language, for both hashes
+    val img = ppmOf(5, 4, (x, y) => 10 * x + 7 * y)
+    assert(CodecImpl.ppmDhash(img.dropRight(1)) == null)
+    assert(CodecImpl.ppmAhash(img.dropRight(1)) == null)
+    val p5 = "P5\n2 1\n255\n".getBytes("US-ASCII") ++ new Array[Byte](6)
+    assert(CodecImpl.ppmDhash(p5) == null)
+    assert(CodecImpl.ppmAhash(p5) == null)
+  }
+
+  test("dhash: resized twins of a smooth raster stay within the banded d<=3 cut") {
+    // a smooth but non-monotone field (mixed gradient signs), so the
+    // hash is structure-bearing, not trivially constant
+    def sine(x: Int, y: Int) = 120 + (110 * math.sin(x * 0.8 + y * 0.3)).toInt
+    val orig = ppmOf(8, 6, sine)
+    val h0 = CodecImpl.ppmDhash(orig).longValue()
+    def twinDist(tw: Int, th: Int): Int = {
+      val twin = s"P6\n$tw $th\n255\n".getBytes("US-ASCII") ++
+        CodecImpl.ppmResize(orig, tw, th)
+      TextImpl.hamming64(h0, CodecImpl.ppmDhash(twin).longValue())
+    }
+    // up- and downscaled twins keep nearly every gradient sign
+    // (measured 0/1/2), all inside the pigeonhole-complete d<=3 band
+    assert(twinDist(12, 9) <= 3)
+    assert(twinDist(6, 5) <= 3)
+    assert(twinDist(16, 12) <= 3)
+    // an aggressive 4x3 crush destroys the structure (measured 12):
+    // the hash separates real twins from genuinely different rasters
+    assert(twinDist(4, 3) > 3)
   }
 
   test("bmp decode: golden image, stride pads skipped, top-down flag, rejects") {

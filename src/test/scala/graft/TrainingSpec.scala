@@ -820,6 +820,56 @@ class TrainingSpec extends AnyFunSuite {
     assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("perceptual near-dup: gate equals brute force, planted exact twins recalled at distance 0") {
+    import spark.implicits._
+    val hashes = Multimodal.phashes(spark, dir)
+      .filter(col("valid")).select("doc_id", "dhash")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes
+      if i < j && TextImpl.hamming64(hi, hj) <= 3
+    } yield (i, j)).toSet
+    val banded = Multimodal.phashPairs(spark, dir)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
+    // the planted exact pixel twins (doc ≡ 3 mod 7, id >= 20 reuses
+    // doc_id-20's raster): every pair whose both ends decode must be
+    // recalled, at Hamming exactly 0
+    val hm = hashes.toMap
+    val planted = hashes.map(_._1).filter(id => id % 7 == 3 && id >= 20)
+      .filter(id => hm.contains(id - 20))
+      .map(id => (id - 20, id))
+    assert(planted.nonEmpty, "corpus should contain planted perceptual twins")
+    planted.foreach { case (i, j) =>
+      assert(banded.contains((i, j)), s"planted twin ($i,$j) not recalled")
+      assert(TextImpl.hamming64(hm(i), hm(j)) == 0)
+    }
+  }
+
+  test("perceptual near-dup: a RESIZED twin is recalled through the banded pair join") {
+    import spark.implicits._
+    import graft.functions.{CodecExpressions, CodecImpl}
+    // a smooth synthetic photo (mixed gradient signs), its bilinear
+    // 12x9 upscale, and an unrelated noise raster
+    def pix(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px(3 * (y * w + x) + c) = f(x, y).toByte
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    }
+    val base = pix(8, 6, (x, y) => 120 + (110 * math.sin(x * 0.8 + y * 0.3)).toInt)
+    val resized = "P6\n12 9\n255\n".getBytes("US-ASCII") ++
+      CodecImpl.ppmResize(base, 12, 9)
+    val noise = pix(8, 6, (x, y) => ((x * 131 + y * 197) * 7919) % 256)
+    val sig = Seq((1L, base), (2L, resized), (3L, noise)).toDF("doc_id", "payload")
+      .select(col("doc_id"), CodecExpressions.ppm_dhash(col("payload")).as("sh"))
+    val pairs = Dedup.simhashPairsFrom(sig, 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "resized twin should land within d<=3")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated raster must not pair")
+  }
+
   test("embedding near-dup LSH: exact precision, measured recall") {
     import spark.implicits._
     val exact = Similarity.embeddingNearDup(spark, dir, 0.95)
