@@ -31,4 +31,23 @@ object Configs {
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
   }
+
+  /** Append-only audit ledger — [[upsert]]'s twin for the patcher's
+    * key log (`client/patcher.c:231-302`: every accepted patch run
+    * APPENDS a record to ID-keys.txt; nothing is ever rewritten).
+    * Union of history and new additions, with per-key append order
+    * made explicit: `seq` = 1-based position in the key's chain
+    * (ordered by `ordCol` then `tieCol`), `is_current` flags the
+    * chain head. Where upsert keeps only the winner, the ledger
+    * keeps every record AND the lineage. One shuffle on the key —
+    * both window frames share the single partitioning.
+    */
+  def ledger(history: DataFrame, additions: DataFrame,
+      keyCol: String, ordCol: String, tieCol: String): DataFrame = {
+    val all = history.unionByName(additions)
+    val wOrd = Window.partitionBy(keyCol).orderBy(col(ordCol), col(tieCol))
+    val wAll = Window.partitionBy(keyCol)
+    all.withColumn("seq", row_number().over(wOrd))
+      .withColumn("is_current", col("seq") === count(lit(1)).over(wAll))
+  }
 }

@@ -152,4 +152,47 @@ object Surveys {
       byDialect(d => regexp_extract(col("stanza"), d.ipv6Re, 1)).as("ipv6"))
       .filter(col("name") =!= "")
   }
+
+  /** System uptime across the reference's per-OS source dialects
+    * (`survey_uptime.c:17-47` LINUX, `:49-86` SOLARIS) — the last §2.1
+    * inventory line, previously modeled as a derived scalar only:
+    *
+    *  - `linux`: the blob is `/proc/uptime` text; fscanf("%i") reads
+    *    the integer part of the first field. Unreadable source (the
+    *    fopen-fail path) → uptime 0, src_ok false.
+    *  - `solaris`: the blob is a utmpx accounting dump, one
+    *    `<ut_line>|<ut_tv.tv_sec>` record per line; the reference
+    *    loops getutxent() overwriting boottime on every
+    *    `ut_line == "system boot"` record, so the LAST boot record
+    *    wins; uptime = now − boottime. Two faithful quirks: with no
+    *    boot record boottime stays 0 (uptime = now, `boot_found`
+    *    surfaces the degeneracy), and uptime == 0 is the dialect's
+    *    only error signal (`:75-80`).
+    *  - anything else: no compiled source on that platform → 0,
+    *    src_ok false.
+    *
+    * Returns `STRUCT<uptime_s BIGINT, src_ok BOOLEAN, boot_found
+    * BOOLEAN>` (`boot_found` null off-solaris). Pure array/string
+    * expressions — filter + element_at(-1), no explode, no shuffle;
+    * the whole extraction is a codegen projection.
+    */
+  def uptimeOf(dialect: Column, blob: Column, now: Column): Column = {
+    val first = substring_index(substring_index(trim(blob), " ", 1), ".", 1)
+    val linVal = when(first.rlike("^[0-9]+$"), first.cast("bigint"))
+    val linux = struct(coalesce(linVal, lit(0L)).as("uptime_s"),
+      linVal.isNotNull.as("src_ok"),
+      lit(null).cast("boolean").as("boot_found"))
+    val boots = filter(split(blob, "\n"),
+      l => startswith(l, lit("system boot|")))
+    val lastBoot = when(size(boots) > 0, element_at(boots, -1))
+    val bootSec = substring_index(lastBoot, "|", -1).cast("bigint")
+    val sUp = now.cast("bigint") - coalesce(bootSec, lit(0L))
+    val solaris = struct(sUp.as("uptime_s"), (sUp =!= 0L).as("src_ok"),
+      (size(boots) > 0).as("boot_found"))
+    val none = struct(lit(0L).as("uptime_s"), lit(false).as("src_ok"),
+      lit(null).cast("boolean").as("boot_found"))
+    when(dialect === "linux", linux)
+      .when(dialect === "solaris", solaris)
+      .otherwise(none)
+  }
 }

@@ -202,6 +202,77 @@ object IngestPack {
       .orderBy("event_id")
   }
 
+  /** Per-OS uptime-source extraction, all three reference dialects in
+    * one pass (`survey_uptime.c` — see [[graft.operators.Surveys.uptimeOf]]):
+    * synthesize a deterministic `/proc/uptime` text (linux), a utmpx
+    * accounting dump with a decoy boot record so LAST-wins is pinned
+    * (solaris, plus rare no-boot-record and unreadable slices), or no
+    * source at all (mikrotik), then extract uptime per the dialect
+    * rule and surface the error channels.
+    */
+  val uptimeDialects: Q = (s, d) => {
+    val uid = col("user_id"); val eid = col("event_id")
+    val dialect = when(uid % 3 === 0, "linux")
+      .when(uid % 3 === 1, "solaris").otherwise("mikrotik")
+    val now = lit(1700000000L) + eid % 86400
+    val up = uid * 37 % 864000 + eid % 1000
+    val linuxBlob = when(eid % 17 === 9, "")
+      .otherwise(format_string("%d.%02d %d.%02d", up.cast("int"),
+        (eid % 100).cast("int"), (up * 3).cast("int"), (uid % 100).cast("int")))
+    val boot1 = lit(1700000000L) - (uid % 97) * 1000
+    val boot2 = lit(1700000000L) - up
+    val solarisBlob = concat(
+      lit("run-level 3|"), boot1.cast("string"),
+      lit("\nLOGIN|"), (boot1 + 2).cast("string"),
+      when(eid % 17 === 9, "")
+        .otherwise(concat(lit("\nsystem boot|"), boot1.cast("string"))),
+      when(eid % 13 === 4, "")
+        .otherwise(concat(lit("\nsystem boot|"), boot2.cast("string"))))
+    val blob = when(dialect === "linux", linuxBlob)
+      .when(dialect === "solaris", solarisBlob)
+      .otherwise(lit(null).cast("string"))
+    val r = graft.operators.Surveys.uptimeOf(dialect, blob, now)
+    Tables.events(s, d).filter(eid < 2000)
+      .select(eid.as("event_id"), dialect.as("dialect"), r.as("r"))
+      .select(col("event_id"), col("dialect"),
+        col("r.uptime_s").as("uptime_s"),
+        col("r.src_ok").as("src_ok"),
+        col("r.boot_found").as("boot_found"))
+      .orderBy("event_id")
+  }
+
+  /** Patcher key-log append (`client/patcher.c:231-302`): every
+    * accepted patch run appends a `(datetime, key text, trigger hash,
+    * implant hash)` record to ID-keys.txt — keys shorter than
+    * ID_KEY_LENGTH_MIN = 8 (`trigger_protocols.h:44`) are rejected
+    * BEFORE the append, and the double-hash chain is
+    * trigger = H(phrase), implant = H(trigger). Modeled with
+    * [[graft.operators.Configs.ledger]]: history + new runs unioned,
+    * per-key append sequence, chain head flagged current — the
+    * audit-ledger twin of ig_config_upsert's last-wins. sha256
+    * stands in for sha1 (the ig_key_gate precedent — DuckDB has no
+    * sha1; chain semantics identical).
+    */
+  val keyLedger: Q = (s, d) => {
+    val uid = col("user_id"); val eid = col("event_id")
+    val phrase = when(eid % 19 === 6,
+        concat(lit("k"), (uid % 10).cast("string")))
+      .otherwise(format_string("phrase-%02d-%d",
+        (uid % 40).cast("int"), (eid % 3).cast("int")))
+    val runs = Tables.events(s, d).filter(eid < 2000)
+      .select(eid.as("run_id"), col("ts"), phrase.as("key_text"))
+      .filter(length(col("key_text")) >= 8)
+      .select(col("run_id"), col("key_text"),
+        date_format(col("ts"), "yyyy/MM/dd HH:mm:ss").as("ts_fmt"),
+        sha2(col("key_text"), 256).as("trigger_key"), col("ts"))
+      .withColumn("implant_key", sha2(col("trigger_key"), 256))
+    val hist = runs.filter(col("run_id") < 1000)
+    val fresh = runs.filter(col("run_id") >= 1000)
+    graft.operators.Configs.ledger(hist, fresh, "key_text", "ts", "run_id")
+      .drop("ts")
+      .orderBy("run_id")
+  }
+
   // -------------------------------------------------- TLV beacon roundtrip
 
   /** Engine-native beacon assembly: per record, TLV-encode
@@ -920,6 +991,8 @@ object IngestPack {
     "ig_prefix_match"    -> prefixMatch,
     "ig_validation"      -> validationRoute,
     "ig_proc_parse"      -> procParse,
+    "ig_uptime_dialects" -> uptimeDialects,
+    "ig_key_ledger"      -> keyLedger,
     "ig_tlv_roundtrip"   -> tlvRoundtrip,
     "ig_aes_frame"       -> aesFrame,
     "ig_xtea_roundtrip"  -> xteaRoundtrip,
@@ -1789,5 +1862,83 @@ object IngestPack {
          |  CAST(regexp_extract(line, '$re', 6) AS BIGINT) AS sess
          |FROM l ORDER BY event_id""".stripMargin
     },
+
+    // the three uptime-source dialects replayed: /proc/uptime first-
+    // field integer part (linux), utmpx dump with LAST system-boot
+    // record winning (solaris, incl. the boottime-stays-0 quirk when
+    // no boot record survives), no source -> 0 (mikrotik)
+    "ig_uptime_dialects" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |    CASE WHEN user_id % 3 = 0 THEN 'linux'
+         |         WHEN user_id % 3 = 1 THEN 'solaris'
+         |         ELSE 'mikrotik' END AS dialect,
+         |    1700000000 + event_id % 86400 AS now,
+         |    user_id * 37 % 864000 + event_id % 1000 AS up,
+         |    1700000000 - (user_id % 97) * 1000 AS boot1,
+         |    1700000000 - (user_id * 37 % 864000 + event_id % 1000) AS boot2
+         |  FROM events WHERE event_id < 2000),
+         |b AS (
+         |  SELECT event_id, dialect, now,
+         |    CASE WHEN dialect = 'linux' THEN
+         |      CASE WHEN event_id % 17 = 9 THEN ''
+         |           ELSE printf('%d.%02d %d.%02d', CAST(up AS INT),
+         |                  CAST(event_id % 100 AS INT), CAST(up * 3 AS INT),
+         |                  CAST(user_id % 100 AS INT)) END
+         |    WHEN dialect = 'solaris' THEN
+         |      'run-level 3|' || boot1 || chr(10) || 'LOGIN|' || (boot1 + 2)
+         |      || CASE WHEN event_id % 17 = 9 THEN ''
+         |              ELSE chr(10) || 'system boot|' || boot1 END
+         |      || CASE WHEN event_id % 13 = 4 THEN ''
+         |              ELSE chr(10) || 'system boot|' || boot2 END
+         |    ELSE NULL END AS blob
+         |  FROM e),
+         |p AS (
+         |  SELECT event_id, dialect, now, blob,
+         |    string_split(string_split(trim(blob), ' ')[1], '.')[1] AS ff,
+         |    list_filter(string_split(blob, chr(10)),
+         |      l -> l LIKE 'system boot|%') AS boots
+         |  FROM b),
+         |q AS (
+         |  SELECT event_id, dialect, now, ff, boots,
+         |    now - COALESCE(TRY_CAST(string_split(boots[-1], '|')[-1] AS BIGINT), 0) AS sup,
+         |    regexp_matches(ff, '^[0-9]+$$') AS lin_ok
+         |  FROM p)
+         |SELECT event_id, dialect,
+         |  CASE WHEN dialect = 'linux' THEN
+         |         COALESCE(CASE WHEN lin_ok THEN CAST(ff AS BIGINT) END, 0)
+         |       WHEN dialect = 'solaris' THEN sup
+         |       ELSE 0 END AS uptime_s,
+         |  CASE WHEN dialect = 'linux' THEN COALESCE(lin_ok, FALSE)
+         |       WHEN dialect = 'solaris' THEN sup != 0
+         |       ELSE FALSE END AS src_ok,
+         |  CASE WHEN dialect = 'solaris' THEN len(boots) > 0 END AS boot_found
+         |FROM q ORDER BY event_id""".stripMargin,
+
+    // the append-only key log replayed: short keys rejected before
+    // the append, sha256 double-hash chain, per-key append sequence
+    // (ts then run_id), chain head = is_current
+    "ig_key_ledger" ->
+      s"""WITH r AS (
+         |  SELECT event_id AS run_id, ts,
+         |    CASE WHEN event_id % 19 = 6 THEN 'k' || (user_id % 10)
+         |         ELSE printf('phrase-%02d-%d', CAST(user_id % 40 AS INT),
+         |                CAST(event_id % 3 AS INT)) END AS key_text
+         |  FROM events WHERE event_id < 2000),
+         |v AS (SELECT * FROM r WHERE length(key_text) >= 8),
+         |h AS (
+         |  SELECT run_id, key_text,
+         |    strftime(ts, '%Y/%m/%d %H:%M:%S') AS ts_fmt,
+         |    sha256(key_text) AS trigger_key, ts
+         |  FROM v),
+         |l AS (
+         |  SELECT run_id, key_text, ts_fmt, trigger_key,
+         |    sha256(trigger_key) AS implant_key,
+         |    ROW_NUMBER() OVER (PARTITION BY key_text ORDER BY ts, run_id) AS seq,
+         |    COUNT(*) OVER (PARTITION BY key_text) AS n
+         |  FROM h)
+         |SELECT run_id, key_text, ts_fmt, trigger_key, implant_key, seq,
+         |  seq = n AS is_current
+         |FROM l ORDER BY run_id""".stripMargin,
   )
 }

@@ -123,6 +123,37 @@ class BeaconPipelineSpec extends AnyFunSuite {
     assert(routes.isEmpty)
   }
 
+  test("uptime dialects: last boot wins, quirks and error channels pinned") {
+    import spark.implicits._
+    val rows = Seq(
+      // solaris: TWO boot records — the reference's getutxent loop
+      // overwrites boottime per match, so the LAST wins (not the max:
+      // the later line has the EARLIER timestamp here)
+      ("solaris", "run-level 3|900\nsystem boot|950\nLOGIN|951\nsystem boot|800", 1000L),
+      // solaris: no boot record -> boottime stays 0 -> uptime = now
+      ("solaris", "run-level 3|900\nLOGIN|901", 1000L),
+      // solaris: now == boottime -> tm == 0, the dialect's error signal
+      ("solaris", "system boot|1000", 1000L),
+      // linux: fscanf("%i") reads the integer part of the first field
+      ("linux", "12345.67 99999.99", 1000L),
+      // linux: unreadable source (fopen-fail path)
+      ("linux", "", 1000L),
+      ("linux", "garbage", 1000L),
+      // no compiled source on this platform
+      ("mikrotik", null, 1000L))
+      .toDF("dialect", "blob", "now")
+    val out = rows.select(
+      graft.operators.Surveys.uptimeOf(col("dialect"), col("blob"), col("now")).as("r"))
+      .select("r.uptime_s", "r.src_ok", "r.boot_found").collect()
+    assert(out(0).getLong(0) === 200L && out(0).getBoolean(1) && out(0).getBoolean(2))
+    assert(out(1).getLong(0) === 1000L && out(1).getBoolean(1) && !out(1).getBoolean(2))
+    assert(out(2).getLong(0) === 0L && !out(2).getBoolean(1) && out(2).getBoolean(2))
+    assert(out(3).getLong(0) === 12345L && out(3).getBoolean(1) && out(3).isNullAt(2))
+    assert(out(4).getLong(0) === 0L && !out(4).getBoolean(1))
+    assert(out(5).getLong(0) === 0L && !out(5).getBoolean(1))
+    assert(out(6).getLong(0) === 0L && !out(6).getBoolean(1) && out(6).isNullAt(2))
+  }
+
   test("partitioned landing: daily partitions prune") {
     val out = Files.createTempDirectory("beacon_out").toString
     BeaconPipeline.run(spark, dir, out)

@@ -58,6 +58,36 @@ class IngestSpec extends AnyFunSuite {
     prev.foreach(spark.sparkContext.setCheckpointDir)
   }
 
+  test("key ledger: append-only lineage, one current head per key, upsert is its projection") {
+    import spark.implicits._
+    val hist = Seq(("ka", 1L, "h1"), ("ka", 2L, "h2"), ("kb", 5L, "h3"))
+      .toDF("key", "v", "payload")
+    val adds = Seq(("ka", 3L, "a1"), ("ka", 2L, "a2dup"), ("kc", 9L, "a3"))
+      .toDF("key", "v", "payload")
+    val led = operators.Configs.ledger(hist, adds, "key", "v", "payload")
+      .as[(String, Long, String, Int, Boolean)].collect()
+    // append-only: every input record survives, including the v=2 twin
+    assert(led.length === 6)
+    val ka = led.filter(_._1 == "ka").sortBy(_._4)
+    assert(ka.map(_._3).toSeq === Seq("h1", "a2dup", "h2", "a1"),
+      "per-key chain ordered by (v, tiebreak)")
+    // exactly one current head per key, and it is the chain tail
+    led.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.count(_._5) === 1)
+      assert(rows.maxBy(_._4)._5)
+    }
+    // upsert (last-wins) == the ledger's current projection when the
+    // winner is unambiguous (distinct versions per key)
+    val h2 = hist.filter(col("v") =!= 2L)
+    val a2 = adds.filter(col("v") =!= 2L)
+    val up = operators.Configs.upsert(h2, a2, "key", "v")
+      .as[(String, Long, String)].collect().toSet
+    val cur = operators.Configs.ledger(h2, a2, "key", "v", "payload")
+      .as[(String, Long, String, Int, Boolean)].collect()
+      .filter(_._5).map(t => (t._1, t._2, t._3)).toSet
+    assert(up === cur)
+  }
+
   test("TLV beacon round-trip re-extracts the original fields") {
     import spark.implicits._
     val got = IngestPack.tlvRoundtrip(spark, dir)
