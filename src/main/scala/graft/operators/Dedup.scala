@@ -718,10 +718,17 @@ object Dedup {
     * screened grams with a semi-join (shuffle bounded by gram
     * postings, never document pairs); the span merge is one
     * doc_id-partitioned window whose state per doc is its duplicated
-    * positions only. No driver-side state anywhere. At 100 TB, swap
-    * the shuffle key to xxhash64(gram) to cut shuffle bytes ~(8/k·w)×
-    * — the plain-string key here keeps the driver gate exactly
-    * value-checkable (a 64-bit collision could mint a false span).
+    * positions only. No driver-side state anywhere. At 100 TB, set
+    * `hashKeys = true`: every gram-keyed shuffle (the DF screen's
+    * exchange and both semi-join sides) then carries an 8-byte
+    * xxhash64 instead of the k·w-byte gram string, cutting shuffle
+    * bytes ~(8/k·w)× with the island merge and join shapes unchanged
+    * (sf1 receipt in PLANS.md). The plain-string default keeps the
+    * driver gate exactly value-checkable — a 64-bit collision could
+    * mint a false span (birthday-bounded: ~√2⁶⁴ ≈ 4·10⁹ DISTINCT
+    * grams for even-odds of a single collision anywhere, and a
+    * collision only matters if it bridges the df threshold);
+    * TrainingSpec pins verdict identity between the two key types.
     */
   def dupSpans(spark: SparkSession, dir: String, k: Int = ShingleN,
       minDocs: Int = 2): DataFrame =
@@ -729,10 +736,10 @@ object Dedup {
 
   /** [[dupSpans]] over an arbitrary (doc_id, text, …) frame. */
   def dupSpansFrom(docs: DataFrame, k: Int = ShingleN,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"dupSpans: k must be >= 1, got $k")
     require(minDocs >= 2, s"dupSpans: minDocs must be >= 2, got $minDocs")
-    val grams = positionalGrams(docs, k)
+    val grams = gramKeyed(positionalGrams(docs, k), hashKeys)
     val dupGrams = grams.select("gram", "doc_id").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
@@ -740,6 +747,16 @@ object Dedup {
     val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
     mergeIslands(dupPos.select("doc_id", "pos"), k)
   }
+
+  /** The 100 TB shuffle-key swap: replace the gram STRING with its
+    * xxhash64 before any exchange, so every downstream gram-keyed
+    * shuffle moves 8 bytes per key. Applied before the first shuffle
+    * — the hash runs inside the scan's codegen projection.
+    */
+  private def gramKeyed(grams: DataFrame, hashKeys: Boolean): DataFrame =
+    if (hashKeys)
+      grams.withColumn("gram", xxhash64(col("gram")))
+    else grams
 
   /** Gaps-and-islands merge of duplicated gram start offsets into
     * maximal spans — the one copy of the span family's merge rule:
@@ -873,12 +890,17 @@ object Dedup {
       minDocs: Int = 2): DataFrame =
     cutDupSpansFrom(Tables.documents(spark, dir), k, minDocs)
 
-  /** [[cutDupSpans]] over an arbitrary (doc_id, text, …) frame. */
+  /** [[cutDupSpans]] over an arbitrary (doc_id, text, …) frame.
+    * `hashKeys` is the same xxhash64 shuffle-key swap as
+    * [[dupSpansFrom]] — keeper election (earliest doc per gram) is
+    * key-value-agnostic, so the verdict is identical modulo 64-bit
+    * collisions (spec-pinned).
+    */
   def cutDupSpansFrom(docs: DataFrame, k: Int = ShingleN,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"cutDupSpans: k must be >= 1, got $k")
     require(minDocs >= 2, s"cutDupSpans: minDocs must be >= 2, got $minDocs")
-    val grams = positionalGrams(docs, k)
+    val grams = gramKeyed(positionalGrams(docs, k), hashKeys)
     // per duplicated gram: its document frequency and earliest doc
     val gramMin = grams.select("gram", "doc_id").distinct()
       .groupBy("gram")

@@ -820,6 +820,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("xxhash64 gram keys: span and cut verdicts identical to string keys") {
+    import spark.implicits._
+    // the 100 TB shuffle-key swap must be invisible in the answer:
+    // same spans, same cuts, on the real corpus at two k values
+    val docs = graft.Tables.documents(spark, dir)
+    for (k <- Seq(2, 4)) {
+      val s0 = Dedup.dupSpansFrom(docs, k = k)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val s1 = Dedup.dupSpansFrom(docs, k = k, hashKeys = true)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(s0 === s1, s"span verdict drifted under hashed keys (k=$k)")
+      assert(s0.nonEmpty, s"vacuous span corpus (k=$k)")
+    }
+    val c0 = Dedup.cutDupSpansFrom(docs)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val c1 = Dedup.cutDupSpansFrom(docs, hashKeys = true)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(c0 === c1, "cut verdict drifted under hashed keys")
+  }
+
   test("perceptual near-dup: gate equals brute force, planted exact twins recalled at distance 0") {
     import spark.implicits._
     val hashes = Multimodal.phashes(spark, dir)
