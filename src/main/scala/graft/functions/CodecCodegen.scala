@@ -60,6 +60,19 @@ object CodecCodegen {
     else InternalRow(s.width, s.height, s.fpsNum, s.fpsDen, s.nFrames, s.sumY, s.sumC)
   }
 
+  def y4mFrameLumas(buf: Array[Byte]): InternalRow = {
+    val s = CodecImpl.y4mFrameLumas(buf)
+    if (s == null) null
+    else InternalRow(s.nPx, new GenericArrayData(s.sums.map(Long.box).toArray[Any]))
+  }
+
+  def wavWindows(buf: Array[Byte], win: Int): ArrayData = {
+    val ws = CodecImpl.wavWindows(buf, win)
+    if (ws == null) null
+    else new GenericArrayData(ws.map(w =>
+      InternalRow(w.n, w.sumAbs, w.zc)).toArray[Any])
+  }
+
   def tlvDecode(buf: Array[Byte]): ArrayData = {
     val entries = CodecImpl.tlvDecode(buf)
     new GenericArrayData(entries.map { case (t, bytes) =>

@@ -433,6 +433,62 @@ object CodecExpressions {
     override def prettyName: String = "y4m_decode"
   }
 
+  val y4mFrameLumasType: StructType = StructType(Seq(
+    StructField("n_px", IntegerType, nullable = false),
+    StructField("y_sums", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** `y4m_frame_lumas(BINARY) → STRUCT<n_px INT, y_sums ARRAY<BIGINT>>`:
+    * the TEMPORAL decode path — one luma-plane byte sum per frame
+    * (posexplode downstream for a per-frame series), with `n_px` so
+    * mean-luma thresholds scale without re-parsing the header. Same
+    * accept/reject language as `y4m_decode` (shared header parser).
+    */
+  case class Y4mFrameLumas(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = y4mFrameLumasType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecCodegen.y4mFrameLumas(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        ${ev.value} = $Bridge.y4mFrameLumas($b);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): Y4mFrameLumas = copy(c)
+    override def prettyName: String = "y4m_frame_lumas"
+  }
+
+  val wavWindowType: StructType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("zc", IntegerType, nullable = false)))
+
+  /** `wav_windows(BINARY, INT) → ARRAY<STRUCT<n, sum_abs, zc>>`:
+    * windowed channel-0 audio features (absolute-amplitude sum +
+    * zero-crossing count per `win`-frame window, last window
+    * partial) — [[CodecImpl.wavWindows]]. Null on malformed payload
+    * or nonpositive window.
+    */
+  case class WavWindows(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+    override def dataType: DataType =
+      ArrayType(wavWindowType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(b: Any, w: Any): Any =
+      CodecCodegen.wavWindows(b.asInstanceOf[Array[Byte]], w.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, w) => s"""
+        ${ev.value} = $Bridge.wavWindows($b, $w);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): WavWindows =
+      copy(l, r)
+    override def prettyName: String = "wav_windows"
+  }
+
   /** `bz2_compress(BINARY) → BINARY`: bzip2 wire compression
     * (`server/compression.c:13-31`, block size 9). Static call into
     * [[CodecImpl]] keeps whole-stage codegen intact.
@@ -549,6 +605,9 @@ object CodecExpressions {
     c(PpmResize(e(col), e(tw), e(th)))
   def ppm_dhash(col: Column): Column = c(PpmDhash(e(col)))
   def ppm_ahash(col: Column): Column = c(PpmAhash(e(col)))
+  def y4m_frame_lumas(col: Column): Column = c(Y4mFrameLumas(e(col)))
+  def wav_windows(col: Column, win: Column): Column =
+    c(WavWindows(e(col), e(win)))
   def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
   def wav_decode(col: Column): Column = c(WavDecode(e(col)))
   def y4m_decode(col: Column): Column = c(Y4mDecode(e(col)))
@@ -582,6 +641,8 @@ object CodecExpressions {
     one("ppm_resize", es => PpmResize(es(0), es(1), es(2)))
     one("ppm_dhash", es => PpmDhash(es.head))
     one("ppm_ahash", es => PpmAhash(es.head))
+    one("y4m_frame_lumas", es => Y4mFrameLumas(es.head))
+    one("wav_windows", es => WavWindows(es(0), es(1)))
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))
     one("y4m_decode", es => Y4mDecode(es.head))

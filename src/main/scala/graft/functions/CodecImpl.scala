@@ -583,7 +583,14 @@ object CodecImpl {
     * start, or a truncated plane set. A stream with zero frames is
     * valid (n_frames 0).
     */
-  def y4mDecode(b: Array[Byte]): Y4mStats = {
+  /** Parse + validate a Y4M stream header; returns
+    * `{w, h, fpsNum, fpsDen, firstFrameOff}` with the 4:2:0 frame
+    * size already checked against the buffer, or null on any
+    * malformed-input condition [[y4mDecode]] rejects. Shared by the
+    * whole-stream decode and the per-frame luma walk so their
+    * accept/reject languages cannot drift.
+    */
+  private def y4mHeader(b: Array[Byte]): Array[Int] = {
     val magic = "YUV4MPEG2"
     if (b == null || b.length < magic.length + 1) return null
     if (!magic.indices.forall(i => b(i) == magic.charAt(i).toByte)) return null
@@ -617,10 +624,17 @@ object CodecImpl {
     // and a negative frame size would walk the buffer at negative
     // indexes — same malformed-header class ppmDecode rejects
     if (w > 0xFFFF || h > 0xFFFF) return null
-    val frameSzL = w.toLong * h + (w / 2).toLong * (h / 2) * 2
-    if (frameSzL > b.length) return null
+    if (w.toLong * h + (w / 2).toLong * (h / 2) * 2 > b.length) return null
+    Array(w, h, fn, fd, pos)
+  }
+
+  def y4mDecode(b: Array[Byte]): Y4mStats = {
+    val hd = y4mHeader(b)
+    if (hd == null) return null
+    val Array(w, h, fn, fd, pos0) = hd
+    var pos = pos0
     val ySz = w * h
-    val frameSz = frameSzL.toInt
+    val frameSz = ySz + (w / 2) * (h / 2) * 2
     val marker = "FRAME"
     var sy = 0L; var sc = 0L; var frames = 0
     while (pos < b.length) {
@@ -640,6 +654,89 @@ object CodecImpl {
       frames += 1
     }
     Y4mStats(w, h, fn, fd, frames, sy, sc)
+  }
+
+  /** Per-frame luma-plane byte sums of a Y4M stream — the temporal
+    * decode path ([[y4mDecode]] folds all frames into one total;
+    * scene-cut detection needs the per-frame series). Same header
+    * grammar and frame-walk rejection language as [[y4mDecode]];
+    * returns `{n_px, sums(frame)}` with `n_px = w·h` so downstream
+    * mean comparisons scale thresholds without re-parsing the
+    * header, or null on any malformed-input condition. A zero-frame
+    * stream yields an empty series.
+    */
+  final case class Y4mFrameLumas(nPx: Int, sums: Array[Long])
+
+  def y4mFrameLumas(b: Array[Byte]): Y4mFrameLumas = {
+    val hd = y4mHeader(b)
+    if (hd == null) return null
+    val w = hd(0); val h = hd(1)
+    var pos = hd(4)
+    val ySz = w * h
+    val frameSz = ySz + (w / 2) * (h / 2) * 2
+    val marker = "FRAME"
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (pos < b.length) {
+      if (pos + marker.length > b.length ||
+        !marker.indices.forall(i => b(pos + i) == marker.charAt(i).toByte)) return null
+      pos += marker.length
+      while (pos < b.length && b(pos) != '\n') pos += 1
+      if (pos >= b.length) return null
+      pos += 1
+      if (pos + frameSz > b.length) return null
+      var sy = 0L
+      var i = pos
+      val yEnd = pos + ySz
+      while (i < yEnd) { sy += b(i) & 0xFF; i += 1 }
+      sums += sy
+      pos += frameSz
+    }
+    Y4mFrameLumas(ySz, sums.toArray)
+  }
+
+  /** Windowed channel-0 features of a PCM WAV payload — the audio
+    * feature-extraction pass a training pipeline runs after decode:
+    * consecutive non-overlapping windows of `win` frames (the last
+    * window may be partial), each summarized by its frame count, the
+    * sum of absolute sample values (integer mean-amplitude numerator
+    * — no float sqrt, so the SQL oracle replays it exactly) and the
+    * zero-crossing count (sign changes between consecutive ch0
+    * samples WITHIN the window; negative vs non-negative, so silence
+    * runs don't count). Accept/reject language is [[wavDecode]]'s;
+    * null on malformed payload or `win <= 0`.
+    */
+  final case class WavWindow(n: Int, sumAbs: Long, zc: Int)
+
+  def wavWindows(b: Array[Byte], win: Int): Array[WavWindow] = {
+    if (win <= 0) return null
+    val st = wavDecode(b)
+    if (st == null) return null
+    val nch = st.channels
+    val frames = st.nFrames
+    def ch0(f: Int): Int = {
+      val off = 44 + f * nch * 2
+      ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort.toInt
+    }
+    val nWin = (frames + win - 1) / win
+    val out = new Array[WavWindow](nWin)
+    var wi = 0
+    while (wi < nWin) {
+      val from = wi * win
+      val until = math.min(from + win, frames)
+      var sa = 0L; var zc = 0
+      var f = from
+      var prev = 0
+      while (f < until) {
+        val s = ch0(f)
+        sa += math.abs(s.toLong)
+        if (f > from && ((prev < 0) != (s < 0))) zc += 1
+        prev = s
+        f += 1
+      }
+      out(wi) = WavWindow(until - from, sa, zc)
+      wi += 1
+    }
+    out
   }
 
   /** RFC 1071 ones-complement checksum over big-endian 16-bit words,

@@ -341,8 +341,12 @@ object Multimodal {
     * `doc_id % 9 == 4` payloads lose their last byte → the data chunk
     * overruns → decode null (reject channel).
     */
-  def wavDecoded(spark: SparkSession, dir: String): DataFrame = {
-    val did = col("doc_id")
+  /** The synthetic RIFF/WAVE payload column shared by the audio
+    * gates: canonical 44-byte header, interleaved signed 16-bit LE
+    * samples from the md5 chain, mono/stereo + three-rate slices,
+    * `doc_id % 9 == 4` truncated by one byte → decode null.
+    */
+  private def wavPayload(did: Column): Column = {
     val nch = (lit(1) + did % 2).cast("int")
     val rate = when(did % 3 === 0, 8000).when(did % 3 === 1, 16000)
       .otherwise(44100)
@@ -358,9 +362,13 @@ object Multimodal {
       le16(nch * 2), le16(lit(16)),
       lit("data").cast("binary"), le32(dataLen),
       unhex(substr(chain, lit(1), dataLen * 2)))
-    val payload = when(did % 9 === 4,
+    when(did % 9 === 4,
       substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
-    val dec = graft.functions.CodecExpressions.wav_decode(payload)
+  }
+
+  def wavDecoded(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val dec = graft.functions.CodecExpressions.wav_decode(wavPayload(did))
     Tables.documents(spark, dir)
       .select(did, dec.as("d"))
       .select(did.as("doc_id"),
@@ -411,6 +419,101 @@ object Multimodal {
         col("d.n_frames").as("n_frames"),
         col("d.sum_y").as("sum_y"), col("d.sum_c").as("sum_c"))
       .orderBy("doc_id")
+  }
+
+  /** Windowed audio features over the decoded PCM stream — the
+    * feature-extraction pass a training pipeline runs after decode:
+    * the native `wav_windows` expression emits per-window channel-0
+    * absolute-amplitude sums and zero-crossing counts (integer-exact,
+    * so the oracle replays every sample), posexploded to one row per
+    * (doc, window). Decode + windowing is a single codegen projection
+    * on the scan; the explode multiplies rows ≤ ceil(frames/win) —
+    * no shuffle until the output sort. Truncated payloads decode
+    * null and vanish (the reject channel belongs to mm_wav_decode).
+    */
+  def wavWindowed(spark: SparkSession, dir: String, win: Int = 4): DataFrame = {
+    val did = col("doc_id")
+    val dec = graft.functions.CodecExpressions.wav_windows(
+      wavPayload(did), lit(win))
+    // no isNotNull filter — posexplode of a null array emits zero
+    // rows, and a pre-filter would run the decode twice per row
+    Tables.documents(spark, dir)
+      .select(did.as("doc_id"), dec.as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("win_no", "w")))
+      .select(col("doc_id"), col("win_no"),
+        col("w.n").as("n"), col("w.sum_abs").as("sum_abs"),
+        col("w.zc").as("zc"))
+      .orderBy("doc_id", "win_no")
+  }
+
+  /** Payload for the scene-cut gate: a Y4M stream whose luma planes
+    * are CONSTANT per frame — byte value = shot base + a small
+    * deterministic per-frame jitter — so shot structure is planted
+    * exactly: frames before `cutAt` sit near base₁ (40 + id%30),
+    * frames after near base₂ (180 + id%40), jitter ±4. Within-shot
+    * mean-luma deltas are ≤ 8; the cut jumps ≥ 100 — the 32/255
+    * threshold is exercised from both sides with margin. Docs ≡ 0
+    * (mod 4) are single-shot (no cut); docs ≡ 6 (mod 11) lose their
+    * last byte → decode null. Chroma planes come from the md5 chain
+    * (decoded but not summed — the luma walk must still skip them
+    * correctly to land on the next FRAME marker).
+    */
+  private def scenePayload(did: Column): Column = {
+    val w = (lit(4) + (did % 3) * 2).cast("int")
+    val h = (lit(2) + (did % 2) * 2).cast("int")
+    val nf = (lit(4) + did % 5).cast("int")
+    val cutAt = when(did % 4 === 0, nf).otherwise((lit(2) + did % 3).cast("int"))
+    val cs = (w / 2) * (h / 2) * 2
+    val chain = concat((0 until 8).map(i =>
+      md5(concat(lit(s"sc$i|"), did.cast("string")).cast("binary"))): _*)
+    val header = concat(lit("YUV4MPEG2 W"), w.cast("string"),
+      lit(" H"), h.cast("string"), lit(" F25:1 Ip A0:0 C420\n")).cast("binary")
+    val frameSegs = (0 until 8).map { f =>
+      val byteF = when(lit(f) < cutAt, lit(40) + did % 30)
+        .otherwise(lit(180) + did % 40) + (did * 7 + f * 13) % 9 - 4
+      val hx = lpad(lower(hex(byteF.cast("bigint"))), 2, "0")
+      // repeat to the max raster (8·4 px) then cut to w·h — one hx
+      // evaluation per frame, not one per raster element
+      val yHex = substr(repeat(hx, 32), lit(1), w * h * lit(2))
+      when(lit(f) < nf,
+        concat(lit("FRAME\n").cast("binary"),
+          unhex(yHex),
+          unhex(substr(chain, cs * lit(2) * f + 1, cs * 2))))
+        .otherwise(lit(Array.emptyByteArray))
+    }
+    val full = concat(header +: frameSegs: _*)
+    when(did % 11 === 6,
+      substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
+  }
+
+  /** Scene-cut detection over the video modality — the temporal
+    * analysis pass of a frame-sampling pipeline: per-frame luma sums
+    * from the native `y4m_frame_lumas` expression (one codegen
+    * projection), posexploded to a per-frame series, then one
+    * doc-partitioned lag window marks a cut wherever the mean-luma
+    * jump |Δ| ≥ `thresholdMean`/255 (compared in sums: |Δsum| ≥
+    * threshold·n_px, integer-exact). The window state per doc is its
+    * frame count only; nothing is corpus-keyed, so the shape is
+    * scan → project → explode → per-doc window at any corpus size.
+    */
+  def sceneCuts(spark: SparkSession, dir: String,
+      thresholdMean: Int = 32): DataFrame = {
+    val did = col("doc_id")
+    val dec = graft.functions.CodecExpressions.y4m_frame_lumas(scenePayload(did))
+    // no isNotNull filter: posexplode of a null struct's array emits
+    // zero rows, and a pre-filter would evaluate the whole decode a
+    // SECOND time per row (Filter + Project each inline it)
+    val base = Tables.documents(spark, dir)
+      .select(did.as("doc_id"), dec.as("d"))
+      .select(col("doc_id"), col("d.n_px").as("n_px"),
+        posexplode(col("d.y_sums")).as(Seq("frame_no", "y_sum")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    base
+      .withColumn("d_prev", col("y_sum") - lag("y_sum", 1).over(w))
+      .withColumn("is_cut", coalesce(
+        abs(col("d_prev")) >= lit(thresholdMean) * col("n_px"), lit(false)))
+      .orderBy("doc_id", "frame_no")
   }
 
   /** Row shape after the resize seam: the resized payload plus its

@@ -909,6 +909,18 @@ object TrainingPack {
     */
   val mmPhash: Q = (s, d) => Multimodal.phashes(s, d)
 
+  /** Scene-cut detection over planted shot structure — see
+    * [[Multimodal.sceneCuts]]; the oracle replays the per-frame luma
+    * series and the lag-window cut rule.
+    */
+  val mmSceneCuts: Q = (s, d) => Multimodal.sceneCuts(s, d)
+
+  /** Windowed audio features (abs-amplitude sum + zero crossings per
+    * 4-frame window) — see [[Multimodal.wavWindowed]]; the oracle
+    * replays every ch0 sample from the md5 chain.
+    */
+  val mmWavWindows: Q = (s, d) => Multimodal.wavWindowed(s, d)
+
   /** Perceptual near-dup pairs: dHash signatures through the banded-
     * Hamming pair join — see [[Multimodal.phashPairs]]; the oracle
     * recomputes signatures and checks all pairs exhaustively.
@@ -1325,6 +1337,8 @@ object TrainingPack {
     "mm_resize_real"       -> mmResizeReal,
     "mm_phash"             -> mmPhash,
     "mm_phash_pairs"       -> mmPhashPairs,
+    "mm_scene_cuts"        -> mmSceneCuts,
+    "mm_wav_windows"       -> mmWavWindows,
     "mm_ppm_decode"        -> mmPpmDecode,
     "mm_bmp_decode"        -> mmBmpDecode,
     "mm_wav_decode"        -> mmWavDecode,
@@ -2997,6 +3011,70 @@ object TrainingPack {
     // — sample j's value is lowByte(2j) + 256*highByte(2j+1), signed
     // by subtracting 65536 at >= 32768; channel c sums stride by nch;
     // the truncation slice → NULL row
+    // the planted shot structure replayed: constant-luma frames
+    // (shot base + deterministic jitter), y_sum = byte * n_px
+    // exactly, then the same LAG window cut rule in SQL; docs
+    // ≡ 6 (mod 11) are the decode-null slice and vanish
+    "mm_scene_cuts" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    4 + (doc_id % 3) * 2 AS w, 2 + (doc_id % 2) * 2 AS h,
+         |    4 + doc_id % 5 AS nf,
+         |    CASE WHEN doc_id % 4 = 0 THEN 4 + doc_id % 5
+         |         ELSE 2 + doc_id % 3 END AS cutat
+         |  FROM documents WHERE doc_id % 11 != 6),
+         |f AS (
+         |  SELECT doc_id, CAST(w * h AS INT) AS n_px, u.fi AS frame_no,
+         |    (CASE WHEN u.fi < cutat THEN 40 + doc_id % 30
+         |          ELSE 180 + doc_id % 40 END
+         |      + (doc_id * 7 + u.fi * 13) % 9 - 4) * w * h AS y_sum
+         |  FROM g, (SELECT unnest(range(0, 8)) AS fi) u
+         |  WHERE u.fi < nf),
+         |l AS (
+         |  SELECT doc_id, n_px, frame_no, y_sum,
+         |    y_sum - LAG(y_sum) OVER (PARTITION BY doc_id ORDER BY frame_no) AS d_prev
+         |  FROM f)
+         |SELECT doc_id, n_px, CAST(frame_no AS INT) AS frame_no,
+         |  CAST(y_sum AS BIGINT) AS y_sum, CAST(d_prev AS BIGINT) AS d_prev,
+         |  COALESCE(abs(d_prev) >= 32 * n_px, FALSE) AS is_cut
+         |FROM l ORDER BY doc_id, frame_no""".stripMargin,
+
+    // every ch0 sample replayed from the chain (the mm_wav_decode
+    // sign arithmetic), staged into a per-doc sample list, then
+    // 4-frame windows: |amplitude| sum and zero crossings (sign
+    // changes within the window; empty pair set -> 0)
+    "mm_wav_windows" -> {
+      val raw = s"(${pxByte("2 * f * nch")} + 256 * ${pxByte("2 * f * nch + 1")})"
+      val sval = s"(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+      val chain = (0 until 3).map(i => s"md5('wx$i|' || doc_id)").mkString(" || ")
+      s"""WITH g AS (
+         |  SELECT doc_id, 1 + doc_id % 2 AS nch, 5 + doc_id % 6 AS fr,
+         |    $chain AS chain
+         |  FROM documents WHERE doc_id % 9 != 4),
+         |x AS (
+         |  SELECT doc_id, nch, fr,
+         |    substr(chain, 1, CAST(fr * nch * 4 AS INT)) AS px
+         |  FROM g),
+         |s AS (
+         |  SELECT doc_id, fr,
+         |    list_transform(range(0, fr), f -> $sval) AS samps
+         |  FROM x),
+         |win AS (
+         |  SELECT doc_id, fr, samps, u.wi AS win_no,
+         |    CAST(u.wi * 4 AS BIGINT) AS f0,
+         |    least(u.wi * 4 + 4, fr) AS f1
+         |  FROM s, (SELECT unnest(range(0, 3)) AS wi) u
+         |  WHERE u.wi * 4 < fr)
+         |SELECT doc_id, CAST(win_no AS INT) AS win_no,
+         |  CAST(f1 - f0 AS INT) AS n,
+         |  CAST(list_sum(list_transform(range(f0, f1),
+         |    f -> abs(samps[CAST(f + 1 AS INT)]))) AS BIGINT) AS sum_abs,
+         |  CAST(COALESCE(list_sum(list_transform(range(f0 + 1, f1), f ->
+         |    CASE WHEN (samps[CAST(f AS INT)] < 0) != (samps[CAST(f + 1 AS INT)] < 0)
+         |         THEN 1 ELSE 0 END)), 0) AS INT) AS zc
+         |FROM win ORDER BY doc_id, win_no""".stripMargin
+    },
+
     "mm_wav_decode" -> {
       def sval(s: String) = {
         val raw = s"(${pxByte(s"2 * ($s)")} + 256 * ${pxByte(s"2 * ($s) + 1")})"

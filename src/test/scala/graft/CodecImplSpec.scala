@@ -503,6 +503,61 @@ class CodecImplSpec extends AnyFunSuite {
     assert(twinDist(4, 3) > 3)
   }
 
+  test("y4m frame lumas: per-frame series, zero-frame stream, rejects shared with decode") {
+    // 2x2 4:2:0 — frame = 4 luma + 2 chroma bytes; two frames with
+    // distinct luma planes
+    val head = "YUV4MPEG2 W2 H2 F25:1 Ip A0:0 C420\n".getBytes("US-ASCII")
+    val f1 = "FRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 99, 99)
+    val f2 = "FRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](200.toByte, 201.toByte, 202.toByte, 203.toByte, 1, 2)
+    val st = CodecImpl.y4mFrameLumas(head ++ f1 ++ f2)
+    assert(st.nPx == 4)
+    assert(st.sums.toSeq === Seq(100L, 806L))
+    // the whole-stream decode must agree with the series' fold
+    val dec = CodecImpl.y4mDecode(head ++ f1 ++ f2)
+    assert(dec.sumY == st.sums.sum && dec.nFrames == st.sums.length)
+    // zero frames: valid, empty series
+    assert(CodecImpl.y4mFrameLumas(head).sums.isEmpty)
+    // rejects mirror the decode language (shared header parser +
+    // same walk): truncated plane set, bad magic, odd dims
+    assert(CodecImpl.y4mFrameLumas((head ++ f1).dropRight(1)) == null)
+    assert(CodecImpl.y4mFrameLumas("JUNK".getBytes("US-ASCII")) == null)
+    assert(CodecImpl.y4mFrameLumas(
+      "YUV4MPEG2 W3 H2 F25:1 C420\n".getBytes("US-ASCII")) == null)
+  }
+
+  test("wav windows: golden amplitude sums and zero crossings, partial window, rejects") {
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++ "data".getBytes ++
+        le32(data.length) ++ data
+    }
+    // 6 mono frames, window 4: first window |10|+|-20|+|30|+|-40|=100
+    // with 3 sign changes; the cross-window pair (-40, -5) is NOT
+    // counted anywhere (crossings are within-window by contract)
+    val b = wav(Seq(10, -20, 30, -40, -5, 0))
+    val ws = CodecImpl.wavWindows(b, 4)
+    assert(ws.length == 2)
+    assert(ws(0) == CodecImpl.WavWindow(4, 100L, 3))
+    // second window: samples -5, 0 -> sum 5, signs (neg, nonneg) -> 1
+    assert(ws(1) == CodecImpl.WavWindow(2, 5L, 1))
+    // window covering all frames exactly
+    assert(CodecImpl.wavWindows(b, 6).toSeq ===
+      Seq(CodecImpl.WavWindow(6, 105L, 4)))
+    // rejects: malformed payload (decode language) and bad window
+    assert(CodecImpl.wavWindows(b.dropRight(1), 4) == null)
+    assert(CodecImpl.wavWindows(b, 0) == null)
+    // int16 min: |−32768| must not overflow the abs
+    assert(CodecImpl.wavWindows(wav(Seq(-32768)), 4).toSeq ===
+      Seq(CodecImpl.WavWindow(1, 32768L, 0)))
+  }
+
   test("bmp decode: golden image, stride pads skipped, top-down flag, rejects") {
     def le32(v: Long): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,

@@ -820,6 +820,30 @@ class TrainingSpec extends AnyFunSuite {
     assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("scene cuts: exactly one cut per multi-shot doc, at the planted boundary") {
+    import spark.implicits._
+    val rows = Multimodal.sceneCuts(spark, dir)
+      .select("doc_id", "frame_no", "is_cut")
+      .as[(Long, Int, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    var multiShot = 0
+    byDoc.foreach { case (id, fs) =>
+      val cuts = fs.filter(_._3).map(_._2).toSeq
+      val nf = 4 + (id % 5).toInt
+      if (id % 4 == 0 || (2 + (id % 3).toInt) >= nf) {
+        assert(cuts.isEmpty, s"doc $id is single-shot but cut at $cuts")
+      } else {
+        multiShot += 1
+        assert(cuts === Seq(2 + (id % 3).toInt),
+          s"doc $id: expected one cut at the shot boundary, got $cuts")
+      }
+      // the decode-null slice never surfaces
+      assert(id % 11 != 6)
+    }
+    assert(multiShot > 0, "corpus should contain multi-shot docs")
+  }
+
   test("xxhash64 gram keys: span and cut verdicts identical to string keys") {
     import spark.implicits._
     // the 100 TB shuffle-key swap must be invisible in the answer:
