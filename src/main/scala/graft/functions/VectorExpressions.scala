@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -76,11 +76,61 @@ object VectorExpressions {
     override def prettyName: String = "dot_f32_dec"
   }
 
+  val sq8Type: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false),
+      nullable = false)))
+
+  /** `sq8_quantize(ARRAY<FLOAT>) → STRUCT<scale DOUBLE, q ARRAY<TINYINT>>`
+    * — symmetric int8 scalar quantization ([[VectorKernels.sq8Quantize]]):
+    * the 4× memory cut of a quantized ANN index, with every rounding
+    * step a fixed-order IEEE double op so the SQL oracle replays the
+    * codes bit-for-bit.
+    */
+  case class Sq8Quantize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = sq8Type
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects ARRAY<FLOAT>, got ${other.sql}")
+    }
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.sq8QuantizeRow(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.sq8QuantizeRow($a)")
+    override protected def withNewChildInternal(c: Expression): Sq8Quantize = copy(c)
+    override def prettyName: String = "sq8_quantize"
+  }
+
+  /** `dot_i8(ARRAY<TINYINT>, ARRAY<TINYINT>) → BIGINT` — exact
+    * integer dot over int8 codes, the quantized ranking kernel.
+    */
+  case class DotI8(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(ByteType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<TINYINT>, ARRAY<TINYINT>), got (${left.dataType.sql}, ${right.dataType.sql})")
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.dotI8($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotI8 = copy(l, r)
+    override def prettyName: String = "dot_i8"
+  }
+
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
   def dot_f32(a: Column, b: Column): Column = c(DotF32(e(a), e(b)))
   def dot_f32_dec(a: Column, b: Column): Column = c(DotF32Dec(e(a), e(b)))
+  def sq8_quantize(a: Column): Column = c(Sq8Quantize(e(a)))
+  def dot_i8(a: Column, b: Column): Column = c(DotI8(e(a), e(b)))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.Decimal
 
 /** Top-level codegen targets for the vector expressions. Must be a
@@ -20,6 +21,57 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       s += xs(i).toDouble * ys(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Symmetric int8 scalar quantization — the 4× memory cut of the
+    * ANN serving path: scale = max|x|/127 (a double; 0 for the zero
+    * vector), code_i = floor(x_i·127/max|x| + 0.5) ∈ [−127, 127].
+    * Every step is a single IEEE double op in a fixed order
+    * (float→double cast, ·127, /max, +0.5, floor), so DuckDB's
+    * replay of the same formula is bit-identical — no rounding-mode
+    * seam. Returns `(scale, codes)`; codes all-zero when scale is 0.
+    */
+  def sq8Quantize(a: ArrayData): (Double, Array[Byte]) = {
+    val xs = a.toFloatArray()
+    var ma = 0.0
+    var i = 0
+    while (i < xs.length) {
+      val v = math.abs(xs(i).toDouble)
+      if (v > ma) ma = v
+      i += 1
+    }
+    val out = new Array[Byte](xs.length)
+    if (ma > 0) {
+      i = 0
+      while (i < xs.length) {
+        out(i) = math.floor(xs(i).toDouble * 127 / ma + 0.5).toByte
+        i += 1
+      }
+    }
+    (if (ma > 0) ma / 127 else 0.0, out)
+  }
+
+  /** [[sq8Quantize]] as a Catalyst row for the codegen path. */
+  def sq8QuantizeRow(a: ArrayData): InternalRow = {
+    val (s, q) = sq8Quantize(a)
+    InternalRow(s, new GenericArrayData(q.map(Byte.box).toArray[Any]))
+  }
+
+  /** Integer dot product over int8 code arrays — exact in Long
+    * (64 · 127² ≪ 2⁶³), the cheap ranking kernel of the quantized
+    * ANN path.
+    */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toByteArray()
+    val ys = b.toByteArray()
+    val n = math.min(xs.length, ys.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += xs(i).toLong * ys(i)
       i += 1
     }
     s

@@ -65,6 +65,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8 scalar-quantized top-k — the memory-compression leg of the
+    * ANN surface (IVF prunes candidates, PQ compresses to sub-space
+    * codes; SQ8 is the simplest production quantization: 4× smaller
+    * vectors, ranking by integer dot): each vector becomes
+    * (scale = max|x|/127, codes = round(x·127/max|x|)) via the native
+    * `sq8_quantize` expression, and candidates rank by
+    * dot_i8(q_codes, c_codes)·c_scale — the query's own scale is a
+    * positive per-query constant, so it cannot change the order and
+    * is dropped from the sort key. Every quantization step is a
+    * fixed-order IEEE double op and the ranking product is a single
+    * double multiply of exact inputs, so the oracle replays codes,
+    * dots AND the order bit-for-bit (ties break on vec_id).
+    *
+    * Scale shape: quantization is a projection on the scan (at 100 TB
+    * the codes table is what you'd persist — 68 bytes/vector vs 256);
+    * the bounded query set broadcasts exactly like
+    * [[bruteForceTopK]]; ranking state is one top-k heap per query.
+    */
+  def sq8TopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val z = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.sq8_quantize(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale").as("s"), col("z.q").as("q"))
+    val queries = z.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = queries.join(z, col("query_id") =!= col("vec_id"))
+      .withColumn("dot_q",
+        graft.functions.VectorExpressions.dot_i8(col("qq"), col("q")))
+    val w = Window.partitionBy("query_id")
+      .orderBy((col("dot_q").cast("double") * col("s")).desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot_q"))
+      .orderBy("query_id", "rank")
+  }
+
   /** All-pairs near-duplicate detection by cosine ≥ threshold:
     * double-dot prefilter (margin 0.01 ≫ float noise) then exact
     * decimal threshold.

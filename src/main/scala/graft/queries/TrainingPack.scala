@@ -206,6 +206,12 @@ object TrainingPack {
 
   val annBruteForce: Q = (s, d) => Similarity.bruteForceTopK(s, d)
 
+  /** Int8 scalar-quantized top-k — see [[Similarity.sq8TopK]]; the
+    * oracle replays the quantization (fixed-order IEEE doubles), the
+    * integer dots, and the dot·scale ranking bit-for-bit.
+    */
+  val annSq8: Q = (s, d) => Similarity.sq8TopK(s, d)
+
   val annLsh: Q = (s, d) => Similarity.lshTopK(s, d)
 
   /** Multi-probe twin of ann_topk_lsh: within each table a query also
@@ -1307,6 +1313,7 @@ object TrainingPack {
     "tx_semantic_curate"   -> txSemanticCurate,
     "dd_semantic_capped"   -> ddSemanticCapped,
     "ann_topk_bruteforce"  -> annBruteForce,
+    "ann_topk_sq8"         -> annSq8,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
     "ann_topk_ivf"         -> annIvf,
@@ -2708,6 +2715,36 @@ object TrainingPack {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, vec_id, CAST(ROUND(dot, 6) AS DOUBLE) AS score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the int8 quantization replayed: max|x| and codes as the same
+    // fixed-order IEEE double ops (cast, *127, /max, +0.5, floor),
+    // integer dots over the codes, ranking by dot * candidate scale
+    // (the query scale is a positive per-query constant)
+    "ann_topk_sq8" ->
+      s"""WITH z AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+         |    embedding
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id,
+         |    CASE WHEN ma > 0 THEN ma / 127 ELSE 0.0 END AS s,
+         |    CASE WHEN ma > 0 THEN list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma + 0.5) AS BIGINT))
+         |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+         |  FROM z),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id, b.s,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+         |      x -> x[1] * x[2])) AS BIGINT) AS dot_q
+         |  FROM qz a JOIN qz b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id, dot_q,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot_q AS DOUBLE) * s DESC, vec_id) AS rank
+         |  FROM p)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_q
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_topk_lsh" -> annLshOracleSql(multiProbe = false),

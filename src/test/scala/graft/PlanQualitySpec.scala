@@ -189,6 +189,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // of these plans up must be reviewed and listed here or fixed
     val bnljOk = Set(
       "ann_topk_bruteforce",  // non-equi self-pair over a bounded (8-row) query set
+      "ann_topk_sq8",         // reviewed: the same bounded 8-row query
+                              // non-equi join, over int8 codes instead
+                              // of floats (Similarity.sq8TopK)
       "ann_topk_ivf",         // 16-row centroid table broadcast-crossed for assignment
       "ann_topk_ivf_filtered", // same 16-row centroid cross; the label filter itself is a pushed scan predicate
       "ann_topk_ivfpq",       // same 16-row centroid cross in its candidate stage

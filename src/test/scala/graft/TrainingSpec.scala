@@ -820,6 +820,38 @@ class TrainingSpec extends AnyFunSuite {
     assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("sq8 quantization: codes in range, error bounded by scale/2, recall vs exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // kernel contract on adversarial vectors: range, reconstruction
+    // error, zero vector
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val xs = Array.fill(64)((rnd.nextFloat() - 0.5f) * rnd.nextInt(100))
+      val (s, q) = graft.functions.VectorKernels.sq8Quantize(
+        new GenericArrayData(xs.map(Float.box).toArray[Any]))
+      assert(q.forall(c => c >= -127 && c <= 127))
+      if (s > 0) xs.indices.foreach { i =>
+        assert(math.abs(xs(i).toDouble - q(i) * s) <= s / 2 + 1e-12,
+          s"reconstruction error above half a step at $i")
+      }
+    }
+    val (s0, q0) = graft.functions.VectorKernels.sq8Quantize(
+      new GenericArrayData(Array.fill(64)(0.0f).map(Float.box).toArray[Any]))
+    assert(s0 == 0.0 && q0.forall(_ == 0))
+    // end-to-end: int8 ranking recovers the exact top-10 on this
+    // corpus (measured recall 1.00 at sf0.001 AND sf0.01; floor 0.9
+    // leaves margin for corpus regeneration)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, a) => (q, a.map(_._2).toSet) }
+    val exact = topSets(Similarity.bruteForceTopK(spark, dir))
+    val approx = topSets(Similarity.sq8TopK(spark, dir))
+    val recalls = exact.map { case (q, s) =>
+      (approx.getOrElse(q, Set.empty[Long]) & s).size.toDouble / s.size }
+    assert(recalls.min >= 0.9, s"sq8 recall floor broken: ${recalls.toSeq.sorted}")
+  }
+
   test("scene cuts: exactly one cut per multi-shot doc, at the planted boundary") {
     import spark.implicits._
     val rows = Multimodal.sceneCuts(spark, dir)
