@@ -699,6 +699,37 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF + SQ8 composed — the production serving shape: the IVF
+    * index prunes candidates (probe the nProbe nearest cells), and
+    * the int8 codes rank them ([[sq8TopK]]'s dot·scale key) — at
+    * scale the float vectors never leave the index build; queries
+    * touch only the 4×-smaller code table. The candidate stage and
+    * its broadcast-argmax shape are [[ivfTopKFrom]]'s verbatim; the
+    * ranking swaps the decimal dot for `dot_i8`. Output is integer
+    * facts (dot_q), so the oracle replays candidates, codes and
+    * order exactly.
+    */
+  def ivfSq8TopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16,
+      nProbe: Int = 6): DataFrame = {
+    val embeddings = Tables.embeddings(spark, dir)
+    val cand = ivfCandidates(embeddings, nQueries, nCentroids, nProbe)
+    val z = embeddings
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.sq8_quantize(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale").as("s"), col("z.q").as("q"))
+    val qz = z.select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = cand.join(qz, "query_id").join(z, "vec_id")
+      .withColumn("dot_q",
+        graft.functions.VectorExpressions.dot_i8(col("qq"), col("q")))
+    val w = Window.partitionBy("query_id")
+      .orderBy((col("dot_q").cast("double") * col("s")).desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot_q"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Metadata-FILTERED ANN over the IVF index — the pre- vs
     * post-filtering problem of vector search: "top-k nearest WHERE
     * <predicate>" must apply the predicate BELOW the ranking.

@@ -212,6 +212,12 @@ object TrainingPack {
     */
   val annSq8: Q = (s, d) => Similarity.sq8TopK(s, d)
 
+  /** IVF-pruned, int8-ranked top-k (the production serving
+    * composition) — see [[Similarity.ivfSq8TopK]]; the oracle shares
+    * the IVF candidate CTEs verbatim and ranks by the replayed codes.
+    */
+  val annIvfSq8: Q = (s, d) => Similarity.ivfSq8TopK(s, d)
+
   val annLsh: Q = (s, d) => Similarity.lshTopK(s, d)
 
   /** Multi-probe twin of ann_topk_lsh: within each table a query also
@@ -1314,6 +1320,7 @@ object TrainingPack {
     "dd_semantic_capped"   -> ddSemanticCapped,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_sq8"         -> annSq8,
+    "ann_topk_ivf_sq8"     -> annIvfSq8,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
     "ann_topk_ivf"         -> annIvf,
@@ -1519,6 +1526,41 @@ object TrainingPack {
        |  SELECT c.i, c.j, count(*) AS cnt
        |  FROM cand c JOIN sh s1 ON s1.doc_id = c.i JOIN sh s2 ON s2.doc_id = c.j AND s2.sg = s1.sg
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Int8 quantization CTEs (`z`, `qz`) shared by the SQ8 oracles:
+    * max|x| and the codes as the engine's exact fixed-order IEEE
+    * double ops.
+    */
+  private lazy val sq8Ctes =
+    s"""z AS (
+       |  SELECT vec_id,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+       |    embedding
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ma > 0 THEN ma / 127 ELSE 0.0 END AS s,
+       |    CASE WHEN ma > 0 THEN list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma + 0.5) AS BIGINT))
+       |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+       |  FROM z)""".stripMargin
+
+  /** Integer code dot between two `qz` aliases. */
+  private def sq8Dot(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a.qv, $b.qv),
+       |      x -> x[1] * x[2])) AS BIGINT)""".stripMargin
+
+  /** dot·scale ranking + final projection over a `p(query_id,
+    * vec_id, s, dot_q)` CTE — the closing stages of both SQ8 oracles.
+    */
+  private def sq8RankSql(k: Int = 10): String =
+    s"""r AS (
+       |  SELECT query_id, vec_id, dot_q,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(dot_q AS DOUBLE) * s DESC, vec_id) AS rank
+       |  FROM p)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_q
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   private val dotDec =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(28,12))))"
@@ -2722,30 +2764,25 @@ object TrainingPack {
     // integer dots over the codes, ranking by dot * candidate scale
     // (the query scale is a positive per-query constant)
     "ann_topk_sq8" ->
-      s"""WITH z AS (
-         |  SELECT vec_id,
-         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
-         |    embedding
-         |  FROM embeddings),
-         |qz AS (
-         |  SELECT vec_id,
-         |    CASE WHEN ma > 0 THEN ma / 127 ELSE 0.0 END AS s,
-         |    CASE WHEN ma > 0 THEN list_transform(embedding,
-         |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma + 0.5) AS BIGINT))
-         |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
-         |  FROM z),
+      s"""WITH $sq8Ctes,
          |p AS (
          |  SELECT a.vec_id AS query_id, b.vec_id, b.s,
-         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
-         |      x -> x[1] * x[2])) AS BIGINT) AS dot_q
+         |    ${sq8Dot("a", "b")} AS dot_q
          |  FROM qz a JOIN qz b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
-         |r AS (
-         |  SELECT query_id, vec_id, dot_q,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY CAST(dot_q AS DOUBLE) * s DESC, vec_id) AS rank
-         |  FROM p)
-         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot_q
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+         |${sq8RankSql()}""".stripMargin,
+
+    // IVF pruning + int8 ranking: the candidate CTEs are
+    // ann_topk_ivf's verbatim, the rank swaps the decimal dot for
+    // the replayed codes
+    "ann_topk_ivf_sq8" ->
+      s"""WITH $ivfCandCtes,
+         |$sq8Ctes,
+         |p AS (
+         |  SELECT cand.query_id, cand.vec_id, b.s,
+         |    ${sq8Dot("a", "b")} AS dot_q
+         |  FROM cand JOIN qz a ON a.vec_id = cand.query_id
+         |    JOIN qz b ON b.vec_id = cand.vec_id),
+         |${sq8RankSql()}""".stripMargin,
 
     "ann_topk_lsh" -> annLshOracleSql(multiProbe = false),
 

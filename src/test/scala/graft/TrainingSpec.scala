@@ -850,6 +850,13 @@ class TrainingSpec extends AnyFunSuite {
     val recalls = exact.map { case (q, s) =>
       (approx.getOrElse(q, Set.empty[Long]) & s).size.toDouble / s.size }
     assert(recalls.min >= 0.9, s"sq8 recall floor broken: ${recalls.toSeq.sorted}")
+    // the IVF+SQ8 composition ranks the SAME candidate set as exact
+    // IVF — int8 ranking must not change what the index can reach
+    val ivfExact = topSets(Similarity.ivfTopK(spark, dir))
+    val ivfSq8 = topSets(Similarity.ivfSq8TopK(spark, dir))
+    val compRec = ivfExact.map { case (q, s) =>
+      (ivfSq8.getOrElse(q, Set.empty[Long]) & s).size.toDouble / s.size }
+    assert(compRec.min >= 0.9, s"ivf+sq8 recall floor broken: ${compRec.toSeq.sorted}")
   }
 
   test("scene cuts: exactly one cut per multi-shot doc, at the planted boundary") {
