@@ -446,6 +446,22 @@ object Multimodal {
       .orderBy("doc_id", "win_no")
   }
 
+  /** Perceptual DEDUP VERDICTS — the drop rule over [[phashPairs]],
+    * mirroring the text/embedding dedup surface for the image
+    * modality: a document drops when its dHash pairs (d ≤ 3) with
+    * any LOWER doc_id; the verdict row carries the minimum such
+    * witness (`kept_by`), the closest distance, and the match count.
+    * One groupBy on the dropped id after the banded pair join — the
+    * same one-extra-shuffle step every dd_* verdict gate pays.
+    */
+  def phashDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    phashPairs(spark, dir, maxHamming)
+      .groupBy(col("j").as("doc_id"))
+      .agg(min("i").as("kept_by"), min("dist").as("min_dist"),
+        count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+
   /** Payload for the scene-cut gate: a Y4M stream whose luma planes
     * are CONSTANT per frame — byte value = shot base + a small
     * deterministic per-frame jitter — so shot structure is planted

@@ -939,6 +939,12 @@ object TrainingPack {
     */
   val mmPhashPairs: Q = (s, d) => Multimodal.phashPairs(s, d)
 
+  /** Perceptual dedup verdicts (drop on a lower-id twin, min
+    * witness) — see [[Multimodal.phashDedup]]; the oracle replays
+    * pairs exhaustively and folds the same drop rule.
+    */
+  val mmPhashDedup: Q = (s, d) => Multimodal.phashDedup(s, d)
+
   /** BMP twin of the real-format gate — LE headers, BGR, stride pads,
     * top-down slice; see [[Multimodal.bmpDecoded]].
     */
@@ -1351,6 +1357,7 @@ object TrainingPack {
     "mm_resize_real"       -> mmResizeReal,
     "mm_phash"             -> mmPhash,
     "mm_phash_pairs"       -> mmPhashPairs,
+    "mm_phash_dedup"       -> mmPhashDedup,
     "mm_scene_cuts"        -> mmSceneCuts,
     "mm_wav_windows"       -> mmWavWindows,
     "mm_ppm_decode"        -> mmPpmDecode,
@@ -3326,6 +3333,20 @@ object TrainingPack {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.dh, b.dh)) <= 3
          |ORDER BY i, j""".stripMargin,
+
+    // the drop rule folded over the exhaustive pair replay: a doc
+    // drops when a LOWER id sits within d <= 3; min witness wins
+    "mm_phash_dedup" ->
+      s"""${phashCtes(withAhash = false)},
+         |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc),
+         |pr AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |    bit_count(xor(a.dh, b.dh)) AS dist
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.dh, b.dh)) <= 3)
+         |SELECT j AS doc_id, MIN(i) AS kept_by,
+         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+         |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin,
 
     "tx_sequence_packing" ->
       s"""WITH t AS (

@@ -927,6 +927,13 @@ class TrainingSpec extends AnyFunSuite {
       assert(banded.contains((i, j)), s"planted twin ($i,$j) not recalled")
       assert(TextImpl.hamming64(hm(i), hm(j)) == 0)
     }
+    // the dedup verdicts are exactly the drop-rule fold of the pairs
+    val verdicts = Multimodal.phashDedup(spark, dir)
+      .select("doc_id", "kept_by").as[(Long, Long)].collect().toMap
+    val expected = banded.groupBy(_._2).map { case (j, ps) => (j, ps.map(_._1).min) }
+    assert(verdicts === expected)
+    // every planted twin drops, witnessed by (at least) its mate
+    planted.foreach { case (i, j) => assert(verdicts.get(j).exists(_ <= i)) }
   }
 
   test("perceptual near-dup: a RESIZED twin is recalled through the banded pair join") {
