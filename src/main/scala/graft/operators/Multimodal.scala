@@ -462,6 +462,39 @@ object Multimodal {
         count(lit(1)).as("n_matches"))
       .orderBy("doc_id")
 
+  /** At-ingest perceptual screen — the image modality's incremental
+    * dedup contract (the dd_semantic_incr discipline): even doc_ids
+    * are the landed HISTORY, odd the arriving batch; a batch doc
+    * drops when its dHash sits within d ≤ 3 of ANY history doc
+    * (landed copies win regardless of id) or of a LOWER-id batch doc
+    * (intra-batch twins leave one survivor). Pairs come from the
+    * same banded join over the combined signature set — history is
+    * never rescanned pairwise against itself, and at deployment the
+    * history side lands band-bucketed so a batch screen touches only
+    * its band buckets.
+    */
+  def phashIncremental(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val did = col("doc_id")
+    val sig = Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.ppm_dhash(phashPayload(did)).as("sh"))
+      .filter(col("sh").isNotNull)
+    val pairs = Dedup.simhashPairsFrom(sig, maxHamming)
+    // both orientations of each pair via ONE explode — a union of two
+    // projections would re-run the whole banded join per branch
+    pairs
+      .select(explode(array(
+        struct(col("j").as("b"), col("i").as("p"), col("dist")),
+        struct(col("i").as("b"), col("j").as("p"), col("dist")))).as("c"))
+      .select(col("c.b").as("b"), col("c.p").as("p"), col("c.dist").as("dist"))
+      .filter(col("b") % 2 === 1 && (col("p") % 2 === 0 || col("p") < col("b")))
+      .groupBy(col("b").as("doc_id"))
+      .agg(min("p").as("kept_by"), min("dist").as("min_dist"),
+        count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
   /** Payload for the scene-cut gate: a Y4M stream whose luma planes
     * are CONSTANT per frame — byte value = shot base + a small
     * deterministic per-frame jitter — so shot structure is planted

@@ -945,6 +945,12 @@ object TrainingPack {
     */
   val mmPhashDedup: Q = (s, d) => Multimodal.phashDedup(s, d)
 
+  /** At-ingest perceptual screen (history any-id, batch lower-id) —
+    * see [[Multimodal.phashIncremental]]; the oracle replays the
+    * split and both drop branches over the exhaustive pairs.
+    */
+  val mmPhashIncr: Q = (s, d) => Multimodal.phashIncremental(s, d)
+
   /** BMP twin of the real-format gate — LE headers, BGR, stride pads,
     * top-down slice; see [[Multimodal.bmpDecoded]].
     */
@@ -1358,6 +1364,7 @@ object TrainingPack {
     "mm_phash"             -> mmPhash,
     "mm_phash_pairs"       -> mmPhashPairs,
     "mm_phash_dedup"       -> mmPhashDedup,
+    "mm_phash_incr"        -> mmPhashIncr,
     "mm_scene_cuts"        -> mmSceneCuts,
     "mm_wav_windows"       -> mmWavWindows,
     "mm_ppm_decode"        -> mmPpmDecode,
@@ -3333,6 +3340,23 @@ object TrainingPack {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.dh, b.dh)) <= 3
          |ORDER BY i, j""".stripMargin,
+
+    // the at-ingest screen replayed: even ids are history, odd the
+    // batch; a batch doc drops on a history twin (ANY id) or a
+    // lower-id batch twin, min eligible witness wins
+    "mm_phash_incr" ->
+      s"""${phashCtes(withAhash = false)},
+         |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc),
+         |pr AS (
+         |  SELECT b.doc_id AS b, p.doc_id AS p,
+         |    bit_count(xor(b.dh, p.dh)) AS dist
+         |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
+         |  WHERE b.doc_id % 2 = 1
+         |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+         |    AND bit_count(xor(b.dh, p.dh)) <= 3)
+         |SELECT b AS doc_id, MIN(p) AS kept_by,
+         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+         |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin,
 
     // the drop rule folded over the exhaustive pair replay: a doc
     // drops when a LOWER id sits within d <= 3; min witness wins

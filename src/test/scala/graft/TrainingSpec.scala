@@ -934,6 +934,19 @@ class TrainingSpec extends AnyFunSuite {
     assert(verdicts === expected)
     // every planted twin drops, witnessed by (at least) its mate
     planted.foreach { case (i, j) => assert(verdicts.get(j).exists(_ <= i)) }
+    // the at-ingest screen == its brute-force definition: a batch
+    // (odd-id) doc drops on a history (even-id) twin of ANY id or a
+    // lower-id batch twin; history docs never appear
+    val incr = Multimodal.phashIncremental(spark, dir)
+      .select("doc_id", "kept_by").as[(Long, Long)].collect().toMap
+    val bruteIncr = hashes.filter(_._1 % 2 == 1).flatMap { case (b, hb) =>
+      val ps = hashes.filter { case (p, hp) =>
+        p != b && (p % 2 == 0 || p < b) && TextImpl.hamming64(hb, hp) <= 3
+      }.map(_._1)
+      if (ps.isEmpty) None else Some(b -> ps.min)
+    }.toMap
+    assert(incr === bruteIncr)
+    assert(incr.keys.forall(_ % 2 == 1))
   }
 
   test("perceptual near-dup: a RESIZED twin is recalled through the banded pair join") {
