@@ -460,6 +460,32 @@ object CodecExpressions {
     override def prettyName: String = "y4m_frame_lumas"
   }
 
+  /** `wav_fingerprint(BINARY) → BIGINT`: 64-bit audio fingerprint —
+    * delta-sign pattern of the ch0 amplitude envelope over the first
+    * 65 frames ([[CodecImpl.wavFingerprint]]); null on malformed
+    * payload or a too-short stream.
+    */
+  case class WavFingerprint(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val r = CodecCodegen.wavFingerprint(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val r = ctx.freshName("fp")
+        s"""
+        java.lang.Long $r = $Bridge.wavFingerprint($b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+        """
+      })
+    override protected def withNewChildInternal(c: Expression): WavFingerprint = copy(c)
+    override def prettyName: String = "wav_fingerprint"
+  }
+
   val wavWindowType: StructType = StructType(Seq(
     StructField("n", IntegerType, nullable = false),
     StructField("sum_abs", LongType, nullable = false),
@@ -608,6 +634,7 @@ object CodecExpressions {
   def y4m_frame_lumas(col: Column): Column = c(Y4mFrameLumas(e(col)))
   def wav_windows(col: Column, win: Column): Column =
     c(WavWindows(e(col), e(win)))
+  def wav_fingerprint(col: Column): Column = c(WavFingerprint(e(col)))
   def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
   def wav_decode(col: Column): Column = c(WavDecode(e(col)))
   def y4m_decode(col: Column): Column = c(Y4mDecode(e(col)))
@@ -645,6 +672,7 @@ object CodecExpressions {
     one("wav_windows", es => WavWindows(es(0), es(1)))
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))
+    one("wav_fingerprint", es => WavFingerprint(es.head))
     one("y4m_decode", es => Y4mDecode(es.head))
   }
 }

@@ -739,6 +739,36 @@ object CodecImpl {
     out
   }
 
+  /** 64-bit audio fingerprint of a PCM WAV payload — the delta-sign
+    * pattern of the channel-0 amplitude envelope: bit f = 1 iff
+    * |s(f+1)| > |s(f)| over the first 65 frames. The same
+    * perceptual-fingerprint idea as the image dHash (gradient signs
+    * survive mild retouching; the 64-bit space keeps random
+    * collisions negligible), applied to the time axis — it feeds the
+    * SAME banded-Hamming pair operator. Integer-exact, so the SQL
+    * oracle replays every bit. Null on malformed payload (wavDecode's
+    * accept language) or fewer than 65 frames.
+    */
+  def wavFingerprint(b: Array[Byte]): java.lang.Long = {
+    val st = wavDecode(b)
+    if (st == null || st.nFrames < 65) return null
+    val step = st.channels * 2
+    def amp(f: Int): Int = {
+      val off = 44 + f * step
+      math.abs(((b(off) & 0xFF) | (b(off + 1) << 8)).toShort.toInt)
+    }
+    var bits = 0L
+    var prev = amp(0)
+    var f = 1
+    while (f <= 64) {
+      val cur = amp(f)
+      if (cur > prev) bits |= 1L << (f - 1)
+      prev = cur
+      f += 1
+    }
+    bits
+  }
+
   /** RFC 1071 ones-complement checksum over big-endian 16-bit words,
     * odd trailing byte zero-padded — the semantics of
     * `client/trigger_network.c:99-111` (endian-agnostic by

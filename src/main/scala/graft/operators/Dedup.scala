@@ -670,6 +670,32 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** At-ingest screen over ANY signature table `(doc_id, sh)` — the
+    * incremental dedup contract shared by the perceptual modalities
+    * (the dd_semantic_incr discipline): even doc_ids are the landed
+    * HISTORY, odd the arriving batch; a batch doc drops when its
+    * signature sits within `maxHamming` of ANY history doc (landed
+    * copies win regardless of id) or of a LOWER-id batch doc
+    * (intra-batch twins leave one survivor). Pairs come from ONE
+    * banded join over the combined signature set — history is never
+    * rescanned pairwise against itself, and at deployment the history
+    * side lands band-bucketed so a batch screen touches only its band
+    * buckets. Both orientations of each pair via one explode — a
+    * union of two projections would re-run the banded join per
+    * branch.
+    */
+  def bandedIncrementalScreen(sig: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(sig, maxHamming)
+      .select(explode(array(
+        struct(col("j").as("b"), col("i").as("p"), col("dist")),
+        struct(col("i").as("b"), col("j").as("p"), col("dist")))).as("c"))
+      .select(col("c.b").as("b"), col("c.p").as("p"), col("c.dist").as("dist"))
+      .filter(col("b") % 2 === 1 && (col("p") % 2 === 0 || col("p") < col("b")))
+      .groupBy(col("b").as("doc_id"))
+      .agg(min("p").as("kept_by"), min("dist").as("min_dist"),
+        count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+
   /** SimHash near-dup pairs over the engine-native fnv1a signatures —
     * the banded pair join composed with `simhash` (the engine-native
     * twin of minhashLsh).

@@ -480,20 +480,122 @@ object Multimodal {
       .select(did.as("doc_id"),
         graft.functions.CodecExpressions.ppm_dhash(phashPayload(did)).as("sh"))
       .filter(col("sh").isNotNull)
-    val pairs = Dedup.simhashPairsFrom(sig, maxHamming)
-    // both orientations of each pair via ONE explode — a union of two
-    // projections would re-run the whole banded join per branch
-    pairs
-      .select(explode(array(
-        struct(col("j").as("b"), col("i").as("p"), col("dist")),
-        struct(col("i").as("b"), col("j").as("p"), col("dist")))).as("c"))
-      .select(col("c.b").as("b"), col("c.p").as("p"), col("c.dist").as("dist"))
-      .filter(col("b") % 2 === 1 && (col("p") % 2 === 0 || col("p") < col("b")))
-      .groupBy(col("b").as("doc_id"))
-      .agg(min("p").as("kept_by"), min("dist").as("min_dist"),
-        count(lit(1)).as("n_matches"))
+    Dedup.bandedIncrementalScreen(sig, maxHamming)
+  }
+
+  /** Payload column for the audio-fingerprint gates: the same
+    * RIFF/WAVE grammar as [[wavPayload]] but with ≥ 65-frame MONO
+    * streams (the fingerprint needs 65 envelope samples; mono keeps
+    * the sample chain at 9 md5 blocks — the image-payload size that
+    * stays inside janino's method limit in the banded-join stage, so
+    * the whole pair pipeline remains codegen'd; stereo striding is
+    * pinned by the CodecImplSpec golden vectors and the
+    * mm_wav_decode/windows gates) and planted perceptual twins,
+    * mirroring [[phashPayload]]'s structure for the audio modality:
+    *
+    *  - docs ≡ 3 (mod 7), id ≥ 8 reuse the sample chain of
+    *    doc_id − 8 — the frame count has period 8, so the mate's
+    *    layout is identical and the doc is an exact sample twin
+    *    (Hamming 0, guaranteed pair); the sample-rate slice may
+    *    differ, which the fingerprint must ignore;
+    *  - docs ≡ 7 (mod 11), id ≥ 16 (and not in the first slice) take
+    *    doc_id − 16's chain with the first data byte forced to 0xFF —
+    *    a one-sample retouch that can flip at most envelope bit 0
+    *    (Hamming ≤ 1, always within the d ≤ 3 cut);
+    *  - docs ≡ 2 (mod 13) are SHORT streams (20 frames): decode-valid
+    *    but below the fingerprint's 65-frame floor → fingerprint
+    *    null, so brief clips can never pair;
+    *  - the `doc_id % 9 == 4` truncation slice stays → decode null.
+    */
+  private def afpPayload(did: Column): Column = {
+    val exact = did % 7 === 3 && did >= 8
+    val pert = did % 11 === 7 && did >= 16 && !exact
+    val base = when(exact, did - 8).when(pert, did - 16).otherwise(did)
+    val rate = when(did % 3 === 0, 8000).when(did % 3 === 1, 16000)
+      .otherwise(44100)
+    val frames = when(did % 13 === 2, 20)
+      .otherwise(lit(65) + did % 8).cast("int")
+    val dataLen = frames * 2
+    // 9 md5 blocks = 288 hex chars — exactly the mono 72-frame max
+    val chain = concat((0 until 9).map(i =>
+      md5(concat(lit(s"ax$i|"), base.cast("string")).cast("binary"))): _*)
+    val pixHex = when(pert,
+      concat(lit("ff"), substr(chain, lit(3), dataLen * 2 - 2)))
+      .otherwise(substr(chain, lit(1), dataLen * 2))
+    val full = concat(
+      lit("RIFF").cast("binary"), le32(lit(36) + dataLen),
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), le32(lit(16)),
+      le16(lit(1)), le16(lit(1)), le32(rate), le32(rate * 2),
+      le16(lit(2)), le16(lit(16)),
+      lit("data").cast("binary"), le32(dataLen),
+      unhex(pixHex))
+    when(did % 9 === 4,
+      substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
+  }
+
+  /** Per-document audio fingerprints over the twin-planted WAV
+    * corpus: the 64-bit delta-sign envelope fingerprint as a native
+    * codegen expression — decode, channel-0 amplitude walk, bit
+    * packing, all inside one projection on the scan. Integer-exact,
+    * so the oracle replays every bit from the sample chain.
+    */
+  def audioFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.wav_fingerprint(afpPayload(did)).as("afp"))
+      .withColumn("valid", col("afp").isNotNull)
       .orderBy("doc_id")
   }
+
+  /** Audio near-dup PAIRS: envelope fingerprints fed to the same
+    * banded-Hamming pair join as the image dHash and text SimHash
+    * gates ([[Dedup.simhashPairsFrom]] — 4 disjoint 16-bit bands,
+    * pigeonhole-complete for d ≤ 3, shuffle key = (band, value)).
+    * Pair work is proportional to band-bucket collisions, not n² —
+    * one signature machinery now serving three modalities. The
+    * oracle recomputes every fingerprint from the sample replay and
+    * verifies all pairs exhaustively (xor + bit_count).
+    */
+  def audioFpPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val did = col("doc_id")
+    val sig = Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.wav_fingerprint(afpPayload(did)).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.simhashPairsFrom(sig, maxHamming)
+  }
+
+  /** At-ingest audio screen — [[Dedup.bandedIncrementalScreen]] over
+    * the envelope fingerprints: even doc_ids are landed history, odd
+    * the arriving batch; a batch clip drops on a history twin (ANY
+    * id) or a lower-id batch twin. The same incremental contract as
+    * [[phashIncremental]], same one machinery.
+    */
+  def audioFpIncremental(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val did = col("doc_id")
+    val sig = Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.wav_fingerprint(afpPayload(did)).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.bandedIncrementalScreen(sig, maxHamming)
+  }
+
+  /** Audio DEDUP VERDICTS — the drop rule over [[audioFpPairs]]: a
+    * clip drops when its fingerprint pairs (d ≤ 3) with any LOWER
+    * doc_id; min witness, closest distance, match count — the same
+    * verdict shape as [[phashDedup]] and every dd_* gate.
+    */
+  def audioFpDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    audioFpPairs(spark, dir, maxHamming)
+      .groupBy(col("j").as("doc_id"))
+      .agg(min("i").as("kept_by"), min("dist").as("min_dist"),
+        count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
 
   /** Payload for the scene-cut gate: a Y4M stream whose luma planes
     * are CONSTANT per frame — byte value = shot base + a small

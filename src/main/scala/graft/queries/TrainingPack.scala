@@ -966,6 +966,31 @@ object TrainingPack {
     */
   val mmY4mDecode: Q = (s, d) => Multimodal.y4mDecoded(s, d)
 
+  /** Audio perceptual fingerprints (64-bit delta-sign envelope) over
+    * the twin-planted WAV corpus — see
+    * [[Multimodal.audioFingerprints]]; the oracle replays every
+    * sample, the amplitude walk and the bit packing exactly.
+    */
+  val mmAudioFp: Q = (s, d) => Multimodal.audioFingerprints(s, d)
+
+  /** Audio near-dup pairs: envelope fingerprints through the banded-
+    * Hamming pair join — see [[Multimodal.audioFpPairs]]; the oracle
+    * recomputes fingerprints and checks all pairs exhaustively.
+    */
+  val mmAudioFpPairs: Q = (s, d) => Multimodal.audioFpPairs(s, d)
+
+  /** Audio dedup verdicts (drop on a lower-id twin, min witness) —
+    * see [[Multimodal.audioFpDedup]]; the oracle replays pairs
+    * exhaustively and folds the same drop rule.
+    */
+  val mmAudioFpDedup: Q = (s, d) => Multimodal.audioFpDedup(s, d)
+
+  /** At-ingest audio screen (history any-id, batch lower-id) — see
+    * [[Multimodal.audioFpIncremental]]; the oracle replays the split
+    * and both drop branches over the exhaustive pairs.
+    */
+  val mmAudioFpIncr: Q = (s, d) => Multimodal.audioFpIncremental(s, d)
+
   /** Substring-level dedup: cross-document duplicate 5-gram spans
     * (inclusive 0-based token bounds per doc) — see [[Dedup.dupSpans]].
     * Deterministic: spans are disjoint per doc, so (doc_id, span_start)
@@ -1371,6 +1396,10 @@ object TrainingPack {
     "mm_bmp_decode"        -> mmBmpDecode,
     "mm_wav_decode"        -> mmWavDecode,
     "mm_y4m_decode"        -> mmY4mDecode,
+    "mm_audio_fp"          -> mmAudioFp,
+    "mm_audio_fp_pairs"    -> mmAudioFpPairs,
+    "mm_audio_fp_dedup"    -> mmAudioFpDedup,
+    "mm_audio_fp_incr"     -> mmAudioFpIncr,
   )
 
   /** SemDeDup drop-machinery CTEs (planted slice → seeding → argmax
@@ -1891,6 +1920,48 @@ object TrainingPack {
        |         ELSE substr(chain, 1, CAST(w * h * 6 AS INT)) END AS px
        |  FROM c),
        |$dhash${if (withAhash) ahash else ""}""".stripMargin
+  }
+
+  /** Shared sample replay of the audio-fingerprint oracles: the
+    * twin-planted WAV chain (exact twins reuse doc_id−8's chain,
+    * retouched twins take doc_id−16's with the first data byte forced
+    * to 0xFF), the amplitude walk over the first 65 mono frames
+    * (signed 16-bit LE), then the exact 64-bit
+    * delta-sign packing — bits 0–62 as a power-of-two sum, bit 63
+    * xor'd in as min-long (the phash packing idiom). Emits the CTE
+    * `fp` (doc_id, trunc, short, afp); trunc is the decode reject,
+    * short the below-65-frame fingerprint floor.
+    */
+  private def afpCtes: String = {
+    val chain = (0 until 9).map(i => s"md5('ax$i|' || bid)").mkString(" || ")
+    val raw = s"(${pxByte("2 * f")} + 256 * ${pxByte("2 * f + 1")})"
+    val sval = s"(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    doc_id % 9 = 4 AS trunc, doc_id % 13 = 2 AS short,
+       |    (doc_id % 11 = 7 AND doc_id >= 16
+       |      AND NOT (doc_id % 7 = 3 AND doc_id >= 8)) AS pert,
+       |    CASE WHEN doc_id % 7 = 3 AND doc_id >= 8 THEN doc_id - 8
+       |         WHEN doc_id % 11 = 7 AND doc_id >= 16 THEN doc_id - 16
+       |         ELSE doc_id END AS bid
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, trunc, short, pert, $chain AS chain FROM g),
+       |x AS (
+       |  SELECT doc_id, trunc, short,
+       |    CASE WHEN pert THEN 'ff' || substr(chain, 3) ELSE chain END AS px
+       |  FROM c),
+       |am AS (
+       |  SELECT doc_id, trunc, short,
+       |    list_transform(range(0, 65), f -> abs($sval)) AS amps
+       |  FROM x),
+       |fp AS (
+       |  SELECT doc_id, trunc, short,
+       |    xor(CAST(list_sum(list_transform(range(1, 64), f ->
+       |      CASE WHEN amps[CAST(f + 1 AS INT)] > amps[CAST(f AS INT)]
+       |           THEN (CAST(1 AS BIGINT) << CAST(f - 1 AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT),
+       |      CASE WHEN amps[65] > amps[64] THEN -9223372036854775807 - 1 ELSE 0 END) AS afp
+       |  FROM am)""".stripMargin
   }
 
   /** Exact-decimal rank + final projection over a `(query_id, vec_id)`
@@ -3368,6 +3439,59 @@ object TrainingPack {
          |    bit_count(xor(a.dh, b.dh)) AS dist
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.dh, b.dh)) <= 3)
+         |SELECT j AS doc_id, MIN(i) AS kept_by,
+         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+         |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin,
+
+    // the audio fingerprint replayed bit-for-bit: twin-planted sample
+    // chain, ch0 amplitude walk, delta-sign packing; trunc (decode
+    // reject) and short (< 65 frames) slices → NULL
+    "mm_audio_fp" ->
+      s"""$afpCtes
+         |SELECT doc_id,
+         |  CASE WHEN trunc OR short THEN NULL ELSE afp END AS afp,
+         |  NOT (trunc OR short) AS valid
+         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // the banded-Hamming pair join verified exhaustively over the
+    // replayed fingerprints (xor + bit_count — 4 disjoint 16-bit
+    // bands are pigeonhole-complete for d <= 3)
+    "mm_audio_fp_pairs" ->
+      s"""$afpCtes,
+         |sig AS (SELECT doc_id, afp FROM fp WHERE NOT (trunc OR short))
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  bit_count(xor(a.afp, b.afp)) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 3
+         |ORDER BY i, j""".stripMargin,
+
+    // the at-ingest screen replayed: even ids are history, odd the
+    // batch; a batch clip drops on a history twin (ANY id) or a
+    // lower-id batch twin, min eligible witness wins
+    "mm_audio_fp_incr" ->
+      s"""$afpCtes,
+         |sig AS (SELECT doc_id, afp FROM fp WHERE NOT (trunc OR short)),
+         |pr AS (
+         |  SELECT b.doc_id AS b, p.doc_id AS p,
+         |    bit_count(xor(b.afp, p.afp)) AS dist
+         |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
+         |  WHERE b.doc_id % 2 = 1
+         |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+         |    AND bit_count(xor(b.afp, p.afp)) <= 3)
+         |SELECT b AS doc_id, MIN(p) AS kept_by,
+         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+         |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin,
+
+    // the drop rule folded over the exhaustive pair replay: a clip
+    // drops when a LOWER id sits within d <= 3; min witness wins
+    "mm_audio_fp_dedup" ->
+      s"""$afpCtes,
+         |sig AS (SELECT doc_id, afp FROM fp WHERE NOT (trunc OR short)),
+         |pr AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |    bit_count(xor(a.afp, b.afp)) AS dist
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.afp, b.afp)) <= 3)
          |SELECT j AS doc_id, MIN(i) AS kept_by,
          |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
          |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin,

@@ -558,6 +558,35 @@ class CodecImplSpec extends AnyFunSuite {
       Seq(CodecImpl.WavWindow(1, 32768L, 0)))
   }
 
+  test("wav fingerprint: delta-sign envelope golden vectors, stereo stride, rejects") {
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def wav(nch: Int, interleaved: Seq[Int]): Array[Byte] = {
+      val data = interleaved.flatMap(s => le16(s & 0xFFFF)).toArray
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(nch) ++ le32(8000) ++
+        le32(8000L * nch * 2) ++ le16(nch * 2) ++ le16(16) ++ "data".getBytes ++
+        le32(data.length) ++ data
+    }
+    // strictly rising envelope over 66 frames: every delta positive ->
+    // all 64 bits set; strictly falling -> none
+    assert(CodecImpl.wavFingerprint(wav(1, 0 until 66)).longValue() == -1L)
+    assert(CodecImpl.wavFingerprint(wav(1, (0 until 66).map(66 - _))).longValue() == 0L)
+    // the envelope is |amplitude|: a falling NEGATIVE ramp rises in abs
+    assert(CodecImpl.wavFingerprint(wav(1, (0 until 66).map(f => -f))).longValue() == -1L)
+    // a flat first pair clears exactly bit 0 (strict >)
+    assert(CodecImpl.wavFingerprint(wav(1, Seq(5, 5) ++ (6 to 69))).longValue() == -2L)
+    // stereo: ch1 junk must be strided over, ch0 alone decides
+    val st = (0 until 66).flatMap(f => Seq(f, 31987 - 997 * f))
+    assert(CodecImpl.wavFingerprint(wav(2, st)).longValue() == -1L)
+    // 65 frames is the floor (64 deltas); 64 frames is below it
+    assert(CodecImpl.wavFingerprint(wav(1, 0 until 65)).longValue() == -1L)
+    assert(CodecImpl.wavFingerprint(wav(1, 0 until 64)) == null)
+    // malformed payload: the decode's accept language
+    assert(CodecImpl.wavFingerprint(wav(1, 0 until 66).dropRight(1)) == null)
+  }
+
   test("bmp decode: golden image, stride pads skipped, top-down flag, rejects") {
     def le32(v: Long): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,

@@ -949,6 +949,59 @@ class TrainingSpec extends AnyFunSuite {
     assert(incr.keys.forall(_ % 2 == 1))
   }
 
+  test("audio near-dup: gate equals brute force, planted twins recalled, retouch within d<=1") {
+    import spark.implicits._
+    val fps = Multimodal.audioFingerprints(spark, dir)
+      .filter(col("valid")).select("doc_id", "afp")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i, hi) <- fps; (j, hj) <- fps
+      if i < j && TextImpl.hamming64(hi, hj) <= 3
+    } yield (i, j)).toSet
+    val banded = Multimodal.audioFpPairs(spark, dir)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
+    val hm = fps.toMap
+    // a doc maps to its own chain only when neither twin slice claims it
+    def self(id: Long) = !(id % 7 == 3 && id >= 8) && !(id % 11 == 7 && id >= 16)
+    // exact twins (≡ 3 mod 7, mate id-8): Hamming exactly 0
+    val exact = fps.map(_._1).filter(id => id % 7 == 3 && id >= 8)
+      .filter(id => self(id - 8) && hm.contains(id - 8)).map(id => (id - 8, id))
+    assert(exact.nonEmpty, "corpus should contain planted exact audio twins")
+    exact.foreach { case (i, j) =>
+      assert(banded.contains((i, j)), s"planted twin ($i,$j) not recalled")
+      assert(TextImpl.hamming64(hm(i), hm(j)) == 0)
+    }
+    // retouched twins (≡ 7 mod 11, mate id-16): the one-sample edit
+    // moves only envelope bit 0 -> distance <= 1, always recalled
+    val pert = fps.map(_._1)
+      .filter(id => id % 11 == 7 && id >= 16 && !(id % 7 == 3 && id >= 8))
+      .filter(id => self(id - 16) && hm.contains(id - 16)).map(id => (id - 16, id))
+    assert(pert.nonEmpty, "corpus should contain retouched audio twins")
+    pert.foreach { case (i, j) =>
+      assert(TextImpl.hamming64(hm(i), hm(j)) <= 1, s"retouch ($i,$j) drifted")
+      assert(banded.contains((i, j)), s"retouched twin ($i,$j) not recalled")
+    }
+    // the dedup verdicts are exactly the drop-rule fold of the pairs
+    val verdicts = Multimodal.audioFpDedup(spark, dir)
+      .select("doc_id", "kept_by").as[(Long, Long)].collect().toMap
+    val expected = banded.groupBy(_._2).map { case (j, ps) => (j, ps.map(_._1).min) }
+    assert(verdicts === expected)
+    // the at-ingest screen == its brute-force definition: a batch
+    // (odd-id) clip drops on a history (even-id) twin of ANY id or a
+    // lower-id batch twin; history clips never appear
+    val incr = Multimodal.audioFpIncremental(spark, dir)
+      .select("doc_id", "kept_by").as[(Long, Long)].collect().toMap
+    val bruteIncr = fps.filter(_._1 % 2 == 1).flatMap { case (b, hb) =>
+      val ps = fps.filter { case (p, hp) =>
+        p != b && (p % 2 == 0 || p < b) && TextImpl.hamming64(hb, hp) <= 3
+      }.map(_._1)
+      if (ps.isEmpty) None else Some(b -> ps.min)
+    }.toMap
+    assert(incr === bruteIncr)
+    assert(incr.keys.forall(_ % 2 == 1))
+  }
+
   test("perceptual near-dup: a RESIZED twin is recalled through the banded pair join") {
     import spark.implicits._
     import graft.functions.{CodecExpressions, CodecImpl}
