@@ -42,6 +42,7 @@ object CodecCodegen {
   def ppmDhash(buf: Array[Byte]): java.lang.Long = CodecImpl.ppmDhash(buf)
   def ppmAhash(buf: Array[Byte]): java.lang.Long = CodecImpl.ppmAhash(buf)
   def wavFingerprint(buf: Array[Byte]): java.lang.Long = CodecImpl.wavFingerprint(buf)
+  def y4mFingerprint(buf: Array[Byte]): java.lang.Long = CodecImpl.y4mFingerprint(buf)
 
   def bmpDecode(buf: Array[Byte]): InternalRow = {
     val s = CodecImpl.bmpDecode(buf)

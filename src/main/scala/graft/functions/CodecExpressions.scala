@@ -486,6 +486,32 @@ object CodecExpressions {
     override def prettyName: String = "wav_fingerprint"
   }
 
+  /** `y4m_fingerprint(BINARY) → BIGINT`: 64-bit video fingerprint —
+    * delta-sign pattern of the per-frame mean-luma series over the
+    * first 65 frames ([[CodecImpl.y4mFingerprint]]); null on a
+    * malformed stream or a too-short one.
+    */
+  case class Y4mFingerprint(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val r = CodecCodegen.y4mFingerprint(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val r = ctx.freshName("fp")
+        s"""
+        java.lang.Long $r = $Bridge.y4mFingerprint($b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+        """
+      })
+    override protected def withNewChildInternal(c: Expression): Y4mFingerprint = copy(c)
+    override def prettyName: String = "y4m_fingerprint"
+  }
+
   val wavWindowType: StructType = StructType(Seq(
     StructField("n", IntegerType, nullable = false),
     StructField("sum_abs", LongType, nullable = false),
@@ -635,6 +661,7 @@ object CodecExpressions {
   def wav_windows(col: Column, win: Column): Column =
     c(WavWindows(e(col), e(win)))
   def wav_fingerprint(col: Column): Column = c(WavFingerprint(e(col)))
+  def y4m_fingerprint(col: Column): Column = c(Y4mFingerprint(e(col)))
   def bmp_decode(col: Column): Column = c(BmpDecode(e(col)))
   def wav_decode(col: Column): Column = c(WavDecode(e(col)))
   def y4m_decode(col: Column): Column = c(Y4mDecode(e(col)))
@@ -673,6 +700,7 @@ object CodecExpressions {
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))
     one("wav_fingerprint", es => WavFingerprint(es.head))
+    one("y4m_fingerprint", es => Y4mFingerprint(es.head))
     one("y4m_decode", es => Y4mDecode(es.head))
   }
 }

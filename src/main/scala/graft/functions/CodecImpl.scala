@@ -769,6 +769,31 @@ object CodecImpl {
     bits
   }
 
+  /** 64-bit video fingerprint of a YUV4MPEG2 stream — the delta-sign
+    * pattern of the per-frame MEAN-LUMA series: bit f = 1 iff
+    * mean_y(f+1) > mean_y(f) over the first 65 frames (compared as
+    * frame luma SUMS — n_px is constant within a stream, so sum order
+    * is mean order, integer-exact). The third application of the
+    * delta-sign idea: image dHash walks the spatial axis, the audio
+    * fingerprint the sample axis, this one the FRAME axis — temporal
+    * shot structure survives mild per-pixel retouching, and the
+    * result feeds the SAME banded-Hamming pair operator. Null on a
+    * malformed stream (y4mFrameLumas's accept language) or fewer
+    * than 65 frames.
+    */
+  def y4mFingerprint(b: Array[Byte]): java.lang.Long = {
+    val fl = y4mFrameLumas(b)
+    if (fl == null || fl.sums.length < 65) return null
+    val s = fl.sums
+    var bits = 0L
+    var f = 1
+    while (f <= 64) {
+      if (s(f) > s(f - 1)) bits |= 1L << (f - 1)
+      f += 1
+    }
+    bits
+  }
+
   /** RFC 1071 ones-complement checksum over big-endian 16-bit words,
     * odd trailing byte zero-padded — the semantics of
     * `client/trigger_network.c:99-111` (endian-agnostic by

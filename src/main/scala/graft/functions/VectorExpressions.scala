@@ -103,6 +103,27 @@ object VectorExpressions {
     override def prettyName: String = "sq8_quantize"
   }
 
+  /** `bq_pack(ARRAY<FLOAT>) → BIGINT` — sign-bit binary quantization
+    * over the first 64 dims ([[VectorKernels.bqPack]]): one long per
+    * vector, the 32× memory cut of the binary-quantized ANN path;
+    * Hamming over the packed words is the candidate metric.
+    */
+  case class BqPack(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects ARRAY<FLOAT>, got ${other.sql}")
+    }
+    override def nullSafeEval(a: Any): Any =
+      VectorKernels.bqPack(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.bqPack($a)")
+    override protected def withNewChildInternal(c: Expression): BqPack = copy(c)
+    override def prettyName: String = "bq_pack"
+  }
+
   /** `dot_i8(ARRAY<TINYINT>, ARRAY<TINYINT>) → BIGINT` — exact
     * integer dot over int8 codes, the quantized ranking kernel.
     */
@@ -130,6 +151,7 @@ object VectorExpressions {
   def dot_f32(a: Column, b: Column): Column = c(DotF32(e(a), e(b)))
   def dot_f32_dec(a: Column, b: Column): Column = c(DotF32Dec(e(a), e(b)))
   def sq8_quantize(a: Column): Column = c(Sq8Quantize(e(a)))
+  def bq_pack(a: Column): Column = c(BqPack(e(a)))
   def dot_i8(a: Column, b: Column): Column = c(DotI8(e(a), e(b)))
 
   def register(spark: SparkSession): Unit = {

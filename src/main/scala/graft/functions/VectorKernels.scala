@@ -77,6 +77,26 @@ object VectorKernels {
     s
   }
 
+  /** Sign-bit binary quantization: bit d = 1 iff x_d > 0, over the
+    * first 64 dims — 1 bit per dimension, the 32× memory cut below
+    * SQ8's 4× (a 64-dim vector becomes ONE long). Hamming distance
+    * between sign words approximates angular distance, the candidate
+    * generator of the binary-quantized ANN serving path; comparison
+    * against exact zero has no rounding seam, so the SQL oracle
+    * replays every bit.
+    */
+  def bqPack(a: ArrayData): Long = {
+    val xs = a.toFloatArray()
+    val n = math.min(xs.length, 64)
+    var bits = 0L
+    var d = 0
+    while (d < n) {
+      if (xs(d) > 0f) bits |= 1L << d
+      d += 1
+    }
+    bits
+  }
+
   /** Exact DECIMAL(38,12) dot: per-product shortest-string rounding to
     * 12 dp (matching CAST(double AS DECIMAL) in Spark and DuckDB),
     * summed exactly.

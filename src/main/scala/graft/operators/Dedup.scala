@@ -650,16 +650,25 @@ object Dedup {
     * verifies exhaustively (xor + bit_count), while the fnv1a-native
     * composition below stays spec-pinned against brute force.
     */
-  def simhashPairsFrom(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 x 16-bit bands are only complete for d <= 3")
+  /** The 4 × 16-bit band keys of a 64-bit signature table
+    * `(doc_id, sh)` → `(doc_id, sh, band, bv)` — the pigeonhole
+    * decomposition (complete for d ≤ 3) shared by the in-plan pair
+    * join and the landed signature catalog ([[graft.plans.SigCatalog]]).
+    */
+  def bandKeys(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
+  def simhashPairsFrom(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit bands are only complete for d <= 3")
+    val banded = bandKeys(sig)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -474,13 +474,20 @@ object Multimodal {
     * its band buckets.
     */
   def phashIncremental(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    Dedup.bandedIncrementalScreen(dhashSignatures(spark, dir), maxHamming)
+
+  /** The image modality's signature table `(doc_id, sh)` — dHash
+    * fingerprints over the twin-planted raster corpus, the input
+    * every banded operator (pairs, verdicts, at-ingest screen, the
+    * landed [[graft.plans.SigCatalog]]) consumes.
+    */
+  def dhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val did = col("doc_id")
-    val sig = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(did.as("doc_id"),
         graft.functions.CodecExpressions.ppm_dhash(phashPayload(did)).as("sh"))
       .filter(col("sh").isNotNull)
-    Dedup.bandedIncrementalScreen(sig, maxHamming)
   }
 
   /** Payload column for the audio-fingerprint gates: the same
@@ -596,6 +603,123 @@ object Multimodal {
       .agg(min("i").as("kept_by"), min("dist").as("min_dist"),
         count(lit(1)).as("n_matches"))
       .orderBy("doc_id")
+
+  /** Payload column for the video-fingerprint gates: a YUV4MPEG2
+    * stream per document with CONSTANT-luma frames — frame f's luma
+    * byte is md5-chain byte f of the BASE doc (5 blocks = 160 hex
+    * chars cover the 72-frame max; well inside the 9-block janino
+    * ceiling pinned in DESIGN §2), chroma planes a constant 0x80 the
+    * walk must stride over — and planted perceptual twins mirroring
+    * [[afpPayload]]'s structure for the video modality:
+    *
+    *  - docs ≡ 3 (mod 7), id ≥ 8 reuse the luma chain of doc_id − 8:
+    *    the frame-mean series is identical, so the doc is an exact
+    *    temporal twin (Hamming 0, guaranteed pair) — its DIMENSIONS
+    *    still come from its own id, which the fingerprint must
+    *    ignore (constant frames: sum order ≡ byte order at any n_px);
+    *  - docs ≡ 7 (mod 11), id ≥ 16 (and not in the exact slice) take
+    *    doc_id − 16's chain with frame 0's luma forced to 0xFF — a
+    *    one-frame retouch that can flip at most envelope bit 0
+    *    (Hamming ≤ 1, always within the d ≤ 3 cut);
+    *  - docs ≡ 2 (mod 13) are SHORT clips (20 frames): decode-valid
+    *    but below the fingerprint's 65-frame floor → fingerprint
+    *    null, so brief clips can never pair;
+    *  - docs ≡ 4 (mod 9) lose their last byte → decode null.
+    */
+  private def vfpPayload(did: Column): Column = {
+    val exact = did % 7 === 3 && did >= 8
+    val pert = did % 11 === 7 && did >= 16 && !exact
+    val base = when(exact, did - 8).when(pert, did - 16).otherwise(did)
+    val w = (lit(4) + (did % 3) * 2).cast("int")   // 4, 6, 8 — even
+    val h = (lit(2) + (did % 2) * 2).cast("int")   // 2, 4 — even
+    val nf = when(did % 13 === 2, 20)
+      .otherwise(lit(65) + did % 8).cast("int")
+    val cs = (w / 2) * (h / 2) * 2
+    val chain = concat((0 until 5).map(i =>
+      md5(concat(lit(s"vf$i|"), base.cast("string")).cast("binary"))): _*)
+    // per-frame luma bytes as one hex string (2 chars per frame)
+    val lums = when(pert, concat(lit("ff"), substr(chain, lit(3), nf * 2 - 2)))
+      .otherwise(substr(chain, lit(1), nf * 2))
+    // ONE codegen'd regexp pass assembles every frame: each 2-char
+    // luma group expands to FRAME\n (hex 4652414d450a) + the luma
+    // byte repeated across the Y plane + the constant-0x80 chroma
+    // block. The first cut of this payload was a 72-branch concat of
+    // per-frame segments — it blew janino's method limit exactly as
+    // DESIGN §2's codegen lesson warns (7 Failed-to-compile stages,
+    // 24 MiB task binaries); the single-regexp shape keeps the whole
+    // projection compiled and the expression tree ~25 nodes.
+    val frameTpl = concat(lit("4652414d450a"), repeat(lit("$1"), w * h),
+      repeat(lit("80"), cs))
+    val header = concat(lit("YUV4MPEG2 W"), w.cast("string"),
+      lit(" H"), h.cast("string"), lit(" F25:1 Ip A0:0 C420\n")).cast("binary")
+    val full = concat(header,
+      unhex(regexp_replace(lums, lit("(..)"), frameTpl)))
+    when(did % 9 === 4,
+      substr(full, lit(1), octet_length(full) - 1)).otherwise(full)
+  }
+
+  /** Per-document video fingerprints over the twin-planted Y4M
+    * corpus: the 64-bit delta-sign of the per-frame mean-luma series
+    * as a native codegen expression — header grammar, frame walk,
+    * chroma stride and bit packing all inside one projection on the
+    * scan. Integer-exact, so the oracle replays every bit from the
+    * luma chain.
+    */
+  def videoFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.y4m_fingerprint(vfpPayload(did)).as("vfp"))
+      .withColumn("valid", col("vfp").isNotNull)
+      .orderBy("doc_id")
+  }
+
+  /** Video near-dup PAIRS: temporal fingerprints fed to the same
+    * banded-Hamming pair join as text SimHash, image dHash and the
+    * audio envelope ([[Dedup.simhashPairsFrom]] — 4 disjoint 16-bit
+    * bands, pigeonhole-complete for d ≤ 3). One signature machinery,
+    * FOUR modalities. The oracle recomputes every fingerprint from
+    * the chain replay and verifies all pairs exhaustively.
+    */
+  def videoFpPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val did = col("doc_id")
+    val sig = Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.y4m_fingerprint(vfpPayload(did)).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.simhashPairsFrom(sig, maxHamming)
+  }
+
+  /** Video DEDUP VERDICTS — the drop rule over [[videoFpPairs]]: a
+    * clip drops when its fingerprint pairs (d ≤ 3) with any LOWER
+    * doc_id; min witness, closest distance, match count — the same
+    * verdict shape as every dd_* gate.
+    */
+  def videoFpDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    videoFpPairs(spark, dir, maxHamming)
+      .groupBy(col("j").as("doc_id"))
+      .agg(min("i").as("kept_by"), min("dist").as("min_dist"),
+        count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+
+  /** At-ingest video screen — [[Dedup.bandedIncrementalScreen]] over
+    * the temporal fingerprints: even doc_ids are landed history, odd
+    * the arriving batch; a batch clip drops on a history twin (ANY
+    * id) or a lower-id batch twin. The same incremental contract —
+    * and literally the same operator — as the image and audio
+    * screens.
+    */
+  def videoFpIncremental(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val did = col("doc_id")
+    val sig = Tables.documents(spark, dir)
+      .select(did.as("doc_id"),
+        graft.functions.CodecExpressions.y4m_fingerprint(vfpPayload(did)).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.bandedIncrementalScreen(sig, maxHamming)
+  }
 
   /** Payload for the scene-cut gate: a Y4M stream whose luma planes
     * are CONSTANT per frame — byte value = shot base + a small

@@ -102,6 +102,53 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Binary-quantized top-k — the 1-bit leg of the quantization
+    * surface (SQ8 is 4× smaller than float, PQ trades accuracy for
+    * sub-space codes; BQ is the extreme: ONE long per 64-dim vector,
+    * 32× below SQ8): each vector's sign word comes from the native
+    * `bq_pack` expression, candidates are the `rerank` nearest by
+    * Hamming distance over the sign words (bit_count(xor) — the
+    * cheapest possible ranking kernel, deterministic with vec_id
+    * tie-break), and the final order is the exact decimal dot over
+    * the float vectors of those candidates only — the standard
+    * candidate-then-rerank serving shape, with both stages replayed
+    * bit-for-bit by the oracle (sign-vs-zero comparisons have no
+    * rounding seam).
+    *
+    * Scale shape: the packed index is 8 bytes/vector — a 100 TB float
+    * corpus packs to ~0.4 % of its size, small enough to stay
+    * memory-resident per executor; the Hamming pass scans it with a
+    * broadcast query set, and only `rerank` float rows per query are
+    * fetched for the rerank join (broadcast of the candidate list,
+    * corpus-side semi-probe — never a second full scan shuffle).
+    */
+  def bqTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, rerank: Int = 192): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val codes = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions.bq_pack(col("embedding")).as("code"))
+    val queries = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qc"))
+    val ham = broadcast(queries).join(codes, col("query_id") =!= col("vec_id"))
+      .withColumn("hdist", bit_count(col("qc").bitwiseXOR(col("code"))))
+    val wc = Window.partitionBy("query_id").orderBy(col("hdist"), col("vec_id"))
+    val cand = ham.withColumn("rr", row_number().over(wc))
+      .filter(col("rr") <= rerank)
+      .select("query_id", "vec_id", "hdist")
+    val qv = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val candq = cand.join(broadcast(qv), "query_id")
+    val scored = emb.select(col("vec_id"), col("embedding").as("ce"))
+      .join(broadcast(candq), "vec_id")
+      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("hdist"),
+        round(col("dot"), 6).cast("double").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** All-pairs near-duplicate detection by cosine ≥ threshold:
     * double-dot prefilter (margin 0.01 ≫ float noise) then exact
     * decimal threshold.
@@ -727,6 +774,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("dot_q"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-pruned, binary-quantized top-k — cell pruning composed with
+    * the 1-bit candidate metric: the IVF index probes the nProbe
+    * nearest cells ([[ivfSq8TopK]]'s candidate stage verbatim), the
+    * sign words order the cell members by Hamming distance
+    * ([[bqTopK]]'s metric — within probed cells the packed index is
+    * all a query touches), and only the `rerank` Hamming-nearest
+    * fetch their float rows for the exact decimal rerank. At extreme
+    * scale this is the composition that serves: cells bound the scan,
+    * 8-byte words bound the memory, and the float table is touched
+    * `rerank` rows per query via a broadcast equi join.
+    */
+  def ivfBqTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16,
+      nProbe: Int = 6, rerank: Int = 128): DataFrame = {
+    val embeddings = Tables.embeddings(spark, dir)
+    val cand = ivfCandidates(embeddings, nQueries, nCentroids, nProbe)
+    val codes = embeddings.select(col("vec_id"),
+      graft.functions.VectorExpressions.bq_pack(col("embedding")).as("code"))
+    val qc = codes.select(col("vec_id").as("query_id"), col("code").as("qc"))
+    val ham = cand.join(qc, "query_id").join(codes, "vec_id")
+      .withColumn("hdist", bit_count(col("qc").bitwiseXOR(col("code"))))
+    val wc = Window.partitionBy("query_id").orderBy(col("hdist"), col("vec_id"))
+    val cut = ham.withColumn("rr", row_number().over(wc))
+      .filter(col("rr") <= rerank)
+      .select("query_id", "vec_id", "hdist")
+    val qv = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val candq = cut.join(broadcast(qv), "query_id")
+    val scored = embeddings.select(col("vec_id"), col("embedding").as("ce"))
+      .join(broadcast(candq), "vec_id")
+      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("hdist"),
+        round(col("dot"), 6).cast("double").as("score"))
       .orderBy("query_id", "rank")
   }
 

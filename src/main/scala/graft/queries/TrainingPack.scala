@@ -212,11 +212,25 @@ object TrainingPack {
     */
   val annSq8: Q = (s, d) => Similarity.sq8TopK(s, d)
 
+  /** Binary-quantized top-k (sign-bit pack → Hamming candidates →
+    * exact rerank) — see [[Similarity.bqTopK]]; the oracle replays
+    * the sign words, the Hamming candidate cut and the decimal
+    * rerank bit-for-bit.
+    */
+  val annBq: Q = (s, d) => Similarity.bqTopK(s, d)
+
   /** IVF-pruned, int8-ranked top-k (the production serving
     * composition) — see [[Similarity.ivfSq8TopK]]; the oracle shares
     * the IVF candidate CTEs verbatim and ranks by the replayed codes.
     */
   val annIvfSq8: Q = (s, d) => Similarity.ivfSq8TopK(s, d)
+
+  /** IVF-pruned, binary-quantized top-k (cell pruning × the 1-bit
+    * candidate metric × exact rerank) — see [[Similarity.ivfBqTopK]];
+    * the oracle shares the IVF candidate CTEs verbatim, replays the
+    * sign words, the Hamming cut and the decimal rerank.
+    */
+  val annIvfBq: Q = (s, d) => Similarity.ivfBqTopK(s, d)
 
   val annLsh: Q = (s, d) => Similarity.lshTopK(s, d)
 
@@ -951,6 +965,46 @@ object TrainingPack {
     */
   val mmPhashIncr: Q = (s, d) => Multimodal.phashIncremental(s, d)
 
+  /** The at-ingest perceptual screen against LANDED state — the
+    * [[graft.plans.SigCatalog]] lifecycle under the oracle: the even
+    * history reaches the catalog as a landing plus two appended
+    * ingest batches that are then COMPACTED into the landing before
+    * the odd batch screens against it (the dd_compacted_neardup
+    * discipline for the banded-signature modalities). The phash
+    * corpus's planted twins share parity (id − 20 / id − 40), so the
+    * history branch would be vacuous on the raw split — batch docs
+    * ≡ 1 (mod 10) therefore carry their even PREDECESSOR's signature
+    * one bit off (a d = 1 retouch of a landed image), planting
+    * cross-parity drops the catalog join must find at every scale.
+    * The oracle replays the same screen semantics over the modified
+    * batch, so the catalog, its appends and its compaction must be
+    * pure layout: same verdicts as history-recomputed-in-plan.
+    * Re-runs in one session skip the already-done lifecycle via the
+    * persisted maintenance floor.
+    */
+  val mmPhashCatalog: Q = (s, d) => {
+    val sigs = Multimodal.dhashSignatures(s, d)
+    val hist = sigs.filter(col("doc_id") % 2 === 0)
+    val twin = sigs.select((col("doc_id") + 1).as("doc_id"),
+      col("sh").as("h_sh"))
+    val batch = sigs.filter(col("doc_id") % 2 === 1)
+      .join(twin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1 && col("h_sh").isNotNull,
+          col("h_sh").bitwiseXOR(lit(1L)))
+          .otherwise(col("sh")).as("sh"))
+    val cat = graft.plans.SigCatalog.land(s,
+      hist.filter(col("doc_id") % 6 === 0), s"fp_$d")
+    if (graft.plans.SigCatalog.floor(s, cat) < 2) {
+      graft.plans.SigCatalog.append(s,
+        hist.filter(col("doc_id") % 6 === 2), cat, ingestId = 1)
+      graft.plans.SigCatalog.append(s,
+        hist.filter(col("doc_id") % 6 === 4), cat, ingestId = 2)
+      graft.plans.SigCatalog.compact(s, cat, upToIngestId = 2)
+    }
+    graft.plans.SigCatalog.screen(s, batch, cat)
+  }
+
   /** BMP twin of the real-format gate — LE headers, BGR, stride pads,
     * top-down slice; see [[Multimodal.bmpDecoded]].
     */
@@ -990,6 +1044,31 @@ object TrainingPack {
     * and both drop branches over the exhaustive pairs.
     */
   val mmAudioFpIncr: Q = (s, d) => Multimodal.audioFpIncremental(s, d)
+
+  /** Video perceptual fingerprints (64-bit delta-sign of the
+    * per-frame mean-luma series) over the twin-planted Y4M corpus —
+    * see [[Multimodal.videoFingerprints]]; the oracle replays the
+    * luma chain and the bit packing exactly.
+    */
+  val mmVideoFp: Q = (s, d) => Multimodal.videoFingerprints(s, d)
+
+  /** Video near-dup pairs: temporal fingerprints through the banded-
+    * Hamming pair join — see [[Multimodal.videoFpPairs]]; the oracle
+    * recomputes fingerprints and checks all pairs exhaustively.
+    */
+  val mmVideoFpPairs: Q = (s, d) => Multimodal.videoFpPairs(s, d)
+
+  /** Video dedup verdicts (drop on a lower-id twin, min witness) —
+    * see [[Multimodal.videoFpDedup]]; the oracle replays pairs
+    * exhaustively and folds the same drop rule.
+    */
+  val mmVideoFpDedup: Q = (s, d) => Multimodal.videoFpDedup(s, d)
+
+  /** At-ingest video screen (history any-id, batch lower-id) — see
+    * [[Multimodal.videoFpIncremental]]; the oracle replays the split
+    * and both drop branches over the exhaustive pairs.
+    */
+  val mmVideoFpIncr: Q = (s, d) => Multimodal.videoFpIncremental(s, d)
 
   /** Substring-level dedup: cross-document duplicate 5-gram spans
     * (inclusive 0-based token bounds per doc) — see [[Dedup.dupSpans]].
@@ -1357,7 +1436,9 @@ object TrainingPack {
     "dd_semantic_capped"   -> ddSemanticCapped,
     "ann_topk_bruteforce"  -> annBruteForce,
     "ann_topk_sq8"         -> annSq8,
+    "ann_topk_bq"          -> annBq,
     "ann_topk_ivf_sq8"     -> annIvfSq8,
+    "ann_topk_ivf_bq"      -> annIvfBq,
     "ann_topk_lsh"         -> annLsh,
     "ann_topk_lsh_mp"      -> annLshMp,
     "ann_topk_ivf"         -> annIvf,
@@ -1390,6 +1471,7 @@ object TrainingPack {
     "mm_phash_pairs"       -> mmPhashPairs,
     "mm_phash_dedup"       -> mmPhashDedup,
     "mm_phash_incr"        -> mmPhashIncr,
+    "mm_phash_catalog"     -> mmPhashCatalog,
     "mm_scene_cuts"        -> mmSceneCuts,
     "mm_wav_windows"       -> mmWavWindows,
     "mm_ppm_decode"        -> mmPpmDecode,
@@ -1400,6 +1482,10 @@ object TrainingPack {
     "mm_audio_fp_pairs"    -> mmAudioFpPairs,
     "mm_audio_fp_dedup"    -> mmAudioFpDedup,
     "mm_audio_fp_incr"     -> mmAudioFpIncr,
+    "mm_video_fp"          -> mmVideoFp,
+    "mm_video_fp_pairs"    -> mmVideoFpPairs,
+    "mm_video_fp_dedup"    -> mmVideoFpDedup,
+    "mm_video_fp_incr"     -> mmVideoFpIncr,
   )
 
   /** SemDeDup drop-machinery CTEs (planted slice → seeding → argmax
@@ -1587,6 +1673,62 @@ object TrainingPack {
        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma + 0.5) AS BIGINT))
        |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
        |  FROM z)""".stripMargin
+
+  /** The at-ingest image screen replayed (mm_phash_incr): even ids
+    * are history, odd the batch; a batch doc drops on a history twin
+    * (ANY id) or a lower-id batch twin, min eligible witness wins.
+    * mm_phash_catalog replays the same rule over a batch with planted
+    * cross-parity retouches (its own entry below).
+    */
+  private lazy val phashIncrOracle =
+    s"""${phashCtes(withAhash = false)},
+       |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc),
+       |pr AS (
+       |  SELECT b.doc_id AS b, p.doc_id AS p,
+       |    bit_count(xor(b.dh, p.dh)) AS dist
+       |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
+       |  WHERE b.doc_id % 2 = 1
+       |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+       |    AND bit_count(xor(b.dh, p.dh)) <= 3)
+       |SELECT b AS doc_id, MIN(p) AS kept_by,
+       |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+       |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin
+
+  /** Sign-word CTE (`bq`) shared by the binary-quantization oracles:
+    * bit d = embedding[d] > 0 packed with the min-long idiom —
+    * sign-vs-zero comparisons have no rounding seam.
+    */
+  private lazy val bqCte =
+    s"""bq AS (
+       |  SELECT vec_id,
+       |    xor(CAST(list_sum(list_transform(range(0, 63), d ->
+       |      CASE WHEN embedding[CAST(d + 1 AS INT)] > 0
+       |           THEN (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT),
+       |      CASE WHEN embedding[64] > 0 THEN -9223372036854775807 - 1 ELSE 0 END) AS code
+       |  FROM embeddings)""".stripMargin
+
+  /** Hamming cut + exact-decimal rerank over a `(query_id, vec_id,
+    * hdist)` CTE named by `src` — the closing stages of both BQ
+    * oracles.
+    */
+  private def bqRankSql(src: String, rerank: Int, k: Int = 10): String =
+    s"""cut AS (
+       |  SELECT query_id, vec_id, hdist FROM (
+       |    SELECT query_id, vec_id, hdist,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hdist, vec_id) AS rr
+       |    FROM $src) WHERE rr <= $rerank),
+       |sr AS (
+       |  SELECT cut.query_id, cut.vec_id, cut.hdist,
+       |    ${dotDec.format("qq.embedding", "cc.embedding")} AS dot
+       |  FROM cut JOIN embeddings qq ON qq.vec_id = cut.query_id
+       |    JOIN embeddings cc ON cc.vec_id = cut.vec_id),
+       |rr AS (
+       |  SELECT query_id, vec_id, hdist, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+       |  FROM sr)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, hdist,
+       |  CAST(ROUND(dot, 6) AS DOUBLE) AS score
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Integer code dot between two `qz` aliases. */
   private def sq8Dot(a: String, b: String): String =
@@ -1962,6 +2104,44 @@ object TrainingPack {
        |           THEN (CAST(1 AS BIGINT) << CAST(f - 1 AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT),
        |      CASE WHEN amps[65] > amps[64] THEN -9223372036854775807 - 1 ELSE 0 END) AS afp
        |  FROM am)""".stripMargin
+  }
+
+  /** Shared luma-chain replay of the video-fingerprint oracles: the
+    * twin-planted Y4M construction (exact twins reuse doc_id−8's luma
+    * chain, retouched twins take doc_id−16's with frame 0's luma
+    * forced to 0xFF — slices mirror [[Multimodal.vfpPayload]]), then
+    * the exact 64-bit delta-sign packing over the per-frame byte
+    * series: bits 0–62 as a power-of-two sum, bit 63 xor'd in as
+    * min-long (the phash packing idiom). Constant-luma frames make
+    * the frame-SUM comparison the engine computes identical to the
+    * byte comparison replayed here at any n_px. Emits the CTE `vfp`
+    * (doc_id, trunc, short, vfp); trunc is the decode reject, short
+    * the below-65-frame fingerprint floor.
+    */
+  private def vfpCtes: String = {
+    val chain = (0 until 5).map(i => s"md5('vf$i|' || bid)").mkString(" || ")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    doc_id % 9 = 4 AS trunc, doc_id % 13 = 2 AS short,
+       |    (doc_id % 11 = 7 AND doc_id >= 16
+       |      AND NOT (doc_id % 7 = 3 AND doc_id >= 8)) AS pert,
+       |    CASE WHEN doc_id % 7 = 3 AND doc_id >= 8 THEN doc_id - 8
+       |         WHEN doc_id % 11 = 7 AND doc_id >= 16 THEN doc_id - 16
+       |         ELSE doc_id END AS bid
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, trunc, short, pert, $chain AS chain FROM g),
+       |x AS (
+       |  SELECT doc_id, trunc, short,
+       |    CASE WHEN pert THEN 'ff' || substr(chain, 3) ELSE chain END AS px
+       |  FROM c),
+       |vfp AS (
+       |  SELECT doc_id, trunc, short,
+       |    xor(CAST(list_sum(list_transform(range(1, 64), f ->
+       |      CASE WHEN ${pxByte("f")} > ${pxByte("f - 1")}
+       |           THEN (CAST(1 AS BIGINT) << CAST(f - 1 AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT),
+       |      CASE WHEN ${pxByte("64")} > ${pxByte("63")} THEN -9223372036854775807 - 1 ELSE 0 END) AS vfp
+       |  FROM x)""".stripMargin
   }
 
   /** Exact-decimal rank + final projection over a `(query_id, vec_id)`
@@ -2856,6 +3036,30 @@ object TrainingPack {
          |  FROM qz a JOIN qz b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
          |${sq8RankSql()}""".stripMargin,
 
+    // the sign-bit quantization replayed: sign words from exact
+    // zero comparisons (no rounding seam), Hamming candidate cut by
+    // (bit_count(xor), vec_id), decimal rerank over the candidates
+    "ann_topk_bq" ->
+      s"""WITH $bqCte,
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id,
+         |    bit_count(xor(a.code, b.code)) AS hdist
+         |  FROM bq a JOIN bq b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |${bqRankSql("p", 192)}""".stripMargin,
+
+    // IVF pruning + the 1-bit metric: the candidate CTEs are
+    // ann_topk_ivf's verbatim, the Hamming cut runs over the probed
+    // cell members only, the rerank over the cut only
+    "ann_topk_ivf_bq" ->
+      s"""WITH $ivfCandCtes,
+         |$bqCte,
+         |hh AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    bit_count(xor(a.code, b.code)) AS hdist
+         |  FROM cand JOIN bq a ON a.vec_id = cand.query_id
+         |    JOIN bq b ON b.vec_id = cand.vec_id),
+         |${bqRankSql("hh", 128)}""".stripMargin,
+
     // IVF pruning + int8 ranking: the candidate CTEs are
     // ann_topk_ivf's verbatim, the rank swaps the decimal dot for
     // the replayed codes
@@ -3415,15 +3619,30 @@ object TrainingPack {
     // the at-ingest screen replayed: even ids are history, odd the
     // batch; a batch doc drops on a history twin (ANY id) or a
     // lower-id batch twin, min eligible witness wins
-    "mm_phash_incr" ->
+    "mm_phash_incr" -> phashIncrOracle,
+
+    // the catalog screen replayed as PURE SEMANTICS — history = all
+    // even ids, batch = odd ids with the ≡ 1 (mod 10) docs carrying
+    // their even predecessor's signature one bit off (the planted
+    // cross-parity retouches the catalog join must find); landing,
+    // appends and compaction must be invisible to these verdicts
+    "mm_phash_catalog" ->
       s"""${phashCtes(withAhash = false)},
          |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc),
+         |sigx AS (
+         |  SELECT s.doc_id,
+         |    CASE WHEN s.doc_id % 10 = 1 AND h.dh IS NOT NULL
+         |         THEN xor(h.dh, CAST(1 AS BIGINT)) ELSE s.dh END AS dh
+         |  FROM sig s LEFT JOIN sig h ON h.doc_id = s.doc_id - 1
+         |  WHERE s.doc_id % 2 = 1),
+         |au AS (
+         |  SELECT doc_id, dh FROM sig WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id, dh FROM sigx),
          |pr AS (
          |  SELECT b.doc_id AS b, p.doc_id AS p,
          |    bit_count(xor(b.dh, p.dh)) AS dist
-         |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
-         |  WHERE b.doc_id % 2 = 1
-         |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+         |  FROM sigx b JOIN au p ON b.doc_id != p.doc_id
+         |  WHERE (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
          |    AND bit_count(xor(b.dh, p.dh)) <= 3)
          |SELECT b AS doc_id, MIN(p) AS kept_by,
          |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
@@ -3492,6 +3711,60 @@ object TrainingPack {
          |    bit_count(xor(a.afp, b.afp)) AS dist
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.afp, b.afp)) <= 3)
+         |SELECT j AS doc_id, MIN(i) AS kept_by,
+         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+         |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin,
+
+    // the video fingerprint replayed bit-for-bit: twin-planted luma
+    // chain, per-frame mean-luma ordering (constant frames — byte
+    // order ≡ sum order), delta-sign packing; trunc (decode reject)
+    // and short (< 65 frames) slices → NULL
+    "mm_video_fp" ->
+      s"""$vfpCtes
+         |SELECT doc_id,
+         |  CASE WHEN trunc OR short THEN NULL ELSE vfp END AS vfp,
+         |  NOT (trunc OR short) AS valid
+         |FROM vfp ORDER BY doc_id""".stripMargin,
+
+    // the banded-Hamming pair join verified exhaustively over the
+    // replayed fingerprints (xor + bit_count — 4 disjoint 16-bit
+    // bands are pigeonhole-complete for d <= 3)
+    "mm_video_fp_pairs" ->
+      s"""$vfpCtes,
+         |sig AS (SELECT doc_id, vfp FROM vfp WHERE NOT (trunc OR short))
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  bit_count(xor(a.vfp, b.vfp)) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
+         |ORDER BY i, j""".stripMargin,
+
+    // the at-ingest screen replayed: even ids are history, odd the
+    // batch; a batch clip drops on a history twin (ANY id) or a
+    // lower-id batch twin, min eligible witness wins
+    "mm_video_fp_incr" ->
+      s"""$vfpCtes,
+         |sig AS (SELECT doc_id, vfp FROM vfp WHERE NOT (trunc OR short)),
+         |pr AS (
+         |  SELECT b.doc_id AS b, p.doc_id AS p,
+         |    bit_count(xor(b.vfp, p.vfp)) AS dist
+         |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
+         |  WHERE b.doc_id % 2 = 1
+         |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+         |    AND bit_count(xor(b.vfp, p.vfp)) <= 3)
+         |SELECT b AS doc_id, MIN(p) AS kept_by,
+         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+         |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin,
+
+    // the drop rule folded over the exhaustive pair replay: a clip
+    // drops when a LOWER id sits within d <= 3; min witness wins
+    "mm_video_fp_dedup" ->
+      s"""$vfpCtes,
+         |sig AS (SELECT doc_id, vfp FROM vfp WHERE NOT (trunc OR short)),
+         |pr AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |    bit_count(xor(a.vfp, b.vfp)) AS dist
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.vfp, b.vfp)) <= 3)
          |SELECT j AS doc_id, MIN(i) AS kept_by,
          |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
          |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin,

@@ -587,6 +587,35 @@ class CodecImplSpec extends AnyFunSuite {
     assert(CodecImpl.wavFingerprint(wav(1, 0 until 66).dropRight(1)) == null)
   }
 
+  test("y4m fingerprint: frame-mean delta-sign golden vectors, chroma stride, rejects") {
+    def y4m(w: Int, h: Int, lumas: Seq[Int], chroma: Int => Int = _ => 0x80): Array[Byte] = {
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A0:0 C420\n".getBytes
+      val cs = (w / 2) * (h / 2) * 2
+      val frames = lumas.zipWithIndex.flatMap { case (l, f) =>
+        "FRAME\n".getBytes.toSeq ++
+          Seq.fill(w * h)(l.toByte) ++ (0 until cs).map(i => chroma(f * cs + i).toByte)
+      }
+      header ++ frames
+    }
+    // strictly rising frame means over 66 frames: all 64 bits set;
+    // strictly falling: none
+    assert(CodecImpl.y4mFingerprint(y4m(2, 2, 10 until 76)).longValue() == -1L)
+    assert(CodecImpl.y4mFingerprint(y4m(2, 2, (10 until 76).reverse)).longValue() == 0L)
+    // a flat first pair clears exactly bit 0 (strict >)
+    assert(CodecImpl.y4mFingerprint(y4m(2, 2, Seq(5, 5) ++ (6 to 69))).longValue() == -2L)
+    // chroma planes carry junk the frame walk must stride over
+    assert(CodecImpl.y4mFingerprint(
+      y4m(2, 2, 10 until 76, i => 251 - 7 * (i % 36))).longValue() == -1L)
+    // constant frames: the fingerprint is n_px-invariant (sum order
+    // is byte order at any raster size)
+    assert(CodecImpl.y4mFingerprint(y4m(4, 4, 10 until 76)).longValue() == -1L)
+    // 65 frames is the floor (64 deltas); 64 frames is below it
+    assert(CodecImpl.y4mFingerprint(y4m(2, 2, 10 until 75)).longValue() == -1L)
+    assert(CodecImpl.y4mFingerprint(y4m(2, 2, 10 until 74)) == null)
+    // malformed stream: the decode's accept language
+    assert(CodecImpl.y4mFingerprint(y4m(2, 2, 10 until 76).dropRight(1)) == null)
+  }
+
   test("bmp decode: golden image, stride pads skipped, top-down flag, rejects") {
     def le32(v: Long): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,

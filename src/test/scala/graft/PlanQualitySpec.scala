@@ -192,9 +192,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "ann_topk_sq8",         // reviewed: the same bounded 8-row query
                               // non-equi join, over int8 codes instead
                               // of floats (Similarity.sq8TopK)
+      "ann_topk_bq",          // reviewed: the same bounded 8-row query
+                              // non-equi join, over one sign word per
+                              // vector (Similarity.bqTopK Hamming pass);
+                              // the rerank join is an equi broadcast
       "ann_topk_ivf",         // 16-row centroid table broadcast-crossed for assignment
       "ann_topk_ivf_sq8",     // reviewed: the same 16-row centroid cross
                               // in its IVF candidate stage (ivfCandidates)
+      "ann_topk_ivf_bq",      // reviewed: the same 16-row centroid cross
+                              // in its shared IVF candidate stage
       "ann_topk_ivf_filtered", // same 16-row centroid cross; the label filter itself is a pushed scan predicate
       "ann_topk_ivfpq",       // same 16-row centroid cross in its candidate stage
       "ann_topk_ivf_trained", // same cross, per Lloyd round and at probe time

@@ -859,6 +859,51 @@ class TrainingSpec extends AnyFunSuite {
     assert(compRec.min >= 0.9, s"ivf+sq8 recall floor broken: ${compRec.toSeq.sorted}")
   }
 
+  test("bq quantization: sign-packing contract, rerank envelope, recall vs exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def pack(xs: Array[Float]) = graft.functions.VectorKernels.bqPack(
+      new GenericArrayData(xs.map(Float.box).toArray[Any]))
+    // kernel contract: bit d is exactly the sign of dim d; zero is
+    // NOT positive; dims past 64 are ignored
+    val alt = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val packed = pack(alt)
+    (0 until 64).foreach { d =>
+      assert(((packed >> d) & 1L) == (if (d % 3 == 0) 1L else 0L), s"bit $d") }
+    assert(pack(Array.fill(64)(0.0f)) == 0L)
+    assert(pack(Array.fill(72)(1.0f)) == -1L)
+    assert(pack(Array.tabulate(3)(_ => 2.5f)) == 7L)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, a) => (q, a.map(_._2).toSet) }
+    val exact = topSets(Similarity.bruteForceTopK(spark, dir))
+    // rerank envelope: widening the Hamming cut to the whole corpus
+    // makes the path EXACT — the rerank algebra cannot lose a
+    // candidate it was given
+    val full = topSets(Similarity.bqTopK(spark, dir, rerank = 100000))
+    assert(full === exact, "full-rerank bq must equal brute force")
+    // the production cut: recall@10 at the rerank=192 default —
+    // 1-bit signatures are the coarsest candidate metric on the
+    // surface, so they buy their 32× memory cut with a wider rerank
+    // multiplier (~19×k here vs SQ8's direct ranking). Measured
+    // min-recall: 0.9 at sf0.001, 1.00 at sf0.01 (the larger corpus
+    // has closer true neighbors); floor 0.9 == the sq8 precedent.
+    val approx = topSets(Similarity.bqTopK(spark, dir))
+    val recalls = exact.map { case (q, s) =>
+      (approx.getOrElse(q, Set.empty[Long]) & s).size.toDouble / s.size }
+    info(s"bq recall@10 per query: ${recalls.toSeq.sorted.mkString(",")}")
+    assert(recalls.min >= 0.9, s"bq recall floor broken: ${recalls.toSeq.sorted}")
+    // the IVF+BQ composition vs exact-ranked IVF: cell pruning bounds
+    // what is reachable (shared candidate stage), so the 1-bit cut +
+    // rerank is measured against the IVF ceiling, not brute force
+    val ivfExact = topSets(Similarity.ivfTopK(spark, dir))
+    val ivfBq = topSets(Similarity.ivfBqTopK(spark, dir))
+    val compRec = ivfExact.map { case (q, s) =>
+      (ivfBq.getOrElse(q, Set.empty[Long]) & s).size.toDouble / s.size }
+    info(s"ivf+bq recall@10 per query: ${compRec.toSeq.sorted.mkString(",")}")
+    assert(compRec.min >= 0.9, s"ivf+bq recall floor broken: ${compRec.toSeq.sorted}")
+  }
+
   test("scene cuts: exactly one cut per multi-shot doc, at the planted boundary") {
     import spark.implicits._
     val rows = Multimodal.sceneCuts(spark, dir)
@@ -991,6 +1036,57 @@ class TrainingSpec extends AnyFunSuite {
     // (odd-id) clip drops on a history (even-id) twin of ANY id or a
     // lower-id batch twin; history clips never appear
     val incr = Multimodal.audioFpIncremental(spark, dir)
+      .select("doc_id", "kept_by").as[(Long, Long)].collect().toMap
+    val bruteIncr = fps.filter(_._1 % 2 == 1).flatMap { case (b, hb) =>
+      val ps = fps.filter { case (p, hp) =>
+        p != b && (p % 2 == 0 || p < b) && TextImpl.hamming64(hb, hp) <= 3
+      }.map(_._1)
+      if (ps.isEmpty) None else Some(b -> ps.min)
+    }.toMap
+    assert(incr === bruteIncr)
+    assert(incr.keys.forall(_ % 2 == 1))
+  }
+
+  test("video near-dup: gate equals brute force, planted twins recalled, retouch within d<=1") {
+    import spark.implicits._
+    val fps = Multimodal.videoFingerprints(spark, dir)
+      .filter(col("valid")).select("doc_id", "vfp")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i, hi) <- fps; (j, hj) <- fps
+      if i < j && TextImpl.hamming64(hi, hj) <= 3
+    } yield (i, j)).toSet
+    val banded = Multimodal.videoFpPairs(spark, dir)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
+    val hm = fps.toMap
+    def self(id: Long) = !(id % 7 == 3 && id >= 8) && !(id % 11 == 7 && id >= 16)
+    // exact twins (≡ 3 mod 7, mate id-8): Hamming exactly 0 even
+    // though the twin's raster DIMENSIONS differ (n_px-invariance)
+    val exact = fps.map(_._1).filter(id => id % 7 == 3 && id >= 8)
+      .filter(id => self(id - 8) && hm.contains(id - 8)).map(id => (id - 8, id))
+    assert(exact.nonEmpty, "corpus should contain planted exact video twins")
+    exact.foreach { case (i, j) =>
+      assert(banded.contains((i, j)), s"planted twin ($i,$j) not recalled")
+      assert(TextImpl.hamming64(hm(i), hm(j)) == 0)
+    }
+    // retouched twins (≡ 7 mod 11, mate id-16): the one-frame edit
+    // moves only envelope bit 0 -> distance <= 1, always recalled
+    val pert = fps.map(_._1)
+      .filter(id => id % 11 == 7 && id >= 16 && !(id % 7 == 3 && id >= 8))
+      .filter(id => self(id - 16) && hm.contains(id - 16)).map(id => (id - 16, id))
+    assert(pert.nonEmpty, "corpus should contain retouched video twins")
+    pert.foreach { case (i, j) =>
+      assert(TextImpl.hamming64(hm(i), hm(j)) <= 1, s"retouch ($i,$j) drifted")
+      assert(banded.contains((i, j)), s"retouched twin ($i,$j) not recalled")
+    }
+    // the dedup verdicts are exactly the drop-rule fold of the pairs
+    val verdicts = Multimodal.videoFpDedup(spark, dir)
+      .select("doc_id", "kept_by").as[(Long, Long)].collect().toMap
+    val expected = banded.groupBy(_._2).map { case (j, ps) => (j, ps.map(_._1).min) }
+    assert(verdicts === expected)
+    // the at-ingest screen == its brute-force definition
+    val incr = Multimodal.videoFpIncremental(spark, dir)
       .select("doc_id", "kept_by").as[(Long, Long)].collect().toMap
     val bruteIncr = fps.filter(_._1 % 2 == 1).flatMap { case (b, hb) =>
       val ps = fps.filter { case (p, hp) =>
