@@ -1045,6 +1045,14 @@ object TrainingPack {
     */
   val mmAudioFpIncr: Q = (s, d) => Multimodal.audioFpIncremental(s, d)
 
+  /** The streaming perceptual screen — REAL Structured Streaming
+    * with cross-batch catalog growth and survivor-only appends; see
+    * [[graft.streaming.SigScreen.phashScreenReplayGate]]. The oracle
+    * replays the sequential two-batch loop, survivor rule included.
+    */
+  val mmStreamPhash: Q = (s, d) =>
+    graft.streaming.SigScreen.phashScreenReplayGate(s, d)
+
   /** Video perceptual fingerprints (64-bit delta-sign of the
     * per-frame mean-luma series) over the twin-planted Y4M corpus —
     * see [[Multimodal.videoFingerprints]]; the oracle replays the
@@ -1472,6 +1480,7 @@ object TrainingPack {
     "mm_phash_dedup"       -> mmPhashDedup,
     "mm_phash_incr"        -> mmPhashIncr,
     "mm_phash_catalog"     -> mmPhashCatalog,
+    "mm_stream_phash"      -> mmStreamPhash,
     "mm_scene_cuts"        -> mmSceneCuts,
     "mm_wav_windows"       -> mmWavWindows,
     "mm_ppm_decode"        -> mmPpmDecode,
@@ -3620,6 +3629,45 @@ object TrainingPack {
     // batch; a batch doc drops on a history twin (ANY id) or a
     // lower-id batch twin, min eligible witness wins
     "mm_phash_incr" -> phashIncrOracle,
+
+    // the streaming screen replayed as the sequential two-batch loop:
+    // batch 0 ([250, 375)) screens against the landed history
+    // (< 250, ANY id) plus its own lower ids; its SURVIVORS join the
+    // history; batch 1 (>= 375) screens against that grown history
+    // plus its own lower ids — the survivor rule is the loop's state
+    "mm_stream_phash" ->
+      s"""${phashCtes(withAhash = false)},
+         |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc),
+         |bh0 AS (SELECT doc_id, dh FROM sig WHERE doc_id < 250),
+         |bb0 AS (SELECT doc_id, dh FROM sig WHERE doc_id >= 250 AND doc_id < 375),
+         |bb1 AS (SELECT doc_id, dh FROM sig WHERE doc_id >= 375),
+         |sv0 AS (
+         |  SELECT b.doc_id AS b, p.doc_id AS p,
+         |    bit_count(xor(b.dh, p.dh)) AS dist
+         |  FROM bb0 b JOIN (SELECT doc_id, dh FROM bh0
+         |                  UNION ALL SELECT doc_id, dh FROM bb0) p
+         |    ON p.doc_id != b.doc_id
+         |  WHERE (p.doc_id < 250 OR p.doc_id < b.doc_id)
+         |    AND bit_count(xor(b.dh, p.dh)) <= 3),
+         |sd0 AS (SELECT b AS doc_id, MIN(p) AS kept_by, MIN(dist) AS min_dist,
+         |  COUNT(*) AS n_matches FROM sv0 GROUP BY b),
+         |bh1 AS (SELECT doc_id, dh FROM bh0
+         |  UNION ALL
+         |  SELECT doc_id, dh FROM bb0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM sd0)),
+         |sv1 AS (
+         |  SELECT b.doc_id AS b, p.doc_id AS p,
+         |    bit_count(xor(b.dh, p.dh)) AS dist
+         |  FROM bb1 b JOIN (SELECT doc_id, dh FROM bh1
+         |                  UNION ALL SELECT doc_id, dh FROM bb1) p
+         |    ON p.doc_id != b.doc_id
+         |  WHERE (p.doc_id < 375 OR p.doc_id < b.doc_id)
+         |    AND bit_count(xor(b.dh, p.dh)) <= 3),
+         |sd1 AS (SELECT b AS doc_id, MIN(p) AS kept_by, MIN(dist) AS min_dist,
+         |  COUNT(*) AS n_matches FROM sv1 GROUP BY b)
+         |SELECT doc_id, kept_by, min_dist, n_matches FROM
+         |  (SELECT * FROM sd0 UNION ALL SELECT * FROM sd1)
+         |ORDER BY doc_id""".stripMargin,
 
     // the catalog screen replayed as PURE SEMANTICS — history = all
     // even ids, batch = odd ids with the ≡ 1 (mod 10) docs carrying

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import graft.plans.SigCatalog
+
+/** Streaming perceptual dedup-at-ingest — the banded-signature twin
+  * of [[DocScreen]]/[[VecScreen]]: micro-batches of 64-bit
+  * fingerprints (image dHash, audio envelope, video frame-mean — any
+  * `(doc_id, sh)` stream) are screened against the landed
+  * [[SigCatalog]] bounded to ingest partitions ≤ batchId, verdicts
+  * land partitioned by batch id, and the batch's SURVIVORS (docs the
+  * screen did not drop) append as partition batchId + 1 — the full
+  * ingest loop: batch N + 1 is screened against batch N's survivors,
+  * dropped duplicates never pollute the catalog.
+  *
+  * [[SigCatalog.screen]] already carries both drop branches (catalog
+  * twin at ANY id, intra-batch twin at a LOWER id), so one call per
+  * micro-batch is the whole verdict. Parity contract: verdicts are
+  * order-dependent (the later copy drops), so stream == the
+  * sequential per-batch loop over the same files in the same order —
+  * the oracle replays exactly that, batch by batch.
+  *
+  * Exactly-once: checkpointed file source; the verdict write
+  * overwrites its own `batch_id=<n>` partition and the survivor
+  * append is a dynamic partition overwrite of partition batchId + 1,
+  * with the screen bounded to ≤ batchId — a batch replayed after a
+  * crash-after-append rewrites identical state and can never see its
+  * own signatures as history.
+  */
+object SigScreen {
+
+  def sigScreen(spark: SparkSession, srcDir: String, schema: StructType,
+      cat: SigCatalog.Handle, sinkDir: String, checkpointDir: String,
+      maxHamming: Int = 3, maxFilesPerTrigger: Int = 1): Unit = {
+    val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val s = batch.sparkSession
+      val verdicts = SigCatalog.screen(s, batch, cat, maxHamming,
+        maxIngestId = Some(batchId)).localCheckpoint(true)
+      verdicts.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      SigCatalog.append(s,
+        batch.join(verdicts.select("doc_id"), Seq("doc_id"), "left_anti"),
+        cat, batchId + 1)
+      graft.Shared.releaseAll(s)
+    }
+    val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch(screen)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver-gate REPLAY of the streaming perceptual screen
+    * (mm_stream_phash): dHash signatures of docs ≥ 250 land once per
+    * (scale dir, content fingerprint) as two mtime-ordered parquet
+    * slices ([250, 375) then ≥ 375), docs < 250 land as the
+    * signature catalog, and [[sigScreen]] consumes the slices one
+    * file per micro-batch — batch 0 screens against the landing,
+    * batch 1 against landing + batch 0's appended survivors. The
+    * phash corpus's planted twins sit 20 and 40 ids apart, so
+    * history hits, previous-batch hits and intra-batch hits all
+    * occur naturally across the 250/375 slicing. The oracle replays
+    * the sequential two-batch loop (including the survivor rule) in
+    * SQL, so the engine side genuinely executes Structured Streaming
+    * with cross-batch catalog growth while every verdict is
+    * value-checked.
+    *
+    * Determinism across invocations: checkpoint/sink are per-(dir,
+    * process) and recreated per call; the screen is bounded to
+    * ≤ batchId, so partitions appended by a previous invocation are
+    * invisible to the replayed batches and the re-append overwrites
+    * identical content.
+    */
+  def phashScreenReplayGate(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.operators.Multimodal.dhashSignatures(spark, dir)
+    val hist = sigs.filter(col("doc_id") < 250)
+    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcName = s"graft_sig_src_${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
+    val srcDir = s"${sys.props("java.io.tmpdir")}/$srcName"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    if (!new java.io.File(s"$srcDir/_SLICED").exists) {
+      graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
+        s"graft_sig_src_${dirPart}_", srcName)
+      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+      sigs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+      sigs.filter(col("doc_id") >= 375)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      graft.plans.CatalogMaintenance.writeFile(fs,
+        new org.apache.hadoop.fs.Path(s"$srcDir/_SLICED"), "ok")
+    }
+    val cat = SigCatalog.land(spark, hist, s"stream_gate_$srcName")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_sig_gate_${dirPart}_" +
+      ProcessHandle.current().pid()
+    graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
+      "graft_sig_gate_", new org.apache.hadoop.fs.Path(base).getName)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = sigs.schema
+    sigScreen(spark, srcDir, schema, cat, s"$base/sink", s"$base/ck")
+    spark.read.parquet(s"$base/sink")
+      .select(col("doc_id"), col("kept_by"), col("min_dist"), col("n_matches"))
+      .orderBy("doc_id")
+  }
+}

@@ -705,6 +705,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally GramCatalog.drop(spark, cat)
   }
 
+  test("streaming perceptual screen equals the sequential survivor loop") {
+    import spark.implicits._
+    // independent Scala replay of the two-batch loop — survivor rule
+    // included — against the REAL Structured-Streaming gate (the SQL
+    // oracle replays the same loop; this pins it from a third side)
+    val sigs = graft.operators.Multimodal.dhashSignatures(spark, dir)
+      .as[(Long, Long)].collect()
+    val h0 = sigs.filter(_._1 < 250)
+    val b0 = sigs.filter(s => s._1 >= 250 && s._1 < 375)
+    val b1 = sigs.filter(_._1 >= 375)
+    def loop(batch: Array[(Long, Long)], hist: Array[(Long, Long)]) =
+      batch.flatMap { case (b, sh) =>
+        val ms = (hist.filter(_._1 != b) ++ batch.filter(_._1 < b))
+          .map { case (p, psh) => (p, graft.functions.TextImpl.hamming64(sh, psh)) }
+          .filter(_._2 <= 3)
+        if (ms.isEmpty) None
+        else Some((b, ms.map(_._1).min, ms.map(_._2).min, ms.length.toLong))
+      }
+    val d0 = loop(b0, h0)
+    val dropped0 = d0.map(_._1).toSet
+    val d1 = loop(b1, h0 ++ b0.filterNot(s => dropped0(s._1)))
+    val want = (d0 ++ d1).sortBy(_._1).toSeq
+    assert(want.nonEmpty, "no streaming screen verdicts in the corpus")
+    // all three hit kinds occur: landed history, previous-batch
+    // survivor, intra-batch
+    assert(d0.exists(_._2 < 250), "no landed-history hit in batch 0")
+    assert(d1.exists(v => v._2 >= 250 && v._2 < 375),
+      "no previous-batch-survivor hit in batch 1")
+    assert(d1.exists(_._2 >= 375), "no intra-batch hit in batch 1")
+    val got = graft.streaming.SigScreen.phashScreenReplayGate(spark, dir)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("missing chunk is detected by the resume-accounting invariant") {
     import spark.implicits._
     val blobs = Seq(("s1", Array.tabulate[Byte](9000)(_.toByte))).toDF("stream_id", "blob")
