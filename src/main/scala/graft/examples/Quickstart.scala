@@ -74,6 +74,14 @@ object Quickstart {
       Tables.embeddings(spark, dataDir).select("vec_id", "embedding"),
       nCentroids = Similarity.centroidsFor(500, targetCell = 128)).show(3)
 
+    // 4a. Quantized serving paths: int8 codes (4x) and sign-bit
+    // words (32x — one long per 64-dim vector, Hamming candidates,
+    // exact rerank of the short list only)
+    println("== sq8 top-3 (int8 ranking) ==")
+    Similarity.sq8TopK(spark, dataDir, nQueries = 2, k = 3).show()
+    println("== binary-quantized top-3 (Hamming cut + exact rerank) ==")
+    Similarity.bqTopK(spark, dataDir, nQueries = 2, k = 3).show()
+
     // 4b. Corpus curation: LM quality, temperature mixing
     println("== char-trigram LM score (CCNet-style; higher = more reference-like) ==")
     LangModel.lmScore(spark, dataDir).orderBy(col("avg_p_e9").desc).show(3)
@@ -109,6 +117,25 @@ object Quickstart {
         |FROM (SELECT ppm_decode(
         |    CAST('P6' || chr(10) || '2 1' || chr(10) || '255' || chr(10) AS BINARY)
         |      || unhex('0102030405ff')) AS d)""".stripMargin).show()
+
+    // 7b. Perceptual near-dup across modalities: image dHash, audio
+    // envelope and video frame-mean fingerprints all ride ONE
+    // banded-Hamming machinery (pairs -> lower-id drop verdicts ->
+    // at-ingest screen); the signature catalog lands the history side
+    // bucketed so a batch screen reads it co-partitioned
+    println("== image near-dup verdicts (dHash, d <= 3) ==")
+    graft.operators.Multimodal.phashDedup(spark, dataDir).show(3)
+    println("== audio near-dup verdicts (envelope fingerprint) ==")
+    graft.operators.Multimodal.audioFpDedup(spark, dataDir).show(3)
+    println("== video near-dup verdicts (frame-mean fingerprint) ==")
+    graft.operators.Multimodal.videoFpDedup(spark, dataDir).show(3)
+    println("== at-ingest screen against the LANDED signature catalog ==")
+    val sigsQ = graft.operators.Multimodal.dhashSignatures(spark, dataDir)
+    val sigCat = graft.plans.SigCatalog.land(spark,
+      sigsQ.filter(col("doc_id") % 2 === 0), "quickstart")
+    graft.plans.SigCatalog.screen(spark,
+      sigsQ.filter(col("doc_id") % 2 === 1), sigCat).show(3)
+    graft.plans.SigCatalog.drop(spark, sigCat)
 
     // 8. Incremental dedup against a catalog, Bloom-prefiltered: the
     // sharded screen is the 1e8+-catalog shape (per-shard filters
