@@ -1047,6 +1047,24 @@ class TrainingSpec extends AnyFunSuite {
     assert(incr.keys.forall(_ % 2 == 1))
   }
 
+  test("fingerprint pipelines compile under codegen (no interpreted fallback)") {
+    // the round-17 janino lesson as a regression gate: a synthetic
+    // payload expression that outgrows the method limit silently
+    // degrades its stage to interpreted eval (2.6x slower) unless
+    // fallback is disabled — with it disabled, the compile failure
+    // fails the query. Covers the scan projections AND the banded
+    // join stage, which inlines the payload expression after
+    // projection collapse.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(Multimodal.phashes(spark, dir).count() > 0)
+      assert(Multimodal.audioFingerprints(spark, dir).count() > 0)
+      assert(Multimodal.videoFingerprints(spark, dir).count() > 0)
+      assert(Multimodal.videoFpPairs(spark, dir).count() >= 0)
+      assert(Multimodal.audioFpPairs(spark, dir).count() >= 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("video near-dup: gate equals brute force, planted twins recalled, retouch within d<=1") {
     import spark.implicits._
     val fps = Multimodal.videoFingerprints(spark, dir)
