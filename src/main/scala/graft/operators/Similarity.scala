@@ -102,6 +102,26 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** The BQ candidate cut over a `(query_id, vec_id, hdist)` frame:
+    * the `rerank` smallest by `(hdist, vec_id)` PER QUERY via the
+    * bounded top-k aggregate ([[graft.functions.BoundedMinTopK]] —
+    * map-side trim, ≤ 2·rerank rows per partition through the
+    * exchange; a per-query window would shuffle and sort every row
+    * into as few partitions as there are queries).
+    */
+  private def hammingCut(ham: DataFrame, rerank: Int): DataFrame = {
+    val cut = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedMinTopK(rerank),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong))
+    ham.groupBy("query_id")
+      .agg(cut(col("hdist"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c._2").as("vec_id"),
+        col("c._1").as("hdist"))
+  }
+
   /** Binary-quantized top-k — the 1-bit leg of the quantization
     * surface (SQ8 is 4× smaller than float, PQ trades accuracy for
     * sub-space codes; BQ is the extreme: ONE long per 64-dim vector,
@@ -131,10 +151,12 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("code").as("qc"))
     val ham = broadcast(queries).join(codes, col("query_id") =!= col("vec_id"))
       .withColumn("hdist", bit_count(col("qc").bitwiseXOR(col("code"))))
-    val wc = Window.partitionBy("query_id").orderBy(col("hdist"), col("vec_id"))
-    val cand = ham.withColumn("rr", row_number().over(wc))
-      .filter(col("rr") <= rerank)
-      .select("query_id", "vec_id", "hdist")
+    // the candidate cut is a BOUNDED per-group top-k aggregate, not a
+    // window: a window over 8 query partitions would sort and shuffle
+    // every Hamming row; the aggregate trims map-side, so the
+    // exchange carries <= 2·rerank rows per (partition, query) —
+    // selection identical to ORDER BY (hdist, vec_id) LIMIT rerank
+    val cand = hammingCut(ham, rerank)
     val qv = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val candq = cand.join(broadcast(qv), "query_id")
@@ -798,10 +820,8 @@ object Similarity {
     val qc = codes.select(col("vec_id").as("query_id"), col("code").as("qc"))
     val ham = cand.join(qc, "query_id").join(codes, "vec_id")
       .withColumn("hdist", bit_count(col("qc").bitwiseXOR(col("code"))))
-    val wc = Window.partitionBy("query_id").orderBy(col("hdist"), col("vec_id"))
-    val cut = ham.withColumn("rr", row_number().over(wc))
-      .filter(col("rr") <= rerank)
-      .select("query_id", "vec_id", "hdist")
+    // map-side bounded cut, as in [[bqTopK]]
+    val cut = hammingCut(ham, rerank)
     val qv = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val candq = cut.join(broadcast(qv), "query_id")

@@ -904,6 +904,33 @@ class TrainingSpec extends AnyFunSuite {
     assert(compRec.min >= 0.9, s"ivf+bq recall floor broken: ${compRec.toSeq.sorted}")
   }
 
+  test("bounded top-k aggregate: partition-order independent, equals sort-take, cuts map-side") {
+    // pure accumulator property under ties and arbitrary splits: any
+    // partitioning folded through reduce + merge must finish at
+    // exactly the global ascending (key, id) prefix — the window
+    // row_number rule the aggregate replaced in the BQ candidate cut
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val k = 1 + rnd.nextInt(6)
+      val agg = new graft.functions.BoundedMinTopK(k)
+      val rows = Seq.fill(1 + rnd.nextInt(200))(
+        (rnd.nextInt(4), rnd.nextInt(50).toLong))  // heavy key ties
+      val nSplits = 1 + rnd.nextInt(5)
+      val parts = rows.grouped(math.max(1, rows.size / nSplits)).toSeq
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === rows.sorted.take(k), s"trial $trial")
+    }
+    // the plan is an aggregation with a map-side partial (the typed
+    // buffer rides ObjectHashAggregate), not a per-query window sort
+    val plan = Similarity.bqTopK(spark, dir, nQueries = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bounded cut not planned as an object aggregate:\n$plan")
+    assert(plan.toLowerCase.contains("partial_boundedmintopk"),
+      s"no map-side partial for the bounded cut:\n$plan")
+  }
+
   test("scene cuts: exactly one cut per multi-shot doc, at the planted boundary") {
     import spark.implicits._
     val rows = Multimodal.sceneCuts(spark, dir)
