@@ -103,23 +103,22 @@ object Similarity {
   }
 
   /** The BQ candidate cut over a `(query_id, vec_id, hdist)` frame:
-    * the `rerank` smallest by `(hdist, vec_id)` PER QUERY via the
-    * bounded top-k aggregate ([[graft.functions.BoundedMinTopK]] —
-    * map-side trim, ≤ 2·rerank rows per partition through the
-    * exchange; a per-query window would shuffle and sort every row
-    * into as few partitions as there are queries).
+    * the `rerank` smallest by `(hdist, vec_id)` per query, written as
+    * the rank-filtered window because Spark 4's InsertWindowGroupLimit
+    * rewrites exactly this pattern into a map-side PARTIAL group
+    * limit before the exchange — ≤ rerank rows per (partition, query)
+    * ever shuffle. Measured at 16M candidate rows: 0.3 MiB shuffle,
+    * BELOW a hand-built bounded-top-k typed aggregate (0.8 MiB — the
+    * object buffers serialize; dev/CutDrive17.scala, PLANS.md). The
+    * spec pins the WindowGroupLimit(Partial) node: rewriting the
+    * rank filter in any form the rule misses silently reverts to
+    * shuffling every candidate row.
     */
   private def hammingCut(ham: DataFrame, rerank: Int): DataFrame = {
-    val cut = org.apache.spark.sql.functions.udaf(
-      new graft.functions.BoundedMinTopK(rerank),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaInt,
-        org.apache.spark.sql.Encoders.scalaLong))
-    ham.groupBy("query_id")
-      .agg(cut(col("hdist"), col("vec_id")).as("tk"))
-      .select(col("query_id"), explode(col("tk")).as("c"))
-      .select(col("query_id"), col("c._2").as("vec_id"),
-        col("c._1").as("hdist"))
+    val wc = Window.partitionBy("query_id").orderBy(col("hdist"), col("vec_id"))
+    ham.withColumn("rr", row_number().over(wc))
+      .filter(col("rr") <= rerank)
+      .select("query_id", "vec_id", "hdist")
   }
 
   /** Binary-quantized top-k — the 1-bit leg of the quantization
@@ -151,11 +150,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("code").as("qc"))
     val ham = broadcast(queries).join(codes, col("query_id") =!= col("vec_id"))
       .withColumn("hdist", bit_count(col("qc").bitwiseXOR(col("code"))))
-    // the candidate cut is a BOUNDED per-group top-k aggregate, not a
-    // window: a window over 8 query partitions would sort and shuffle
-    // every Hamming row; the aggregate trims map-side, so the
-    // exchange carries <= 2·rerank rows per (partition, query) —
-    // selection identical to ORDER BY (hdist, vec_id) LIMIT rerank
+    // map-side bounded cut — see [[hammingCut]]'s WindowGroupLimit note
     val cand = hammingCut(ham, rerank)
     val qv = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
