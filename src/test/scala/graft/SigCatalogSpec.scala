@@ -138,6 +138,35 @@ class SigCatalogSpec extends AnyFunSuite {
     } finally SigCatalog.drop(spark, cat)
   }
 
+  test("expire forgets aged signature state and blocks resurrection") {
+    import spark.implicits._
+    val base = 0x0F0F0F0F0F0F0F0FL
+    // the batch's only twin lives in the LANDING; a fresher appended
+    // partition holds unrelated words
+    val hist = Seq((100L, base)).toDF("doc_id", "sh")
+    val fresh = Seq((200L, ~base)).toDF("doc_id", "sh")
+    val batch = Seq((9001L, base ^ 2L)).toDF("doc_id", "sh")
+    val cat = SigCatalog.land(spark, hist, "spec_expire")
+    try {
+      SigCatalog.append(spark, fresh, cat, ingestId = 1)
+      val before = SigCatalog.screen(spark, batch, cat).collect()
+      assert(before.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 100L),
+        s"landing twin not matched before expire: ${before.toSeq}")
+      SigCatalog.expire(spark, cat, minIngestId = 1)
+      val after = SigCatalog.screen(spark, batch, cat).collect()
+      assert(after.isEmpty,
+        s"expired landing still matched: ${after.toSeq}")
+      // age out batch 1 too; the floor rises and a re-append of the
+      // expired id is blocked
+      SigCatalog.expire(spark, cat, minIngestId = 2)
+      assert(SigCatalog.floor(spark, cat) === 1L)
+      intercept[IllegalArgumentException] {
+        SigCatalog.append(spark, fresh, cat, ingestId = 1)
+      }
+      assert(SigCatalog.screen(spark, batch, cat).collect().isEmpty)
+    } finally SigCatalog.drop(spark, cat)
+  }
+
   test("candidate join reads the landed band table without shuffling it") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
