@@ -955,6 +955,15 @@ object IngestPack {
   val streamIngest: Q = (s, d) =>
     graft.streaming.EventStream.ingestReplayGate(s, d)
 
+  /** Interval-containment join as a BINNED equi join — events inside
+    * derived maintenance windows; see [[graft.operators.Intervals]].
+    * The oracle is the NAIVE non-equi formulation, so the binned plan
+    * (explode-to-bins, equi join on the bin key, residual containment
+    * filter) must reproduce it row for row.
+    */
+  val intervalJoin: Q = (s, d) =>
+    graft.operators.Intervals.intervalJoin(s, d)
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -972,6 +981,7 @@ object IngestPack {
     "ig_trigger_delay"   -> triggerDelay,
     "ig_fork_callbacks"  -> forkCallbacks,
     "ig_asof_join"       -> asofJoin,
+    "ig_interval_join"   -> intervalJoin,
     "ig_session_replay"  -> sessionReplay,
     "ig_config_upsert"   -> configUpsert,
     "ig_trigger_gates"   -> triggerPipeline,
@@ -1439,6 +1449,19 @@ object IngestPack {
          |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 1000) e
          |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
          |SELECT event_id, o_orderkey FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // the naive range join replayed directly: the engine's binned
+    // equi join + residual filter must equal containment exactly
+    "ig_interval_join" ->
+      s"""WITH iv AS (
+         |  SELECT event_id AS interval_id, epoch_us(ts) AS start_us,
+         |    epoch_us(ts) + (10 + event_id % 4 * 5) * 60 * 1000000 AS end_us
+         |  FROM events WHERE event_type = 'error' AND event_id % 5 = 0)
+         |SELECT e.event_id, iv.interval_id,
+         |  epoch_us(e.ts) - iv.start_us AS lag_us
+         |FROM events e JOIN iv
+         |  ON epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.end_us
+         |ORDER BY event_id, interval_id""".stripMargin,
 
     "ig_profile_valid" ->
       s"""WITH $profileVerdictCte

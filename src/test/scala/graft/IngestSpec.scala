@@ -192,4 +192,41 @@ class IngestSpec extends AnyFunSuite {
     // never the USER prefix
     assert(got === Seq("/root/a", "adm/svc", "", "cost $5"))
   }
+
+  test("interval join: bin-size invariant, equals naive containment, no nested-loop plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import graft.operators.Intervals
+    def rows(binMinutes: Int) =
+      Intervals.intervalJoin(spark, dir, binMinutes)
+        .as[(Long, Long, Long)].collect().toSeq
+    val got = rows(30)
+    assert(got.nonEmpty, "no event falls inside any derived window")
+    // the binned join == the naive containment join, computed here
+    // by brute force over the collected inputs (the oracle replays
+    // the same thing in SQL; this pins it engine-side)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long)].collect()
+    val iv = Intervals.maintenanceWindows(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val want = (for {
+      (e, t) <- ev; (i, s, en) <- iv if t >= s && t < en
+    } yield (e, i, t - s)).sortBy(x => (x._1, x._2)).toSeq
+    assert(got === want)
+    // lags sit inside the widest window by construction
+    assert(got.forall(r => r._3 >= 0 && r._3 < 25L * 60 * 1000000))
+    // correctness is bin-size INVARIANT — only the interval-side
+    // duplication factor moves (7 min: multi-bin explode on every
+    // window; 120 min: every window single-bin)
+    assert(rows(7) === got)
+    assert(rows(120) === got)
+    // the point of the operator: the plan is an equi join, never the
+    // nested-loop shape the naive formulation forces
+    val plan = Intervals.intervalJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join planned as a nested loop:\n$plan")
+  }
 }
