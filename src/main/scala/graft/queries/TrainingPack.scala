@@ -1078,6 +1078,41 @@ object TrainingPack {
     */
   val mmVideoFpIncr: Q = (s, d) => Multimodal.videoFpIncremental(s, d)
 
+  /** Cross-modal curation: a document ships to training only when
+    * EVERY modality clears it — the text SimHash, image dHash, audio
+    * envelope and video frame-mean dedup verdicts (each its own
+    * oracle-gated surface; text uses the PORTABLE planted signatures
+    * dd_simhash_pairs verifies) folded onto one corpus scan as four
+    * broadcast-sized left joins. Per-doc boolean flags keep the drop
+    * REASONS auditable ("why did this doc leave the corpus" is a
+    * first-class question at curation scale); `dropped` is their OR.
+    * The oracle composes the four per-modality replays verbatim as
+    * nested-WITH subqueries, so any drift in one modality's engine
+    * path breaks this gate too.
+    */
+  val mmCrossCurate: Q = (s, d) => {
+    def dropSet(ids: org.apache.spark.sql.DataFrame, flag: String) =
+      ids.distinct().withColumn(flag, lit(true))
+    val txt = dropSet(Dedup.simhashPairsFrom(plantedSimSignatures(s, d))
+      .select(col("j").as("doc_id")), "dt")
+    val img = dropSet(Multimodal.phashDedup(s, d).select("doc_id"), "di")
+    val aud = dropSet(Multimodal.audioFpDedup(s, d).select("doc_id"), "da")
+    val vid = dropSet(Multimodal.videoFpDedup(s, d).select("doc_id"), "dv")
+    Tables.documents(s, d).select("doc_id")
+      .join(broadcast(txt), Seq("doc_id"), "left")
+      .join(broadcast(img), Seq("doc_id"), "left")
+      .join(broadcast(aud), Seq("doc_id"), "left")
+      .join(broadcast(vid), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dt"), lit(false)).as("drop_text"),
+        coalesce(col("di"), lit(false)).as("drop_image"),
+        coalesce(col("da"), lit(false)).as("drop_audio"),
+        coalesce(col("dv"), lit(false)).as("drop_video"))
+      .withColumn("dropped",
+        col("drop_text") || col("drop_image") || col("drop_audio") || col("drop_video"))
+      .orderBy("doc_id")
+  }
+
   /** Substring-level dedup: cross-document duplicate 5-gram spans
     * (inclusive 0-based token bounds per doc) — see [[Dedup.dupSpans]].
     * Deterministic: spans are disjoint per doc, so (doc_id, span_start)
@@ -1495,6 +1530,7 @@ object TrainingPack {
     "mm_video_fp_pairs"    -> mmVideoFpPairs,
     "mm_video_fp_dedup"    -> mmVideoFpDedup,
     "mm_video_fp_incr"     -> mmVideoFpIncr,
+    "mm_cross_curate"      -> mmCrossCurate,
   )
 
   /** SemDeDup drop-machinery CTEs (planted slice → seeding → argmax
@@ -1702,6 +1738,65 @@ object TrainingPack {
        |SELECT b AS doc_id, MIN(p) AS kept_by,
        |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
        |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin
+
+  /** Per-modality dedup-verdict replays, shared by their own gate
+    * entries AND composed (as nested-WITH subqueries) by the
+    * cross-modal curation oracle.
+    */
+  private lazy val imgDedupOracle =
+    s"""${phashCtes(withAhash = false)},
+       |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc),
+       |pr AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    bit_count(xor(a.dh, b.dh)) AS dist
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.dh, b.dh)) <= 3)
+       |SELECT j AS doc_id, MIN(i) AS kept_by,
+       |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+       |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin
+
+  private lazy val audDedupOracle =
+    s"""$afpCtes,
+       |sig AS (SELECT doc_id, afp FROM fp WHERE NOT (trunc OR short)),
+       |pr AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    bit_count(xor(a.afp, b.afp)) AS dist
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.afp, b.afp)) <= 3)
+       |SELECT j AS doc_id, MIN(i) AS kept_by,
+       |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+       |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin
+
+  private lazy val vidDedupOracle =
+    s"""$vfpCtes,
+       |sig AS (SELECT doc_id, vfp FROM vfp WHERE NOT (trunc OR short)),
+       |pr AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    bit_count(xor(a.vfp, b.vfp)) AS dist
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.vfp, b.vfp)) <= 3)
+       |SELECT j AS doc_id, MIN(i) AS kept_by,
+       |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+       |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin
+
+  private lazy val txtSimhashPairsOracle = {
+    val hexVal = (1 to 15).map { k =>
+      val p = BigInt(16).pow(15 - k)
+      s"(strpos('0123456789abcdef', substr(h,$k,1))-1)*$p"
+    }.mkString(" + ")
+    s"""WITH hb AS (
+       |  SELECT doc_id, md5('simbase|' || (doc_id % 40)) AS h FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |    xor($hexVal,
+       |      ((CAST(1 AS BIGINT) << CAST(doc_id % 7 AS INT)) - 1)
+       |        << CAST((doc_id * 13) % 50 AS INT)) AS sh
+       |  FROM hb)
+       |SELECT a.doc_id AS i, b.doc_id AS j, bit_count(xor(a.sh, b.sh)) AS dist
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY i, j""".stripMargin
+  }
 
   /** Sign-word CTE (`bq`) shared by the binary-quantization oracles:
     * bit d = embedding[d] > 0 packed with the min-long idiom —
@@ -2793,24 +2888,7 @@ object TrainingPack {
     // exhaustive all-pairs verify of the banded pair step: recompute
     // the portable signatures (15-hex-digit md5 prefix as BIGINT, same
     // group-base-xor-mask plant) and keep every pair at Hamming <= 3
-    "dd_simhash_pairs" -> {
-      val hexVal = (1 to 15).map { k =>
-        val p = BigInt(16).pow(15 - k)
-        s"(strpos('0123456789abcdef', substr(h,$k,1))-1)*$p"
-      }.mkString(" + ")
-      s"""WITH hb AS (
-         |  SELECT doc_id, md5('simbase|' || (doc_id % 40)) AS h FROM documents),
-         |sig AS (
-         |  SELECT doc_id,
-         |    xor($hexVal,
-         |      ((CAST(1 AS BIGINT) << CAST(doc_id % 7 AS INT)) - 1)
-         |        << CAST((doc_id * 13) % 50 AS INT)) AS sh
-         |  FROM hb)
-         |SELECT a.doc_id AS i, b.doc_id AS j, bit_count(xor(a.sh, b.sh)) AS dist
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         |ORDER BY i, j""".stripMargin
-    },
+    "dd_simhash_pairs" -> txtSimhashPairsOracle,
 
     // the engine's plantTwins transformation replayed verbatim: ids
     // ≡ 1 (mod 97) take the predecessor's embedding, so the gate
@@ -3698,17 +3776,7 @@ object TrainingPack {
 
     // the drop rule folded over the exhaustive pair replay: a doc
     // drops when a LOWER id sits within d <= 3; min witness wins
-    "mm_phash_dedup" ->
-      s"""${phashCtes(withAhash = false)},
-         |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc),
-         |pr AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j,
-         |    bit_count(xor(a.dh, b.dh)) AS dist
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.dh, b.dh)) <= 3)
-         |SELECT j AS doc_id, MIN(i) AS kept_by,
-         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
-         |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin,
+    "mm_phash_dedup" -> imgDedupOracle,
 
     // the audio fingerprint replayed bit-for-bit: twin-planted sample
     // chain, ch0 amplitude walk, delta-sign packing; trunc (decode
@@ -3751,17 +3819,7 @@ object TrainingPack {
 
     // the drop rule folded over the exhaustive pair replay: a clip
     // drops when a LOWER id sits within d <= 3; min witness wins
-    "mm_audio_fp_dedup" ->
-      s"""$afpCtes,
-         |sig AS (SELECT doc_id, afp FROM fp WHERE NOT (trunc OR short)),
-         |pr AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j,
-         |    bit_count(xor(a.afp, b.afp)) AS dist
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.afp, b.afp)) <= 3)
-         |SELECT j AS doc_id, MIN(i) AS kept_by,
-         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
-         |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin,
+    "mm_audio_fp_dedup" -> audDedupOracle,
 
     // the video fingerprint replayed bit-for-bit: twin-planted luma
     // chain, per-frame mean-luma ordering (constant frames — byte
@@ -3805,17 +3863,29 @@ object TrainingPack {
 
     // the drop rule folded over the exhaustive pair replay: a clip
     // drops when a LOWER id sits within d <= 3; min witness wins
-    "mm_video_fp_dedup" ->
-      s"""$vfpCtes,
-         |sig AS (SELECT doc_id, vfp FROM vfp WHERE NOT (trunc OR short)),
-         |pr AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j,
-         |    bit_count(xor(a.vfp, b.vfp)) AS dist
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.vfp, b.vfp)) <= 3)
-         |SELECT j AS doc_id, MIN(i) AS kept_by,
-         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
-         |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin,
+    "mm_video_fp_dedup" -> vidDedupOracle,
+
+    // the four per-modality dedup replays composed verbatim (nested
+    // WITH subqueries), left-joined onto the corpus: flags mirror the
+    // engine's broadcast joins, dropped is their OR
+    "mm_cross_curate" ->
+      s"""WITH txt AS (SELECT DISTINCT j AS doc_id FROM ($txtSimhashPairsOracle) t),
+         |img AS (SELECT doc_id FROM ($imgDedupOracle) t),
+         |aud AS (SELECT doc_id FROM ($audDedupOracle) t),
+         |vid AS (SELECT doc_id FROM ($vidDedupOracle) t)
+         |SELECT d.doc_id,
+         |  txt.doc_id IS NOT NULL AS drop_text,
+         |  img.doc_id IS NOT NULL AS drop_image,
+         |  aud.doc_id IS NOT NULL AS drop_audio,
+         |  vid.doc_id IS NOT NULL AS drop_video,
+         |  (txt.doc_id IS NOT NULL OR img.doc_id IS NOT NULL
+         |    OR aud.doc_id IS NOT NULL OR vid.doc_id IS NOT NULL) AS dropped
+         |FROM documents d
+         |LEFT JOIN txt ON txt.doc_id = d.doc_id
+         |LEFT JOIN img ON img.doc_id = d.doc_id
+         |LEFT JOIN aud ON aud.doc_id = d.doc_id
+         |LEFT JOIN vid ON vid.doc_id = d.doc_id
+         |ORDER BY 1""".stripMargin,
 
     "tx_sequence_packing" ->
       s"""WITH t AS (
