@@ -6,9 +6,13 @@
 // (query_id, vec_id, hdist) — the claim under test is the CUT stage's
 // shuffle and wall, not the Hamming arithmetic. Selection equality is
 // asserted row-for-row.
-// Run via:
+// NOTE: graft.functions.BoundedMinTopK was removed from src when the
+// hand-built cut measured worse and was reverted (commit 0a9afa4) — to
+// reproduce this measurement, check out the pre-revert tree first:
+//   git checkout 7431d50
 //   cp dev/CutDrive17.scala src/main/scala/graft/ && \
 //     sbt "runMain graft.CutDrive17" && rm src/main/scala/graft/CutDrive17.scala
+//   git checkout main
 package graft
 
 import java.util.concurrent.atomic.AtomicLong

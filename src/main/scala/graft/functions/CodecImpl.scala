@@ -332,17 +332,21 @@ object CodecImpl {
     var o = 0
     var dy = 0
     while (dy < th) {
-      var fy = (2 * dy + 1) * h * 128 / th - 128
+      // the coordinate numerator (2d+1)·src·128 exceeds Int once
+      // dst·src passes ~2²³ (ppmHeader admits dims to 0xFFFFFF, and
+      // 256·(src−1) alone can pass 2³¹) — Long end to end, narrowing
+      // only the post-clamp index/weight, which provably fit
+      var fy = (2L * dy + 1) * h * 128 / th - 128
       if (fy < 0) fy = 0
-      if (fy > 256 * (h - 1)) fy = 256 * (h - 1)
-      val y0 = fy >> 8; val wy = fy & 255
+      if (fy > 256L * (h - 1)) fy = 256L * (h - 1)
+      val y0 = (fy >> 8).toInt; val wy = (fy & 255).toInt
       val y1 = if (y0 + 1 < h) y0 + 1 else h - 1
       var dx = 0
       while (dx < tw) {
-        var fx = (2 * dx + 1) * w * 128 / tw - 128
+        var fx = (2L * dx + 1) * w * 128 / tw - 128
         if (fx < 0) fx = 0
-        if (fx > 256 * (w - 1)) fx = 256 * (w - 1)
-        val x0 = fx >> 8; val wx = fx & 255
+        if (fx > 256L * (w - 1)) fx = 256L * (w - 1)
+        val x0 = (fx >> 8).toInt; val wx = (fx & 255).toInt
         val x1 = if (x0 + 1 < w) x0 + 1 else w - 1
         val i00 = off + 3 * (y0 * w + x0); val i01 = off + 3 * (y0 * w + x1)
         val i10 = off + 3 * (y1 * w + x0); val i11 = off + 3 * (y1 * w + x1)
@@ -368,6 +372,10 @@ object CodecImpl {
     */
   def ppmResize(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     if (tw <= 0 || th <= 0 || tw > 0xFFFF || th > 0xFFFF) return null
+    // both axes fit 16 bits, but their product can still blow the JVM
+    // array bound (0xFFFF² · 3 ≈ 12.9 G) — null, not a negative-size
+    // allocation inside a codegen'd expression
+    if (tw.toLong * th * 3 > Int.MaxValue - 16) return null
     val hd = ppmHeader(b)
     if (hd == null) return null
     bilinear3(b, hd(3), hd(0), hd(1), tw, th)

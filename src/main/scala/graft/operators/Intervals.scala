@@ -7,7 +7,10 @@ import graft.Tables
 /** Interval (range-containment) join — "which events fall inside
   * which maintenance windows" — as a BINNED equi join, the shape
   * that survives 100 TB. The naive formulation is a non-equi join
-  * (`ev.ts BETWEEN iv.start AND iv.end`), which Spark can only plan
+  * on half-open containment (`ev.ts >= iv.start AND ev.ts < iv.end`
+  * — an event exactly at `end` belongs to the NEXT window, the
+  * standard windowing convention; both this implementation and the
+  * DuckDB oracle use it), which Spark can only plan
   * as a broadcast nested loop: every event row against every
   * interval. Binning makes it an equi join: each interval explodes
   * to its covering fixed-width time bins (`ceil(width / bin) + 1`
