@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Hashed-feature linear quality classifier — the fastText-style
+  * document filter standard in LLM curation stacks (Joulin et al.
+  * 2017, "Bag of Tricks for Efficient Text Classification"; the
+  * GPT-3/PaLM data recipes train exactly this shape against a
+  * reference corpus vs raw crawl). A document's features are its
+  * token unigrams and bigrams, hashed into a FIXED bucket space
+  * (the hashing trick — the model size is the bucket count, never
+  * the vocabulary); the model is one integer weight per bucket; the
+  * score is the dot product of the document's feature-bucket counts
+  * with that weight vector.
+  *
+  * Training is closed-form Naive-Bayes-style rather than SGD, so the
+  * whole pipeline is deterministic and engine-replayable: the weight
+  * of bucket b is the difference of its Laplace-smoothed occurrence
+  * frequencies under the positive (reference) and negative (crawl /
+  * boilerplate) training slices,
+  *
+  *   w_e9(b) = floor((n_pos(b)+1)·1e9 / (N_pos+B))
+  *           − floor((n_neg(b)+1)·1e9 / (N_neg+B))
+  *
+  * (all BIGINT floor arithmetic at the same 1e9 scale as
+  * [[LangModel.lmScoreFrom]]; NB with per-feature likelihoods IS a
+  * linear classifier over counts, so this is the linear-model shape
+  * with honestly-derived weights, not a stand-in). A document's
+  * margin is Σ w_e9(bucket(f)) over its feature OCCURRENCES —
+  * integer-exact, no division, so negative margins never touch a
+  * floor-vs-truncate engine seam.
+  *
+  * Scale shape: the weight vector is BUCKET-sized (default 4096 —
+  * a few KB) regardless of corpus size: training is one gram-keyed
+  * aggregation over the (bounded) training slices, the vector then
+  * BROADCASTS and scoring is a map-side join over the exploded
+  * feature stream plus one doc-keyed partial-aggregated rollup —
+  * the same two-shuffle shape as LM scoring, nothing corpus-keyed
+  * beyond the doc_id rollup. At 100 TB the smoothed-frequency
+  * numerators go through DECIMAL(28,0) (a single bucket count past
+  * ~9.2e9 would overflow the BIGINT·1e9 intermediate — real for a
+  * 4096-bucket space once the training slice passes ~10¹³ tokens).
+  *
+  * The feature hash is the repo's engine-portable signature: the
+  * first 15 hex digits of md5 as a BIGINT, mod the bucket count —
+  * DuckDB replays it digit by digit, so the gate hash-checks the
+  * hashing trick itself, not just the arithmetic above it.
+  */
+object Classifier {
+
+  /** Probability scale: frequencies ≈ f_e9 / 1e9 (matches LangModel). */
+  val ScaleE9 = 1000000000L
+
+  /** Default feature-hash bucket count (the model dimension). */
+  val Buckets = 4096
+
+  /** Feature stream: one row per token-unigram and token-bigram
+    * OCCURRENCE (a bag, not a set — NB likelihoods and the margin
+    * both weight by multiplicity). Bigrams join with a single space
+    * over [[TextOps.tokens]], mirrored by the oracle's
+    * `ts[i] || ' ' || ts[i+1]` transform.
+    */
+  private def features(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val uni = base.select(col("doc_id"), explode(col("ts")).as("f"))
+    // guard: sequence(1, size-1) runs BACKWARDS on a 1-token doc
+    // (Spark generates descending sequences), so the bigram branch
+    // filters first
+    val bi = base.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat(element_at(col("ts"), i), lit(" "),
+            element_at(col("ts"), i + 1)))).as("f"))
+    uni.unionAll(bi)
+  }
+
+  /** (doc_id, b): each feature occurrence keyed by its hash bucket. */
+  private def bucketedFeatures(docs: DataFrame, buckets: Int): DataFrame =
+    features(docs).select(col("doc_id"),
+      (conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % buckets)
+        .as("b"))
+
+  /** The trained weight vector: exactly `buckets` rows (b, w_e9),
+    * every bucket defined — unseen buckets get the pure-smoothing
+    * weight, so scoring needs no coalesce. Tiny by construction;
+    * callers broadcast it.
+    */
+  def weightVector(bf: DataFrame, posPred: Column, negPred: Column,
+      buckets: Int): DataFrame = {
+    val spark = bf.sparkSession
+    val cp = bf.filter(posPred).groupBy("b").agg(count(lit(1)).as("np"))
+    val cn = bf.filter(negPred).groupBy("b").agg(count(lit(1)).as("nn"))
+    val tot = bf.agg(
+      sum(when(posPred, 1L).otherwise(0L)).as("tp"),
+      sum(when(negPred, 1L).otherwise(0L)).as("tn"))
+    spark.range(buckets).select(col("id").as("b"))
+      .join(cp, Seq("b"), "left").join(cn, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        // DECIMAL numerators for the same reason as LangModel: a
+        // bucket count past ~9.2e9 overflows the BIGINT·1e9 product;
+        // `div` floors back to BIGINT so values match wherever BIGINT
+        // sufficed
+        (expr(s"cast(coalesce(np, 0L) + 1L as decimal(28, 0)) * ${ScaleE9}L " +
+          s"div (tp + $buckets)") -
+         expr(s"cast(coalesce(nn, 0L) + 1L as decimal(28, 0)) * ${ScaleE9}L " +
+          s"div (tn + $buckets)")).as("w_e9"))
+  }
+
+  /** Score every document of `docs` with a classifier trained on the
+    * rows matching `posPred` (reference class) vs `negPred`
+    * (rejection class) — predicates over `docs`' own columns, the
+    * production shape being labeled slices of the same corpus frame.
+    * Output: (doc_id, n_feat, margin_e9), margin_e9 = the integer
+    * dot product (positive ⇒ reference-like).
+    */
+  def scoreFrom(docs: DataFrame, posPred: Column, negPred: Column,
+      buckets: Int = Buckets): DataFrame = {
+    val bf = bucketedFeatures(docs, buckets)
+    val w = weightVector(bf, posPred, negPred, buckets)
+    bf.join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"), sum("w_e9").as("margin_e9"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-gate surface: train on the deterministic id slices
+    * (doc_id % 10 == 0 as the reference class, % 10 == 5 as the
+    * rejection class — the synthetic corpus has no labeled split, so
+    * the gate pins the ARITHMETIC: hashing trick, smoothed-frequency
+    * weights, integer dot product; TrainingSpec holds the semantic
+    * separation claim on a labeled fixture).
+    *
+    * posPred/negPred reference doc_id, which [[bucketedFeatures]]
+    * carries through — so the slice filters run on the feature
+    * stream, once, instead of scanning documents twice.
+    */
+  def score(spark: SparkSession, dir: String): DataFrame =
+    scoreFrom(Tables.documents(spark, dir),
+      col("doc_id") % 10 === 0, col("doc_id") % 10 === 5)
+
+  /** Classifier keep-cut: the tx_lm_threshold histogram election over
+    * classifier margins — keep the most reference-like ~70 % per
+    * language, rank-exact at MILLI-scale margin buckets. Margins are
+    * signed, and Spark's `div` truncates toward zero where DuckDB's
+    * `//` floors — bucketing adds a 1e15 offset (a multiple of the
+    * 1e6 bucket width, so the election is shift-invariant) to keep
+    * every numerator positive, where the two semantics agree.
+    */
+  def thresholdCut(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.Shared.materialize(
+      score(spark, dir).select("doc_id", "margin_e9")
+        .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+        .withColumn("mbkt", expr("(margin_e9 + 1000000000000000L) div 1000000")))
+    val wCum = Window.partitionBy("lang").orderBy(col("mbkt").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val th = scored.groupBy("lang", "mbkt").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .filter(col("cum") * 10000 >= col("n") * 7000)
+      .groupBy("lang").agg(max("mbkt").as("b_threshold"))
+    scored.join(broadcast(th), Seq("lang"))
+      .filter(col("mbkt") >= col("b_threshold"))
+      .select(col("doc_id"), col("lang"), col("margin_e9"), col("b_threshold"))
+      .orderBy("doc_id")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, LangModel, Mixer, Multimodal, Similarity, TextOps}
+import graft.operators.{Classifier, Dedup, LangModel, Mixer, Multimodal, Similarity, TextOps}
 import graft.functions.{TextExpressions, TextImpl}
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -1053,6 +1053,20 @@ object TrainingPack {
   val mmStreamPhash: Q = (s, d) =>
     graft.streaming.SigScreen.phashScreenReplayGate(s, d)
 
+  /** The streaming AUDIO screen — [[mmStreamPhash]]'s loop over the
+    * envelope fingerprints: SigScreen.sigScreen is signature-generic,
+    * and this gate makes that claim executable for a second modality
+    * (REAL Structured Streaming run, same survivor-loop oracle).
+    */
+  val mmStreamAfp: Q = (s, d) =>
+    graft.streaming.SigScreen.audioScreenReplayGate(s, d)
+
+  /** The streaming VIDEO screen — third modality through the same
+    * machinery; zero new screen code, one new instantiation.
+    */
+  val mmStreamVfp: Q = (s, d) =>
+    graft.streaming.SigScreen.videoScreenReplayGate(s, d)
+
   /** Video perceptual fingerprints (64-bit delta-sign of the
     * per-frame mean-luma series) over the twin-planted Y4M corpus —
     * see [[Multimodal.videoFingerprints]]; the oracle replays the
@@ -1387,6 +1401,22 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** fastText-style hashed-feature linear classifier score
+    * ([[Classifier.score]]): token uni+bigram occurrences hashed into
+    * 4096 buckets (15-hex md5 prefix mod B — the hashing trick,
+    * replayed digit-by-digit by the oracle), NB-derived integer
+    * weight vector from the deterministic id slices, margin = the
+    * integer dot product. The model is bucket-sized and broadcast;
+    * scoring is one map-side join over the feature stream.
+    */
+  val txClassifierScore: Q = (s, d) => Classifier.score(s, d)
+
+  /** The classifier keep-cut: tx_lm_threshold's histogram election
+    * over classifier margins — per-lang 70 % keep target, rank-exact
+    * at milli-scale margin buckets ([[Classifier.thresholdCut]]).
+    */
+  val txClassifierCut: Q = (s, d) => Classifier.thresholdCut(s, d)
+
   /** Temperature-mix gate: α = 0.5 domain smoothing over lang at a
     * half-corpus target ([[Mixer.temperatureMixFrom]]); the output
     * carries each survivor's domain size and hex cut so the weight
@@ -1451,6 +1481,8 @@ object TrainingPack {
     "tx_quality_threshold" -> txQualityThreshold,
     "tx_lm_score"          -> txLmScore,
     "tx_lm_threshold"      -> txLmThreshold,
+    "tx_classifier_score"  -> txClassifierScore,
+    "tx_classifier_cut"    -> txClassifierCut,
     "tx_domain_mix"        -> txDomainMix,
     "tx_token_budget"      -> txTokenBudget,
     "tx_bpe_tokens"        -> txBpeTokens,
@@ -1516,6 +1548,8 @@ object TrainingPack {
     "mm_phash_incr"        -> mmPhashIncr,
     "mm_phash_catalog"     -> mmPhashCatalog,
     "mm_stream_phash"      -> mmStreamPhash,
+    "mm_stream_afp"        -> mmStreamAfp,
+    "mm_stream_vfp"        -> mmStreamVfp,
     "mm_scene_cuts"        -> mmSceneCuts,
     "mm_wav_windows"       -> mmWavWindows,
     "mm_ppm_decode"        -> mmPpmDecode,
@@ -1589,6 +1623,51 @@ object TrainingPack {
       |  SELECT tr.doc_id,
       |    (COALESCE(m3.n3, 0) + 1) * 1000000000 // (COALESCE(m2.n2, 0) + v.vsz) AS p
       |  FROM tr LEFT JOIN m3 USING (ctx, nxt) LEFT JOIN m2 USING (ctx), v)""".stripMargin
+
+  /** First 15 hex digits of an md5-hex expression `e` as a BIGINT —
+    * the engine-portable signature (Spark: conv(substring(md5,1,15),
+    * 16,10)), folded digit by digit.
+    */
+  private def md5Big15(e: String): String = {
+    val terms = (1 to 15).map { k =>
+      val p = BigInt(16).pow(15 - k)
+      s"(strpos('0123456789abcdef', substr($e, $k, 1)) - 1) * $p"
+    }.mkString(" + ")
+    s"($terms)"
+  }
+
+  /** Hashed-feature classifier CTEs (`mrg(doc_id, n_feat,
+    * margin_e9)`) — ONE copy shared by the score and cut oracles:
+    * uni+bigram feature bag, 15-hex-md5 buckets mod 4096, NB
+    * smoothed-frequency weight vector over the full 4096-bucket
+    * space, integer dot product per doc.
+    */
+  private val clsCtes = {
+    val B = Classifier.Buckets
+    s"""toks AS (SELECT doc_id, $TS AS ts FROM documents),
+       |feat AS (
+       |  SELECT doc_id, unnest(ts) AS f FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+       |    i -> ts[i] || ' ' || ts[i + 1])) AS f FROM toks),
+       |bf AS (SELECT doc_id, ${md5Big15("h")} % $B AS b
+       |  FROM (SELECT doc_id, md5(f) AS h FROM feat)),
+       |cp AS (SELECT b, count(*) AS np FROM bf WHERE doc_id % 10 = 0 GROUP BY b),
+       |cn AS (SELECT b, count(*) AS nn FROM bf WHERE doc_id % 10 = 5 GROUP BY b),
+       |tot AS (SELECT
+       |  (SELECT count(*) FROM bf WHERE doc_id % 10 = 0) AS tp,
+       |  (SELECT count(*) FROM bf WHERE doc_id % 10 = 5) AS tn),
+       |w AS (
+       |  SELECT r.b,
+       |    (COALESCE(np, 0) + 1) * 1000000000 // (tp + $B)
+       |    - (COALESCE(nn, 0) + 1) * 1000000000 // (tn + $B) AS w_e9
+       |  FROM (SELECT unnest(range(0, $B)) AS b) r
+       |  LEFT JOIN cp ON cp.b = r.b LEFT JOIN cn ON cn.b = r.b, tot),
+       |mrg AS (
+       |  SELECT doc_id, count(*) AS n_feat,
+       |    CAST(SUM(w_e9) AS BIGINT) AS margin_e9
+       |  FROM bf JOIN w USING (b) GROUP BY doc_id)""".stripMargin
+  }
 
   private val shCte =
     s"""toks AS (
@@ -1738,6 +1817,45 @@ object TrainingPack {
        |SELECT b AS doc_id, MIN(p) AS kept_by,
        |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
        |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin
+
+  /** The sequential two-batch streaming-screen loop over a
+    * `sig(doc_id, sh)` CTE — ONE copy of the replay SQL (history
+    * < 250, batch 0 = [250, 375), batch 1 ≥ 375, survivor-only
+    * catalog growth) shared by the image, audio and video streaming
+    * gates so the loop semantics cannot drift between modalities.
+    */
+  private def streamLoopOracle(sigCtes: String): String =
+    s"""$sigCtes,
+       |bh0 AS (SELECT doc_id, sh FROM sig WHERE doc_id < 250),
+       |bb0 AS (SELECT doc_id, sh FROM sig WHERE doc_id >= 250 AND doc_id < 375),
+       |bb1 AS (SELECT doc_id, sh FROM sig WHERE doc_id >= 375),
+       |sv0 AS (
+       |  SELECT b.doc_id AS b, p.doc_id AS p,
+       |    bit_count(xor(b.sh, p.sh)) AS dist
+       |  FROM bb0 b JOIN (SELECT doc_id, sh FROM bh0
+       |                  UNION ALL SELECT doc_id, sh FROM bb0) p
+       |    ON p.doc_id != b.doc_id
+       |  WHERE (p.doc_id < 250 OR p.doc_id < b.doc_id)
+       |    AND bit_count(xor(b.sh, p.sh)) <= 3),
+       |sd0 AS (SELECT b AS doc_id, MIN(p) AS kept_by, MIN(dist) AS min_dist,
+       |  COUNT(*) AS n_matches FROM sv0 GROUP BY b),
+       |bh1 AS (SELECT doc_id, sh FROM bh0
+       |  UNION ALL
+       |  SELECT doc_id, sh FROM bb0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM sd0)),
+       |sv1 AS (
+       |  SELECT b.doc_id AS b, p.doc_id AS p,
+       |    bit_count(xor(b.sh, p.sh)) AS dist
+       |  FROM bb1 b JOIN (SELECT doc_id, sh FROM bh1
+       |                  UNION ALL SELECT doc_id, sh FROM bb1) p
+       |    ON p.doc_id != b.doc_id
+       |  WHERE (p.doc_id < 375 OR p.doc_id < b.doc_id)
+       |    AND bit_count(xor(b.sh, p.sh)) <= 3),
+       |sd1 AS (SELECT b AS doc_id, MIN(p) AS kept_by, MIN(dist) AS min_dist,
+       |  COUNT(*) AS n_matches FROM sv1 GROUP BY b)
+       |SELECT doc_id, kept_by, min_dist, n_matches FROM
+       |  (SELECT * FROM sd0 UNION ALL SELECT * FROM sd1)
+       |ORDER BY doc_id""".stripMargin
 
   /** Per-modality dedup-verdict replays, shared by their own gate
     * entries AND composed (as nested-WITH subqueries) by the
@@ -2464,6 +2582,40 @@ object TrainingPack {
         |SELECT s.doc_id, s.lang, s.avg_p_e9, th.b_threshold
         |FROM sco s JOIN th USING (lang)
         |WHERE s.pbkt >= th.b_threshold
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // fastText-style hashed-feature linear classifier: uni+bigram
+    // occurrences -> 15-hex-md5 buckets mod 4096 -> NB
+    // smoothed-frequency integer weights from the id slices ->
+    // integer dot product per doc (no division, so signed margins
+    // never touch a floor-vs-truncate seam)
+    "tx_classifier_score" ->
+      s"""WITH $clsCtes
+        |SELECT doc_id, n_feat, margin_e9 FROM mrg ORDER BY doc_id""".stripMargin,
+
+    // the classifier keep-cut: same model CTEs, margins bucketed to
+    // milli scale after a +1e15 offset (multiple of the bucket
+    // width - keeps numerators positive where // and div agree),
+    // per-lang threshold = largest bucket whose descending
+    // cumulative count reaches 70%, ties inclusive
+    "tx_classifier_cut" ->
+      s"""WITH $clsCtes,
+        |sco AS (
+        |  SELECT m.doc_id, d.lang, m.margin_e9,
+        |    (m.margin_e9 + 1000000000000000) // 1000000 AS mbkt
+        |  FROM mrg m JOIN documents d USING (doc_id)),
+        |hh AS (SELECT lang, mbkt, count(*) AS c FROM sco GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT lang, mbkt,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY mbkt DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM hh),
+        |th AS (SELECT lang, MAX(mbkt) AS b_threshold FROM cm
+        |  WHERE cum * 10000 >= n * 7000 GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.margin_e9, th.b_threshold
+        |FROM sco s JOIN th USING (lang)
+        |WHERE s.mbkt >= th.b_threshold
         |ORDER BY s.doc_id""".stripMargin,
 
     // token-budget curation: per-lang token mass -> sqrt weights ->
@@ -3712,40 +3864,11 @@ object TrainingPack {
     // batch 0 ([250, 375)) screens against the landed history
     // (< 250, ANY id) plus its own lower ids; its SURVIVORS join the
     // history; batch 1 (>= 375) screens against that grown history
-    // plus its own lower ids — the survivor rule is the loop's state
-    "mm_stream_phash" ->
+    // plus its own lower ids — the survivor rule is the loop's state.
+    // ONE loop copy (streamLoopOracle) serves all three modalities.
+    "mm_stream_phash" -> streamLoopOracle(
       s"""${phashCtes(withAhash = false)},
-         |sig AS (SELECT doc_id, dh FROM dh WHERE NOT trunc),
-         |bh0 AS (SELECT doc_id, dh FROM sig WHERE doc_id < 250),
-         |bb0 AS (SELECT doc_id, dh FROM sig WHERE doc_id >= 250 AND doc_id < 375),
-         |bb1 AS (SELECT doc_id, dh FROM sig WHERE doc_id >= 375),
-         |sv0 AS (
-         |  SELECT b.doc_id AS b, p.doc_id AS p,
-         |    bit_count(xor(b.dh, p.dh)) AS dist
-         |  FROM bb0 b JOIN (SELECT doc_id, dh FROM bh0
-         |                  UNION ALL SELECT doc_id, dh FROM bb0) p
-         |    ON p.doc_id != b.doc_id
-         |  WHERE (p.doc_id < 250 OR p.doc_id < b.doc_id)
-         |    AND bit_count(xor(b.dh, p.dh)) <= 3),
-         |sd0 AS (SELECT b AS doc_id, MIN(p) AS kept_by, MIN(dist) AS min_dist,
-         |  COUNT(*) AS n_matches FROM sv0 GROUP BY b),
-         |bh1 AS (SELECT doc_id, dh FROM bh0
-         |  UNION ALL
-         |  SELECT doc_id, dh FROM bb0
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM sd0)),
-         |sv1 AS (
-         |  SELECT b.doc_id AS b, p.doc_id AS p,
-         |    bit_count(xor(b.dh, p.dh)) AS dist
-         |  FROM bb1 b JOIN (SELECT doc_id, dh FROM bh1
-         |                  UNION ALL SELECT doc_id, dh FROM bb1) p
-         |    ON p.doc_id != b.doc_id
-         |  WHERE (p.doc_id < 375 OR p.doc_id < b.doc_id)
-         |    AND bit_count(xor(b.dh, p.dh)) <= 3),
-         |sd1 AS (SELECT b AS doc_id, MIN(p) AS kept_by, MIN(dist) AS min_dist,
-         |  COUNT(*) AS n_matches FROM sv1 GROUP BY b)
-         |SELECT doc_id, kept_by, min_dist, n_matches FROM
-         |  (SELECT * FROM sd0 UNION ALL SELECT * FROM sd1)
-         |ORDER BY doc_id""".stripMargin,
+         |sig AS (SELECT doc_id, dh AS sh FROM dh WHERE NOT trunc)""".stripMargin),
 
     // the catalog screen replayed as PURE SEMANTICS — history = all
     // even ids, batch = odd ids with the ≡ 1 (mod 10) docs carrying
@@ -3821,6 +3944,12 @@ object TrainingPack {
     // drops when a LOWER id sits within d <= 3; min witness wins
     "mm_audio_fp_dedup" -> audDedupOracle,
 
+    // the streaming audio screen: the same two-batch survivor loop as
+    // mm_stream_phash (ONE SQL copy), over the envelope fingerprints
+    "mm_stream_afp" -> streamLoopOracle(
+      s"""$afpCtes,
+         |sig AS (SELECT doc_id, afp AS sh FROM fp WHERE NOT (trunc OR short))""".stripMargin),
+
     // the video fingerprint replayed bit-for-bit: twin-planted luma
     // chain, per-frame mean-luma ordering (constant frames — byte
     // order ≡ sum order), delta-sign packing; trunc (decode reject)
@@ -3864,6 +3993,11 @@ object TrainingPack {
     // the drop rule folded over the exhaustive pair replay: a clip
     // drops when a LOWER id sits within d <= 3; min witness wins
     "mm_video_fp_dedup" -> vidDedupOracle,
+
+    // the streaming video screen: same loop, third modality
+    "mm_stream_vfp" -> streamLoopOracle(
+      s"""$vfpCtes,
+         |sig AS (SELECT doc_id, vfp AS sh FROM vfp WHERE NOT (trunc OR short))""".stripMargin),
 
     // the four per-modality dedup replays composed verbatim (nested
     // WITH subqueries), left-joined onto the corpus: flags mirror the

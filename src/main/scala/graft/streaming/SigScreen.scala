@@ -75,16 +75,42 @@ object SigScreen {
     * invisible to the replayed batches and the re-append overwrites
     * identical content.
     */
-  def phashScreenReplayGate(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = graft.operators.Multimodal.dhashSignatures(spark, dir)
+  def phashScreenReplayGate(spark: SparkSession, dir: String): DataFrame =
+    screenReplayGate(spark, dir,
+      graft.operators.Multimodal.dhashSignatures(spark, dir), "")
+
+  /** The audio twin (mm_stream_afp): envelope fingerprints of the
+    * twin-planted WAV corpus through the same streaming loop — the
+    * modality-generic claim of [[sigScreen]] made executable for a
+    * second signature kind. Twin plants sit 8 and 16 ids apart, so
+    * the 250/375 slicing again produces history, previous-batch and
+    * intra-batch hits.
+    */
+  def audioScreenReplayGate(spark: SparkSession, dir: String): DataFrame =
+    screenReplayGate(spark, dir,
+      graft.operators.Multimodal.audioFingerprints(spark, dir)
+        .filter(col("valid")).select(col("doc_id"), col("afp").as("sh")),
+      "afp_")
+
+  /** The video twin (mm_stream_vfp): frame-mean fingerprints through
+    * the same loop — third signature kind, zero new screen code.
+    */
+  def videoScreenReplayGate(spark: SparkSession, dir: String): DataFrame =
+    screenReplayGate(spark, dir,
+      graft.operators.Multimodal.videoFingerprints(spark, dir)
+        .filter(col("valid")).select(col("doc_id"), col("vfp").as("sh")),
+      "vfp_")
+
+  private def screenReplayGate(spark: SparkSession, dir: String,
+      sigs: DataFrame, tag: String): DataFrame = {
     val hist = sigs.filter(col("doc_id") < 250)
     val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val srcName = s"graft_sig_src_${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
+    val srcName = s"graft_sig_src_$tag${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
     val srcDir = s"${sys.props("java.io.tmpdir")}/$srcName"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
     if (!new java.io.File(s"$srcDir/_SLICED").exists) {
       graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
-        s"graft_sig_src_${dirPart}_", srcName)
+        s"graft_sig_src_$tag${dirPart}_", srcName)
       fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
       sigs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
         .coalesce(1).write.mode("append").parquet(srcDir)
@@ -95,7 +121,7 @@ object SigScreen {
         new org.apache.hadoop.fs.Path(s"$srcDir/_SLICED"), "ok")
     }
     val cat = SigCatalog.land(spark, hist, s"stream_gate_$srcName")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_sig_gate_${dirPart}_" +
+    val base = s"${sys.props("java.io.tmpdir")}/graft_sig_gate_$tag${dirPart}_" +
       ProcessHandle.current().pid()
     graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
       "graft_sig_gate_", new org.apache.hadoop.fs.Path(base).getName)

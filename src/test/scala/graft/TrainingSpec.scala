@@ -656,6 +656,42 @@ class TrainingSpec extends AnyFunSuite {
     assert(score.keySet === Set(0L, 10L, 20L, 1L, 3L) && score.values.forall(_ > 0))
   }
 
+  test("classifier: in-domain text far outscores boilerplate; model is bucket-sized") {
+    import spark.implicits._
+    // labeled fixture: the reference slice (doc_id % 10 == 0) is
+    // natural prose, the rejection slice (% 10 == 5) is nav/ad
+    // boilerplate; held-out docs 1 (in-domain), 2 (boilerplate) and
+    // 3 (mixed) must come out margin-ordered 1 > 3 > 2 with the
+    // clean docs on opposite signs
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the dog ran in the park all day"),
+      (10L, "a small bird flew over the green field near the quiet river"),
+      (20L, "the children played in the garden while the sun was warm"),
+      (5L, "click here subscribe now buy cheap click here subscribe now free offer"),
+      (15L, "accept cookies privacy policy terms of service click here log in sign up"),
+      (25L, "buy now free shipping limited offer subscribe newsletter click here"),
+      (1L, "the dog sat near the river while the bird flew over the garden"),
+      (2L, "subscribe now free offer click here accept cookies buy cheap"),
+      (3L, "the cat ran in the field subscribe now click here")
+    ).toDF("doc_id", "text")
+    val m = operators.Classifier
+      .scoreFrom(docs, col("doc_id") % 10 === 0, col("doc_id") % 10 === 5)
+      .select("doc_id", "margin_e9").as[(Long, Long)].collect().toMap
+    assert(m(1L) > 0 && m(2L) < 0,
+      s"clean docs must sit on opposite margin signs: $m")
+    assert(m(1L) > m(3L) && m(3L) > m(2L),
+      s"margins must order in-domain > mixed > boilerplate: $m")
+    assert(m(1L) > m(2L) + (m(1L) - m(2L)).abs / 2,
+      s"separation too weak: $m")
+    // the model is the hashing trick's whole point: exactly B weights
+    // no matter the vocabulary — pin the broadcastable-size contract
+    val w = operators.Classifier.weightVector(
+      docs.select(col("doc_id"), (col("doc_id") % 7).as("b")),
+      col("doc_id") % 10 === 0, col("doc_id") % 10 === 5,
+      operators.Classifier.Buckets)
+    assert(w.count() === operators.Classifier.Buckets.toLong)
+  }
+
   test("semantic dedup: co-clustered twins dropped with their base as witness, nothing else") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
