@@ -816,6 +816,45 @@ object Dedup {
       .drop("isl")
   }
 
+  /** Benchmark-contamination SPANS — the span-level twin of
+    * [[graft.operators.Decontaminate.overlap]]: that operator flags
+    * whole DOCUMENTS sharing shingles with a benchmark set; this one
+    * localizes WHERE the benchmark text sits so the cut stage removes
+    * the contaminated passage and keeps the rest of the document (the
+    * document-level cut throws away an arbitrarily large clean
+    * remainder — at curation scale the difference is real training
+    * tokens). A corpus position is contaminated when its k-gram
+    * occurs ANYWHERE in the benchmark side; contaminated positions
+    * merge into maximal spans with the same gaps-and-islands rule as
+    * [[dupSpansFrom]] (one merge implementation, third consumer).
+    *
+    * Scale shape: benchmark grams are benchmark-sized (tiny in
+    * production — AQE broadcasts the semi-join on its own, per the
+    * Decontaminate discipline: no forced hint, so an oversized
+    * holdout degrades to a shuffle join instead of OOMing the
+    * driver); the corpus side is one codegen'd positional-gram
+    * projection plus the semi-join, and the island merge is
+    * per-document window state. `hashKeys` swaps gram strings for
+    * xxhash64 before any exchange, as in [[dupSpansFrom]].
+    */
+  def contaminationSpans(spark: SparkSession, dir: String,
+      k: Int = ShingleN): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationSpansFrom(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), k)
+  }
+
+  /** [[contaminationSpans]] over explicit corpus/benchmark frames. */
+  def contaminationSpansFrom(corpus: DataFrame, bench: DataFrame,
+      k: Int = ShingleN, hashKeys: Boolean = false): DataFrame = {
+    require(k >= 1, s"contaminationSpans: k must be >= 1, got $k")
+    val grams = gramKeyed(positionalGrams(corpus, k), hashKeys)
+    val benchGrams = gramKeyed(positionalGrams(bench, k), hashKeys)
+      .select("gram").distinct()
+    val hits = grams.join(benchGrams, Seq("gram"), "left_semi")
+    mergeIslands(hits.select("doc_id", "pos"), k)
+  }
+
   /** WITHIN-document repetition spans — the surgical twin of the
     * Gopher repetition SIGNALS (`TextOps` dup-3-gram fraction flags a
     * doc; this localizes the repeats so a cleanup stage can cut them,

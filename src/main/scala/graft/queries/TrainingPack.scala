@@ -661,6 +661,14 @@ object TrainingPack {
       sh.filter(col("doc_id") % 5 =!= 0), bench, minShared = 3)
   }
 
+  /** Span-level benchmark decontamination: WHERE the benchmark text
+    * sits in each train doc, as maximal token spans — see
+    * [[Dedup.contaminationSpans]] (the island-merge machinery's third
+    * consumer; tx_contamination keeps the doc-level flag view).
+    */
+  val txContaminationSpans: Q = (s, d) =>
+    Dedup.contaminationSpans(s, d).orderBy("doc_id", "span_start")
+
   /** Per-language sampling thresholds for the stratified-sample gate:
     * md5-prefix cuts ≈ 80% en, 50% de, 30% fr, 20% everything else.
     */
@@ -1127,6 +1135,51 @@ object TrainingPack {
       .orderBy("doc_id")
   }
 
+  /** At-ingest cross-modal verdict — the incremental twin of
+    * [[mmCrossCurate]], the production shape: one arriving batch
+    * (odd doc_ids) screened against the four LANDED modality
+    * catalogs (even ids landed once as [[graft.plans.SigCatalog]]
+    * state — text SimHash is a 64-bit signature like the other
+    * three, so ONE catalog implementation serves all four), the four
+    * verdicts composed as broadcast left joins onto the batch with
+    * auditable per-modality reasons. Each screen reads its catalog
+    * co-partitioned on the band key (only the batch side shuffles);
+    * the drop sets are dup-group-sized. The oracle replays each
+    * modality's even/odd screen rule (history ANY id, batch lower
+    * id) and the OR fold.
+    */
+  val mmCrossIncr: Q = (s, d) => {
+    val fpr = graft.Shared.srcFingerprint(s, d)
+    def screened(sigs: org.apache.spark.sql.DataFrame, tag: String) = {
+      val cat = graft.plans.SigCatalog.land(s,
+        sigs.filter(col("doc_id") % 2 === 0), s"crossincr_${tag}_${d}_$fpr")
+      graft.plans.SigCatalog.screen(s,
+        sigs.filter(col("doc_id") % 2 === 1), cat).select("doc_id")
+    }
+    def flag(ids: org.apache.spark.sql.DataFrame, c: String) =
+      ids.distinct().withColumn(c, lit(true))
+    val txt = flag(screened(plantedSimSignatures(s, d), "txt"), "dt")
+    val img = flag(screened(Multimodal.dhashSignatures(s, d), "img"), "di")
+    val aud = flag(screened(Multimodal.audioFingerprints(s, d)
+      .filter(col("valid")).select(col("doc_id"), col("afp").as("sh")), "aud"), "da")
+    val vid = flag(screened(Multimodal.videoFingerprints(s, d)
+      .filter(col("valid")).select(col("doc_id"), col("vfp").as("sh")), "vid"), "dv")
+    Tables.documents(s, d).select("doc_id")
+      .filter(col("doc_id") % 2 === 1)
+      .join(broadcast(txt), Seq("doc_id"), "left")
+      .join(broadcast(img), Seq("doc_id"), "left")
+      .join(broadcast(aud), Seq("doc_id"), "left")
+      .join(broadcast(vid), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dt"), lit(false)).as("drop_text"),
+        coalesce(col("di"), lit(false)).as("drop_image"),
+        coalesce(col("da"), lit(false)).as("drop_audio"),
+        coalesce(col("dv"), lit(false)).as("drop_video"))
+      .withColumn("dropped",
+        col("drop_text") || col("drop_image") || col("drop_audio") || col("drop_video"))
+      .orderBy("doc_id")
+  }
+
   /** Substring-level dedup: cross-document duplicate 5-gram spans
     * (inclusive 0-based token bounds per doc) — see [[Dedup.dupSpans]].
     * Deterministic: spans are disjoint per doc, so (doc_id, span_start)
@@ -1535,6 +1588,7 @@ object TrainingPack {
     "tx_sequence_packing"  -> txSequencePacking,
     "tx_redact"            -> txRedact,
     "tx_contamination"     -> txContamination,
+    "tx_contamination_spans" -> txContaminationSpans,
     "tx_stratified_sample" -> txStratifiedSample,
     "tx_pipeline"          -> txPipeline,
     "tx_edit_distance"     -> txEditDistance,
@@ -1565,6 +1619,7 @@ object TrainingPack {
     "mm_video_fp_dedup"    -> mmVideoFpDedup,
     "mm_video_fp_incr"     -> mmVideoFpIncr,
     "mm_cross_curate"      -> mmCrossCurate,
+    "mm_cross_incr"        -> mmCrossIncr,
   )
 
   /** SemDeDup drop-machinery CTEs (planted slice → seeding → argmax
@@ -1897,24 +1952,80 @@ object TrainingPack {
        |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
        |FROM pr GROUP BY j ORDER BY doc_id""".stripMargin
 
-  private lazy val txtSimhashPairsOracle = {
+  /** The portable planted-SimHash signature CTEs (`sig(doc_id, sh)`)
+    * — ONE copy shared by the pair gate, the incremental text screen
+    * and (through them) both cross-modal composites.
+    */
+  private lazy val plantedSimSigCtes = {
     val hexVal = (1 to 15).map { k =>
       val p = BigInt(16).pow(15 - k)
       s"(strpos('0123456789abcdef', substr(h,$k,1))-1)*$p"
     }.mkString(" + ")
-    s"""WITH hb AS (
+    s"""hb AS (
        |  SELECT doc_id, md5('simbase|' || (doc_id % 40)) AS h FROM documents),
        |sig AS (
        |  SELECT doc_id,
        |    xor($hexVal,
        |      ((CAST(1 AS BIGINT) << CAST(doc_id % 7 AS INT)) - 1)
        |        << CAST((doc_id * 13) % 50 AS INT)) AS sh
-       |  FROM hb)
+       |  FROM hb)""".stripMargin
+  }
+
+  private lazy val txtSimhashPairsOracle =
+    s"""WITH $plantedSimSigCtes
        |SELECT a.doc_id AS i, b.doc_id AS j, bit_count(xor(a.sh, b.sh)) AS dist
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY i, j""".stripMargin
-  }
+
+  /** The text modality's at-ingest screen replayed (even ids history
+    * at ANY id, odd-id batch docs also drop on lower-id batch twins)
+    * — the same rule as phashIncrOracle, over the planted SimHash
+    * signatures. Feeds the mm_cross_incr composite.
+    */
+  private lazy val txtIncrOracle =
+    s"""WITH $plantedSimSigCtes,
+       |pr AS (
+       |  SELECT b.doc_id AS b, p.doc_id AS p,
+       |    bit_count(xor(b.sh, p.sh)) AS dist
+       |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
+       |  WHERE b.doc_id % 2 = 1
+       |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+       |    AND bit_count(xor(b.sh, p.sh)) <= 3)
+       |SELECT b AS doc_id, MIN(p) AS kept_by,
+       |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+       |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin
+
+  /** Audio / video at-ingest screens as named replays so the
+    * cross-modal incremental composite nests them verbatim.
+    */
+  private lazy val audIncrOracle =
+    s"""$afpCtes,
+       |sig AS (SELECT doc_id, afp FROM fp WHERE NOT (trunc OR short)),
+       |pr AS (
+       |  SELECT b.doc_id AS b, p.doc_id AS p,
+       |    bit_count(xor(b.afp, p.afp)) AS dist
+       |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
+       |  WHERE b.doc_id % 2 = 1
+       |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+       |    AND bit_count(xor(b.afp, p.afp)) <= 3)
+       |SELECT b AS doc_id, MIN(p) AS kept_by,
+       |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+       |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin
+
+  private lazy val vidIncrOracle =
+    s"""$vfpCtes,
+       |sig AS (SELECT doc_id, vfp FROM vfp WHERE NOT (trunc OR short)),
+       |pr AS (
+       |  SELECT b.doc_id AS b, p.doc_id AS p,
+       |    bit_count(xor(b.vfp, p.vfp)) AS dist
+       |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
+       |  WHERE b.doc_id % 2 = 1
+       |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+       |    AND bit_count(xor(b.vfp, p.vfp)) <= 3)
+       |SELECT b AS doc_id, MIN(p) AS kept_by,
+       |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
+       |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin
 
   /** Sign-word CTE (`bq`) shared by the binary-quantization oracles:
     * bit d = embedding[d] > 0 packed with the min-long idiom —
@@ -3926,19 +4037,7 @@ object TrainingPack {
     // the at-ingest screen replayed: even ids are history, odd the
     // batch; a batch clip drops on a history twin (ANY id) or a
     // lower-id batch twin, min eligible witness wins
-    "mm_audio_fp_incr" ->
-      s"""$afpCtes,
-         |sig AS (SELECT doc_id, afp FROM fp WHERE NOT (trunc OR short)),
-         |pr AS (
-         |  SELECT b.doc_id AS b, p.doc_id AS p,
-         |    bit_count(xor(b.afp, p.afp)) AS dist
-         |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
-         |  WHERE b.doc_id % 2 = 1
-         |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
-         |    AND bit_count(xor(b.afp, p.afp)) <= 3)
-         |SELECT b AS doc_id, MIN(p) AS kept_by,
-         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
-         |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin,
+    "mm_audio_fp_incr" -> audIncrOracle,
 
     // the drop rule folded over the exhaustive pair replay: a clip
     // drops when a LOWER id sits within d <= 3; min witness wins
@@ -3976,19 +4075,7 @@ object TrainingPack {
     // the at-ingest screen replayed: even ids are history, odd the
     // batch; a batch clip drops on a history twin (ANY id) or a
     // lower-id batch twin, min eligible witness wins
-    "mm_video_fp_incr" ->
-      s"""$vfpCtes,
-         |sig AS (SELECT doc_id, vfp FROM vfp WHERE NOT (trunc OR short)),
-         |pr AS (
-         |  SELECT b.doc_id AS b, p.doc_id AS p,
-         |    bit_count(xor(b.vfp, p.vfp)) AS dist
-         |  FROM sig b JOIN sig p ON b.doc_id != p.doc_id
-         |  WHERE b.doc_id % 2 = 1
-         |    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
-         |    AND bit_count(xor(b.vfp, p.vfp)) <= 3)
-         |SELECT b AS doc_id, MIN(p) AS kept_by,
-         |  MIN(dist) AS min_dist, COUNT(*) AS n_matches
-         |FROM pr GROUP BY b ORDER BY doc_id""".stripMargin,
+    "mm_video_fp_incr" -> vidIncrOracle,
 
     // the drop rule folded over the exhaustive pair replay: a clip
     // drops when a LOWER id sits within d <= 3; min witness wins
@@ -4019,6 +4106,30 @@ object TrainingPack {
          |LEFT JOIN img ON img.doc_id = d.doc_id
          |LEFT JOIN aud ON aud.doc_id = d.doc_id
          |LEFT JOIN vid ON vid.doc_id = d.doc_id
+         |ORDER BY 1""".stripMargin,
+
+    // the incremental cross-modal verdict: each modality's at-ingest
+    // screen (even ids = landed history at ANY id, odd-id batch docs
+    // also drop on lower-id batch twins) replayed verbatim, composed
+    // with the same flag + OR fold over the BATCH docs only
+    "mm_cross_incr" ->
+      s"""WITH txt AS (SELECT doc_id FROM ($txtIncrOracle) t),
+         |img AS (SELECT doc_id FROM ($phashIncrOracle) t),
+         |aud AS (SELECT doc_id FROM ($audIncrOracle) t),
+         |vid AS (SELECT doc_id FROM ($vidIncrOracle) t)
+         |SELECT d.doc_id,
+         |  txt.doc_id IS NOT NULL AS drop_text,
+         |  img.doc_id IS NOT NULL AS drop_image,
+         |  aud.doc_id IS NOT NULL AS drop_audio,
+         |  vid.doc_id IS NOT NULL AS drop_video,
+         |  (txt.doc_id IS NOT NULL OR img.doc_id IS NOT NULL
+         |    OR aud.doc_id IS NOT NULL OR vid.doc_id IS NOT NULL) AS dropped
+         |FROM documents d
+         |LEFT JOIN txt ON txt.doc_id = d.doc_id
+         |LEFT JOIN img ON img.doc_id = d.doc_id
+         |LEFT JOIN aud ON aud.doc_id = d.doc_id
+         |LEFT JOIN vid ON vid.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
          |ORDER BY 1""".stripMargin,
 
     "tx_sequence_packing" ->
@@ -4062,6 +4173,31 @@ object TrainingPack {
          |  WHERE s.doc_id % 5 <> 0 GROUP BY 1)
          |SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3
          |ORDER BY doc_id""".stripMargin,
+
+    // span-level decontamination: positions of train-doc 5-grams that
+    // occur anywhere in the benchmark slice, merged into maximal
+    // spans with the same island rule as tx_dup_spans
+    "tx_contamination_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
+         |p AS (SELECT doc_id, pos FROM g
+         |  WHERE doc_id % 5 <> 0 AND gram IN (SELECT gram FROM bg)),
+         |b AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER w <= 5 THEN 0 ELSE 1 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |s AS (
+         |  SELECT doc_id, pos, SUM(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b)
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+         |  COUNT(*) AS n_grams
+         |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
 
     "tx_pipeline" -> {
       val cuts = StratThresholds.map { case (l, c) => s"('$l', '$c')" }.mkString(", ")

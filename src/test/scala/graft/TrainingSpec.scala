@@ -656,6 +656,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(score.keySet === Set(0L, 10L, 20L, 1L, 3L) && score.values.forall(_ > 0))
   }
 
+  test("contamination spans: exactly the embedded benchmark passage is localized") {
+    import spark.implicits._
+    // benchmark doc holds an 8-token passage; corpus doc 1 embeds it
+    // verbatim at token offset 3 inside clean text, doc 2 is clean.
+    // Every 5-gram of the passage (offsets 3..6) is contaminated ->
+    // one island [3, 3+3+4] = [3, 10]; doc 2 yields nothing.
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean one two alpha beta gamma delta epsilon zeta eta theta tail words here"),
+      (2L, "totally unrelated clean text with no shared passage at all")
+    ).toDF("doc_id", "text")
+    val spans = operators.Dedup.contaminationSpansFrom(corpus, bench)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans === Set((1L, 3L, 10L)),
+      s"expected the embedded passage [3,10] in doc 1 only: $spans")
+  }
+
   test("classifier: in-domain text far outscores boilerplate; model is bucket-sized") {
     import spark.implicits._
     // labeled fixture: the reference slice (doc_id % 10 == 0) is
