@@ -725,7 +725,7 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  private[operators] def ivfCandidates(embeddings: DataFrame,
+  private[graft] def ivfCandidates(embeddings: DataFrame,
       nQueries: Int, nCentroids: Int, nProbe: Int,
       trainIters: Int = 0): DataFrame = {
     val cents =
@@ -807,8 +807,16 @@ object Similarity {
     */
   def ivfBqTopK(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16,
+      nProbe: Int = 6, rerank: Int = 128): DataFrame =
+    ivfBqTopKFrom(Tables.embeddings(spark, dir), nQueries, k,
+      nCentroids, nProbe, rerank)
+
+  /** Same operator over any (vec_id, embedding) table (spec/scale
+    * seam — dev/ScaleDrive18 drives it at 10⁷ synthesized vectors).
+    */
+  def ivfBqTopKFrom(embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10, nCentroids: Int = 16,
       nProbe: Int = 6, rerank: Int = 128): DataFrame = {
-    val embeddings = Tables.embeddings(spark, dir)
     val cand = ivfCandidates(embeddings, nQueries, nCentroids, nProbe)
     val codes = embeddings.select(col("vec_id"),
       graft.functions.VectorExpressions.bq_pack(col("embedding")).as("code"))

@@ -219,6 +219,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_bpe_budget",        // reviewed: txTokenBudget's audited 1-row totals
                               // cross (doms.crossJoin(broadcast(tot)), bounded
                               // by |lang| x 1) with BPE as the token currency
+      "tx_classifier_score",  // reviewed: the 1-row train-totals aggregate
+                              // broadcast-crossed into the 4096-row weight
+                              // vector (Classifier.weightVector — bounded
+                              // B x 1 by construction, same shape as
+                              // tx_lm_score's alphabet cross)
+      "tx_classifier_cut",    // inherits tx_classifier_score's 1-row
+                              // totals cross via the scoring subtree
       "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
       "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
@@ -230,6 +237,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_domain_mix",        // the corpus-totals scalar aggregate (1-row result)
       "tx_token_budget",      // its token-totals scalar aggregate (1-row result)
       "tx_bpe_budget",        // reviewed: same token-totals scalar (1-row result)
+      "tx_classifier_score",  // reviewed: the train-totals scalar aggregate
+                              // (1-row result feeding the weight vector)
+      "tx_classifier_cut",    // same scalar via the scoring subtree
       "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive
