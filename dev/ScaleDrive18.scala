@@ -30,7 +30,9 @@ object ScaleDrive18 {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "24g")
+      // NOTE: spark.driver.memory is a no-op for an in-process local
+      // master (the JVM heap is fixed at launch) — heap comes from
+      // build.sbt's fork options / SPARK_DRIVER_MEM
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

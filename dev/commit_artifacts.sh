@@ -16,9 +16,11 @@ for f in BENCH_SELF.json LEAKCHECK.json COPYCHECK.json \
 done
 [ -z "$FILES" ] && { echo "no artifacts present"; exit 0; }
 git add $FILES
-if git diff --cached --quiet; then
+if git diff --cached --quiet -- $FILES; then
   echo "artifacts already committed at HEAD"
   exit 0
 fi
-git commit -m "Commit round${LABEL:+ $LABEL} driver artifacts (bench/correctness receipts)"
+# pathspec-limited commit: NEVER sweep unrelated pre-staged changes
+# into the receipts commit
+git commit -m "Commit round${LABEL:+ $LABEL} driver artifacts (bench/correctness receipts)" -- $FILES
 echo "committed:$FILES"

@@ -123,6 +123,15 @@ object Bench {
         return None
       }
       val out = new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+      // a child whose query THREW prints a fast-failure elapsed time,
+      // not a measurement — the child flags it in "errors", and this
+      // rep must not count (3 valid reps or the fallback path runs)
+      val errs = java.util.regex.Pattern.compile("\"errors\":\\[([^\\]]*)\\]")
+        .matcher(out)
+      if (errs.find() && errs.group(1).contains("\"" + name + "\"")) {
+        System.err.println(s"[bench] forked rep of $name: query errored in child")
+        return None
+      }
       // the query name is a key only inside the child's queries map
       // (the child never emits remeasured/adjudicated blocks in RAW
       // mode), so the first match is the measurement
@@ -165,10 +174,18 @@ object Bench {
     // JIT/GC/page-cache noise at sub-second scale, which makes
     // round-over-round per-query deltas unadjudicable
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // queries whose measured reps ever THREW: their elapsed times are
+    // fast-failure artifacts, not measurements. Surfaced in the JSON
+    // (`"errors"`) so a forked adjudication parent can reject a
+    // child rep whose query broke in the child environment instead
+    // of certifying its fast-failure time as in-band.
+    val errored = scala.collection.mutable.LinkedHashSet[String]()
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errored += name }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // release this query's persisted subtrees (dedup shingles,
@@ -184,7 +201,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
-    val first = sorted.map { case (name, fn) => name -> measure(fn) }
+    val first = sorted.map { case (name, fn) => name -> measure(name, fn) }
 
     // a machine-level stall window (GC storm, page-cache eviction, a
     // co-tenant burst) can contaminate ALL reps of the queries that
@@ -207,7 +224,7 @@ object Bench {
       refs.get(name) match {
         case Some(ref) if t > 2 * ref =>
           System.err.println(f"[bench] $name%s ${t}%.2fs > 2x ref ${ref}%.2fs - re-measuring")
-          val t2 = measure(byName(name))
+          val t2 = measure(name, byName(name))
           remeasured(name) = (t, t2)
           if (t2 > 2 * ref) {
             // STILL above the bar post-sweep (round-13 lesson: a long
@@ -295,7 +312,12 @@ object Bench {
     // the summary repeats AFTER the queries map (distinct keys): the
     // driver's tail-window capture truncates the FRONT of the line, so
     // total/guard/row-count must also live at the end to stay auditable
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","guard":"$guard","queries":$qs$rm$adj,"n_queries":${results.length},"total_sec":${fmt(total)},"guard_status":"$guard","sf":"$sfDir"}"""
+    // queries that ever threw: their per-query values are fast-failure
+    // artifacts — loud in the artifact, and the forked-adjudication
+    // parent rejects child reps flagged here
+    val errsJson = if (errored.isEmpty) ""
+      else errored.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","guard":"$guard","queries":$qs$rm$adj$errsJson,"n_queries":${results.length},"total_sec":${fmt(total)},"guard_status":"$guard","sf":"$sfDir"}"""
     println(json)
     // The driver's per-round artifact keeps only the tail of stdout, which
     // truncates the per-query map once it outgrows the window (queries sort

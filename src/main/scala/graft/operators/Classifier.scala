@@ -60,43 +60,52 @@ object Classifier {
     * OCCURRENCE (a bag, not a set — NB likelihoods and the margin
     * both weight by multiplicity). Bigrams join with a single space
     * over [[TextOps.tokens]], mirrored by the oracle's
-    * `ts[i] || ' ' || ts[i+1]` transform.
+    * `ts[i] || ' ' || ts[i+1]` transform. `carry` columns (labels)
+    * ride along so train-slice predicates evaluated on the DOCUMENT
+    * frame survive the explosion.
     */
-  private def features(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-    val uni = base.select(col("doc_id"), explode(col("ts")).as("f"))
+  private def features(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val keep = (col("doc_id") +: carry.map(col)) :+ TextOps.tokens(col("text")).as("ts")
+    val base = docs.select(keep: _*)
+    val out = (col("doc_id") +: carry.map(col)) :+ col("f")
+    val uni = base.withColumn("f", explode(col("ts"))).select(out: _*)
     // guard: sequence(1, size-1) runs BACKWARDS on a 1-token doc
     // (Spark generates descending sequences), so the bigram branch
     // filters first
     val bi = base.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"),
+      .withColumn("f",
         explode(transform(sequence(lit(1), size(col("ts")) - 1),
           i => concat(element_at(col("ts"), i), lit(" "),
-            element_at(col("ts"), i + 1)))).as("f"))
+            element_at(col("ts"), i + 1)))))
+      .select(out: _*)
     uni.unionAll(bi)
   }
 
-  /** (doc_id, b): each feature occurrence keyed by its hash bucket. */
-  private def bucketedFeatures(docs: DataFrame, buckets: Int): DataFrame =
-    features(docs).select(col("doc_id"),
-      (conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % buckets)
-        .as("b"))
+  /** (doc_id, [carry...], b): each feature occurrence keyed by its
+    * hash bucket.
+    */
+  private def bucketedFeatures(docs: DataFrame, buckets: Int,
+      carry: Seq[String]): DataFrame =
+    features(docs, carry).withColumn("b",
+      conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % buckets)
+      .drop("f")
 
   /** The trained weight vector: exactly `buckets` rows (b, w_e9),
     * every bucket defined — unseen buckets get the pure-smoothing
     * weight, so scoring needs no coalesce. Tiny by construction;
-    * callers broadcast it.
+    * callers broadcast it. ONE aggregation over the feature stream
+    * builds both class counts (the totals fold from the 4096-row
+    * counts frame, not a second corpus pass).
     */
   def weightVector(bf: DataFrame, posPred: Column, negPred: Column,
       buckets: Int): DataFrame = {
     val spark = bf.sparkSession
-    val cp = bf.filter(posPred).groupBy("b").agg(count(lit(1)).as("np"))
-    val cn = bf.filter(negPred).groupBy("b").agg(count(lit(1)).as("nn"))
-    val tot = bf.agg(
-      sum(when(posPred, 1L).otherwise(0L)).as("tp"),
-      sum(when(negPred, 1L).otherwise(0L)).as("tn"))
+    val counts = bf.groupBy("b").agg(
+      sum(when(posPred, 1L).otherwise(0L)).as("np"),
+      sum(when(negPred, 1L).otherwise(0L)).as("nn"))
+    val tot = counts.agg(sum("np").as("tp"), sum("nn").as("tn"))
     spark.range(buckets).select(col("id").as("b"))
-      .join(cp, Seq("b"), "left").join(cn, Seq("b"), "left")
+      .join(counts, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("b"),
         // DECIMAL numerators for the same reason as LangModel: a
@@ -111,15 +120,24 @@ object Classifier {
 
   /** Score every document of `docs` with a classifier trained on the
     * rows matching `posPred` (reference class) vs `negPred`
-    * (rejection class) — predicates over `docs`' own columns, the
+    * (rejection class) — predicates over `docs`' own columns (any
+    * column: they are evaluated on the document frame BEFORE the
+    * feature explosion and ride the stream as boolean labels), the
     * production shape being labeled slices of the same corpus frame.
     * Output: (doc_id, n_feat, margin_e9), margin_e9 = the integer
     * dot product (positive ⇒ reference-like).
+    *
+    * The bucketed feature stream feeds two consumers (the weight
+    * aggregation and the scoring join) — pinned with
+    * Shared.materialize so tokenize+hash runs ONCE, the
+    * txLmThreshold contract (Verify/Bench release after the action).
     */
   def scoreFrom(docs: DataFrame, posPred: Column, negPred: Column,
       buckets: Int = Buckets): DataFrame = {
-    val bf = bucketedFeatures(docs, buckets)
-    val w = weightVector(bf, posPred, negPred, buckets)
+    val labeled = docs.withColumn("_pos", posPred).withColumn("_neg", negPred)
+    val bf = graft.Shared.materialize(
+      bucketedFeatures(labeled, buckets, Seq("_pos", "_neg")))
+    val w = weightVector(bf, col("_pos"), col("_neg"), buckets)
     bf.join(broadcast(w), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feat"), sum("w_e9").as("margin_e9"))
@@ -150,18 +168,11 @@ object Classifier {
     * every numerator positive, where the two semantics agree.
     */
   def thresholdCut(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = graft.Shared.materialize(
       score(spark, dir).select("doc_id", "margin_e9")
         .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
         .withColumn("mbkt", expr("(margin_e9 + 1000000000000000L) div 1000000")))
-    val wCum = Window.partitionBy("lang").orderBy(col("mbkt").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val th = scored.groupBy("lang", "mbkt").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(wCum))
-      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
-      .filter(col("cum") * 10000 >= col("n") * 7000)
-      .groupBy("lang").agg(max("mbkt").as("b_threshold"))
+    val th = Elections.histogramThreshold(scored, "lang", "mbkt")
     scored.join(broadcast(th), Seq("lang"))
       .filter(col("mbkt") >= col("b_threshold"))
       .select(col("doc_id"), col("lang"), col("margin_e9"), col("b_threshold"))

@@ -1112,14 +1112,19 @@ object TrainingPack {
     * nested-WITH subqueries, so any drift in one modality's engine
     * path breaks this gate too.
     */
+  /** (distinct doc_id set) → one-column broadcastable flag frame —
+    * shared by both cross-modal composites so the flag semantics
+    * (distinct + constant true) cannot drift between them.
+    */
+  private def dropFlag(ids: DataFrame, flag: String): DataFrame =
+    ids.distinct().withColumn(flag, lit(true))
+
   val mmCrossCurate: Q = (s, d) => {
-    def dropSet(ids: org.apache.spark.sql.DataFrame, flag: String) =
-      ids.distinct().withColumn(flag, lit(true))
-    val txt = dropSet(Dedup.simhashPairsFrom(plantedSimSignatures(s, d))
+    val txt = dropFlag(Dedup.simhashPairsFrom(plantedSimSignatures(s, d))
       .select(col("j").as("doc_id")), "dt")
-    val img = dropSet(Multimodal.phashDedup(s, d).select("doc_id"), "di")
-    val aud = dropSet(Multimodal.audioFpDedup(s, d).select("doc_id"), "da")
-    val vid = dropSet(Multimodal.videoFpDedup(s, d).select("doc_id"), "dv")
+    val img = dropFlag(Multimodal.phashDedup(s, d).select("doc_id"), "di")
+    val aud = dropFlag(Multimodal.audioFpDedup(s, d).select("doc_id"), "da")
+    val vid = dropFlag(Multimodal.videoFpDedup(s, d).select("doc_id"), "dv")
     Tables.documents(s, d).select("doc_id")
       .join(broadcast(txt), Seq("doc_id"), "left")
       .join(broadcast(img), Seq("doc_id"), "left")
@@ -1156,13 +1161,11 @@ object TrainingPack {
       graft.plans.SigCatalog.screen(s,
         sigs.filter(col("doc_id") % 2 === 1), cat).select("doc_id")
     }
-    def flag(ids: org.apache.spark.sql.DataFrame, c: String) =
-      ids.distinct().withColumn(c, lit(true))
-    val txt = flag(screened(plantedSimSignatures(s, d), "txt"), "dt")
-    val img = flag(screened(Multimodal.dhashSignatures(s, d), "img"), "di")
-    val aud = flag(screened(Multimodal.audioFingerprints(s, d)
+    val txt = dropFlag(screened(plantedSimSignatures(s, d), "txt"), "dt")
+    val img = dropFlag(screened(Multimodal.dhashSignatures(s, d), "img"), "di")
+    val aud = dropFlag(screened(Multimodal.audioFingerprints(s, d)
       .filter(col("valid")).select(col("doc_id"), col("afp").as("sh")), "aud"), "da")
-    val vid = flag(screened(Multimodal.videoFingerprints(s, d)
+    val vid = dropFlag(screened(Multimodal.videoFingerprints(s, d)
       .filter(col("valid")).select(col("doc_id"), col("vfp").as("sh")), "vid"), "dv")
     Tables.documents(s, d).select("doc_id")
       .filter(col("doc_id") % 2 === 1)
@@ -1432,7 +1435,6 @@ object TrainingPack {
     * the last 1e-3 of rank precision buys nothing.
     */
   val txLmThreshold: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     // pinned: both the calibration branch and the final keep filter
     // read the scored frame — without the pin each consumer re-runs
     // the whole trigram scoring pipeline (the Shared.materialize
@@ -1441,13 +1443,7 @@ object TrainingPack {
       LangModel.lmScore(s, d).select("doc_id", "avg_p_e9")
         .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
         .withColumn("pbkt", expr("avg_p_e9 div 1000000")))
-    val wCum = Window.partitionBy("lang").orderBy(col("pbkt").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val th = scored.groupBy("lang", "pbkt").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(wCum))
-      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
-      .filter(col("cum") * 10000 >= col("n") * 7000)
-      .groupBy("lang").agg(max("pbkt").as("b_threshold"))
+    val th = graft.operators.Elections.histogramThreshold(scored, "lang", "pbkt")
     scored.join(broadcast(th), Seq("lang"))
       .filter(col("pbkt") >= col("b_threshold"))
       .select(col("doc_id"), col("lang"), col("avg_p_e9"), col("b_threshold"))

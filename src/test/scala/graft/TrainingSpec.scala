@@ -701,8 +701,12 @@ class TrainingSpec extends AnyFunSuite {
       s"clean docs must sit on opposite margin signs: $m")
     assert(m(1L) > m(3L) && m(3L) > m(2L),
       s"margins must order in-domain > mixed > boilerplate: $m")
-    assert(m(1L) > m(2L) + (m(1L) - m(2L)).abs / 2,
-      s"separation too weak: $m")
+    // absolute separation floor: the clean docs must sit at least a
+    // milli-unit of the probability scale apart per the fixture's
+    // ~25-feature docs — a margin gap collapsing toward single
+    // integer units is a regression even if the ordering survives
+    assert(m(1L) - m(2L) > operators.Classifier.ScaleE9 / 1000,
+      s"separation too weak (gap ${m(1L) - m(2L)} <= 1e6): $m")
     // the model is the hashing trick's whole point: exactly B weights
     // no matter the vocabulary — pin the broadcastable-size contract
     val w = operators.Classifier.weightVector(
