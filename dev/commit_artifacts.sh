@@ -12,7 +12,12 @@ LABEL=${1:-}
 FILES=""
 for f in BENCH_SELF.json LEAKCHECK.json COPYCHECK.json \
          BENCH_r*.json CORRECTNESS_r*.json; do
-  [ -e "$f" ] && FILES="$FILES $f"
+  # skip missing files and gitignored ones (COPYCHECK.json is ignored
+  # in this tree): an ignored pathspec makes `git commit -- <paths>`
+  # fail outright and the receipts silently stay uncommitted
+  [ -e "$f" ] || continue
+  git check-ignore -q "$f" && continue
+  FILES="$FILES $f"
 done
 [ -z "$FILES" ] && { echo "no artifacts present"; exit 0; }
 git add $FILES
@@ -22,5 +27,6 @@ if git diff --cached --quiet -- $FILES; then
 fi
 # pathspec-limited commit: NEVER sweep unrelated pre-staged changes
 # into the receipts commit
-git commit -m "Commit round${LABEL:+ $LABEL} driver artifacts (bench/correctness receipts)" -- $FILES
+git commit -m "Commit round${LABEL:+ $LABEL} driver artifacts (bench/correctness receipts)" -- $FILES \
+  || { echo "COMMIT FAILED"; exit 1; }
 echo "committed:$FILES"
