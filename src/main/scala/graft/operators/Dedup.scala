@@ -855,6 +855,50 @@ object Dedup {
     mergeIslands(hits.select("doc_id", "pos"), k)
   }
 
+  /** Decontamination CUT — [[contaminationSpansFrom]]'s text-REWRITE
+    * stage: every token covered by a benchmark-shared k-gram is
+    * removed and the text reconstructed in token order. Unlike
+    * [[cutDupSpansFrom]] there is NO keeper election — benchmark
+    * text leaves the corpus unconditionally (the earliest containing
+    * doc has no more right to a test-set passage than any other).
+    * One row per corpus doc retaining ≥ 1 token, with before/after
+    * token counts so the cut's cost is auditable.
+    *
+    * Same scale shape as the detection pass plus the reconstruction
+    * join: coverage explode is span-sized, the anti-join is
+    * doc+position-keyed, and the re-concat is one doc-keyed
+    * aggregation over kept tokens.
+    */
+  def cutContaminationSpans(spark: SparkSession, dir: String,
+      k: Int = ShingleN): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    cutContaminationSpansFrom(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), k)
+  }
+
+  /** [[cutContaminationSpans]] over explicit corpus/benchmark frames. */
+  def cutContaminationSpansFrom(corpus: DataFrame, bench: DataFrame,
+      k: Int = ShingleN, hashKeys: Boolean = false): DataFrame = {
+    require(k >= 1, s"cutContaminationSpans: k must be >= 1, got $k")
+    val grams = gramKeyed(positionalGrams(corpus, k), hashKeys)
+    val benchGrams = gramKeyed(positionalGrams(bench, k), hashKeys)
+      .select("gram").distinct()
+    val del = grams.join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val toks = corpus
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_before"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("tpos", "tk")))
+    toks.join(del, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"), col("n_before"))
+      .agg(count(lit(1)).as("n_after"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tk")))),
+          st => st.getField("tk"))).as("text_cut"))
+      .select(col("doc_id"), col("n_before"), col("n_after"), col("text_cut"))
+  }
+
   /** WITHIN-document repetition spans — the surgical twin of the
     * Gopher repetition SIGNALS (`TextOps` dup-3-gram fraction flags a
     * doc; this localizes the repeats so a cleanup stage can cut them,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** PII redaction — the scrubbing pass every public-corpus curation
+  * stack runs before training (the C4 recipe strips pages on a
+  * blocklist; production pipelines additionally REDACT structured
+  * identifiers in kept text — emails, phone numbers, IP addresses —
+  * replacing each with a type token so the text stays trainable).
+  *
+  * Pure codegen'd `regexp_replace`/`regexp_extract_all` projections
+  * on the scan — no shuffle, no UDF, linear in corpus bytes, exactly
+  * the shape that runs at 100 TB as a map-only stage. The patterns
+  * deliberately use only the regex subset Java's engine and RE2
+  * (DuckDB) interpret identically — character classes, bounded
+  * quantifiers, ASCII `\b` — no backrefs or lookarounds, so the
+  * driver gate hash-checks every replacement byte cross-engine.
+  *
+  * Replacement order is fixed (email, phone, IPv4): the patterns are
+  * mutually non-overlapping on any input (emails require `@`, phones
+  * dashes, IPs dots between digit runs), so the order is convention,
+  * not correctness — pinned anyway for determinism of the composed
+  * output.
+  */
+object Redact {
+
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  val EmailTok = "[EMAIL]"
+  val PhoneTok = "[PHONE]"
+  val Ipv4Tok = "[IP]"
+
+  /** The redacted text column. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, EmailTok),
+        PhoneRe, PhoneTok),
+      Ipv4Re, Ipv4Tok)
+
+  /** Per-kind match counts + the redacted text over any text column. */
+  def redactWithCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("bigint"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("bigint"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("bigint"))
+      .withColumn("redacted", redact(text))
+
+  /** Driver-gate surface: the synthetic corpus carries no natural
+    * PII, so the gate PLANTS it deterministically (the twin-planting
+    * discipline): docs ≡ 0 (mod 4) append an id-derived email,
+    * ≡ 1 a NANP-shaped phone, ≡ 2 a dotted-quad IP, ≡ 3 stay clean —
+    * id-derived digits so every planted value is unique and the
+    * oracle rebuilds the identical pre-redaction text. Output pins
+    * the counts and the md5 of the redacted text (every replacement
+    * byte, not just totals).
+    */
+  def redactGate(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val plant = when(did % 4 === 0,
+        concat(lit(" contact user"), did.cast("string"), lit("@example.com now")))
+      .when(did % 4 === 1,
+        concat(lit(" call 555-"), lpad((did % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+          lit(" today")))
+      .when(did % 4 === 2,
+        concat(lit(" from 10."), (did % 256).cast("string"),
+          lit("."), ((did * 3) % 256).cast("string"),
+          lit("."), ((did * 7) % 256).cast("string"), lit(" logged")))
+      .otherwise(lit(""))
+    val raw = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), plant).as("raw"))
+    redactWithCounts(raw, col("raw"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("fp"))
+      .orderBy("doc_id")
+  }
+}

@@ -669,6 +669,20 @@ object TrainingPack {
   val txContaminationSpans: Q = (s, d) =>
     Dedup.contaminationSpans(s, d).orderBy("doc_id", "span_start")
 
+  /** Decontamination CUT: benchmark-shared tokens removed from every
+    * train doc, text reconstructed — see
+    * [[Dedup.cutContaminationSpans]] (no keeper election: benchmark
+    * text leaves unconditionally).
+    */
+  val txContaminationCut: Q = (s, d) =>
+    Dedup.cutContaminationSpans(s, d).orderBy("doc_id")
+
+  /** PII redaction over the planted corpus — see [[Redact.redactGate]]:
+    * email/phone/IPv4 counts plus the md5 of the redacted text, all
+    * from engine-portable regex (the Java/RE2 common subset).
+    */
+  val txPiiRedact: Q = (s, d) => graft.operators.Redact.redactGate(s, d)
+
   /** Per-language sampling thresholds for the stratified-sample gate:
     * md5-prefix cuts ≈ 80% en, 50% de, 30% fr, 20% everything else.
     */
@@ -1585,6 +1599,8 @@ object TrainingPack {
     "tx_redact"            -> txRedact,
     "tx_contamination"     -> txContamination,
     "tx_contamination_spans" -> txContaminationSpans,
+    "tx_contamination_cut" -> txContaminationCut,
+    "tx_pii_redact"        -> txPiiRedact,
     "tx_stratified_sample" -> txStratifiedSample,
     "tx_pipeline"          -> txPipeline,
     "tx_edit_distance"     -> txEditDistance,
@@ -4194,6 +4210,64 @@ object TrainingPack {
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
          |  COUNT(*) AS n_grams
          |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    // the decontamination CUT replayed: contaminated positions cover
+    // tokens [pos, pos+4]; every covered token deletes (no keeper),
+    // text re-concatenated in token order per surviving doc
+    "tx_contamination_cut" ->
+      s"""WITH toks AS (SELECT doc_id, $TS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
+         |p AS (SELECT doc_id, pos FROM g
+         |  WHERE doc_id % 5 <> 0 AND gram IN (SELECT gram FROM bg)),
+         |del AS (
+         |  SELECT DISTINCT doc_id, CAST(pos + o AS INT) AS tpos
+         |  FROM p, unnest(range(0, 5)) r(o)),
+         |tok AS (
+         |  SELECT doc_id, len(ts) AS n_before, CAST(i - 1 AS INT) AS tpos,
+         |    ts[CAST(i AS INT)] AS tk
+         |  FROM toks, unnest(range(1, len(ts) + 1)) r(i)
+         |  WHERE doc_id % 5 <> 0),
+         |keep AS (
+         |  SELECT t.doc_id, t.n_before, t.tpos, t.tk FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM del d
+         |    WHERE d.doc_id = t.doc_id AND d.tpos = t.tpos))
+         |SELECT doc_id, CAST(MIN(n_before) AS INT) AS n_before,
+         |  COUNT(*) AS n_after,
+         |  string_agg(tk, ' ' ORDER BY tpos) AS text_cut
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PII redaction replayed: identical plant construction, identical
+    // Java/RE2-common regexes, md5 of the fully-redacted text
+    "tx_pii_redact" -> {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH raw AS (
+         |  SELECT doc_id, text ||
+         |    CASE
+         |      WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com now'
+         |      WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |        || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' today'
+         |      WHEN doc_id % 4 = 2 THEN ' from 10.' || (doc_id % 256)
+         |        || '.' || ((doc_id * 3) % 256) || '.' || ((doc_id * 7) % 256) || ' logged'
+         |      ELSE ''
+         |    END AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(raw, '$ip')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$email', '[EMAIL]', 'g'),
+         |    '$phone', '[PHONE]', 'g'),
+         |    '$ip', '[IP]', 'g')) AS fp
+         |FROM raw ORDER BY doc_id""".stripMargin
+    },
 
     "tx_pipeline" -> {
       val cuts = StratThresholds.map { case (l, c) => s"('$l', '$c')" }.mkString(", ")

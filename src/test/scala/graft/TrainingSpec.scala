@@ -676,6 +676,43 @@ class TrainingSpec extends AnyFunSuite {
       s"expected the embedded passage [3,10] in doc 1 only: $spans")
   }
 
+  test("contamination cut: the embedded passage is removed, clean text survives verbatim") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean one two alpha beta gamma delta epsilon zeta eta theta tail words here"),
+      (2L, "totally unrelated clean text with no shared passage at all")
+    ).toDF("doc_id", "text")
+    val cut = operators.Dedup.cutContaminationSpansFrom(corpus, bench)
+      .select("doc_id", "n_before", "n_after", "text_cut")
+      .as[(Long, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1: tokens 3..10 (the 8-token passage) deleted, 6 survive
+    assert(cut(1L)._4 === "clean one two tail words here", s"got ${cut(1L)}")
+    assert(cut(1L)._2 === 14 && cut(1L)._3 === 6)
+    // doc 2: untouched, n_after == n_before
+    assert(cut(2L)._4 === "totally unrelated clean text with no shared passage at all")
+    assert(cut(2L)._2.toLong === cut(2L)._3)
+  }
+
+  test("PII redaction: every identifier kind is counted and replaced, clean text unchanged") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to a.user@mail.example.org or backup@ex.co, call 415-555-0132, host 192.168.1.77 up"),
+      (2L, "no identifiers in this sentence at all")
+    ).toDF("doc_id", "text")
+    val out = operators.Redact.redactWithCounts(df, col("text"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 2 && out(1L)._3 === 1 && out(1L)._4 === 1, s"counts: ${out(1L)}")
+    assert(out(1L)._5 ===
+      "write to [EMAIL] or [EMAIL], call [PHONE], host [IP] up",
+      s"redacted: ${out(1L)._5}")
+    assert(out(2L)._2 === 0 && out(2L)._3 === 0 && out(2L)._4 === 0)
+    assert(out(2L)._5 === "no identifiers in this sentence at all")
+  }
+
   test("classifier: in-domain text far outscores boilerplate; model is bucket-sized") {
     import spark.implicits._
     // labeled fixture: the reference slice (doc_id % 10 == 0) is
