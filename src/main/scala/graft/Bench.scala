@@ -84,7 +84,7 @@ object Bench {
     * output — so a broken fork degrades to the in-process fallback
     * instead of a silent wrong number.
     */
-  private def forkedRep(name: String, sfDir: String, cpus: String): Option[Double] = {
+  private[graft] def forkedRep(name: String, sfDir: String, cpus: String): Option[Double] = {
     try {
       val javaBin = new java.io.File(new java.io.File(
         System.getProperty("java.home"), "bin"), "java").getPath

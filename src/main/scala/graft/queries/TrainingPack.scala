@@ -683,6 +683,18 @@ object TrainingPack {
     */
   val txPiiRedact: Q = (s, d) => graft.operators.Redact.redactGate(s, d)
 
+  /** Deterministic global shuffle + sharding into 8 output shards —
+    * the pipeline-final data-order stage ([[Sampling.shardShuffle]]):
+    * shard = salted-md5 residue, within-shard position = hash rank,
+    * both engine-portable so the oracle replays the exact
+    * permutation.
+    */
+  val txShardShuffle: Q = (s, d) =>
+    graft.operators.Sampling.shardShuffle(
+      Tables.documents(s, d).select("doc_id"), "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos")
+      .orderBy("doc_id")
+
   /** Per-language sampling thresholds for the stratified-sample gate:
     * md5-prefix cuts ≈ 80% en, 50% de, 30% fr, 20% everything else.
     */
@@ -1601,6 +1613,7 @@ object TrainingPack {
     "tx_contamination_spans" -> txContaminationSpans,
     "tx_contamination_cut" -> txContaminationCut,
     "tx_pii_redact"        -> txPiiRedact,
+    "tx_shard_shuffle"     -> txShardShuffle,
     "tx_stratified_sample" -> txStratifiedSample,
     "tx_pipeline"          -> txPipeline,
     "tx_edit_distance"     -> txEditDistance,
@@ -4268,6 +4281,18 @@ object TrainingPack {
          |    '$ip', '[IP]', 'g')) AS fp
          |FROM raw ORDER BY doc_id""".stripMargin
     },
+
+    // the deterministic global shuffle replayed: same salted md5,
+    // same 15-hex-prefix residue for the shard, same (hash, id) rank
+    // for the within-shard position
+    "tx_shard_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('shuffle|' || doc_id) AS h FROM documents),
+         |s AS (SELECT doc_id, h, ${md5Big15("h")} % 8 AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+         |    AS BIGINT) AS shard_pos
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "tx_pipeline" -> {
       val cuts = StratThresholds.map { case (l, c) => s"('$l', '$c')" }.mkString(", ")

@@ -676,6 +676,43 @@ class TrainingSpec extends AnyFunSuite {
       s"expected the embedded passage [3,10] in doc 1 only: $spans")
   }
 
+  test("shard shuffle: valid permutation per shard, uniform-ish shards, salt switches the epoch") {
+    import spark.implicits._
+    val docs = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val out = operators.Sampling.shardShuffle(docs, "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 1000)
+    // each shard's positions are exactly 0..n-1 (a dense permutation)
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(0L until ps.length),
+        s"shard $sh positions not dense: ${ps.take(5).toSeq}...")
+    }
+    // rough uniformity: no shard under half or over double the mean
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 1000 / 8 / 2 && sizes.max < 1000 / 8 * 2,
+      s"shard skew: ${sizes.toSeq.sorted}")
+    // determinism: identical rerun; fresh epoch under a new salt
+    val again = operators.Sampling.shardShuffle(docs, "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sorted.sameElements(again.sorted))
+    val epoch2 = operators.Sampling.shardShuffle(docs, "doc_id", 8, salt = "epoch2")
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(!out.sorted.sameElements(epoch2.sorted), "new salt must reshuffle")
+    // data-order decorrelation: consecutive ids land in different
+    // places — the fraction of id-adjacent pairs that stay adjacent
+    // in (shard, pos) order must be tiny
+    val posOf = out.map(r => r._1 -> (r._2, r._3)).toMap
+    val adjacent = (0L until 999L).count { i =>
+      val (s1, p1) = posOf(i); val (s2, p2) = posOf(i + 1)
+      s1 == s2 && (p1 - p2).abs == 1
+    }
+    assert(adjacent < 20, s"ingest order survives the shuffle: $adjacent/999 adjacent pairs")
+  }
+
   test("contamination cut: the embedded passage is removed, clean text survives verbatim") {
     import spark.implicits._
     val bench = Seq(
