@@ -182,6 +182,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"window gone from packing plan:\n$plan")
   }
 
+  test("PII redaction is a map-only stage; classifier scoring broadcasts its weights") {
+    // the scrubbing pass's whole 100 TB claim is "no shuffle, ever":
+    // the operator is regexp projections on the scan, so any Exchange
+    // in its plan is a regression (the GATE adds an orderBy for the
+    // driver compare — pin the operator, not the gate)
+    val red = planString(graft.operators.Redact.redactWithCounts(
+      Tables.documents(spark, dir), org.apache.spark.sql.functions.col("text")))
+    assert(!red.contains("Exchange"), s"redaction must not shuffle:\n$red")
+    // the classifier's scoring join must broadcast the 4096-row weight
+    // vector — a SortMergeJoin here would shuffle the corpus-sized
+    // feature stream on the bucket key
+    val cls = planString(graft.operators.Classifier.scoreFrom(
+      Tables.documents(spark, dir),
+      org.apache.spark.sql.functions.col("doc_id") % 10 === 0,
+      org.apache.spark.sql.functions.col("doc_id") % 10 === 5))
+    assert(cls.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$cls")
+    graft.Shared.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("shard shuffle: one hash exchange, per-shard sort, never a global sort") {
+    // the deterministic epoch shuffle must partition by the shard key
+    // and rank within shards — a SinglePartition exchange (global
+    // row_number) would serialize the corpus through one task
+    val df = graft.operators.Sampling.shardShuffle(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id", 8)
+    val plan = planString(df)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global sort in shard-shuffle plan:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"shard key not the partition key:\n$plan")
+    assert(plan.contains("Window"), s"per-shard rank gone:\n$plan")
+  }
+
   test("whole-surface sweep: no unapproved cartesian/BNLJ/single-partition plan") {
     // every driver-gate query, checked for the three shapes that kill a
     // 100 TB run; the allowlists are the audited exceptions where the
