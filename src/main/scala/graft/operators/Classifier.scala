@@ -144,6 +144,38 @@ object Classifier {
       .orderBy("doc_id")
   }
 
+  /** The at-ingest twin — score an arriving `batch` against weights
+    * trained on the already-landed `train` corpus's labeled slices:
+    * the production shape (a filter retrains on a schedule, not per
+    * batch, and every batch between retrains scores under the SAME
+    * broadcast weight vector, so verdicts are stable and auditable
+    * against a pinned model version). Weight building reads only the
+    * train side; the batch pays one feature projection + the
+    * broadcast join + its own doc rollup.
+    */
+  def scoreAgainst(train: DataFrame, batch: DataFrame,
+      posPred: Column, negPred: Column, buckets: Int = Buckets): DataFrame = {
+    val labeled = train.withColumn("_pos", posPred).withColumn("_neg", negPred)
+    val w = weightVector(
+      bucketedFeatures(labeled, buckets, Seq("_pos", "_neg")),
+      col("_pos"), col("_neg"), buckets)
+    bucketedFeatures(batch, buckets, Nil)
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"), sum("w_e9").as("margin_e9"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-gate surface for [[scoreAgainst]]: history = docs < 250
+    * (its % 10 slices as the labels), batch = docs ≥ 250.
+    */
+  def scoreIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    scoreAgainst(docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250),
+      col("doc_id") % 10 === 0, col("doc_id") % 10 === 5)
+  }
+
   /** Driver-gate surface: train on the deterministic id slices
     * (doc_id % 10 == 0 as the reference class, % 10 == 5 as the
     * rejection class — the synthetic corpus has no labeled split, so

@@ -1492,6 +1492,13 @@ object TrainingPack {
     */
   val txClassifierCut: Q = (s, d) => Classifier.thresholdCut(s, d)
 
+  /** The classifier's at-ingest twin ([[Classifier.scoreIncr]]):
+    * weights trained on the landed history (docs < 250) only, the
+    * arriving batch (≥ 250) scored under that pinned model — the
+    * production retrain-on-a-schedule shape.
+    */
+  val txClassifierIncr: Q = (s, d) => Classifier.scoreIncr(s, d)
+
   /** Temperature-mix gate: α = 0.5 domain smoothing over lang at a
     * half-corpus target ([[Mixer.temperatureMixFrom]]); the output
     * carries each survivor's domain size and hex cut so the weight
@@ -1558,6 +1565,7 @@ object TrainingPack {
     "tx_lm_threshold"      -> txLmThreshold,
     "tx_classifier_score"  -> txClassifierScore,
     "tx_classifier_cut"    -> txClassifierCut,
+    "tx_classifier_incr"   -> txClassifierIncr,
     "tx_domain_mix"        -> txDomainMix,
     "tx_token_budget"      -> txTokenBudget,
     "tx_bpe_tokens"        -> txBpeTokens,
@@ -1717,12 +1725,14 @@ object TrainingPack {
   }
 
   /** Hashed-feature classifier CTEs (`mrg(doc_id, n_feat,
-    * margin_e9)`) — ONE copy shared by the score and cut oracles:
-    * uni+bigram feature bag, 15-hex-md5 buckets mod 4096, NB
-    * smoothed-frequency weight vector over the full 4096-bucket
-    * space, integer dot product per doc.
+    * margin_e9)`) — ONE copy shared by the score, cut and
+    * incremental oracles: uni+bigram feature bag, 15-hex-md5 buckets
+    * mod 4096, NB smoothed-frequency weight vector over the full
+    * 4096-bucket space, integer dot product per doc. `trainCond`
+    * bounds which docs feed the weights (the incremental gate trains
+    * on the landed history only).
     */
-  private val clsCtes = {
+  private def clsCtes(trainCond: String = "1 = 1"): String = {
     val B = Classifier.Buckets
     s"""toks AS (SELECT doc_id, $TS AS ts FROM documents),
        |feat AS (
@@ -1732,11 +1742,13 @@ object TrainingPack {
        |    i -> ts[i] || ' ' || ts[i + 1])) AS f FROM toks),
        |bf AS (SELECT doc_id, ${md5Big15("h")} % $B AS b
        |  FROM (SELECT doc_id, md5(f) AS h FROM feat)),
-       |cp AS (SELECT b, count(*) AS np FROM bf WHERE doc_id % 10 = 0 GROUP BY b),
-       |cn AS (SELECT b, count(*) AS nn FROM bf WHERE doc_id % 10 = 5 GROUP BY b),
+       |cp AS (SELECT b, count(*) AS np FROM bf
+       |  WHERE ($trainCond) AND doc_id % 10 = 0 GROUP BY b),
+       |cn AS (SELECT b, count(*) AS nn FROM bf
+       |  WHERE ($trainCond) AND doc_id % 10 = 5 GROUP BY b),
        |tot AS (SELECT
-       |  (SELECT count(*) FROM bf WHERE doc_id % 10 = 0) AS tp,
-       |  (SELECT count(*) FROM bf WHERE doc_id % 10 = 5) AS tn),
+       |  (SELECT count(*) FROM bf WHERE ($trainCond) AND doc_id % 10 = 0) AS tp,
+       |  (SELECT count(*) FROM bf WHERE ($trainCond) AND doc_id % 10 = 5) AS tn),
        |w AS (
        |  SELECT r.b,
        |    (COALESCE(np, 0) + 1) * 1000000000 // (tp + $B)
@@ -2726,7 +2738,7 @@ object TrainingPack {
     // integer dot product per doc (no division, so signed margins
     // never touch a floor-vs-truncate seam)
     "tx_classifier_score" ->
-      s"""WITH $clsCtes
+      s"""WITH ${clsCtes()}
         |SELECT doc_id, n_feat, margin_e9 FROM mrg ORDER BY doc_id""".stripMargin,
 
     // the classifier keep-cut: same model CTEs, margins bucketed to
@@ -2735,7 +2747,7 @@ object TrainingPack {
     // per-lang threshold = largest bucket whose descending
     // cumulative count reaches 70%, ties inclusive
     "tx_classifier_cut" ->
-      s"""WITH $clsCtes,
+      s"""WITH ${clsCtes()},
         |sco AS (
         |  SELECT m.doc_id, d.lang, m.margin_e9,
         |    (m.margin_e9 + 1000000000000000) // 1000000 AS mbkt
@@ -2753,6 +2765,16 @@ object TrainingPack {
         |FROM sco s JOIN th USING (lang)
         |WHERE s.mbkt >= th.b_threshold
         |ORDER BY s.doc_id""".stripMargin,
+
+    // the classifier's at-ingest twin: weights from the landed
+    // history's slices only (trainCond bounds cp/cn/tot), the batch
+    // scored under that pinned model
+    "tx_classifier_incr" ->
+      s"""WITH ${clsCtes("doc_id < 250")}
+        |SELECT doc_id, count(*) AS n_feat,
+        |  CAST(SUM(w_e9) AS BIGINT) AS margin_e9
+        |FROM bf JOIN w USING (b) WHERE doc_id >= 250
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // token-budget curation: per-lang token mass -> sqrt weights ->
     // half-total token budget -> quality-histogram election with
