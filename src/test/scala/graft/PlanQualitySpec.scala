@@ -260,6 +260,8 @@ class PlanQualitySpec extends AnyFunSuite {
                               // tx_lm_score's alphabet cross)
       "tx_classifier_cut",    // inherits tx_classifier_score's 1-row
                               // totals cross via the scoring subtree
+      "tx_classifier_incr",   // reviewed: the same bounded totals cross,
+                              // built from the landed history's slices
       "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
       "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
@@ -274,6 +276,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_classifier_score",  // reviewed: the train-totals scalar aggregate
                               // (1-row result feeding the weight vector)
       "tx_classifier_cut",    // same scalar via the scoring subtree
+      "tx_classifier_incr",   // same scalar, history-trained weights
       "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive
