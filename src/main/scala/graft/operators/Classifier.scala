@@ -100,9 +100,15 @@ object Classifier {
   def weightVector(bf: DataFrame, posPred: Column, negPred: Column,
       buckets: Int): DataFrame = {
     val spark = bf.sparkSession
-    val counts = bf.groupBy("b").agg(
-      sum(when(posPred, 1L).otherwise(0L)).as("np"),
-      sum(when(negPred, 1L).otherwise(0L)).as("nn"))
+    // the counts frame is bucket-sized but its LINEAGE is the full
+    // feature pipeline, and two consumers read it (the bucket join
+    // and the totals fold) — pin it so the corpus aggregation runs
+    // once even when the caller's bf is itself unpinned (the
+    // scoreAgainst shape, where the train side is the landed history)
+    val counts = graft.Shared.materialize(
+      bf.groupBy("b").agg(
+        sum(when(posPred, 1L).otherwise(0L)).as("np"),
+        sum(when(negPred, 1L).otherwise(0L)).as("nn")))
     val tot = counts.agg(sum("np").as("tp"), sum("nn").as("tn"))
     spark.range(buckets).select(col("id").as("b"))
       .join(counts, Seq("b"), "left")

@@ -848,11 +848,21 @@ object Dedup {
   def contaminationSpansFrom(corpus: DataFrame, bench: DataFrame,
       k: Int = ShingleN, hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"contaminationSpans: k must be >= 1, got $k")
+    mergeIslands(contaminationHits(corpus, bench, k, hashKeys), k)
+  }
+
+  /** Contaminated (doc_id, pos) hits — the ONE copy of the detection
+    * rule (corpus positional grams semi-joined against the distinct
+    * benchmark gram set) shared by the span and cut variants, so the
+    * two gates can never report different contamination sets.
+    */
+  private def contaminationHits(corpus: DataFrame, bench: DataFrame,
+      k: Int, hashKeys: Boolean): DataFrame = {
     val grams = gramKeyed(positionalGrams(corpus, k), hashKeys)
     val benchGrams = gramKeyed(positionalGrams(bench, k), hashKeys)
       .select("gram").distinct()
-    val hits = grams.join(benchGrams, Seq("gram"), "left_semi")
-    mergeIslands(hits.select("doc_id", "pos"), k)
+    grams.join(benchGrams, Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
   }
 
   /** Decontamination CUT — [[contaminationSpansFrom]]'s text-REWRITE
@@ -880,10 +890,7 @@ object Dedup {
   def cutContaminationSpansFrom(corpus: DataFrame, bench: DataFrame,
       k: Int = ShingleN, hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"cutContaminationSpans: k must be >= 1, got $k")
-    val grams = gramKeyed(positionalGrams(corpus, k), hashKeys)
-    val benchGrams = gramKeyed(positionalGrams(bench, k), hashKeys)
-      .select("gram").distinct()
-    val del = grams.join(benchGrams, Seq("gram"), "left_semi")
+    val del = contaminationHits(corpus, bench, k, hashKeys)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
       .distinct()

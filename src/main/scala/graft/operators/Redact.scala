@@ -18,15 +18,16 @@ import graft.Tables
   * quantifiers, ASCII `\b` — no backrefs or lookarounds, so the
   * driver gate hash-checks every replacement byte cross-engine.
   *
-  * Replacement order is fixed (email, phone, IPv4): the patterns are
-  * mutually non-overlapping on any input (emails require `@`, phones
-  * dashes, IPs dots between digit runs), so the order is convention,
-  * not correctness — pinned anyway for determinism of the composed
-  * output.
+  * Replacement order is fixed (email, phone, IPv4) and SEMANTIC, not
+  * convention: identifier-like strings can nest (a NANP phone is a
+  * valid email local part — "555-123-4567@x.co" — and a dotted quad
+  * can sit in an email's domain), so the email pass claims composites
+  * first and the digit-shaped passes see only what survives. The
+  * oracle pins the same order; reordering changes output bytes.
   */
 object Redact {
 
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

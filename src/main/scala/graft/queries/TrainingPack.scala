@@ -4279,7 +4279,7 @@ object TrainingPack {
     // PII redaction replayed: identical plant construction, identical
     // Java/RE2-common regexes, md5 of the fully-redacted text
     "tx_pii_redact" -> {
-      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
       val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
       s"""WITH raw AS (

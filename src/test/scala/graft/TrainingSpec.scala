@@ -737,7 +737,8 @@ class TrainingSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq(
       (1L, "write to a.user@mail.example.org or backup@ex.co, call 415-555-0132, host 192.168.1.77 up"),
-      (2L, "no identifiers in this sentence at all")
+      (2L, "no identifiers in this sentence at all"),
+      (3L, "mixed-case leak check: Bob.Smith@Example.COM stays gone")
     ).toDF("doc_id", "text")
     val out = operators.Redact.redactWithCounts(df, col("text"))
       .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
@@ -748,6 +749,12 @@ class TrainingSpec extends AnyFunSuite {
       s"redacted: ${out(1L)._5}")
     assert(out(2L)._2 === 0 && out(2L)._3 === 0 && out(2L)._4 === 0)
     assert(out(2L)._5 === "no identifiers in this sentence at all")
+    // uppercase PII must not slip through (the lowercase-only regex
+    // leaked it silently — both engines missed identically, so only
+    // this fixture pins it)
+    assert(out(3L)._2 === 1 &&
+      out(3L)._5 === "mixed-case leak check: [EMAIL] stays gone",
+      s"uppercase email leaked: ${out(3L)}")
   }
 
   test("classifier: in-domain text far outscores boilerplate; model is bucket-sized") {
