@@ -20,6 +20,20 @@ for f in BENCH_SELF.json LEAKCHECK.json COPYCHECK.json \
   FILES="$FILES $f"
 done
 [ -z "$FILES" ] && { echo "no artifacts present"; exit 0; }
+# Round-label integrity (round-18 lesson: the glob staged only files
+# present at run time, so the r18 receipts stamped AFTER the script ran
+# stayed uncommitted while the commit message claimed the round). When
+# a numeric label is given, the round's own driver receipts must exist
+# — fail loudly instead of committing a round without its receipts.
+if [[ "$LABEL" =~ ^[0-9]+$ ]]; then
+  PADDED=$(printf '%02d' "$LABEL")
+  for want in "BENCH_r${PADDED}.json" "CORRECTNESS_r${PADDED}.json"; do
+    if [ ! -e "$want" ]; then
+      echo "MISSING $want: round $LABEL receipts not stamped yet — rerun after the driver writes them" >&2
+      exit 1
+    fi
+  done
+fi
 git add $FILES
 if git diff --cached --quiet -- $FILES; then
   echo "artifacts already committed at HEAD"

@@ -160,17 +160,35 @@ object Classifier {
     * broadcast join + its own doc rollup.
     */
   def scoreAgainst(train: DataFrame, batch: DataFrame,
-      posPred: Column, negPred: Column, buckets: Int = Buckets): DataFrame = {
+      posPred: Column, negPred: Column, buckets: Int = Buckets): DataFrame =
+    scoreWith(batch, pinnedWeights(train, posPred, negPred, buckets), buckets)
+      .orderBy("doc_id")
+
+  /** The pinned model artifact: the weight vector trained once on
+    * `train`'s labeled slices, as a standalone `buckets`-row frame a
+    * deployment LANDS (parquet/table) and every scoring site between
+    * retrains reads — the model-versioning half of [[scoreAgainst]]
+    * split out so a STREAMING screen can train once outside the query
+    * and score every micro-batch under the same artifact.
+    */
+  def pinnedWeights(train: DataFrame, posPred: Column, negPred: Column,
+      buckets: Int = Buckets): DataFrame = {
     val labeled = train.withColumn("_pos", posPred).withColumn("_neg", negPred)
-    val w = weightVector(
-      bucketedFeatures(labeled, buckets, Seq("_pos", "_neg")),
+    weightVector(bucketedFeatures(labeled, buckets, Seq("_pos", "_neg")),
       col("_pos"), col("_neg"), buckets)
-    bucketedFeatures(batch, buckets, Nil)
-      .join(broadcast(w), Seq("b"))
+  }
+
+  /** Score `docs` under an already-built weight vector (the landed
+    * model artifact): one feature projection, the broadcast bucket
+    * join, one doc-keyed rollup — the per-batch cost of the at-ingest
+    * screen, nothing corpus- or history-sized.
+    */
+  def scoreWith(docs: DataFrame, weights: DataFrame,
+      buckets: Int = Buckets): DataFrame =
+    bucketedFeatures(docs, buckets, Nil)
+      .join(broadcast(weights), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feat"), sum("w_e9").as("margin_e9"))
-      .orderBy("doc_id")
-  }
 
   /** Driver-gate surface for [[scoreAgainst]]: history = docs < 250
     * (its % 10 slices as the labels), batch = docs ≥ 250.
@@ -204,12 +222,31 @@ object Classifier {
     * `//` floors — bucketing adds a 1e15 offset (a multiple of the
     * 1e6 bucket width, so the election is shift-invariant) to keep
     * every numerator positive, where the two semantics agree.
+    *
+    * The offset covers |margin_e9| < 1e15, i.e. n_feat < ~1e6 (each
+    * feature weight is bounded by ±1e9): a ~500k-token doc could
+    * exceed it and silently re-open the truncate-vs-floor seam, so
+    * out-of-range margins FAIL LOUDLY (assert_true in the bucketing
+    * expression) instead of producing cross-engine drift.
     */
+  /** The offset-guarded milli-scale margin bucket (ONE copy, shared
+    * by [[thresholdCut]] and the full-pipeline composition): valid
+    * margins shift by +1e15 and bucket at 1e6 width; out-of-range
+    * margins fail loudly via assert_true instead of silently
+    * re-opening the truncate-vs-floor seam.
+    */
+  val MarginBucketSql: String =
+    "(margin_e9 + CASE WHEN margin_e9 > -1000000000000000L " +
+      "AND margin_e9 < 1000000000000000L THEN 1000000000000000L " +
+      "ELSE assert_true(false, 'classifier margin outside +-1e15: " +
+      "offset bucketing seam re-opened — derive a larger offset') " +
+      "END) div 1000000"
+
   def thresholdCut(spark: SparkSession, dir: String): DataFrame = {
     val scored = graft.Shared.materialize(
       score(spark, dir).select("doc_id", "margin_e9")
         .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
-        .withColumn("mbkt", expr("(margin_e9 + 1000000000000000L) div 1000000")))
+        .withColumn("mbkt", expr(MarginBucketSql)))
     val th = Elections.histogramThreshold(scored, "lang", "mbkt")
     scored.join(broadcast(th), Seq("lang"))
       .filter(col("mbkt") >= col("b_threshold"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark-contamination detection: flag corpus documents sharing at
@@ -33,4 +33,58 @@ object Decontaminate {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_id")
+
+  /** SEMANTIC benchmark decontamination — the paraphrase-leak screen
+    * gram overlap cannot provide: a corpus document is flagged when
+    * its EMBEDDING sits within cosine `threshold` of any benchmark
+    * member's embedding, catching test-set passages that were
+    * reworded (zero shared shingles, near-identical meaning vector).
+    * TrainingSpec plants exactly such a twin and proves [[overlap]]
+    * misses it while this screen flags it.
+    *
+    * Never all-pairs: this is [[Similarity.embeddingScreen]] with the
+    * BENCHMARK side as the landed history — corpus vectors bucket by
+    * hyperplane signature, candidates come from (table, bucket)
+    * collisions against the benchmark's bucket keys, and only
+    * candidates pay the exact decimal verify. A real benchmark set is
+    * thousands of vectors, so its bucket-key frame broadcasts and the
+    * whole screen is one map-side pass over the corpus at 100 TB; the
+    * corpus side is never shuffled on anything wider than its own
+    * bucket explosion.
+    *
+    * @return one row per flagged corpus doc:
+    *   (doc_id, n_bench_hits, bench_id = min matching benchmark id,
+    *   cos = best match, exact decimal, rounded to 6)
+    */
+  def semanticOverlap(corpusEmb: DataFrame, benchEmb: DataFrame,
+      threshold: Double = 0.95): DataFrame =
+    Similarity.embeddingScreen(
+      corpusEmb.select("vec_id", "embedding"),
+      Similarity.bucketKeys(benchEmb, "vec_id"),
+      benchEmb.select("vec_id", "embedding"), threshold)
+      .select(col("vec_id").as("doc_id"), col("n_matches").as("n_bench_hits"),
+        col("matched_id").as("bench_id"), col("cos"))
+      .orderBy("doc_id")
+
+  /** Driver-gate surface: benchmark = vectors ≡ 0 (mod 5) (the same
+    * holdout convention as the gram-overlap gates), corpus = the
+    * rest. The synthetic corpus has no natural ≥ 0.95 pairs, so the
+    * gate PLANTS semantic leaks (the twin discipline): corpus vectors
+    * ≡ 3 (mod 40) take their v−3 benchmark member's embedding — an
+    * exact copy, the id arithmetic guaranteeing v−3 ≡ 0 (mod 5) — so
+    * the flag path fires at every scale and the oracle rebuilds the
+    * identical planted table.
+    */
+  def semanticGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 5 === 0)
+    val twin = emb.select((col("vec_id") + 3).as("vec_id"),
+      col("embedding").as("b_emb"))
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      .join(twin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 40 === 3, coalesce(col("b_emb"), col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+    semanticOverlap(corpus, bench)
+  }
 }

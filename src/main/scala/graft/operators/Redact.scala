@@ -43,7 +43,18 @@ object Redact {
         PhoneRe, PhoneTok),
       Ipv4Re, Ipv4Tok)
 
-  /** Per-kind match counts + the redacted text over any text column. */
+  /** Per-kind match counts + the redacted text over any text column.
+    *
+    * Counts are RAW-TEXT matches, not replacement counts: replacement
+    * is sequential email-first, so an identifier nested inside an
+    * earlier kind's match (a NANP phone as an email local part —
+    * "555-123-4567@x.co" — or a dotted quad in an email domain) is
+    * counted under its own kind but replaced as part of the [EMAIL]
+    * token. The audit fields answer "how much PII-shaped text did the
+    * corpus carry", which is stable under reordering; per-kind bytes-
+    * replaced would need the counts re-derived after each preceding
+    * pass. The oracle pins the same raw-text semantics.
+    */
   def redactWithCounts(df: DataFrame, text: Column): DataFrame =
     df.withColumn("n_emails",
         size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("bigint"))
@@ -62,9 +73,13 @@ object Redact {
     * the counts and the md5 of the redacted text (every replacement
     * byte, not just totals).
     */
-  def redactGate(spark: SparkSession, dir: String): DataFrame = {
-    val did = col("doc_id")
-    val plant = when(did % 4 === 0,
+  /** The deterministic PII plant (ONE copy, shared by the standalone
+    * gate and the full-pipeline composition so the planted bytes can
+    * never drift between them): docs ≡ 0 (mod 4) get an id-derived
+    * email, ≡ 1 a NANP phone, ≡ 2 a dotted-quad IP, ≡ 3 nothing.
+    */
+  def plantedPii(did: Column): Column =
+    when(did % 4 === 0,
         concat(lit(" contact user"), did.cast("string"), lit("@example.com now")))
       .when(did % 4 === 1,
         concat(lit(" call 555-"), lpad((did % 1000).cast("string"), 3, "0"),
@@ -75,8 +90,11 @@ object Redact {
           lit("."), ((did * 3) % 256).cast("string"),
           lit("."), ((did * 7) % 256).cast("string"), lit(" logged")))
       .otherwise(lit(""))
+
+  def redactGate(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.documents(spark, dir)
-      .select(col("doc_id"), concat(col("text"), plant).as("raw"))
+      .select(col("doc_id"),
+        concat(col("text"), plantedPii(col("doc_id"))).as("raw"))
     redactWithCounts(raw, col("raw"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         md5(col("redacted")).as("fp"))

@@ -39,24 +39,48 @@ object Sampling {
     * and reruns (the rand()/repartition idiom is none of those), and
     * re-keying the salt is a fresh epoch-level reshuffle.
     *
-    * Scale shape: one hash projection on the scan, one shuffle on
-    * the shard key, one per-shard rank — each shard sorts corpus/N
-    * rows, the terasort shape, which is the honest minimum for a
-    * deterministic total order within shards. Nothing global: no
-    * corpus-wide sort, no driver state. Collisions cannot corrupt
-    * determinism: the id breaks hash ties.
+    * Scale shape — TWO-PHASE DISTRIBUTED RANK (the terasort offset
+    * trick): a naive per-shard window would sort corpus/nShards rows
+    * in ONE task per shard (12.5 TB/task at 100 TB with 8 shards), so
+    * the rank is instead computed per (shard, hash-range) — the range
+    * is the hash's first two hex digits, 256 sub-partitions per shard
+    * — and offset by the count of the shard's EARLIER ranges. The
+    * counts frame is ≤ 256·nShards rows (one cheap partial-aggregated
+    * pass) and broadcasts; the data then shuffles ONCE on
+    * (shard, range) for the local sort, so parallelism is
+    * 256 × nShards regardless of how few shards the caller asks for.
+    * Range-prefix ordering composes with the full-hash order because
+    * the range IS the hash's leading digits (ties broken by id, which
+    * lives entirely inside one range). Nothing global: no corpus-wide
+    * sort, no driver state, output values identical to the
+    * single-window semantics the oracle replays.
     */
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
       salt: String = "shuffle"): DataFrame = {
     require(nShards >= 1, s"shardShuffle: nShards must be >= 1, got $nShards")
     val h = md5(concat(lit(s"$salt|"), col(idCol)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("_h"), col(idCol))
-    df.withColumn("_h", h)
+    val keyed = df.withColumn("_h", h)
       .withColumn("shard",
         (conv(substring(col("_h"), 1, 15), 16, 10).cast("long") % nShards)
           .cast("bigint"))
-      .withColumn("shard_pos", row_number().over(w).cast("bigint") - 1)
-      .drop("_h")
+      .withColumn("_rng", substring(col("_h"), 1, 2))
+    // phase 1: per-(shard, range) row counts -> each range's starting
+    // offset within its shard. The md5 projection re-runs on this
+    // branch (map-only, cheaper than materializing the corpus), and
+    // the shuffle carries only partial-aggregated count rows.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("_rng")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("shard", "_rng").agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum("_c").over(wOff), lit(0L)))
+      .drop("_c")
+    // phase 2: local rank inside each (shard, range) + the broadcast
+    // offset = the exact per-shard rank of (hash, id)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "_rng").orderBy(col("_h"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("shard", "_rng"))
+      .withColumn("shard_pos",
+        (col("_off") + row_number().over(wRank) - 1).cast("bigint"))
+      .drop("_h", "_rng", "_off")
   }
 }

@@ -23,8 +23,10 @@ object TrainingPack {
   /** Normalization fragment shared by every oracle query (must mirror
     * TextOps.norm exactly).
     */
+  private def tsOf(c: String) =
+    s"string_split(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')), ' ')"
   private val N = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-  private val TS = s"string_split($N, ' ')"
+  private val TS = tsOf("text")
   private val Stop = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
 
   // ------------------------------------------------------------- dedup
@@ -677,6 +679,27 @@ object TrainingPack {
   val txContaminationCut: Q = (s, d) =>
     Dedup.cutContaminationSpans(s, d).orderBy("doc_id")
 
+  /** SEMANTIC benchmark decontamination — the paraphrase-leak screen
+    * ([[graft.operators.Decontaminate.semanticGate]]): corpus vectors
+    * within cosine 0.95 of any benchmark-member embedding are
+    * flagged via the banded hyperplane screen (benchmark side as the
+    * landed probe set — never all-pairs), exact decimal verify on
+    * candidates only. Plants: corpus ≡ 3 (mod 40) copies its v−3
+    * benchmark member.
+    */
+  val txSemanticDecontam: Q = (s, d) =>
+    graft.operators.Decontaminate.semanticGate(s, d)
+
+  /** STREAMING classifier screen (tx_stream_classifier): the engine
+    * side trains the pinned weight artifact on the landed history
+    * (docs < 250) and scores mtime-ordered document slices through
+    * REAL Structured Streaming ([[graft.streaming.ClsScreen]]),
+    * keeping margin ≥ 0 survivors; the oracle replays the identical
+    * model + keep rule in SQL.
+    */
+  val txStreamClassifier: Q = (s, d) =>
+    graft.streaming.ClsScreen.screenReplayGate(s, d)
+
   /** PII redaction over the planted corpus — see [[Redact.redactGate]]:
     * email/phone/IPv4 counts plus the md5 of the redacted text, all
     * from engine-portable regex (the Java/RE2 common subset).
@@ -808,6 +831,111 @@ object TrainingPack {
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wPack), lit(0L)))
       .withColumn("bin", floor(col("cum_before").cast("double") / 4096).cast("bigint"))
       .select("doc_id", "lang", "shard", "n_tok", "bin")
+      .orderBy("doc_id")
+  }
+
+  /** The FULL training-data curation pipeline with every
+    * text-REWRITING and model-driven stage composed into ONE
+    * oracle-replayed DAG — the round-18 operators chained in the
+    * order a production run uses them, because stage-ordering
+    * semantics (redact before or after gram build? classifier on cut
+    * text or raw?) are exactly where real pipelines break and only a
+    * whole-DAG hash pins them:
+    *
+    *   0. the benchmark holdout (every 5th doc) never enters
+    *   1. exact dedup          — min doc_id per md5(norm) group
+    *   2. substring span CUT   — duplicated 5-gram runs removed
+    *                             everywhere but each gram's earliest
+    *                             doc ([[Dedup.cutDupSpansFrom]]),
+    *                             text reconstructed
+    *   3. decontamination CUT  — tokens covered by any
+    *                             benchmark-shared 5-gram deleted
+    *                             unconditionally
+    *                             ([[Dedup.cutContaminationSpansFrom]]);
+    *                             grams are built on the STAGE-2 text
+    *                             (cut first, then decontaminate)
+    *   4. PII redaction        — [[graft.operators.Redact]] over the
+    *                             decontaminated text + the planted
+    *                             identifiers (redaction BEFORE the
+    *                             classifier, so the model trains on
+    *                             what a trainer would see)
+    *   5. classifier cut       — hashed-feature margins on the
+    *                             REDACTED text (slices ≡ 1/6 mod 10 —
+    *                             0/5 would collide with the holdout),
+    *                             per-lang 70 % histogram election
+    *   6. domain budget        — α = 0.5 temperature mix at a
+    *                             half-survivor target
+    *                             ([[Mixer.temperatureMixFrom]])
+    *   7. shard shuffle        — deterministic salted-md5 permutation
+    *                             into 8 shards ([[Sampling.shardShuffle]])
+    *   8. sequence packing     — 4096-token bins per shard in
+    *                             SHUFFLED order (the shuffle exists so
+    *                             the packer consumes decorrelated
+    *                             data; packing by doc_id would undo it),
+    *                             token currency = the FINAL stage-4 text
+    *
+    * Everything is md5/integer-exact, so one DuckDB query replays the
+    * whole DAG and a drift in any stage breaks the final hash. Scale
+    * shape: stages 1/4 are narrow or map-only, 2/3 shuffle on the
+    * gram key bounded by postings, 5 is two bounded shuffles + a
+    * broadcast model, 6 a broadcast quota, 7/8 one (shard, range)
+    * shuffle + per-shard prefix sums.
+    */
+  val txPipelineFull: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val corpus0 = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "lang", "text")
+
+    // 1. exact dedup (pinned: the text feeds stage 2, the lang column
+    // re-joins at stage 5)
+    val wFp = Window.partitionBy("fp")
+    val keep1 = graft.Shared.materialize(corpus0
+      .withColumn("fp", md5(TextOps.norm(col("text"))))
+      .withColumn("_m", min("doc_id").over(wFp))
+      .filter(col("doc_id") === col("_m")).drop("_m", "fp"))
+
+    // 2. substring span cut over the survivors
+    val cut2 = Dedup.cutDupSpansFrom(keep1.select("doc_id", "text"))
+      .select(col("doc_id"), col("text_cut").as("text"))
+
+    // 3. decontamination cut vs the benchmark's raw text
+    val cut3 = Dedup.cutContaminationSpansFrom(cut2, bench)
+      .select(col("doc_id"), col("text_cut"))
+
+    // 4. plant + redact (pinned: feeds the classifier AND the packing
+    // token counts)
+    val red = graft.Shared.materialize(cut3.select(col("doc_id"),
+      graft.operators.Redact.redact(concat(col("text_cut"),
+        graft.operators.Redact.plantedPii(col("doc_id")))).as("text")))
+
+    // 5. classifier threshold cut on the redacted text
+    val scored = graft.Shared.materialize(
+      Classifier.scoreFrom(red, col("doc_id") % 10 === 1, col("doc_id") % 10 === 6)
+        .select("doc_id", "margin_e9")
+        .join(keep1.select("doc_id", "lang"), "doc_id")
+        .withColumn("mbkt", expr(Classifier.MarginBucketSql)))
+    val th = graft.operators.Elections.histogramThreshold(scored, "lang", "mbkt")
+    val keep5 = scored.join(broadcast(th), Seq("lang"))
+      .filter(col("mbkt") >= col("b_threshold"))
+      .select("doc_id", "lang")
+
+    // 6. temperature domain budget over the survivors
+    val keep6 = Mixer.temperatureMixFrom(keep5, col("lang"))
+      .select("doc_id", "lang")
+
+    // 7 + 8. shuffle into 8 shards, pack 4096-token bins in shuffled order
+    val shuffled = graft.operators.Sampling.shardShuffle(keep6, "doc_id", 8)
+    val nTok = red.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
+    val wPack = Window.partitionBy("shard").orderBy("shard_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shuffled.join(nTok, "doc_id")
+      .withColumn("cum_before", coalesce(sum("n_tok").over(wPack), lit(0L)))
+      .withColumn("bin", expr("cum_before div 4096"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("shard"),
+        col("shard_pos"), col("bin"))
       .orderBy("doc_id")
   }
 
@@ -1179,6 +1307,43 @@ object TrainingPack {
     * modality's even/odd screen rule (history ANY id, batch lower
     * id) and the OR fold.
     */
+  /** Image-text pair alignment screen (mm_pair_align) — the
+    * LAION-style curation step: each document's TEXT embedding joins
+    * its IMAGE sidecar's embedding on the shared id domain (dq31's
+    * linkage, one co-partitioned equi join at any scale) and only
+    * pairs whose exact decimal cosine clears 0.95 are kept, rolled
+    * up per language with the kept-cosine mass so the alignment
+    * arithmetic itself is value-checked. The corpus has no image
+    * encoder, so the sidecar is planted deterministically (the twin
+    * discipline): docs ≡ 4 (mod 13) get a MISPAIRED sidecar (the
+    * v+17 vector — a wrong caption, natural cosine far below
+    * threshold), everyone else a faithful one (their own vector,
+    * cosine 1.0) — both branches of the screen fire at every scale
+    * and the oracle rebuilds the identical sidecar table.
+    */
+  val mmPairAlign: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val shifted = emb.select((col("vec_id") - 17).as("vec_id"),
+      col("embedding").as("s_emb"))
+    val imgEmb = emb.join(shifted, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 13 === 4, coalesce(col("s_emb"), col("embedding")))
+          .otherwise(col("embedding")).as("img_emb"))
+    val pairs = emb.join(imgEmb, "vec_id")
+      .withColumn("dot", Similarity.dotDecimal(col("embedding"), col("img_emb")))
+      .withColumn("kept",
+        (col("dot") >= expr("CAST('0.95' AS DECIMAL(38,12))")).cast("int"))
+    pairs.join(Tables.documents(s, d).select(col("doc_id").as("vec_id"),
+        col("lang")), "vec_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("kept").cast("bigint").as("n_kept"),
+        coalesce(sum(when(col("kept") === 1,
+          (round(col("dot"), 6) * 1000000).cast("long"))), lit(0L))
+          .cast("bigint").as("sum_cos_e6"))
+      .orderBy("lang")
+  }
+
   val mmCrossIncr: Q = (s, d) => {
     val fpr = graft.Shared.srcFingerprint(s, d)
     def screened(sigs: org.apache.spark.sql.DataFrame, tag: String) = {
@@ -1620,10 +1785,13 @@ object TrainingPack {
     "tx_contamination"     -> txContamination,
     "tx_contamination_spans" -> txContaminationSpans,
     "tx_contamination_cut" -> txContaminationCut,
+    "tx_semantic_decontam" -> txSemanticDecontam,
+    "tx_stream_classifier" -> txStreamClassifier,
     "tx_pii_redact"        -> txPiiRedact,
     "tx_shard_shuffle"     -> txShardShuffle,
     "tx_stratified_sample" -> txStratifiedSample,
     "tx_pipeline"          -> txPipeline,
+    "tx_pipeline_full"     -> txPipelineFull,
     "tx_edit_distance"     -> txEditDistance,
     "mm_meta"              -> mmMeta,
     "mm_features"          -> mmFeatures,
@@ -1653,6 +1821,7 @@ object TrainingPack {
     "mm_video_fp_incr"     -> mmVideoFpIncr,
     "mm_cross_curate"      -> mmCrossCurate,
     "mm_cross_incr"        -> mmCrossIncr,
+    "mm_pair_align"        -> mmPairAlign,
   )
 
   /** SemDeDup drop-machinery CTEs (planted slice → seeding → argmax
@@ -1732,9 +1901,10 @@ object TrainingPack {
     * bounds which docs feed the weights (the incremental gate trains
     * on the landed history only).
     */
-  private def clsCtes(trainCond: String = "1 = 1"): String = {
+  private def clsCtes(trainCond: String = "1 = 1", src: String = "documents",
+      textCol: String = "text", posMod: Int = 0, negMod: Int = 5): String = {
     val B = Classifier.Buckets
-    s"""toks AS (SELECT doc_id, $TS AS ts FROM documents),
+    s"""toks AS (SELECT doc_id, ${tsOf(textCol)} AS ts FROM $src),
        |feat AS (
        |  SELECT doc_id, unnest(ts) AS f FROM toks
        |  UNION ALL
@@ -1743,12 +1913,12 @@ object TrainingPack {
        |bf AS (SELECT doc_id, ${md5Big15("h")} % $B AS b
        |  FROM (SELECT doc_id, md5(f) AS h FROM feat)),
        |cp AS (SELECT b, count(*) AS np FROM bf
-       |  WHERE ($trainCond) AND doc_id % 10 = 0 GROUP BY b),
+       |  WHERE ($trainCond) AND doc_id % 10 = $posMod GROUP BY b),
        |cn AS (SELECT b, count(*) AS nn FROM bf
-       |  WHERE ($trainCond) AND doc_id % 10 = 5 GROUP BY b),
+       |  WHERE ($trainCond) AND doc_id % 10 = $negMod GROUP BY b),
        |tot AS (SELECT
-       |  (SELECT count(*) FROM bf WHERE ($trainCond) AND doc_id % 10 = 0) AS tp,
-       |  (SELECT count(*) FROM bf WHERE ($trainCond) AND doc_id % 10 = 5) AS tn),
+       |  (SELECT count(*) FROM bf WHERE ($trainCond) AND doc_id % 10 = $posMod) AS tp,
+       |  (SELECT count(*) FROM bf WHERE ($trainCond) AND doc_id % 10 = $negMod) AS tn),
        |w AS (
        |  SELECT r.b,
        |    (COALESCE(np, 0) + 1) * 1000000000 // (tp + $B)
@@ -4179,6 +4349,29 @@ object TrainingPack {
          |WHERE d.doc_id % 2 = 1
          |ORDER BY 1""".stripMargin,
 
+    // image-text alignment replayed: identical sidecar plant
+    // (≡ 4 mod 13 → the v+17 vector, coalesce at the tail), the same
+    // exact decimal dot per pair, kept at ≥ 0.95, per-lang rollup
+    // with the kept cosine mass at e6 integer scale
+    "mm_pair_align" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |img AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN e.vec_id % 13 = 4 THEN COALESCE(s.embedding, e.embedding)
+         |         ELSE e.embedding END AS img_emb
+         |  FROM emb e LEFT JOIN emb s ON s.vec_id = e.vec_id + 17),
+         |p AS (
+         |  SELECT e.vec_id, ${dotDec.format("e.embedding", "i.img_emb")} AS dot
+         |  FROM emb e JOIN img i USING (vec_id)),
+         |k AS (
+         |  SELECT d.lang, p.dot,
+         |    CASE WHEN p.dot >= CAST('0.95' AS DECIMAL(38,12)) THEN 1 ELSE 0 END AS kept
+         |  FROM p JOIN documents d ON d.doc_id = p.vec_id)
+         |SELECT lang, count(*) AS n_pairs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  CAST(COALESCE(SUM(CASE WHEN kept = 1
+         |    THEN CAST(ROUND(dot, 6) * 1000000 AS BIGINT) END), 0) AS BIGINT) AS sum_cos_e6
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
     "tx_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, doc_id % 8 AS shard,
@@ -4275,6 +4468,50 @@ object TrainingPack {
          |  COUNT(*) AS n_after,
          |  string_agg(tk, ' ' ORDER BY tpos) AS text_cut
          |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // semantic decontamination replayed: identical plant (corpus ≡ 3
+    // mod 40 copies its v−3 benchmark member), the same 8-bit × 4-table
+    // hyperplane banding on BOTH sides, candidates from (table, bucket)
+    // collisions, double prefilter + exact decimal verify, per-doc
+    // rollup — dd_embedding_incremental's construction with the
+    // benchmark slice as the history side
+    "tx_semantic_decontam" ->
+      s"""WITH pl AS (SELECT ${planesLit(8 * 4)} AS p),
+         |bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |corpus AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN e.vec_id % 40 = 3 THEN COALESCE(b.embedding, e.embedding)
+         |         ELSE e.embedding END AS embedding
+         |  FROM embeddings e LEFT JOIN embeddings b ON b.vec_id = e.vec_id - 3
+         |  WHERE e.vec_id % 5 <> 0),
+         |ctb AS (${tableBucketsFromSql("corpus", 8, 4)}),
+         |htb AS (${tableBucketsFromSql("bench", 8, 4)}),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id AS bv, h.vec_id AS hv
+         |  FROM ctb c JOIN htb h USING (tbl, bkt)),
+         |c AS (
+         |  SELECT bv, hv, b.embedding AS veb, h.embedding AS veh
+         |  FROM cand JOIN corpus b ON b.vec_id = bv JOIN bench h ON h.vec_id = hv
+         |  WHERE ${dotDbl.format("b.embedding", "h.embedding")} >= 0.94),
+         |d AS (SELECT bv, hv, ${dotDec.format("veb", "veh")} AS dot FROM c)
+         |SELECT bv AS doc_id, count(*) AS n_bench_hits, min(hv) AS bench_id,
+         |  CAST(ROUND(max(dot), 6) AS DOUBLE) AS cos
+         |FROM d WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
+         |GROUP BY bv ORDER BY doc_id""".stripMargin,
+
+    // the streaming classifier screen replayed: the pinned model is
+    // tx_classifier_incr's (weights from the landed history's slices
+    // only), the stream's union of per-batch verdicts = the batch
+    // score filtered at margin ≥ 0 because the weights never move
+    // (StreamingSpec pins that batching-independence on the engine
+    // side)
+    "tx_stream_classifier" ->
+      s"""WITH ${clsCtes("doc_id < 250")}
+        |SELECT doc_id, count(*) AS n_feat,
+        |  CAST(SUM(w_e9) AS BIGINT) AS margin_e9
+        |FROM bf JOIN w USING (b) WHERE doc_id >= 250
+        |GROUP BY doc_id HAVING CAST(SUM(w_e9) AS BIGINT) >= 0
+        |ORDER BY doc_id""".stripMargin,
 
     // PII redaction replayed: identical plant construction, identical
     // Java/RE2-common regexes, md5 of the fully-redacted text
@@ -4379,6 +4616,138 @@ object TrainingPack {
          |  FROM keep6)
          |SELECT doc_id, lang, shard, n_tok, CAST(cum_before // 4096 AS BIGINT) AS bin
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // the FULL curation pipeline replayed stage by stage: exact-dedup
+    // window -> substring cut (per-gram keeper) -> decontamination cut
+    // (benchmark grams from the RAW holdout text, probe grams from the
+    // STAGE-2 text) -> plant + redact -> classifier on the redacted
+    // text (slices 1/6 mod 10) + histogram election -> temperature
+    // quota -> salted-md5 shard permutation -> packing in shuffled
+    // order priced in FINAL-text tokens
+    "tx_pipeline_full" -> {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, $N AS t FROM documents WHERE doc_id % 5 <> 0),
+         |k1 AS (
+         |  SELECT doc_id, lang, t FROM (
+         |    SELECT doc_id, lang, t,
+         |      MIN(doc_id) OVER (PARTITION BY md5(t)) AS m FROM base)
+         |  WHERE doc_id = m),
+         |toks2 AS (SELECT doc_id, string_split(t, ' ') AS ts FROM k1),
+         |g2 AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks2, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |gm2 AS (
+         |  SELECT gram, min(doc_id) AS gmin
+         |  FROM (SELECT DISTINCT gram, doc_id FROM g2)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |p2 AS (SELECT g2.doc_id, g2.pos, gm2.gmin FROM g2 JOIN gm2 USING (gram)),
+         |cov2 AS (
+         |  SELECT doc_id, CAST(pos + o AS INT) AS tpos,
+         |    MAX(CASE WHEN gmin <> doc_id THEN 1 ELSE 0 END) AS hc,
+         |    MAX(CASE WHEN gmin = doc_id THEN 1 ELSE 0 END) AS hk
+         |  FROM p2, unnest(range(0, 5)) r(o)
+         |  GROUP BY 1, 2),
+         |del2 AS (SELECT doc_id, tpos FROM cov2 WHERE hc = 1 AND hk = 0),
+         |tok2 AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS tpos, ts[CAST(i AS INT)] AS tk
+         |  FROM toks2, unnest(range(1, len(ts) + 1)) r(i)),
+         |t2 AS (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY tpos) AS t
+         |  FROM tok2 k
+         |  WHERE NOT EXISTS (SELECT 1 FROM del2 d
+         |    WHERE d.doc_id = k.doc_id AND d.tpos = k.tpos)
+         |  GROUP BY doc_id),
+         |btoks AS (SELECT doc_id, $TS AS ts FROM documents WHERE doc_id % 5 = 0),
+         |bg AS (
+         |  SELECT DISTINCT
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM btoks, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |toks3 AS (SELECT doc_id, string_split(t, ' ') AS ts FROM t2),
+         |g3 AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    list_aggregate(ts[CAST(i AS INT):CAST(i + 4 AS INT)], 'string_agg', ' ') AS gram
+         |  FROM toks3, unnest(range(1, len(ts) - 3)) r(i)
+         |  WHERE len(ts) >= 5),
+         |p3 AS (SELECT doc_id, pos FROM g3
+         |  WHERE gram IN (SELECT gram FROM bg)),
+         |del3 AS (
+         |  SELECT DISTINCT doc_id, CAST(pos + o AS INT) AS tpos
+         |  FROM p3, unnest(range(0, 5)) r(o)),
+         |tok3 AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS tpos, ts[CAST(i AS INT)] AS tk
+         |  FROM toks3, unnest(range(1, len(ts) + 1)) r(i)),
+         |t3 AS (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY tpos) AS t
+         |  FROM tok3 k
+         |  WHERE NOT EXISTS (SELECT 1 FROM del3 d
+         |    WHERE d.doc_id = k.doc_id AND d.tpos = k.tpos)
+         |  GROUP BY doc_id),
+         |r4 AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      t || CASE
+         |        WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com now'
+         |        WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |          || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' today'
+         |        WHEN doc_id % 4 = 2 THEN ' from 10.' || (doc_id % 256)
+         |          || '.' || ((doc_id * 3) % 256) || '.' || ((doc_id * 7) % 256) || ' logged'
+         |        ELSE ''
+         |      END,
+         |      '$email', '[EMAIL]', 'g'),
+         |      '$phone', '[PHONE]', 'g'),
+         |      '$ip', '[IP]', 'g') AS rt
+         |  FROM t3),
+         |${clsCtes(src = "r4", textCol = "rt", posMod = 1, negMod = 6)},
+         |sco AS (
+         |  SELECT m.doc_id, k1.lang, m.margin_e9,
+         |    (m.margin_e9 + 1000000000000000) // 1000000 AS mbkt
+         |  FROM mrg m JOIN k1 USING (doc_id)),
+         |hh AS (SELECT lang, mbkt, count(*) AS c FROM sco GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT lang, mbkt,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY mbkt DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(c) OVER (PARTITION BY lang) AS nl
+         |  FROM hh),
+         |th AS (SELECT lang, MAX(mbkt) AS b_threshold FROM cm
+         |  WHERE cum * 10000 >= nl * 7000 GROUP BY lang),
+         |k5 AS (
+         |  SELECT s.doc_id, s.lang FROM sco s JOIN th USING (lang)
+         |  WHERE s.mbkt >= th.b_threshold),
+         |n6 AS (SELECT lang, count(*) AS nd FROM k5 GROUP BY lang),
+         |u6 AS (SELECT lang, nd, CAST(floor(sqrt(nd) * 1000) AS BIGINT) AS ud FROM n6),
+         |tot6 AS (SELECT CAST(SUM(nd) AS BIGINT) AS ntot,
+         |  CAST(SUM(ud) AS BIGINT) AS usum FROM u6),
+         |h6 AS (
+         |  SELECT lang, printf('%06x', least(16777215,
+         |    (ud * (ntot * 1 // 2) // usum) * 16777216 // nd)) AS hcut6
+         |  FROM u6, tot6),
+         |k6 AS (
+         |  SELECT k5.doc_id, k5.lang FROM k5 JOIN h6 USING (lang)
+         |  WHERE substr(md5('mix|' || doc_id), 1, 6) < h6.hcut6),
+         |s7 AS (SELECT doc_id, lang, md5('shuffle|' || doc_id) AS h FROM k6),
+         |s8 AS (SELECT doc_id, lang, h, ${md5Big15("h")} % 8 AS shard FROM s7),
+         |s9 AS (
+         |  SELECT doc_id, lang, shard,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+         |      AS BIGINT) AS shard_pos
+         |  FROM s8),
+         |nt AS (SELECT doc_id, CAST(len(${tsOf("rt")}) AS BIGINT) AS n_tok FROM r4),
+         |pk AS (
+         |  SELECT s9.doc_id, s9.lang, s9.shard, s9.shard_pos, nt.n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY shard_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM s9 JOIN nt USING (doc_id))
+         |SELECT doc_id, lang, n_tok, CAST(shard AS BIGINT) AS shard, shard_pos,
+         |  CAST(cum_before // 4096 AS BIGINT) AS bin
+         |FROM pk ORDER BY doc_id""".stripMargin
     },
 
     "tx_stratified_sample" -> {

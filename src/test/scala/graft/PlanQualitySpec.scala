@@ -202,18 +202,31 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("shard shuffle: one hash exchange, per-shard sort, never a global sort") {
-    // the deterministic epoch shuffle must partition by the shard key
-    // and rank within shards — a SinglePartition exchange (global
-    // row_number) would serialize the corpus through one task
+  test("shard shuffle: two-phase rank — (shard, range) partitioning, never per-shard or global serialization") {
+    // the deterministic epoch shuffle must rank within (shard,
+    // hash-range) sub-partitions and add broadcast offsets: a plain
+    // per-shard window serializes corpus/N rows through one task each
+    // (12.5 TB/task at 100 TB with N=8), and a SinglePartition
+    // exchange (global row_number) is worse. Pinned at nShards=2 —
+    // the foot-gun case — so the rank stage's parallelism provably
+    // comes from the range key, not the shard count.
     val df = graft.operators.Sampling.shardShuffle(
-      Tables.documents(spark, dir).select("doc_id"), "doc_id", 8)
+      Tables.documents(spark, dir).select("doc_id"), "doc_id", 2)
     val plan = planString(df)
     assert(!plan.contains("Exchange SinglePartition"),
       s"global sort in shard-shuffle plan:\n$plan")
-    assert(plan.contains("hashpartitioning(shard"),
-      s"shard key not the partition key:\n$plan")
-    assert(plan.contains("Window"), s"per-shard rank gone:\n$plan")
+    // the RANK window must partition by (shard, _rng) — 256 ranges per
+    // shard — not by shard alone
+    assert(plan.contains("hashpartitioning(shard") && plan.contains("_rng"),
+      s"(shard, range) not the rank partition key:\n$plan")
+    assert(!plan.contains("Window [row_number() windowspecdefinition(shard#") ||
+      plan.contains("_rng"),
+      s"rank window partitions by shard alone:\n$plan")
+    assert(plan.contains("Window"), s"per-sub-partition rank gone:\n$plan")
+    // the offsets side joins back broadcast — the big side must not
+    // shuffle a second time for the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset join not broadcast:\n$plan")
   }
 
   test("whole-surface sweep: no unapproved cartesian/BNLJ/single-partition plan") {

@@ -739,6 +739,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming classifier screen equals the batch score under the pinned model") {
+    import spark.implicits._
+    // pinned weights make verdicts batching-independent BY
+    // CONSTRUCTION — the claim is that the streaming path (real
+    // Structured Streaming, model artifact re-read per trigger,
+    // idempotent batch_id sink) lands exactly the batch answer
+    val got = graft.streaming.ClsScreen.screenReplayGate(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val scored = graft.operators.Classifier.scoreIncr(spark, dir)
+    val want = scored.filter(col("margin_e9") >= 0L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want, s"stream ${got.take(5)}... != batch ${want.take(5)}...")
+    // non-vacuous both ways: some survive, some are cut
+    assert(want.nonEmpty, "no survivors — keep rule never fired")
+    assert(want.size < scored.count(), "screen cut nothing")
+    graft.Shared.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("missing chunk is detected by the resume-accounting invariant") {
     import spark.implicits._
     val blobs = Seq(("s1", Array.tabulate[Byte](9000)(_.toByte))).toDF("stream_id", "blob")

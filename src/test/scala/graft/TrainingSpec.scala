@@ -1885,6 +1885,41 @@ class TrainingSpec extends AnyFunSuite {
     assert(out.exists(r => r._4 == r._3))
   }
 
+  test("semantic decontamination flags a paraphrased benchmark leak that gram overlap provably misses") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    // benchmark doc 100 and corpus doc 1 are PARAPHRASES: zero shared
+    // tokens (so zero shared 5-gram shingles — the gram screen cannot
+    // fire even at minShared=1), but the encoder mapped them to the
+    // SAME meaning vector. doc 2 is unrelated text with an orthogonal
+    // embedding.
+    val benchDocs = Seq(
+      (100L, "what is the capital of france answer paris obviously")
+    ).toDF("doc_id", "text")
+    val corpusDocs = Seq(
+      (1L, "name that republic's chief city reply it's paree clearly"),
+      (2L, "completely different topic about cooking pasta tonight")
+    ).toDF("doc_id", "text")
+    def unit(axis: Int) =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    val benchEmb = Seq((100L, unit(0))).toDF("vec_id", "embedding")
+    val corpusEmb = Seq((1L, unit(0)), (2L, unit(7)))
+      .toDF("vec_id", "embedding")
+    // gram overlap: NOTHING shared, even at threshold 1
+    val gram = Decontaminate.overlap(
+      Dedup.shinglesOf(corpusDocs, "doc_id"),
+      Dedup.shinglesOf(benchDocs, "doc_id"),
+      minShared = 1).count()
+    assert(gram === 0L, "paraphrase must share zero shingles for this proof")
+    // semantic screen: the paraphrase is flagged at cos 1.0, the
+    // unrelated doc is not
+    val sem = Decontaminate.semanticOverlap(corpusEmb, benchEmb)
+      .select("doc_id", "bench_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sem === Set((1L, 100L, 1.0)),
+      s"expected only the paraphrase flagged against bench 100: $sem")
+  }
+
   test("top ngrams: counts match brute force, ties break on the gram string") {
     import spark.implicits._
     val docs = Seq(
