@@ -12,21 +12,65 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query reference times parsed from BASELINE.md §4 (the
-    * `| name | sec |` table rows) — used only to decide which queries
+  /** Per-query reference times — used only to decide which queries
     * to re-measure, never to alter a measurement.
+    *
+    * As of round 19 the PRIMARY source is BASELINE_REFS.json (one
+    * greppable row per query, generated from BASELINE.md's §4 table by
+    * dev/gen_baseline_refs.py after every mint/re-mint; BaselineRefsSpec
+    * pins JSON == table agreement). The markdown table parse survives
+    * only as the fallback when the JSON is absent — 737 lines of UTF-8
+    * prose was a fragile thing to put in a guard's hot path (the
+    * round-12 charset incident started there).
     *
     * Round-13 hardening: the round-12 driver run silently disarmed this
     * guard because the container's default charset is US-ASCII (empty
     * LANG, Java 17) and BASELINE.md contains UTF-8 punctuation, so the
     * default-codec `Source.fromFile` threw MalformedInputException into
     * the old catch-all. sbt masks this by setting -Dfile.encoding=UTF-8;
-    * a bare `java`/spark-submit run does not. The codec is now explicit,
+    * a bare `java`/spark-submit run does not. The codec is explicit,
     * the path search covers cwd and the canonical repo path, and every
     * outcome is logged — an empty result at sf0.1 is reported inside the
     * bench artifact itself (`"guard"` field) instead of vanishing.
     */
-  private def baseline(names: Set[String]): (Map[String, Double], String) = {
+  private[graft] def baseline(names: Set[String]): (Map[String, Double], String) = {
+    val jsonCandidates = Seq("BASELINE_REFS.json", "/root/repo/BASELINE_REFS.json")
+    // no early `return` in here: a non-local return from inside the
+    // try would throw NonLocalReturnControl STRAIGHT INTO the local
+    // catch-all and silently disarm the JSON path
+    val fromJson: Option[(Map[String, Double], String)] =
+      jsonCandidates.find(p => new java.io.File(p).isFile).flatMap { p =>
+        try {
+          val cwd = new java.io.File(".").getCanonicalPath
+          val refsDir = new java.io.File(p).getCanonicalFile.getParentFile.getPath
+          if (refsDir != cwd)
+            System.err.println(s"[bench] WARNING: using fallback refs $p (dir=$refsDir) from " +
+              s"cwd=$cwd — refs may belong to a different tree")
+          val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+          val rx = java.util.regex.Pattern.compile(
+            "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{[^}]*\"ref\"\\s*:\\s*([0-9.]+)")
+          val refs =
+            try src.getLines().flatMap { line =>
+              val m = rx.matcher(line)
+              if (m.find() && names.contains(m.group(1)))
+                Some(m.group(1) -> m.group(2).toDouble)
+              else None
+            }.toMap
+            finally src.close()
+          if (refs.nonEmpty) {
+            System.err.println(s"[bench] re-measure guard armed: ${refs.size} refs from $p")
+            Some((refs, p))
+          } else {
+            System.err.println(s"[bench] $p matched no query names — falling back to BASELINE.md")
+            None
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] failed reading $p ($e) — falling back to BASELINE.md")
+            None
+        }
+      }
+    if (fromJson.isDefined) return fromJson.get
     val candidates = Seq("BASELINE.md", "/root/repo/BASELINE.md")
     val path = candidates.find(p => new java.io.File(p).isFile)
     path match {
@@ -150,6 +194,25 @@ object Bench {
     }
   }
 
+  /** Stall-window detection over the sweep's sentinel-probe series
+    * (round-18 judge ask: the r18 driver sweep ran through a
+    * machine-level stall that inflated 18 rows 2-8x, visible only via
+    * the remeasure diff — a fixed no-op probe timed at intervals lets
+    * a contaminated sweep SELF-identify). A probe is a stall marker
+    * when it exceeds `factor` x the series median; the detection is a
+    * pure function so a spec can pin it on synthetic series.
+    * Returns (after-query, probe-sec, series-median) per stall probe;
+    * empty when the series is too short to establish a floor.
+    */
+  private[graft] def stallWindows(probes: Seq[(String, Double)],
+      factor: Double = 3.0): Seq[(String, Double, Double)] = {
+    if (probes.size < 4) return Nil
+    val sortedP = probes.map(_._2).sorted
+    val med = sortedP(sortedP.size / 2)
+    if (med <= 0) return Nil
+    probes.filter(_._2 > factor * med).map { case (n, v) => (n, v, med) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -201,7 +264,26 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
-    val first = sorted.map { case (name, fn) => name -> measure(name, fn) }
+    // environment sentinel: a fixed trivial probe (2M-row range sum —
+    // touches scheduler, codegen and one tiny shuffle-free job;
+    // ~30 ms steady) timed after every PROBE_EVERY queries. A GC
+    // storm / page-cache eviction / co-tenant burst inflates the
+    // probe with the queries around it, so the artifact's
+    // stall_windows block marks the contaminated span instead of
+    // relying on the remeasure diff to reveal it after the fact.
+    val probeEvery = 10
+    val probes = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def runProbe(after: String): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(2000000L).selectExpr("sum(id) AS s").collect()
+      probes += after -> (System.nanoTime() - t0) / 1e9
+    }
+    runProbe("_start")
+    val first = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      val t = name -> measure(name, fn)
+      if ((i + 1) % probeEvery == 0 || i == sorted.size - 1) runProbe(name)
+      t
+    }
 
     // a machine-level stall window (GC storm, page-cache eviction, a
     // co-tenant burst) can contaminate ALL reps of the queries that
@@ -317,7 +399,16 @@ object Bench {
     // parent rejects child reps flagged here
     val errsJson = if (errored.isEmpty) ""
       else errored.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","guard":"$guard","queries":$qs$rm$adj$errsJson,"n_queries":${results.length},"total_sec":${fmt(total)},"guard_status":"$guard","sf":"$sfDir"}"""
+    // sentinel block: the full probe series median plus any stall
+    // probes — a sweep whose rows are contested can be checked against
+    // its OWN contamination record instead of a judge re-run
+    val stalls = stallWindows(probes.toSeq)
+    val probeMed = { val s = probes.map(_._2).sorted; if (s.isEmpty) 0.0 else s(s.size / 2) }
+    val stallJson = s""","probe_median":${fmt(probeMed)},"stall_windows":[""" +
+      stalls.map { case (n, v, m) =>
+        s"""{"after":"$n","probe":${fmt(v)},"median":${fmt(m)}}"""
+      }.mkString(",") + "]"
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","guard":"$guard","queries":$qs$rm$adj$errsJson$stallJson,"n_queries":${results.length},"total_sec":${fmt(total)},"guard_status":"$guard","sf":"$sfDir"}"""
     println(json)
     // The driver's per-round artifact keeps only the tail of stdout, which
     // truncates the per-query map once it outgrows the window (queries sort

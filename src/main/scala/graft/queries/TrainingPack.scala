@@ -883,47 +883,66 @@ object TrainingPack {
     */
   val txPipelineFull: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // Stage boundaries are EAGER localCheckpoints, not lazy persists.
+    // This DAG is a chain of broadcast-consuming stages (the election
+    // threshold, the mix quota, the shuffle offsets, the packing
+    // token counts are all broadcast sides), and Spark materializes
+    // broadcast subtrees on the driver BEFORE the main stages run —
+    // so a lazily-persisted ancestor is still UNFILLED when the
+    // broadcast computes, and every broadcast re-derives the whole
+    // chain below it (measured: 35 -> 60+ s at sf0.1 from exactly
+    // this; eager boundaries read 14 s). Each checkpoint is small
+    // (survivor frames, cut text) and the cost IS the stage's honest
+    // cost, paid once.
     val docs = Tables.documents(s, d)
     val bench = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
     val corpus0 = docs.filter(col("doc_id") % 5 =!= 0)
       .select("doc_id", "lang", "text")
 
-    // 1. exact dedup (pinned: the text feeds stage 2, the lang column
+    // 1. exact dedup (the text feeds stage 2, the lang column
     // re-joins at stage 5)
     val wFp = Window.partitionBy("fp")
-    val keep1 = graft.Shared.materialize(corpus0
+    val keep1 = corpus0
       .withColumn("fp", md5(TextOps.norm(col("text"))))
       .withColumn("_m", min("doc_id").over(wFp))
-      .filter(col("doc_id") === col("_m")).drop("_m", "fp"))
+      .filter(col("doc_id") === col("_m")).drop("_m", "fp")
+      .localCheckpoint(true)
 
-    // 2. substring span cut over the survivors
+    // 2. substring span cut over the survivors (stage 3 reads it
+    // twice — the contamination gram build and the token stream — and
+    // the cut machinery is the DAG's most expensive subtree)
     val cut2 = Dedup.cutDupSpansFrom(keep1.select("doc_id", "text"))
       .select(col("doc_id"), col("text_cut").as("text"))
+      .localCheckpoint(true)
 
     // 3. decontamination cut vs the benchmark's raw text
     val cut3 = Dedup.cutContaminationSpansFrom(cut2, bench)
       .select(col("doc_id"), col("text_cut"))
 
-    // 4. plant + redact (pinned: feeds the classifier AND the packing
-    // token counts)
-    val red = graft.Shared.materialize(cut3.select(col("doc_id"),
+    // 4. plant + redact (feeds the classifier AND the packing token
+    // counts)
+    val red = cut3.select(col("doc_id"),
       graft.operators.Redact.redact(concat(col("text_cut"),
-        graft.operators.Redact.plantedPii(col("doc_id")))).as("text")))
+        graft.operators.Redact.plantedPii(col("doc_id")))).as("text"))
+      .localCheckpoint(true)
 
     // 5. classifier threshold cut on the redacted text
-    val scored = graft.Shared.materialize(
+    val scored =
       Classifier.scoreFrom(red, col("doc_id") % 10 === 1, col("doc_id") % 10 === 6)
         .select("doc_id", "margin_e9")
         .join(keep1.select("doc_id", "lang"), "doc_id")
-        .withColumn("mbkt", expr(Classifier.MarginBucketSql)))
+        .withColumn("mbkt", expr(Classifier.MarginBucketSql))
+        .localCheckpoint(true)
     val th = graft.operators.Elections.histogramThreshold(scored, "lang", "mbkt")
     val keep5 = scored.join(broadcast(th), Seq("lang"))
       .filter(col("mbkt") >= col("b_threshold"))
       .select("doc_id", "lang")
+      .localCheckpoint(true)
 
     // 6. temperature domain budget over the survivors
     val keep6 = Mixer.temperatureMixFrom(keep5, col("lang"))
       .select("doc_id", "lang")
+      .localCheckpoint(true)
 
     // 7 + 8. shuffle into 8 shards, pack 4096-token bins in shuffled order
     val shuffled = graft.operators.Sampling.shardShuffle(keep6, "doc_id", 8)

@@ -28,4 +28,22 @@ class BenchForkSpec extends AnyFunSuite {
     val t = Bench.forkedRep("no_such_query_xyz", "/root/testdata/sf0.001", "2")
     assert(t.isEmpty)
   }
+
+  test("stall sentinel: a planted r18-style stall window is detected, a flat series is not") {
+    // the r18 contamination shape: a block of probes 2-8x the steady
+    // value in the middle of an otherwise flat series
+    val flat = (1 to 20).map(i => s"q$i" -> 0.03)
+    assert(Bench.stallWindows(flat).isEmpty, "flat series must not flag")
+    val stalled = flat.take(8) ++ Seq("q9" -> 0.21, "q10" -> 0.15) ++
+      flat.drop(10)
+    val got = Bench.stallWindows(stalled)
+    assert(got.map(_._1) === Seq("q9", "q10"), s"wrong windows: $got")
+    // the reported median is the series floor, not the stall value
+    assert(got.forall(_._3 === 0.03))
+    // +-15% run noise never flags (the normal band from BASELINE.md)
+    val noisy = (1 to 20).map(i => s"q$i" -> (if (i % 2 == 0) 0.034 else 0.027))
+    assert(Bench.stallWindows(noisy).isEmpty, "normal-band noise must not flag")
+    // too-short series: no floor, no verdicts
+    assert(Bench.stallWindows(Seq("a" -> 1.0, "b" -> 99.0)).isEmpty)
+  }
 }

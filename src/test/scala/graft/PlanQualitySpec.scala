@@ -275,6 +275,11 @@ class PlanQualitySpec extends AnyFunSuite {
                               // totals cross via the scoring subtree
       "tx_classifier_incr",   // reviewed: the same bounded totals cross,
                               // built from the landed history's slices
+      "tx_pipeline_full",     // reviewed: inherits tx_classifier_score's
+                              // 1-row train-totals cross (stage 5's weight
+                              // vector) and tx_domain_mix's 1-row corpus-
+                              // totals cross (stage 6's quota algebra) —
+                              // both bounded B x 1 / |lang| x 1
       "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
       "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
@@ -290,6 +295,9 @@ class PlanQualitySpec extends AnyFunSuite {
                               // (1-row result feeding the weight vector)
       "tx_classifier_cut",    // same scalar via the scoring subtree
       "tx_classifier_incr",   // same scalar, history-trained weights
+      "tx_pipeline_full",     // reviewed: stage 5's train-totals scalar +
+                              // stage 6's quota-totals scalar (both 1-row
+                              // results feeding broadcast frames)
       "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive
