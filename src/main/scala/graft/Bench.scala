@@ -207,10 +207,14 @@ object Bench {
   private[graft] def stallWindows(probes: Seq[(String, Double)],
       factor: Double = 3.0): Seq[(String, Double, Double)] = {
     if (probes.size < 4) return Nil
+    // the first probe is JIT-cold by construction (it establishes the
+    // series, nothing has warmed the probe's own codegen path) — it
+    // anchors the median but never flags, or every clean sweep would
+    // open with a false "_start" stall
     val sortedP = probes.map(_._2).sorted
     val med = sortedP(sortedP.size / 2)
     if (med <= 0) return Nil
-    probes.filter(_._2 > factor * med).map { case (n, v) => (n, v, med) }
+    probes.drop(1).filter(_._2 > factor * med).map { case (n, v) => (n, v, med) }
   }
 
   def main(args: Array[String]): Unit = {

@@ -34,6 +34,10 @@ class BenchForkSpec extends AnyFunSuite {
     // value in the middle of an otherwise flat series
     val flat = (1 to 20).map(i => s"q$i" -> 0.03)
     assert(Bench.stallWindows(flat).isEmpty, "flat series must not flag")
+    // the first probe is JIT-cold by construction: a slow "_start"
+    // anchors the median but never flags
+    assert(Bench.stallWindows(Seq("_start" -> 0.9) ++ flat).isEmpty,
+      "cold first probe must not flag")
     val stalled = flat.take(8) ++ Seq("q9" -> 0.21, "q10" -> 0.15) ++
       flat.drop(10)
     val got = Bench.stallWindows(stalled)
