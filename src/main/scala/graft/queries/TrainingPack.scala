@@ -690,6 +690,22 @@ object TrainingPack {
   val txSemanticDecontam: Q = (s, d) =>
     graft.operators.Decontaminate.semanticGate(s, d)
 
+  /** At-ingest semantic decontamination
+    * ([[graft.operators.Decontaminate.semanticIncrGate]]): benchmark
+    * landed once as VecCatalog state, the arriving corpus slice
+    * (≥ 250) screened against it per batch.
+    */
+  val txSemanticDecontamIncr: Q = (s, d) =>
+    graft.operators.Decontaminate.semanticIncrGate(s, d)
+
+  /** STREAMING semantic decontamination
+    * ([[graft.streaming.VecScreen.decontamScreenReplayGate]]): the
+    * same screen through REAL Structured Streaming over mtime-ordered
+    * slices, static benchmark catalog, exactly-once sink.
+    */
+  val txStreamDecontam: Q = (s, d) =>
+    graft.streaming.VecScreen.decontamScreenReplayGate(s, d)
+
   /** STREAMING classifier screen (tx_stream_classifier): the engine
     * side trains the pinned weight artifact on the landed history
     * (docs < 250) and scores mtime-ordered document slices through
@@ -1805,6 +1821,8 @@ object TrainingPack {
     "tx_contamination_spans" -> txContaminationSpans,
     "tx_contamination_cut" -> txContaminationCut,
     "tx_semantic_decontam" -> txSemanticDecontam,
+    "tx_semantic_decontam_incr" -> txSemanticDecontamIncr,
+    "tx_stream_decontam"   -> txStreamDecontam,
     "tx_stream_classifier" -> txStreamClassifier,
     "tx_pii_redact"        -> txPiiRedact,
     "tx_shard_shuffle"     -> txShardShuffle,
@@ -2310,6 +2328,35 @@ object TrainingPack {
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(28,12))))"
   private val dotDbl =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  /** Semantic-decontamination oracle (ONE copy for the one-shot,
+    * at-ingest and streaming gates): planted corpus bounded by
+    * `corpusCond`, banded on both sides, decimal-verified collisions,
+    * per-doc rollup.
+    */
+  private def semanticDecontamSql(corpusCond: String = "1 = 1"): String =
+    s"""WITH pl AS (SELECT ${planesLit(8 * 4)} AS p),
+       |bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+       |corpus AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN e.vec_id % 40 = 3 THEN COALESCE(b.embedding, e.embedding)
+       |         ELSE e.embedding END AS embedding
+       |  FROM embeddings e LEFT JOIN embeddings b ON b.vec_id = e.vec_id - 3
+       |  WHERE e.vec_id % 5 <> 0 AND ($corpusCond)),
+       |ctb AS (${tableBucketsFromSql("corpus", 8, 4)}),
+       |htb AS (${tableBucketsFromSql("bench", 8, 4)}),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id AS bv, h.vec_id AS hv
+       |  FROM ctb c JOIN htb h USING (tbl, bkt)),
+       |c AS (
+       |  SELECT bv, hv, b.embedding AS veb, h.embedding AS veh
+       |  FROM cand JOIN corpus b ON b.vec_id = bv JOIN bench h ON h.vec_id = hv
+       |  WHERE ${dotDbl.format("b.embedding", "h.embedding")} >= 0.94),
+       |d AS (SELECT bv, hv, ${dotDec.format("veb", "veh")} AS dot FROM c)
+       |SELECT bv AS doc_id, count(*) AS n_bench_hits, min(hv) AS bench_id,
+       |  CAST(ROUND(max(dot), 6) AS DOUBLE) AS cos
+       |FROM d WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
+       |GROUP BY bv ORDER BY doc_id""".stripMargin
 
   /** IVF candidate CTEs (centroid sample → argmax assignment → probe
     * ranking → `cand(query_id, vec_id)`), shared by the IVF and
@@ -4493,30 +4540,14 @@ object TrainingPack {
     // hyperplane banding on BOTH sides, candidates from (table, bucket)
     // collisions, double prefilter + exact decimal verify, per-doc
     // rollup — dd_embedding_incremental's construction with the
-    // benchmark slice as the history side
-    "tx_semantic_decontam" ->
-      s"""WITH pl AS (SELECT ${planesLit(8 * 4)} AS p),
-         |bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-         |corpus AS (
-         |  SELECT e.vec_id,
-         |    CASE WHEN e.vec_id % 40 = 3 THEN COALESCE(b.embedding, e.embedding)
-         |         ELSE e.embedding END AS embedding
-         |  FROM embeddings e LEFT JOIN embeddings b ON b.vec_id = e.vec_id - 3
-         |  WHERE e.vec_id % 5 <> 0),
-         |ctb AS (${tableBucketsFromSql("corpus", 8, 4)}),
-         |htb AS (${tableBucketsFromSql("bench", 8, 4)}),
-         |cand AS (
-         |  SELECT DISTINCT c.vec_id AS bv, h.vec_id AS hv
-         |  FROM ctb c JOIN htb h USING (tbl, bkt)),
-         |c AS (
-         |  SELECT bv, hv, b.embedding AS veb, h.embedding AS veh
-         |  FROM cand JOIN corpus b ON b.vec_id = bv JOIN bench h ON h.vec_id = hv
-         |  WHERE ${dotDbl.format("b.embedding", "h.embedding")} >= 0.94),
-         |d AS (SELECT bv, hv, ${dotDec.format("veb", "veh")} AS dot FROM c)
-         |SELECT bv AS doc_id, count(*) AS n_bench_hits, min(hv) AS bench_id,
-         |  CAST(ROUND(max(dot), 6) AS DOUBLE) AS cos
-         |FROM d WHERE dot >= CAST('0.95' AS DECIMAL(38,12))
-         |GROUP BY bv ORDER BY doc_id""".stripMargin,
+    // benchmark slice as the history side. ONE SQL copy serves the
+    // one-shot, at-ingest and streaming gates (the latter two bound
+    // the corpus to the arriving slice; with a STATIC benchmark
+    // catalog the stream's verdict union equals the batch screen —
+    // StreamingSpec pins that equality on the engine side).
+    "tx_semantic_decontam" -> semanticDecontamSql(),
+    "tx_semantic_decontam_incr" -> semanticDecontamSql("e.vec_id >= 250"),
+    "tx_stream_decontam" -> semanticDecontamSql("e.vec_id >= 250"),
 
     // the streaming classifier screen replayed: the pinned model is
     // tx_classifier_incr's (weights from the landed history's slices

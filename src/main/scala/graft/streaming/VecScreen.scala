@@ -99,6 +99,56 @@ object VecScreen {
     q.awaitTermination()
   }
 
+  /** Driver-gate REPLAY of the STREAMING semantic-decontamination
+    * screen (tx_stream_decontam): the benchmark embedding set lands
+    * once as [[VecCatalog]] state, the planted corpus slice ≥ 250
+    * ([[graft.operators.Decontaminate]]'s shared plant) lands as two
+    * mtime-ordered parquet slices ([250, 375) then ≥ 375), and
+    * [[screenAgainstCatalog]] consumes them one file per micro-batch
+    * with appendAccepted=false — the benchmark catalog is STATIC
+    * between releases, so verdicts are batch-independent by
+    * construction and the oracle is the batch screen's SQL
+    * (StreamingSpec pins the stream == batch equality on the engine
+    * side). Exactly-once, checkpointed, batch_id-partitioned sink —
+    * the ClsScreen/GramScreen replay discipline on the vector
+    * modality.
+    */
+  def decontamScreenReplayGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 5 === 0)
+    val corpus = graft.operators.Decontaminate.plantedCorpus(emb)
+      .filter(col("vec_id") >= 250)
+    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val srcName = s"graft_decon_src_${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
+    val srcDir = s"${sys.props("java.io.tmpdir")}/$srcName"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    if (!new java.io.File(s"$srcDir/_SLICED").exists) {
+      graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
+        s"graft_decon_src_${dirPart}_", srcName)
+      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+      corpus.filter(col("vec_id") < 375)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+      corpus.filter(col("vec_id") >= 375)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      graft.plans.CatalogMaintenance.writeFile(fs,
+        new org.apache.hadoop.fs.Path(s"$srcDir/_SLICED"), "ok")
+    }
+    val cat = VecCatalog.land(spark, bench, s"stream_gate_$srcName")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_decon_gate_${dirPart}_" +
+      ProcessHandle.current().pid()
+    graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
+      "graft_decon_gate_", new org.apache.hadoop.fs.Path(base).getName)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    screenAgainstCatalog(spark, srcDir, corpus.schema, cat,
+      s"$base/sink", s"$base/ck")
+    spark.read.parquet(s"$base/sink")
+      .select(col("vec_id").as("doc_id"), col("n_matches").as("n_bench_hits"),
+        col("matched_id").as("bench_id"), col("cos"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming SemDeDup screen — the ingest loop of
     * [[graft.operators.Similarity.semanticScreenFrom]] over the
     * LANDED semantic catalog: history is assigned once into

@@ -758,6 +758,24 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("streaming semantic-decontamination screen equals the batch screen") {
+    import spark.implicits._
+    // a STATIC benchmark catalog makes verdicts batch-independent by
+    // construction — the stream's verdict union must equal the
+    // at-ingest batch screen over the same arriving slice
+    val got = graft.streaming.VecScreen.decontamScreenReplayGate(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = graft.operators.Decontaminate.semanticIncrGate(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === want, s"stream ${got.take(3)}... != batch ${want.take(3)}...")
+    // non-vacuous: the planted leaks fired, and both slices produced one
+    assert(want.nonEmpty, "no flagged leaks — plant never fired")
+    assert(want.exists(_._1 < 375) && want.exists(_._1 >= 375),
+      s"plants missing from one slice: ${want.map(_._1)}")
+    graft.Shared.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("missing chunk is detected by the resume-accounting invariant") {
     import spark.implicits._
     val blobs = Seq(("s1", Array.tabulate[Byte](9000)(_.toByte))).toDF("stream_id", "blob")
