@@ -215,25 +215,17 @@ object Classifier {
     scoreFrom(Tables.documents(spark, dir),
       col("doc_id") % 10 === 0, col("doc_id") % 10 === 5)
 
-  /** Classifier keep-cut: the tx_lm_threshold histogram election over
-    * classifier margins — keep the most reference-like ~70 % per
-    * language, rank-exact at MILLI-scale margin buckets. Margins are
-    * signed, and Spark's `div` truncates toward zero where DuckDB's
-    * `//` floors — bucketing adds a 1e15 offset (a multiple of the
-    * 1e6 bucket width, so the election is shift-invariant) to keep
-    * every numerator positive, where the two semantics agree.
-    *
+  /** The offset-guarded milli-scale margin bucket (ONE copy, shared
+    * by [[thresholdCut]] and the full-pipeline composition). Margins
+    * are signed, and Spark's `div` truncates toward zero where
+    * DuckDB's `//` floors — bucketing adds a 1e15 offset (a multiple
+    * of the 1e6 bucket width, so the election is shift-invariant) to
+    * keep every numerator positive, where the two semantics agree.
     * The offset covers |margin_e9| < 1e15, i.e. n_feat < ~1e6 (each
     * feature weight is bounded by ±1e9): a ~500k-token doc could
     * exceed it and silently re-open the truncate-vs-floor seam, so
     * out-of-range margins FAIL LOUDLY (assert_true in the bucketing
     * expression) instead of producing cross-engine drift.
-    */
-  /** The offset-guarded milli-scale margin bucket (ONE copy, shared
-    * by [[thresholdCut]] and the full-pipeline composition): valid
-    * margins shift by +1e15 and bucket at 1e6 width; out-of-range
-    * margins fail loudly via assert_true instead of silently
-    * re-opening the truncate-vs-floor seam.
     */
   val MarginBucketSql: String =
     "(margin_e9 + CASE WHEN margin_e9 > -1000000000000000L " +
@@ -242,6 +234,12 @@ object Classifier {
       "offset bucketing seam re-opened — derive a larger offset') " +
       "END) div 1000000"
 
+  /** Classifier keep-cut: the tx_lm_threshold histogram election over
+    * classifier margins — keep the most reference-like ~70 % per
+    * language, rank-exact at MILLI-scale margin buckets (bucketing
+    * via [[MarginBucketSql]], whose range guard fails loudly instead
+    * of letting an out-of-range margin drift across engines).
+    */
   def thresholdCut(spark: SparkSession, dir: String): DataFrame = {
     val scored = graft.Shared.materialize(
       score(spark, dir).select("doc_id", "margin_e9")

@@ -55,6 +55,42 @@ object CatalogMaintenance {
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Regen hygiene for FINGERPRINT-NAMED catalogs — the
+    * [[graft.Shared.pruneSiblings]] discipline applied to landed
+    * catalog state: every driver-side testdata regeneration mints a
+    * new content fingerprint, so a catalog named by one strands its
+    * previous incarnation (tables + a corpus-sized data tree under
+    * `base`) forever unless the new landing prunes it.
+    *
+    * Drops every catalog root under `base` whose directory name
+    * starts with `dirTag + "_" + sanitized(namePrefix)` EXCEPT the
+    * one whose logical name is `keepName`, along with the
+    * spark-catalog table entries pointing at the deleted roots
+    * (table names are `<root-dir-name>_<suffix>` across all catalog
+    * kinds). Callers pass a prefix that pins the gate AND the scale
+    * dir, so a prune from one scale can never victimize another's
+    * live catalog.
+    */
+  private[graft] def pruneCatalogSiblings(spark: SparkSession, base: String,
+      dirTag: String, namePrefix: String, keepName: String): Unit = {
+    def san(s: String) = s.replaceAll("[^A-Za-z0-9_]", "_")
+    val prefix = s"${dirTag}_${san(namePrefix)}"
+    val keepDir = s"${dirTag}_${san(keepName)}_" +
+      java.lang.Long.toHexString(graft.functions.TextImpl.fnv1a64(keepName)).take(8)
+    val baseP = new Path(base)
+    val f = fs(spark, base)
+    if (!f.exists(baseP)) return
+    val stale = f.listStatus(baseP).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n != keepDir)
+    stale.foreach { n =>
+      spark.sessionState.catalog
+        .listTables("default", s"$n*").foreach { ti =>
+          spark.sql(s"DROP TABLE IF EXISTS ${ti.table}")
+        }
+      f.delete(new Path(base, n), true)
+    }
+  }
+
   private[graft] def readFile(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
     else {

@@ -176,4 +176,12 @@ object GramCatalog {
     spark.sql(s"DROP TABLE IF EXISTS ${h.statsT}")
     fs(spark, h.root).delete(new Path(h.root), true)
   }
+
+  /** Regen hygiene for fingerprint-named catalogs — see
+    * [[CatalogMaintenance.pruneCatalogSiblings]].
+    */
+  def pruneSiblings(spark: SparkSession, namePrefix: String, keepName: String,
+      base: String = defaultBase): Unit =
+    CatalogMaintenance.pruneCatalogSiblings(spark, base, "graft_gramcat",
+      namePrefix, keepName)
 }

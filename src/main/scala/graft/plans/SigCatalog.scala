@@ -171,4 +171,12 @@ object SigCatalog {
     spark.sql(s"DROP TABLE IF EXISTS ${h.bandsT}")
     fs(spark, h.root).delete(new Path(h.root), true)
   }
+
+  /** Regen hygiene for fingerprint-named catalogs — see
+    * [[CatalogMaintenance.pruneCatalogSiblings]].
+    */
+  def pruneSiblings(spark: SparkSession, namePrefix: String, keepName: String,
+      base: String = defaultBase): Unit =
+    CatalogMaintenance.pruneCatalogSiblings(spark, base, "graft_sgcat",
+      namePrefix, keepName)
 }

@@ -159,4 +159,12 @@ object VecCatalog {
     tables(h).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     fs(spark, h.root).delete(new Path(h.root), true)
   }
+
+  /** Regen hygiene for fingerprint-named catalogs — see
+    * [[CatalogMaintenance.pruneCatalogSiblings]].
+    */
+  def pruneSiblings(spark: SparkSession, namePrefix: String, keepName: String,
+      base: String = defaultBase): Unit =
+    CatalogMaintenance.pruneCatalogSiblings(spark, base, "graft_vccat",
+      namePrefix, keepName)
 }

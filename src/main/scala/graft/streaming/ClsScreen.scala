@@ -78,36 +78,16 @@ object ClsScreen {
   def screenReplayGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
     val hist = docs.filter(col("doc_id") < 250)
-    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val srcName = s"graft_cls_src_${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
-    val srcDir = s"${sys.props("java.io.tmpdir")}/$srcName"
-    val modelDir = s"$srcDir/_model"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    if (!new java.io.File(s"$srcDir/_SLICED").exists) {
-      graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
-        s"graft_cls_src_${dirPart}_", srcName)
-      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
-      docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
-      docs.filter(col("doc_id") >= 375)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      // the pinned artifact lands next to the slices, keyed by the
-      // same content fingerprint: a testdata regen re-trains it
-      Classifier.pinnedWeights(hist,
+    // the pinned artifact lands next to the slices inside the same
+    // _SLICED-guarded block, keyed by the same content fingerprint: a
+    // testdata regen re-trains it
+    val srcDir = ReplayGate.slicedSource(spark, dir, "graft_cls_src",
+      docs.filter(col("doc_id") >= 250), "doc_id",
+      alsoLand = sd => Classifier.pinnedWeights(hist,
         col("doc_id") % 10 === 0, col("doc_id") % 10 === 5)
-        .write.mode("overwrite").parquet(modelDir)
-      graft.plans.CatalogMaintenance.writeFile(fs,
-        new org.apache.hadoop.fs.Path(s"$srcDir/_SLICED"), "ok")
-    }
-    val base = s"${sys.props("java.io.tmpdir")}/graft_cls_gate_${dirPart}_" +
-      ProcessHandle.current().pid()
-    graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
-      "graft_cls_gate_", new org.apache.hadoop.fs.Path(base).getName)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    // parquet slices carry only the streamed columns
-    val schema = docs.schema
-    classifierScreen(spark, srcDir, schema, modelDir,
+        .write.mode("overwrite").parquet(s"$sd/_model"))
+    val base = ReplayGate.gateBase(spark, dir, "graft_cls_gate")
+    classifierScreen(spark, srcDir, docs.schema, s"$srcDir/_model",
       s"$base/sink", s"$base/ck")
     spark.read.parquet(s"$base/sink")
       .select(col("doc_id"), col("n_feat"), col("margin_e9"))

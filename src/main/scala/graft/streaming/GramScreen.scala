@@ -75,33 +75,15 @@ object GramScreen {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
     val hist = docs.filter(col("doc_id") < 250)
-    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val srcName = s"graft_gram_src_${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
-    val srcDir = s"${sys.props("java.io.tmpdir")}/$srcName"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    if (!new java.io.File(s"$srcDir/_SLICED").exists) {
-      graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
-        s"graft_gram_src_${dirPart}_", srcName)
-      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
-      docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
-      docs.filter(col("doc_id") >= 375)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      graft.plans.CatalogMaintenance.writeFile(fs,
-        new org.apache.hadoop.fs.Path(s"$srcDir/_SLICED"), "ok")
-    }
-    val cat = GramCatalog.land(spark, hist, s"stream_gate_$srcName")
-    // checkpoint/sink per (dir, process), recreated per invocation;
-    // stale other-process leftovers GC'd past 2h (ingestReplayGate's
-    // concurrency discipline)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_gram_gate_${dirPart}_" +
-      ProcessHandle.current().pid()
-    graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
-      "graft_gram_gate_", new org.apache.hadoop.fs.Path(base).getName)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val schema = docs.schema
-    spanScreen(spark, srcDir, schema, cat, s"$base/sink", s"$base/ck")
+    val srcDir = ReplayGate.slicedSource(spark, dir, "graft_gram_src",
+      docs.filter(col("doc_id") >= 250), "doc_id")
+    // fingerprint-named catalog regenerates with the slices; prune the
+    // stale incarnations a testdata regen would otherwise strand
+    GramCatalog.pruneSiblings(spark, ReplayGate.catalogNamePrefix(srcDir),
+      ReplayGate.catalogName(srcDir))
+    val cat = GramCatalog.land(spark, hist, ReplayGate.catalogName(srcDir))
+    val base = ReplayGate.gateBase(spark, dir, "graft_gram_gate")
+    spanScreen(spark, srcDir, docs.schema, cat, s"$base/sink", s"$base/ck")
     spark.read.parquet(s"$base/sink")
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
       .orderBy("doc_id", "span_start")

@@ -104,30 +104,20 @@ object SigScreen {
   private def screenReplayGate(spark: SparkSession, dir: String,
       sigs: DataFrame, tag: String): DataFrame = {
     val hist = sigs.filter(col("doc_id") < 250)
-    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val srcName = s"graft_sig_src_$tag${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
-    val srcDir = s"${sys.props("java.io.tmpdir")}/$srcName"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    if (!new java.io.File(s"$srcDir/_SLICED").exists) {
-      graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
-        s"graft_sig_src_$tag${dirPart}_", srcName)
-      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
-      sigs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
-      sigs.filter(col("doc_id") >= 375)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      graft.plans.CatalogMaintenance.writeFile(fs,
-        new org.apache.hadoop.fs.Path(s"$srcDir/_SLICED"), "ok")
-    }
-    val cat = SigCatalog.land(spark, hist, s"stream_gate_$srcName")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_sig_gate_$tag${dirPart}_" +
-      ProcessHandle.current().pid()
-    graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
-      "graft_sig_gate_", new org.apache.hadoop.fs.Path(base).getName)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val schema = sigs.schema
-    sigScreen(spark, srcDir, schema, cat, s"$base/sink", s"$base/ck")
+    // prefix reproduces the historical naming for tag "" and "afp_"/
+    // "vfp_" alike (the helper re-appends the underscore), so landed
+    // tmp state from earlier rounds stays attachable
+    val srcDir = ReplayGate.slicedSource(spark, dir,
+      s"graft_sig_src_$tag".stripSuffix("_"),
+      sigs.filter(col("doc_id") >= 250), "doc_id")
+    // fingerprint-named catalog regenerates with the slices; prune the
+    // stale incarnations a testdata regen would otherwise strand
+    SigCatalog.pruneSiblings(spark, ReplayGate.catalogNamePrefix(srcDir),
+      ReplayGate.catalogName(srcDir))
+    val cat = SigCatalog.land(spark, hist, ReplayGate.catalogName(srcDir))
+    val base = ReplayGate.gateBase(spark, dir,
+      s"graft_sig_gate_$tag".stripSuffix("_"))
+    sigScreen(spark, srcDir, sigs.schema, cat, s"$base/sink", s"$base/ck")
     spark.read.parquet(s"$base/sink")
       .select(col("doc_id"), col("kept_by"), col("min_dist"), col("n_matches"))
       .orderBy("doc_id")

@@ -119,28 +119,14 @@ object VecScreen {
     val bench = emb.filter(col("vec_id") % 5 === 0)
     val corpus = graft.operators.Decontaminate.plantedCorpus(emb)
       .filter(col("vec_id") >= 250)
-    val dirPart = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val srcName = s"graft_decon_src_${dirPart}_${graft.Shared.srcFingerprint(spark, dir)}"
-    val srcDir = s"${sys.props("java.io.tmpdir")}/$srcName"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    if (!new java.io.File(s"$srcDir/_SLICED").exists) {
-      graft.Shared.pruneSiblings(spark, sys.props("java.io.tmpdir"),
-        s"graft_decon_src_${dirPart}_", srcName)
-      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
-      corpus.filter(col("vec_id") < 375)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
-      corpus.filter(col("vec_id") >= 375)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      graft.plans.CatalogMaintenance.writeFile(fs,
-        new org.apache.hadoop.fs.Path(s"$srcDir/_SLICED"), "ok")
-    }
-    val cat = VecCatalog.land(spark, bench, s"stream_gate_$srcName")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_decon_gate_${dirPart}_" +
-      ProcessHandle.current().pid()
-    graft.Shared.gcStaleSiblings(spark, sys.props("java.io.tmpdir"),
-      "graft_decon_gate_", new org.apache.hadoop.fs.Path(base).getName)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val srcDir = ReplayGate.slicedSource(spark, dir, "graft_decon_src",
+      corpus, "vec_id")
+    // the benchmark catalog is fingerprint-named like the slices; a
+    // regen prunes the stale catalog too instead of stranding it
+    VecCatalog.pruneSiblings(spark, ReplayGate.catalogNamePrefix(srcDir),
+      ReplayGate.catalogName(srcDir))
+    val cat = VecCatalog.land(spark, bench, ReplayGate.catalogName(srcDir))
+    val base = ReplayGate.gateBase(spark, dir, "graft_decon_gate")
     screenAgainstCatalog(spark, srcDir, corpus.schema, cat,
       s"$base/sink", s"$base/ck")
     spark.read.parquet(s"$base/sink")

@@ -216,13 +216,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"),
       s"global sort in shard-shuffle plan:\n$plan")
     // the RANK window must partition by (shard, _rng) — 256 ranges per
-    // shard — not by shard alone
+    // shard — not by shard alone: inspect the row_number window's OWN
+    // windowspecdefinition (a plan-wide contains("_rng") is vacuous —
+    // the offsets branch projects _rng regardless of how the rank
+    // partitions)
     assert(plan.contains("hashpartitioning(shard") && plan.contains("_rng"),
       s"(shard, range) not the rank partition key:\n$plan")
-    assert(!plan.contains("Window [row_number() windowspecdefinition(shard#") ||
-      plan.contains("_rng"),
-      s"rank window partitions by shard alone:\n$plan")
-    assert(plan.contains("Window"), s"per-sub-partition rank gone:\n$plan")
+    val rankSpec = plan.indexOf("row_number() windowspecdefinition(")
+    assert(rankSpec >= 0, s"per-sub-partition rank gone:\n$plan")
+    val spec = plan.substring(rankSpec,
+      math.min(plan.length, rankSpec + 160))
+    assert(spec.contains("_rng"),
+      s"rank window partitions by shard alone (spec: $spec)")
     // the offsets side joins back broadcast — the big side must not
     // shuffle a second time for the join
     assert(plan.contains("BroadcastHashJoin"),
