@@ -229,4 +229,39 @@ class CatalogMaintenanceSpec extends AnyFunSuite {
       assert(none.isEmpty, s"expired vector catalog still matched: $none")
     } finally VecCatalog.drop(spark, cat)
   }
+
+  test("pruneSiblings drops a stale fingerprint's catalog but never another scale's or the keeper") {
+    import org.apache.hadoop.fs.Path
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").filter(col("vec_id") < 50)
+    // simulate two testdata regens of one gate (same logical prefix,
+    // different fingerprints) plus a DIFFERENT scale dir's catalog
+    // that shares everything up to the dir segment
+    val stale = VecCatalog.land(spark, emb, "spec_prune_sfA_11111111")
+    val keep = VecCatalog.land(spark, emb, "spec_prune_sfA_22222222")
+    val other = VecCatalog.land(spark, emb, "spec_prune_sfB_33333333")
+    try {
+      val fs = new Path(VecCatalog.defaultBase)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new Path(stale.root)) && fs.exists(new Path(keep.root)))
+      VecCatalog.pruneSiblings(spark, "spec_prune_sfA_", "spec_prune_sfA_22222222")
+      // the stale incarnation is gone — files AND table entries
+      assert(!fs.exists(new Path(stale.root)), "stale root survived the prune")
+      assert(!spark.catalog.tableExists(stale.bucketsT),
+        "stale table entry survived the prune")
+      // the keeper and the other scale's catalog are untouched and
+      // still SCREENABLE (table entries intact, data readable)
+      assert(fs.exists(new Path(keep.root)) && fs.exists(new Path(other.root)))
+      assert(VecCatalog.screen(spark, emb, keep).columns.nonEmpty)
+      assert(spark.catalog.tableExists(other.bucketsT),
+        "another scale's catalog was victimized")
+      // idempotent: pruning again is a no-op
+      VecCatalog.pruneSiblings(spark, "spec_prune_sfA_", "spec_prune_sfA_22222222")
+      assert(fs.exists(new Path(keep.root)))
+    } finally {
+      VecCatalog.drop(spark, keep)
+      VecCatalog.drop(spark, other)
+      VecCatalog.drop(spark, stale)
+    }
+  }
 }
