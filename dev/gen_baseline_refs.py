@@ -66,10 +66,14 @@ def main():
     #   cites it as the family precedent
     # - tx_span_cut: pre-addendum sweep ref; addendum 20 cites it as a
     #   shape comparison for tx_contamination_cut
+    # - tx_pipeline: addendum 26 cites its in-band isolated reading as
+    #   evidence the packing change left it alone — its 2.45 ref stays
+    #   the r9 sweep number
     regime["dd_minhash_lsh"] = ("sweep", None)
     regime["dd_minhash_lsh_capped"] = ("sweep", None)
     regime["mm_stream_phash"] = ("isolated", 17)
     regime["tx_span_cut"] = ("sweep", None)
+    regime["tx_pipeline"] = ("sweep", None)
     out = {
         q: {"ref": refs[q], "regime": regime[q][0], "round": regime[q][1]}
         for q in sorted(refs)

@@ -603,18 +603,14 @@ object TrainingPack {
     * 100 TB; bin ids are per-shard, exactly as each dataloader worker
     * numbers its own context windows.
     */
-  val txSequencePacking: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .withColumn("bin", floor(col("cum_before").cast("double") / 4096).cast("bigint"))
+  val txSequencePacking: Q = (s, d) =>
+    graft.operators.Packing.packBins(
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok")),
+      "shard", "doc_id", "n_tok", 4096)
       .select("doc_id", "shard", "n_tok", "bin")
       .orderBy("doc_id")
-  }
 
   /** PII redaction (training-data scrubbing): emails → <EMAIL>,
     * IPv4s → <IP>, long digit runs → <NUM>, applied in that fixed
@@ -839,13 +835,10 @@ object TrainingPack {
     val keep6 = graft.operators.Sampling.stratified(
       keep5, "lang", "doc_id", StratThresholds, StratDefault)
 
-    // 7. per-shard sequence packing
-    val wPack = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    keep6
-      .withColumn("shard", col("doc_id") % 8)
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wPack), lit(0L)))
-      .withColumn("bin", floor(col("cum_before").cast("double") / 4096).cast("bigint"))
+    // 7. sequence packing (two-phase prefix sums — Packing.packBins)
+    graft.operators.Packing.packBins(
+      keep6.withColumn("shard", col("doc_id") % 8),
+      "shard", "doc_id", "n_tok", 4096)
       .select("doc_id", "lang", "shard", "n_tok", "bin")
       .orderBy("doc_id")
   }
@@ -960,15 +953,13 @@ object TrainingPack {
       .select("doc_id", "lang")
       .localCheckpoint(true)
 
-    // 7 + 8. shuffle into 8 shards, pack 4096-token bins in shuffled order
+    // 7 + 8. shuffle into 8 shards, pack 4096-token bins in shuffled
+    // order (two-phase prefix sums — Packing.packBins over shard_pos)
     val shuffled = graft.operators.Sampling.shardShuffle(keep6, "doc_id", 8)
     val nTok = red.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
-    val wPack = Window.partitionBy("shard").orderBy("shard_pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    shuffled.join(nTok, "doc_id")
-      .withColumn("cum_before", coalesce(sum("n_tok").over(wPack), lit(0L)))
-      .withColumn("bin", expr("cum_before div 4096"))
+    graft.operators.Packing.packBins(
+      shuffled.join(nTok, "doc_id"), "shard", "shard_pos", "n_tok", 4096)
       .select(col("doc_id"), col("lang"), col("n_tok"), col("shard"),
         col("shard_pos"), col("bin"))
       .orderBy("doc_id")
@@ -1629,19 +1620,15 @@ object TrainingPack {
     * context windows is model tokens; packing in regex tokens
     * over/under-fills windows domain-dependently.
     */
-  val txBpePack: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-        size(graft.functions.TextExpressions.bpe_encode(lower(col("text"))))
-          .cast("bigint").as("n_tok"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .withColumn("bin", floor(col("cum_before").cast("double") / 1024).cast("bigint"))
+  val txBpePack: Q = (s, d) =>
+    graft.operators.Packing.packBins(
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(graft.functions.TextExpressions.bpe_encode(lower(col("text"))))
+            .cast("bigint").as("n_tok")),
+      "shard", "doc_id", "n_tok", 1024)
       .select("doc_id", "shard", "n_tok", "bin")
       .orderBy("doc_id")
-  }
 
   /** CCNet-style LM quality score: character-trigram model trained on
     * the doc_id % 10 == 0 slice, every doc scored by integer-exact

@@ -169,17 +169,42 @@ class PlanQualitySpec extends AnyFunSuite {
   private def hasShuffleBeforeJoin(plan: String): Boolean =
     plan.linesIterator.exists(l => l.contains("SortMergeJoin"))
 
-  test("sequence packing parallelizes: no single-partition exchange or global sort") {
+  test("sequence packing parallelizes: two-phase prefix sums, never per-shard or global serialization") {
     // a Window.orderBy with no partition key plans as
-    // `Exchange SinglePartition` + one task sorting the whole corpus —
-    // the per-shard window must never reintroduce that
+    // `Exchange SinglePartition` + one task sorting the whole corpus,
+    // and a plain per-shard window serializes corpus/N rows through
+    // one task per shard — the packing family uses Packing.packBins'
+    // (shard, range) running sums + broadcast offsets instead
     val df = TrainingPack.txSequencePacking(spark, dir)
     // string match, not collect: AQE hides finished exchanges inside
     // ShuffleQueryStage leaf nodes
     val plan = planString(df)
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"single-partition exchange in packing plan:\n$plan")
-    assert(plan.contains("Window"), s"window gone from packing plan:\n$plan")
+    // packBins derives its range width from a 1-row max-order scalar
+    // aggregate — a legit SinglePartition (the dq34/tx_domain_mix
+    // class). Ban only corpus-shaped funnels: any SinglePartition
+    // exchange whose CONSUMER is not a keyless aggregate.
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val above = lines.slice(math.max(0, i - 3), i).mkString("\n")
+        assert(above.contains("HashAggregate(keys=[]"),
+          s"non-scalar single-partition exchange in packing plan (line $i):\n$plan")
+      }
+    // the RUNNING-SUM window must partition by (shard, _rng): inspect
+    // its own windowspecdefinition (the shardShuffle-test discipline)
+    val runSpec = plan.indexOf("sum(n_tok") match {
+      case -1 => plan.indexOf("windowspecdefinition(shard")
+      case i => i
+    }
+    assert(runSpec >= 0, s"running-sum window gone from packing plan:\n$plan")
+    assert(plan.contains("_rng"),
+      s"(shard, range) not in the packing plan:\n$plan")
+    val spec0 = plan.indexOf("windowspecdefinition(shard")
+    assert(spec0 >= 0 && plan.substring(spec0,
+      math.min(plan.length, spec0 + 160)).contains("_rng"),
+      s"running-sum window partitions by shard alone:\n${plan.substring(spec0, math.min(plan.length, spec0 + 160))}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset join not broadcast:\n$plan")
   }
 
   test("PII redaction is a map-only stage; classifier scoring broadcasts its weights") {
@@ -285,6 +310,13 @@ class PlanQualitySpec extends AnyFunSuite {
                               // vector) and tx_domain_mix's 1-row corpus-
                               // totals cross (stage 6's quota algebra) —
                               // both bounded B x 1 / |lang| x 1
+      "tx_sequence_packing",  // reviewed: Packing.packBins' 1-row
+                              // max-order scalar broadcast-crossed to
+                              // derive the range width (bounded n x 1)
+      "tx_bpe_pack",          // reviewed: same 1-row width cross, BPE
+                              // token currency
+      "tx_pipeline",          // reviewed: same 1-row width cross in its
+                              // packing stage
       "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
       "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
@@ -303,6 +335,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_pipeline_full",     // reviewed: stage 5's train-totals scalar +
                               // stage 6's quota-totals scalar (both 1-row
                               // results feeding broadcast frames)
+      "tx_sequence_packing",  // reviewed: Packing.packBins' 1-row
+                              // max-order scalar (range-width derivation)
+      "tx_bpe_pack",          // reviewed: same 1-row width scalar
+      "tx_pipeline",          // reviewed: same 1-row width scalar in its
+                              // packing stage
       "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive
