@@ -20,7 +20,9 @@ import pyarrow.compute as pc
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-REPS = 10
+# replication factor: 10 -> the round-9-comparable sf1 corpus; pass
+# 100 (DST=/tmp/graft_sf10) for the round-20 sf10 rehearsal decade
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 import os
 os.makedirs(DST, exist_ok=True)

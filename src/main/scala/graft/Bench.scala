@@ -37,9 +37,14 @@ object Bench {
     val jsonCandidates = Seq("BASELINE_REFS.json", "/root/repo/BASELINE_REFS.json")
     // no early `return` in here: a non-local return from inside the
     // try would throw NonLocalReturnControl STRAIGHT INTO the local
-    // catch-all and silently disarm the JSON path
+    // catch-all and silently disarm the JSON path.
+    // EVERY candidate gets a parse attempt (collectFirst over
+    // successes, round-19 advice): with find-first-existing, a stale
+    // or unparseable ./BASELINE_REFS.json in cwd would skip the
+    // canonical /root/repo copy and fall back to markdown — partially
+    // re-opening the silent-disarm path the JSON switchover closed
     val fromJson: Option[(Map[String, Double], String)] =
-      jsonCandidates.find(p => new java.io.File(p).isFile).flatMap { p =>
+      jsonCandidates.filter(p => new java.io.File(p).isFile).view.flatMap { p =>
         try {
           val cwd = new java.io.File(".").getCanonicalPath
           val refsDir = new java.io.File(p).getCanonicalFile.getParentFile.getPath
@@ -61,15 +66,15 @@ object Bench {
             System.err.println(s"[bench] re-measure guard armed: ${refs.size} refs from $p")
             Some((refs, p))
           } else {
-            System.err.println(s"[bench] $p matched no query names — falling back to BASELINE.md")
+            System.err.println(s"[bench] $p matched no query names — trying next refs candidate")
             None
           }
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] failed reading $p ($e) — falling back to BASELINE.md")
+            System.err.println(s"[bench] failed reading $p ($e) — trying next refs candidate")
             None
         }
-      }
+      }.headOption
     if (fromJson.isDefined) return fromJson.get
     val candidates = Seq("BASELINE.md", "/root/repo/BASELINE.md")
     val path = candidates.find(p => new java.io.File(p).isFile)

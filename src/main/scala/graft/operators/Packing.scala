@@ -22,10 +22,17 @@ import org.apache.spark.sql.functions._
   * is nRanges × nShards regardless of the shard count.
   *
   * Requires a non-negative BIGINT-castable order column (ids and
-  * within-shard positions both are). Callers with an expensive input
-  * should checkpoint it first: the offsets (and width) frames are
-  * BROADCAST sides, which Spark materializes before the main stages
-  * fill lazy caches (PLANS.md round-19 plan rule).
+  * within-shard positions both are) — enforced at runtime: the range
+  * key divides toward zero, so a NEGATIVE order value would silently
+  * collapse into range 0 out of order and corrupt cum_before/bin.
+  * The min rides the same 1-row width aggregate (no extra pass) and
+  * a violation raises from inside the range expression. Callers with
+  * an expensive input should checkpoint it first: the offsets (and
+  * width) frames are BROADCAST sides, which Spark materializes
+  * before the main stages fill lazy caches (PLANS.md round-19 plan
+  * rule), and the input feeds three consumers (the width aggregate,
+  * the offsets branch, the main branch) — an unpinned expensive
+  * weight projection computes ~twice.
   */
 object Packing {
 
@@ -33,12 +40,16 @@ object Packing {
       weightCol: String, binSize: Long, nRanges: Int = 256): DataFrame = {
     require(binSize >= 1, s"packBins: binSize must be >= 1, got $binSize")
     require(nRanges >= 1, s"packBins: nRanges must be >= 1, got $nRanges")
-    val mx = df.agg(coalesce(max(col(orderCol)).cast("long"), lit(0L)).as("_mx"))
+    val mx = df.agg(coalesce(max(col(orderCol)).cast("long"), lit(0L)).as("_mx"),
+      coalesce(min(col(orderCol)).cast("long"), lit(0L)).as("_mn"))
     val keyed = df.crossJoin(broadcast(mx))
       .withColumn("_rng", expr(
-        s"CAST($orderCol AS BIGINT) div " +
-          s"greatest(CAST(1 AS BIGINT), (_mx + $nRanges) div $nRanges)"))
-      .drop("_mx")
+        s"IF(_mn < 0, CAST(raise_error('packBins: order column $orderCol " +
+          "has negative values - div-toward-zero would corrupt the range " +
+          "key') AS BIGINT), " +
+          s"CAST($orderCol AS BIGINT) div " +
+          s"greatest(CAST(1 AS BIGINT), (_mx + $nRanges) div $nRanges))"))
+      .drop("_mx", "_mn")
     // phase 1: per-(shard, range) weight totals -> range start offsets
     val wOff = Window.partitionBy(shardCol).orderBy("_rng")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -70,9 +70,20 @@ object CatalogMaintenance {
     * kinds). Callers pass a prefix that pins the gate AND the scale
     * dir, so a prune from one scale can never victimize another's
     * live catalog.
+    *
+    * AGE-GUARDED (the [[graft.Shared.gcStaleSiblings]] discipline,
+    * round-19 advice): only siblings whose NEWEST file is older than
+    * `maxAgeMs` are deleted. Two concurrent processes on the same
+    * gate mid-regen hold different content fingerprints; without the
+    * guard each would delete the other's freshly-built, in-use
+    * catalog mid-query. A just-built sibling is recent by
+    * construction, so it survives both prunes; genuinely stale
+    * incarnations (previous regens) age past the threshold and get
+    * collected by whichever session prunes next.
     */
   private[graft] def pruneCatalogSiblings(spark: SparkSession, base: String,
-      dirTag: String, namePrefix: String, keepName: String): Unit = {
+      dirTag: String, namePrefix: String, keepName: String,
+      maxAgeMs: Long = 2L * 3600 * 1000): Unit = {
     def san(s: String) = s.replaceAll("[^A-Za-z0-9_]", "_")
     val prefix = s"${dirTag}_${san(namePrefix)}"
     val keepDir = s"${dirTag}_${san(keepName)}_" +
@@ -80,8 +91,22 @@ object CatalogMaintenance {
     val baseP = new Path(base)
     val f = fs(spark, base)
     if (!f.exists(baseP)) return
-    val stale = f.listStatus(baseP).map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix) && n != keepDir)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    def newestMtime(p: Path, own: Long): Long = {
+      var newest = own
+      val it = f.listFiles(p, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
+    val stale = f.listStatus(baseP)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(prefix) && n != keepDir &&
+          st.getModificationTime < cutoff &&
+          scala.util.Try(newestMtime(st.getPath, st.getModificationTime))
+            .getOrElse(Long.MaxValue) < cutoff
+      }
+      .map(_.getPath.getName)
     stale.foreach { n =>
       spark.sessionState.catalog
         .listTables("default", s"$n*").foreach { ti =>

@@ -181,7 +181,8 @@ object GramCatalog {
     * [[CatalogMaintenance.pruneCatalogSiblings]].
     */
   def pruneSiblings(spark: SparkSession, namePrefix: String, keepName: String,
-      base: String = defaultBase): Unit =
+      base: String = defaultBase,
+      maxAgeMs: Long = 2L * 3600 * 1000): Unit =
     CatalogMaintenance.pruneCatalogSiblings(spark, base, "graft_gramcat",
-      namePrefix, keepName)
+      namePrefix, keepName, maxAgeMs)
 }

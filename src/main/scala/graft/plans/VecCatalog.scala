@@ -164,7 +164,8 @@ object VecCatalog {
     * [[CatalogMaintenance.pruneCatalogSiblings]].
     */
   def pruneSiblings(spark: SparkSession, namePrefix: String, keepName: String,
-      base: String = defaultBase): Unit =
+      base: String = defaultBase,
+      maxAgeMs: Long = 2L * 3600 * 1000): Unit =
     CatalogMaintenance.pruneCatalogSiblings(spark, base, "graft_vccat",
-      namePrefix, keepName)
+      namePrefix, keepName, maxAgeMs)
 }

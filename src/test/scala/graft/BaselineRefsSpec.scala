@@ -49,6 +49,29 @@ class BaselineRefsSpec extends AnyFunSuite {
     assert(json.values.forall(v => v._2 == "sweep" || v._2 == "isolated"))
   }
 
+  test("every JSON row's oracle class matches SparkEntry.oracleSql (the runtime truth)") {
+    // the generator derives "sql"|"rows-only" by scanning the query
+    // packs' source; this re-derivation from the RUNTIME oracle map
+    // makes the artifact self-describing without letting the scan rot
+    val rx = java.util.regex.Pattern.compile(
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{[^}]*\"oracle\"\\s*:\\s*\"(sql|rows-only)\"")
+    val src = scala.io.Source.fromFile("/root/repo/BASELINE_REFS.json")(scala.io.Codec.UTF8)
+    val classes =
+      try src.getLines().flatMap { line =>
+        val m = rx.matcher(line)
+        if (m.find()) Some(m.group(1) -> m.group(2)) else None
+      }.toMap
+      finally src.close()
+    assert(classes.nonEmpty, "no oracle classes in BASELINE_REFS.json — regenerate it")
+    assert(classes.keySet === jsonRefs.keySet,
+      "some rows lack an oracle class — regenerate BASELINE_REFS.json")
+    val sqlGates = SparkEntry.oracleSql.keySet
+    classes.foreach { case (q, cls) =>
+      val want = if (sqlGates(q)) "sql" else "rows-only"
+      assert(cls === want, s"$q: artifact says $cls, runtime oracle map says $want")
+    }
+  }
+
   test("the bench guard reads the JSON, not the markdown") {
     val table = mdTable
     val (refs, src) = Bench.baseline(table.keySet)

@@ -230,7 +230,7 @@ class CatalogMaintenanceSpec extends AnyFunSuite {
     } finally VecCatalog.drop(spark, cat)
   }
 
-  test("pruneSiblings drops a stale fingerprint's catalog but never another scale's or the keeper") {
+  test("pruneSiblings drops a stale fingerprint's catalog but never another scale's, the keeper, or a FRESH sibling") {
     import org.apache.hadoop.fs.Path
     val emb = Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").filter(col("vec_id") < 50)
@@ -244,13 +244,36 @@ class CatalogMaintenanceSpec extends AnyFunSuite {
       val fs = new Path(VecCatalog.defaultBase)
         .getFileSystem(spark.sessionState.newHadoopConf())
       assert(fs.exists(new Path(stale.root)) && fs.exists(new Path(keep.root)))
+      // the AGE GUARD (round-19 advice): a just-built sibling is what
+      // a CONCURRENT process mid-regen holds — the default prune must
+      // leave it alone, files and table entries both, or two racing
+      // sessions would each delete the other's in-use catalog
+      VecCatalog.pruneSiblings(spark, "spec_prune_sfA_", "spec_prune_sfA_22222222")
+      assert(fs.exists(new Path(stale.root)),
+        "a fresh sibling was pruned — the concurrent-regen age guard is gone")
+      assert(spark.catalog.tableExists(stale.bucketsT))
+      // age the stale incarnation past the threshold (recursive: the
+      // guard checks the NEWEST file under the root)
+      def ageTree(p: Path): Unit = {
+        val old = System.currentTimeMillis() - 3L * 3600 * 1000
+        def walk(q: Path): Unit = {
+          fs.setTimes(q, old, -1)
+          if (fs.getFileStatus(q).isDirectory)
+            fs.listStatus(q).foreach(st => walk(st.getPath))
+        }
+        walk(p)
+      }
+      ageTree(new Path(stale.root))
       VecCatalog.pruneSiblings(spark, "spec_prune_sfA_", "spec_prune_sfA_22222222")
       // the stale incarnation is gone — files AND table entries
       assert(!fs.exists(new Path(stale.root)), "stale root survived the prune")
       assert(!spark.catalog.tableExists(stale.bucketsT),
         "stale table entry survived the prune")
       // the keeper and the other scale's catalog are untouched and
-      // still SCREENABLE (table entries intact, data readable)
+      // still SCREENABLE (table entries intact, data readable) — the
+      // keeper is protected BY NAME even when aged past the threshold
+      ageTree(new Path(keep.root))
+      VecCatalog.pruneSiblings(spark, "spec_prune_sfA_", "spec_prune_sfA_22222222")
       assert(fs.exists(new Path(keep.root)) && fs.exists(new Path(other.root)))
       assert(VecCatalog.screen(spark, emb, keep).columns.nonEmpty)
       assert(spark.catalog.tableExists(other.bucketsT),

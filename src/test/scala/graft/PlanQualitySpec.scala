@@ -318,6 +318,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_pipeline",          // reviewed: same 1-row width cross in its
                               // packing stage
       "dq34_scalar_subquery", // 1-row broadcast aggregate crossed into the fact side
+      "dd_negative_control",  // reviewed: the 1-row verdict row IS three
+                              // scalar aggregates crossed (n_hist x
+                              // n_batch x n_flags, each 1 row) — the
+                              // screen underneath is the audited banded
+                              // shape, never the BNLJ
+      "tx_semantic_negative_control", // reviewed: same 1x1x1 verdict cross
       "ig_ttl_tombstones")    // 1-row broadcast watermark crossed into the user agg
     val singlePartOk = Set(
       "dq09_validation",      // global scalar aggregate (1-row result)
@@ -340,6 +346,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx_bpe_pack",          // reviewed: same 1-row width scalar
       "tx_pipeline",          // reviewed: same 1-row width scalar in its
                               // packing stage
+      "dd_negative_control",  // reviewed: the verdict's three count
+                              // scalars (1-row results by construction)
+      "tx_semantic_negative_control", // reviewed: same verdict scalars
       "ig_ttl_tombstones")    // its watermark scalar aggregate
     // the optimizer's injected bloom_filter_agg runtime-filter
     // subquery is a global 1-row aggregate that would false-positive

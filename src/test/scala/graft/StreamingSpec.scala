@@ -758,6 +758,76 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("streaming classifier screen under the PINNED ELECTED CUT equals the batch screen") {
+    import spark.implicits._
+    // weights AND the per-lang elected threshold are pinned in one
+    // artifact before the stream starts, so verdicts are
+    // batching-independent by construction — the streamed union must
+    // equal the batch replay: score the arriving slice under the
+    // pinned weights, bucket, keep at the history-elected cut
+    val got = graft.streaming.ClsScreen.cutScreenReplayGate(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val hist = docs.filter(col("doc_id") < 250)
+    val w = graft.Shared.materialize(
+      graft.operators.Classifier.pinnedWeights(hist,
+        col("doc_id") % 10 === 0, col("doc_id") % 10 === 5))
+    def bucketed(side: org.apache.spark.sql.DataFrame) =
+      graft.operators.Classifier.scoreWith(side, w)
+        .join(side.select("doc_id", "lang"), "doc_id")
+        .withColumn("mbkt", expr(graft.operators.Classifier.MarginBucketSql))
+    val th = graft.operators.Elections.histogramThreshold(
+      bucketed(hist), "lang", "mbkt")
+    val scoredBatch = bucketed(docs.filter(col("doc_id") >= 250))
+    val want = scoredBatch.join(th, Seq("lang"))
+      .filter(col("mbkt") >= col("b_threshold"))
+      .select(col("doc_id"), col("lang"), col("margin_e9"), col("b_threshold"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === want, s"stream ${got.take(5)}... != batch ${want.take(5)}...")
+    assert(want.nonEmpty, "no survivors — elected cut never kept anything")
+    assert(want.size < scoredBatch.count(), "elected cut never cut anything")
+    graft.Shared.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("a model artifact without _PINNED fails the batch loudly; landModel swaps atomically") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    val base = Files.createTempDirectory("cls_pin").toString
+    // a HALF-WRITTEN artifact: weights parquet present, no _PINNED
+    // marker (what a crash mid-land leaves if the writer skips the
+    // staged-rename discipline) — the screen must refuse the batch
+    val halfDir = s"$base/model_half"
+    graft.operators.Classifier.pinnedWeights(docs,
+      col("doc_id") % 10 === 0, col("doc_id") % 10 === 5)
+      .write.parquet(s"$halfDir/weights")
+    val srcDir = s"$base/src"
+    docs.coalesce(1).write.parquet(srcDir)
+    val ex = intercept[Exception] {
+      graft.streaming.ClsScreen.classifierScreen(spark, srcDir, docs.schema,
+        halfDir, s"$base/sink1", s"$base/ck1")
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last.getMessage)
+    assert(rootMsg(ex).contains("_PINNED"),
+      s"half-written artifact scored a batch (or failed for another reason): $ex")
+    // landModel's staged write-then-rename produces a pinned artifact
+    // the same screen accepts
+    val goodDir = s"$base/model_good"
+    graft.streaming.ClsScreen.landModel(
+      graft.operators.Classifier.pinnedWeights(docs,
+        col("doc_id") % 10 === 0, col("doc_id") % 10 === 5), goodDir)
+    assert(new java.io.File(s"$goodDir/_PINNED").isFile)
+    assert(!new java.io.File(s"$goodDir.staging").exists, "staging dir leaked")
+    graft.streaming.ClsScreen.classifierScreen(spark, srcDir, docs.schema,
+      goodDir, s"$base/sink2", s"$base/ck2")
+    assert(spark.read.parquet(s"$base/sink2").count() > 0)
+    graft.Shared.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("streaming semantic-decontamination screen equals the batch screen") {
     import spark.implicits._
     // a STATIC benchmark catalog makes verdicts batch-independent by
