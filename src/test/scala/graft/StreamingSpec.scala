@@ -821,8 +821,12 @@ class StreamingSpec extends AnyFunSuite {
         col("doc_id") % 10 === 0, col("doc_id") % 10 === 5), goodDir)
     assert(new java.io.File(s"$goodDir/_PINNED").isFile)
     assert(!new java.io.File(s"$goodDir.staging").exists, "staging dir leaked")
+    // minMargin = MinValue: the pin under test is the artifact
+    // discipline, not the keep rule — at some scales every doc in the
+    // tiny fixture scores negative and a margin>=0 cut would leave an
+    // empty (hence unreadable-as-assertion) sink
     graft.streaming.ClsScreen.classifierScreen(spark, srcDir, docs.schema,
-      goodDir, s"$base/sink2", s"$base/ck2")
+      goodDir, s"$base/sink2", s"$base/ck2", minMargin = Long.MinValue)
     assert(spark.read.parquet(s"$base/sink2").count() > 0)
     graft.Shared.releaseAll(spark)
     spark.catalog.clearCache()
