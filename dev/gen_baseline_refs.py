@@ -86,12 +86,21 @@ def main():
         "mm_stream_phash": (18, ("isolated", 17)),
         "tx_span_cut": (20, ("sweep", None)),
         "tx_pipeline": (26, ("sweep", None)),
+        # addendum 29 is the dd_semantic_* drift ADJUDICATION — it
+        # cites isolated readings to CLEAR the rows and keeps their
+        # sweep refs ("Table refs unchanged for all three"); the
+        # tx_pipeline_full context check likewise leaves its r19 mint
+        # (addendum 24) in place
+        "dd_semantic_dedup": (29, ("sweep", None)),
+        "dd_semantic_groups": (29, ("sweep", None)),
+        "dd_neardup_clusters": (29, ("sweep", None)),
+        "tx_pipeline_full": (29, ("isolated", 19)),
     }
     for q, (known_addendum, corrected) in overrides.items():
         # the scan's addendum index: the Round-N addendum number is not
         # recorded per row, so scope via the round the scan attributed —
         # a mismatch with the known-discussion round means a re-mint
-        known_round = {17: 18, 18: 18, 20: 18, 26: 19}[known_addendum]
+        known_round = {17: 18, 18: 18, 20: 18, 26: 19, 29: 20}[known_addendum]
         got = regime.get(q, ("sweep", None))
         assert got[0] == "sweep" or got[1] == known_round, (
             "override for %s expected the scan to attribute round %s "
