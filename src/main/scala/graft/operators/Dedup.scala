@@ -1032,14 +1032,29 @@ object Dedup {
       .agg(count(lit(1)).as("df"), min("doc_id").as("gmin"))
       .filter(col("df") >= minDocs)
       .select("gram", "gmin")
+    // narrow BEFORE the coverage explode (the gram string must not
+    // ride it), and REPARTITION BY doc_id between join and fold: the
+    // (doc, token) max-fold only combines map-side when covering
+    // grams of one position share a task, which gram-keyed join
+    // output never gives once the gramMin side outgrows the broadcast
+    // threshold and the join flips to SMJ. Measured at the 100x
+    // rehearsal corpus (PLANS.md round-20): the scattered fold wrote
+    // 990 MiB / 104 s; doc-partitioned it combines 5:1 and the stage
+    // reads 1787 MiB / 33 s total (and the repartition also satisfies
+    // the fold's required distribution, so it REPLACES the fold's own
+    // exchange rather than adding one — bytes are the k-fold-smaller
+    // pre-explode rows).
     val dupPos = grams.join(gramMin, Seq("gram"))
+      .select(col("doc_id"), col("pos"),
+        (col("gmin") === col("doc_id")).as("kf"))
+      .repartition(col("doc_id"))
     // coverage explode: each duplicated gram at pos covers tokens
     // [pos, pos+k-1]; per (doc, token) the cut decision is a max-fold
     // over covering grams (keeper-here wins over cut-from-elsewhere)
     val del = dupPos
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"),
-        (col("gmin") === col("doc_id")).as("kf"))
+        col("kf"))
       .groupBy("doc_id", "tpos")
       .agg(max(when(col("kf"), 0).otherwise(1)).as("hc"),
         max(when(col("kf"), 1).otherwise(0)).as("hk"))
