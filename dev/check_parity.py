@@ -69,7 +69,22 @@ def main(sf_dir, out_dir):
         spark_rows = [tuple(norm(r[c]) for c in cols)
                       for r in spark_tbl.to_pylist()]
         try:
-            duck_tbl = con.execute(oracle[name]).arrow()
+            try:
+                duck_tbl = con.execute(oracle[name]).arrow()
+            except Exception as e:
+                # DuckDB's per-thread operator buffers can OOM a single
+                # heavyweight oracle at dev scale (tx_pipeline_full at
+                # sf0.1 with 32 threads dies allocating 32 KiB; the same
+                # query completes in 93 s at 8 threads) — retry once
+                # narrow before declaring the oracle broken
+                if "emory" not in str(e) and "allocat" not in str(e):
+                    raise
+                print(f"     {name}: oracle OOM at default threads — retrying at 8")
+                con.execute("SET threads=8")
+                try:
+                    duck_tbl = con.execute(oracle[name]).arrow()
+                finally:
+                    con.execute("RESET threads")
             dcols = list(duck_tbl.column_names)
             order = sorted(range(len(dcols)), key=lambda i: dcols[i])
             duck_rows = [tuple(norm(r[dcols[i]]) for i in order)
