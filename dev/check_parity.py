@@ -53,11 +53,20 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # GRAFT_DUCK_THREADS: the OOM-retry subprocess runs narrow (a
+    # 32-thread attempt of the heaviest oracle at sf0.1 exhausts the
+    # buffer pool, and even a fresh same-process connection inherits
+    # the damage — only a fresh PROCESS reliably completes)
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    only = os.environ.get("GRAFT_PARITY_ONLY")
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only.split(",")}
     n_ok = n_bad = 0
     for name in sorted(oracle):
         res_dir = os.path.join(out_dir, name)
@@ -79,12 +88,27 @@ def main(sf_dir, out_dir):
                 # narrow before declaring the oracle broken
                 if "emory" not in str(e) and "allocat" not in str(e):
                     raise
-                print(f"     {name}: oracle OOM at default threads — retrying at 8")
-                con.execute("SET threads=8")
-                try:
-                    duck_tbl = con.execute(oracle[name]).arrow()
-                finally:
-                    con.execute("RESET threads")
+                if os.environ.get("GRAFT_DUCK_THREADS"):
+                    raise  # already the narrow retry — fail for real
+                # retry in a fresh PROCESS at 8 threads: the failed
+                # wide attempt leaves the buffer pool in a state even a
+                # fresh same-process connection inherits
+                print(f"     {name}: oracle OOM at default threads — "
+                      "retrying in a fresh 8-thread process")
+                import subprocess
+                env = dict(os.environ,
+                           GRAFT_DUCK_THREADS="8", GRAFT_PARITY_ONLY=name)
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), sf_dir, out_dir],
+                    env=env, capture_output=True, text=True, timeout=1800)
+                sys.stdout.write(r.stdout)
+                if r.returncode == 0:
+                    n_ok += 1
+                else:
+                    n_bad += 1
+                duck_tbl = None
+            if duck_tbl is None:  # subprocess verdict already counted
+                continue
             dcols = list(duck_tbl.column_names)
             order = sorted(range(len(dcols)), key=lambda i: dcols[i])
             duck_rows = [tuple(norm(r[dcols[i]]) for i in order)
