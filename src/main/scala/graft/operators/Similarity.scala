@@ -410,36 +410,95 @@ object Similarity {
       .orderBy("_h", "vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
+  /** The k-row centroid/codeword frame pulled to the driver for the
+    * LITERAL-argmax projection — (cid, ce) pairs. Driver-bounded by
+    * design (k rows, the same bound the movement probe always
+    * collected); the corpus-sized work stays distributed.
+    */
+  private def collectedCents(cents: DataFrame): Seq[(Long, Seq[Float])] =
+    cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq).toSeq
+
+  /** Collected centroids back as a k-row LocalRelation (cid, ce) —
+    * plan-free (no lineage, no cache entry), so every downstream
+    * broadcast/join of the centroid set reads driver-local rows
+    * instead of re-running the corpus sample subtree.
+    */
+  private def centsDF(spark: SparkSession, cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "ce")
+  }
+
+  /** Nearest-candidate argmax as a LITERAL projection: one
+    * struct(score, -cid, cid) per candidate, folded with `greatest`.
+    * Bit-identical to the broadcast-crossJoin + max(struct) aggregate
+    * it replaces — same dot kernel over the same floats, and
+    * `greatest` uses the same struct ordering as `max` (score desc,
+    * then the smaller cid via -cid) — but it is a zero-shuffle
+    * codegen'd scan projection: the n×k candidate explosion, its
+    * SortAggregate (max over a struct is not hash-aggregatable) and
+    * the assignment exchange all disappear from the plan. The 100 TB
+    * shape improves too: assignment becomes embarrassingly parallel
+    * map work with k bounded (16–128 here; FAISS-style coarse
+    * quantizers stay small), where the aggregate formulation shuffled
+    * one pre-combined row per vector.
+    */
+  private def nearestStruct(cands: Seq[(Long, Seq[Float])], v: Column,
+      score: (Column, Seq[Float]) => Column): Column = {
+    val ss = cands.map { case (cid, ce) =>
+      struct(score(v, ce).as("cdot"),
+        lit(-cid).as("ncid"), lit(cid).as("cid"))
+    }
+    // empty candidate set (empty corpus/history geometry): a typed
+    // null struct — the null cid never equi-joins and never groups
+    // with a real cell, which is exactly the former empty-broadcast
+    // crossJoin semantics (no cells -> empty downstream results)
+    if (ss.isEmpty)
+      lit(null).cast("struct<cdot:double,ncid:bigint,cid:bigint>")
+    else if (ss.size == 1) ss.head
+    else greatest(ss: _*)
+  }
+
+  /** IVF assignment score: plain double dot against a literal
+    * centroid (same kernel and floats as the broadcast formulation).
+    */
+  private def ivfScore(v: Column, ce: Seq[Float]): Column =
+    dotDouble(v, typedLit(ce))
+
   /** Lloyd-refined IVF centroids: k-means iterations on top of the
     * md5-sampled init, fully deterministic and engine-portable. Each
-    * round reassigns (broadcast argmax, as everywhere) and recomputes
-    * every centroid component as `CAST(decimal-sum AS DOUBLE) / count`
-    * cast to FLOAT: the decimal sum is order-exact (partial-agg and
-    * single-threaded folds agree), the double division and the
-    * float narrowing are value-based IEEE ops — so Spark and the SQL
-    * oracle produce bit-identical trained centroids. An emptied cell
-    * keeps its previous centroid. Two rounds is the sweet spot for a
-    * sampled init (FAISS-style coarse quantizers train few rounds at
-    * this k); the frame is 16 rows per round, so the driver loop adds
-    * no lineage risk.
+    * round reassigns (literal argmax — a zero-shuffle projection) and
+    * recomputes every centroid component as
+    * `CAST(decimal-sum AS DOUBLE) / count` cast to FLOAT: the decimal
+    * sum is order-exact (partial-agg and single-threaded folds agree),
+    * the double division and the float narrowing are value-based IEEE
+    * ops — so Spark and the SQL oracle produce bit-identical trained
+    * centroids. An emptied cell keeps its previous centroid. Two
+    * rounds is the sweet spot for a sampled init (FAISS-style coarse
+    * quantizers train few rounds at this k). Each round is ONE
+    * distributed job (assignment projection + k-group decimal-mean
+    * aggregate, collected at k rows) merged with the previous
+    * centroids on the driver, and the result is a k-row LocalRelation
+    * — no per-round broadcast, checkpoint, or lineage growth at all.
     */
   def ivfCentroidsTrained(embeddings: DataFrame, nCentroids: Int = 16,
       iters: Int = 2, dim: Int = 64): DataFrame = {
     requireDim(embeddings, dim)
-    var cents = ivfCentroids(embeddings, nCentroids)
+    var cents = collectedCents(ivfCentroids(embeddings, nCentroids))
     for (_ <- 0 until iters) cents = lloydRound(embeddings, cents, dim)
-    cents
+    centsDF(embeddings.sparkSession, cents)
   }
 
-  /** One Lloyd round: reassign (broadcast argmax) + recompute means. */
-  private def lloydRound(embeddings: DataFrame, cents: DataFrame,
-      dim: Int): DataFrame = {
-    val asg = embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), struct(
-        dotDouble(col("embedding"), col("ce")).as("cdot"),
-        (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
-      .groupBy("vec_id", "embedding").agg(max(col("s")).as("m"))
-      .select(col("embedding"), col("m.cid").as("cid"))
+  /** One Lloyd round over collected centroids: literal-argmax
+    * reassignment + decimal-sum means (one job, one k-group
+    * exchange), merged with the previous centroids on the driver —
+    * `getOrElse` is the "emptied cell keeps its previous centroid"
+    * left-join. Value-identical to the former broadcast-join round:
+    * same multiset of (embedding, cid) rows feeds the same decimal
+    * aggregate.
+    */
+  private def lloydRound(embeddings: DataFrame,
+      cents: Seq[(Long, Seq[Float])], dim: Int): Seq[(Long, Seq[Float])] = {
+    val cid = nearestStruct(cents, col("embedding"), ivfScore).getField("cid")
     val sums = (0 until dim).map(i =>
       // float -> DOUBLE -> decimal: the double->decimal edge is the
       // validated engine-portable conversion (dotDecimal's path);
@@ -447,15 +506,13 @@ object Similarity {
       sum(col("embedding").getItem(i).cast("double").cast("decimal(28,12)"))
         .as(s"s$i")) :+
       count(lit(1)).as("n")
-    val means = asg.groupBy("cid").agg(sums.head, sums.tail: _*)
+    val means = embeddings
+      .select(col("embedding"), cid.as("cid"))
+      .groupBy("cid").agg(sums.head, sums.tail: _*)
       .select(col("cid"), array((0 until dim).map(i =>
         (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
-    // hard lineage cut per round (16 rows): the round references the
-    // previous centroids twice, so without it the corpus-wide mean
-    // aggregation re-plans and re-RUNS 2^iters times
-    cents.join(means, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("me"), col("ce")).as("ce"))
-      .localCheckpoint(true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq).toMap
+    cents.map { case (c, ce) => c -> means.getOrElse(c, ce) }
   }
 
   /** Convergence-stopped Lloyd: same deterministic round step as
@@ -463,10 +520,11 @@ object Similarity {
     * component moved more than `tol` (or at `maxIters`, whichever
     * first) — the operational training mode, where iteration count
     * adapts to the corpus instead of being guessed up front. The
-    * movement check collects the centroid frame (k rows — driver-side
-    * by design; the corpus-sized work stays distributed) after each
-    * round, and each round ends in the same hard lineage cut, so the
-    * loop is both cheap and plan-safe.
+    * movement check runs on the k-row centroid sets the rounds
+    * already hold driver-side (the corpus-sized work stays
+    * distributed), so the probe costs no extra job and the loop is
+    * both cheap and plan-safe (no lineage at all — each round is one
+    * job whose k-row result merges on the driver).
     *
     * Deterministic for a fixed corpus: the stop round is a pure
     * function of the data, and the result equals
@@ -485,7 +543,7 @@ object Similarity {
   def ivfCentroidsConverged(embeddings: DataFrame, nCentroids: Int = 16,
       maxIters: Int = 8, tol: Double = 1e-3, dim: Int = 64): (DataFrame, Int, Seq[Double]) = {
     requireDim(embeddings, dim)
-    var cents = ivfCentroids(embeddings, nCentroids)
+    var cents = collectedCents(ivfCentroids(embeddings, nCentroids))
     var rounds = 0
     var moved = Double.MaxValue
     val moves = Seq.newBuilder[Double]
@@ -496,18 +554,17 @@ object Similarity {
       cents = next
       rounds += 1
     }
-    (cents, rounds, moves.result())
+    (centsDF(embeddings.sparkSession, cents), rounds, moves.result())
   }
 
-  /** Max absolute per-component centroid movement between two centroid
-    * frames (k rows each — collected).
+  /** Max absolute per-component centroid movement between two k-row
+    * centroid sets (already driver-local — the rounds collect their
+    * k-row means anyway, so the probe costs no extra job).
     */
-  private def maxCentroidMove(prev: DataFrame, next: DataFrame): Double = {
-    def byId(df: DataFrame): Map[Long, Seq[Float]] = df.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val p = byId(prev)
-    val n = byId(next)
-    p.iterator.flatMap { case (k, v) =>
+  private def maxCentroidMove(prev: Seq[(Long, Seq[Float])],
+      next: Seq[(Long, Seq[Float])]): Double = {
+    val n = next.toMap
+    prev.iterator.flatMap { case (k, v) =>
       v.zip(n(k)).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }
     }.max
   }
@@ -520,10 +577,10 @@ object Similarity {
     * Assignment uses the fast DOUBLE dot: it is bit-identical across
     * engines (index-order fold, validated), so argmax + cid tiebreak
     * is just as hash-safe as decimal at half the cost. The argmax is
-    * a lexicographic max(struct) aggregate, NOT a window: max gets
-    * map-side partial combine, so the shuffle carries one
-    * pre-combined row per vector per partition instead of all n×C
-    * scored rows (a corpus×centroids shuffle at 100 TB).
+    * the LITERAL-greatest projection ([[nearestStruct]]): zero
+    * shuffle, zero aggregate — assignment is embarrassingly parallel
+    * map work at any corpus size (the former max(struct) aggregate
+    * shuffled one pre-combined row per vector).
     */
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16,
       trainIters: Int = 0): DataFrame =
@@ -532,12 +589,29 @@ object Similarity {
       else ivfCentroids(embeddings, nCentroids))
 
   private[graft] def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), struct(
-        dotDouble(col("embedding"), col("ce")).as("cdot"),
-        (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
-      .groupBy("vec_id").agg(max(col("s")).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+    withAssignedCid(embeddings, cents).select("vec_id", "cid")
+
+  /** `embeddings` with its nearest-centroid `cid` attached as a
+    * literal-argmax PROJECTION (every original column rides along) —
+    * the assignment shape every consumer should use: the former
+    * `emb.join(ivfAssignWith(emb, cents), "vec_id")` pattern paid a
+    * corpus self-join (an n-row exchange at scale) just to re-attach
+    * the embedding to its own cid. Collecting the k-row centroid set
+    * is one bounded job (free when `cents` is already a
+    * LocalRelation); an EMPTY centroid set assigns a null cid, which
+    * no equi-join or cell group ever matches — the empty-history
+    * contract (no cells → empty results downstream) is unchanged.
+    */
+  private[graft] def withAssignedCid(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    withAssignedCidLit(embeddings, collectedCents(cents))
+
+  /** [[withAssignedCid]] over an already-collected centroid set (so a
+    * call site assigning several frames collects the geometry once).
+    */
+  private def withAssignedCidLit(embeddings: DataFrame,
+      cands: Seq[(Long, Seq[Float])]): DataFrame =
+    embeddings.withColumn("cid",
+      nearestStruct(cands, col("embedding"), ivfScore).getField("cid"))
 
   /** SemDeDup with the PAPER's keep policy (Abbas et al. 2023 §3):
     * within each cluster, duplicate pairs close transitively into
@@ -559,11 +633,15 @@ object Similarity {
     */
   def semanticDedupGroupsFrom(embeddings: DataFrame, nCentroids: Int = 16,
       threshold: Double = 0.95): DataFrame = {
-    val cents = ivfCentroids(embeddings, nCentroids)
-    val cdots = embeddings.join(ivfAssignWith(embeddings, cents), "vec_id")
-      .join(broadcast(cents), Seq("cid"))
-      .select(col("vec_id"), col("cid"), col("embedding"),
-        dotDouble(col("embedding"), col("ce")).as("cdot"))
+    // one corpus sample job; assignment AND the centroid cosine come
+    // out of the same literal argmax struct (cdot IS the dot against
+    // the winning centroid), so the former assign self-join and the
+    // centroid re-join both vanish from the plan
+    val cands = collectedCents(ivfCentroids(embeddings, nCentroids))
+    val cdots = embeddings
+      .withColumn("_s", nearestStruct(cands, col("embedding"), ivfScore))
+      .select(col("vec_id"), col("_s.cid").as("cid"), col("embedding"),
+        col("_s.cdot").as("cdot"))
     val a = cdots.select(col("cid"), col("vec_id").as("i"), col("embedding").as("va"))
     val b = cdots.select(col("cid"), col("vec_id").as("j"), col("embedding").as("vb"))
     val pairs = a.join(b, Seq("cid")).filter(col("i") < col("j"))
@@ -612,10 +690,12 @@ object Similarity {
   def semanticScreenFrom(batch: DataFrame, hist: DataFrame,
       nCentroids: Int = 16, threshold: Double = 0.95,
       cents0: Option[DataFrame] = None): DataFrame = {
-    val cents = cents0.getOrElse(ivfCentroids(hist, nCentroids))
-    val h = hist.join(ivfAssignWith(hist, cents), "vec_id")
+    // geometry collected once (k rows), both sides assigned by the
+    // same literal-argmax projection — no assign self-joins
+    val cands = collectedCents(cents0.getOrElse(ivfCentroids(hist, nCentroids)))
+    val h = withAssignedCidLit(hist, cands)
       .select(col("cid"), col("vec_id").as("h_id"), col("embedding").as("vh"))
-    val b = batch.join(ivfAssignWith(batch, cents), "vec_id")
+    val b = withAssignedCidLit(batch, cands)
       .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("vb"))
     val b2 = b.select(col("cid"), col("b_id").as("h_id"), col("vb").as("vh"))
     val selfHits = semanticHits(b, b2, threshold, col("h_id") < col("b_id"))
@@ -692,7 +772,7 @@ object Similarity {
     val cents =
       if (trainIters > 0) ivfCentroidsTrained(embeddings, nCentroids, trainIters)
       else ivfCentroids(embeddings, nCentroids)
-    val withC = embeddings.join(ivfAssignWith(embeddings, cents), "vec_id")
+    val withC = withAssignedCid(embeddings, cents)
     val a = withC.select(col("cid"), col("vec_id").as("i"), col("embedding").as("va"))
     val b = withC.select(col("cid"), col("vec_id").as("j"), col("embedding").as("vb"))
     val pairs = maxCell match {
@@ -728,10 +808,16 @@ object Similarity {
   private[graft] def ivfCandidates(embeddings: DataFrame,
       nQueries: Int, nCentroids: Int, nProbe: Int,
       trainIters: Int = 0): DataFrame = {
-    val cents =
+    // geometry collected once (free for the trained path — the
+    // trainer already returns a k-row LocalRelation); the corpus
+    // assignment is the literal-argmax projection and the probe
+    // ranking crosses the bounded query set with the k-row
+    // LocalRelation instead of re-running the sample subtree
+    val cands = collectedCents(
       if (trainIters > 0) ivfCentroidsTrained(embeddings, nCentroids, trainIters)
-      else ivfCentroids(embeddings, nCentroids)
-    val assigned = ivfAssignWith(embeddings, cents)
+      else ivfCentroids(embeddings, nCentroids))
+    val cents = centsDF(embeddings.sparkSession, cands)
+    val assigned = withAssignedCidLit(embeddings, cands).select("vec_id", "cid")
     val wQ = Window.partitionBy("query_id").orderBy(col("cdot").desc, col("cid"))
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -973,18 +1059,57 @@ object Similarity {
   def pqCodebooksTrained(embeddings: DataFrame, nSub: Int = 8,
       nCodes: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
     requireDim(embeddings, dim)
-    var cw = pqCodebooksSampled(embeddings, nSub, nCodes, dim)
-    if (iters > 0) {
-      // one corpus explode feeds every round: each round's terminal
-      // localCheckpoint(true) is an eager job, so all reads of the
-      // cached frame complete inside the loop and the unpersist on
-      // exit can never force a recompute
-      val vs = subvectors(embeddings, nSub, dim)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try for (_ <- 0 until iters) cw = pqLloydRound(vs, cw, dim / nSub)
-      finally vs.unpersist(false)
+    if (iters <= 0) return pqCodebooksSampled(embeddings, nSub, nCodes, dim)
+    var cw = collectedCw(pqCodebooksSampled(embeddings, nSub, nCodes, dim))
+    // one corpus explode feeds every round (each round is one eager
+    // job — its 128-row means collect — so all reads of the cached
+    // frame complete inside the loop and the unpersist on exit can
+    // never force a recompute)
+    val vs = subvectors(embeddings, nSub, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 0 until iters) cw = pqLloydRound(vs, cw, dim / nSub)
+    finally vs.unpersist(false)
+    cwDF(embeddings.sparkSession, cw)
+  }
+
+  /** The collected (sub, cw_id, cw) codebook for the literal-argmax
+    * encode/round projections — nSub×nCodes rows, driver-bounded by
+    * design.
+    */
+  private def collectedCw(cw: DataFrame): Seq[(Int, Long, Seq[Float])] =
+    cw.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toIndexedSeq)).toSeq
+
+  /** Collected codebooks back as a 128-row LocalRelation
+    * (sub, cw_id, cw) — same role as [[centsDF]].
+    */
+  private def cwDF(spark: SparkSession,
+      cw: Seq[(Int, Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    cw.toDF("sub", "cw_id", "cw")
+  }
+
+  /** Nearest-codeword argmax for a (sub, vs) row as a LITERAL
+    * projection: a CASE chain on `sub`, each branch the `greatest`
+    * fold over that subspace's codewords with the argmin-L2 score
+    * (dot(vs, cw) - dot(cw, cw)/2 — the /2 is exact in doubles; the
+    * codeword self-dot constant-folds through the same kernel).
+    * Bit-identical to the broadcast-join + max(struct) aggregate it
+    * replaces, with the same zero-shuffle win as [[nearestStruct]].
+    */
+  private def pqNearestStruct(cw: Seq[(Int, Long, Seq[Float])],
+      sub: Column, vs: Column): Column = {
+    def score(v: Column, c: Seq[Float]): Column =
+      dotDouble(v, typedLit(c)) - dotDouble(typedLit(c), typedLit(c)) / 2
+    val bySub = cw.groupBy(_._1).toSeq.sortBy(_._1).map { case (sb, es) =>
+      sb -> nearestStruct(es.map(e => (e._2, e._3)), vs, score)
     }
-    cw
+    if (bySub.isEmpty)
+      lit(null).cast("struct<cdot:double,ncid:bigint,cid:bigint>")
+    else
+      bySub.tail.foldLeft(when(sub === bySub.head._1, bySub.head._2)) {
+        case (acc, (sb, st)) => acc.when(sub === sb, st)
+      }
   }
 
   /** The exploded (vec_id, sub, vs) subvector frame both PQ training
@@ -999,36 +1124,38 @@ object Similarity {
         slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("vs"))
   }
 
-  /** One per-subspace Lloyd round: broadcast argmin-L2 reassignment +
-    * decimal-sum means; emptied codewords keep their vector; ends in a
-    * hard lineage cut of the 128-row codebook.
+  /** One per-subspace Lloyd round: literal argmin-L2 reassignment
+    * (zero-shuffle projection) + decimal-sum means — one job whose
+    * nSub×nCodes-row result merges with the previous codebook on the
+    * driver (`getOrElse` is the "emptied codeword keeps its vector"
+    * left-join). Value-identical to the former broadcast-join round:
+    * the same multiset of (sub, vs, cw_id) rows feeds the same
+    * decimal aggregate.
     */
-  private def pqLloydRound(vsubs: DataFrame, cw: DataFrame,
-      subDim: Int): DataFrame = {
-    val asg = vsubs.join(broadcast(cw), "sub")
-      .select(col("vec_id"), col("sub"), col("vs"), struct(
-        (dotDouble(col("vs"), col("cw")) -
-          dotDouble(col("cw"), col("cw")) / 2).as("sc"),
-        (-col("cw_id")).as("nid"), col("cw_id").as("cw_id")).as("s"))
-      .groupBy("vec_id", "sub", "vs").agg(max(col("s")).as("m"))
-      .select(col("sub"), col("vs"), col("m.cw_id").as("cw_id"))
+  private def pqLloydRound(vsubs: DataFrame,
+      cw: Seq[(Int, Long, Seq[Float])], subDim: Int): Seq[(Int, Long, Seq[Float])] = {
+    val code = pqNearestStruct(cw, col("sub"), col("vs")).getField("cid")
     val sums = (0 until subDim).map(i =>
       sum(col("vs").getItem(i).cast("double").cast("decimal(28,12)"))
         .as(s"s$i")) :+ count(lit(1)).as("n")
-    val means = asg.groupBy("sub", "cw_id").agg(sums.head, sums.tail: _*)
+    val means = vsubs
+      .select(col("sub"), col("vs"), code.as("cw_id"))
+      .groupBy("sub", "cw_id").agg(sums.head, sums.tail: _*)
       .select(col("sub"), col("cw_id"), array((0 until subDim).map(i =>
         (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
-    cw.join(means, Seq("sub", "cw_id"), "left")
-      .select(col("sub"), col("cw_id"), coalesce(col("me"), col("cw")).as("cw"))
-      .localCheckpoint(true)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2).toIndexedSeq)
+      .toMap
+    cw.map { case (sb, id, v) => (sb, id, means.getOrElse((sb, id), v)) }
   }
 
   /** Convergence-stopped PQ training — the operational twin of
     * [[ivfCentroidsConverged]] for the per-subspace codebooks: the
     * same deterministic round step as [[pqCodebooksTrained]], stopped
     * once no codeword component moved more than `tol` (or at
-    * `maxIters`). The movement check collects the 128-row codebook
-    * per round (driver-side by design; corpus work stays distributed).
+    * `maxIters`). The movement check runs on the 128-row codebooks
+    * the rounds already hold driver-side (corpus work stays
+    * distributed), so it costs no extra job.
     * Result equals `pqCodebooksTrained(emb, nSub, nCodes, roundsRun)`
     * exactly — pinned by spec; the capped-round driver gate's stop
     * round is SQL-oracled the same way as the IVF twin (round 13).
@@ -1041,27 +1168,26 @@ object Similarity {
       nCodes: Int = 16, maxIters: Int = 8, tol: Double = 1e-3,
       dim: Int = 64): (DataFrame, Int, Seq[Double]) = {
     requireDim(embeddings, dim)
-    def byKey(df: DataFrame): Map[(Int, Long), Seq[Float]] = df.collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
-    var cw = pqCodebooksSampled(embeddings, nSub, nCodes, dim)
+    var cw = collectedCw(pqCodebooksSampled(embeddings, nSub, nCodes, dim))
     var rounds = 0
     var moved = Double.MaxValue
     val moves = Seq.newBuilder[Double]
     // same one-explode-feeds-every-round cache as pqCodebooksTrained;
-    // the per-round byKey collect is itself an eager read
+    // the movement probe runs on the codebooks the rounds already
+    // hold driver-side, so it costs no extra job
     val vs = subvectors(embeddings, nSub, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try while (rounds < maxIters && moved > tol) {
       val next = pqLloydRound(vs, cw, dim / nSub)
-      val (p, n) = (byKey(cw), byKey(next))
-      moved = p.iterator.flatMap { case (k, v) =>
-        v.zip(n(k)).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }
+      val n = next.map { case (sb, id, v) => (sb, id) -> v }.toMap
+      moved = cw.iterator.flatMap { case (sb, id, v) =>
+        v.zip(n((sb, id))).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }
       }.max
       moves += moved
       cw = next
       rounds += 1
     } finally vs.unpersist(false)
-    (cw, rounds, moves.result())
+    (cwDF(embeddings.sparkSession, cw), rounds, moves.result())
   }
 
   /** Same operator over any (vec_id, embedding) table (spec seam).
@@ -1081,20 +1207,22 @@ object Similarity {
     val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
     def subVec(v: Column): Column = slice(v, col("sub") * subDim + 1, lit(subDim))
 
-    val cw =
+    // codebooks collected once (nSub×nCodes rows — free for the
+    // trained path, which already returns a LocalRelation); the ADC
+    // joins read the LocalRelation instead of re-running the sample
+    val cwLit = collectedCw(
       if (trainIters > 0) pqCodebooksTrained(embeddings, nSub, nCodes, trainIters)
-      else pqCodebooksSampled(embeddings, nSub, nCodes)
+      else pqCodebooksSampled(embeddings, nSub, nCodes))
+    val cw = cwDF(embeddings.sparkSession, cwLit)
 
     // encode: argmin L2 == argmax dot(vs, cw) - dot(cw, cw)/2 (the
-    // dot(vs, vs) term is constant per row); /2 is exact in doubles
+    // dot(vs, vs) term is constant per row); /2 is exact in doubles —
+    // a literal-argmax projection, so the n×nSub×nCodes explode and
+    // its aggregate never materialize
     val vsubs = embeddings.select(col("vec_id"), col("embedding"), subIdx)
       .select(col("vec_id"), col("sub"), subVec(col("embedding")).as("vs"))
-    val codes = vsubs.join(broadcast(cw), "sub")
-      .select(col("vec_id"), col("sub"), struct(
-        (dotDouble(col("vs"), col("cw")) - dotDouble(col("cw"), col("cw")) / 2).as("sc"),
-        (-col("cw_id")).as("nid"), col("cw_id").as("cw_id")).as("s"))
-      .groupBy("vec_id", "sub").agg(max(col("s")).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.cw_id").as("code"))
+    val codes = vsubs.select(col("vec_id"), col("sub"),
+      pqNearestStruct(cwLit, col("sub"), col("vs")).getField("cid").as("code"))
 
     // per-query ADC lookup table: nQueries x nSub x nCodes rows
     val adc = embeddings.filter(col("vec_id") < nQueries)
@@ -1174,41 +1302,37 @@ object Similarity {
     val subIdx = explode(array((0 until nSub).map(lit(_)): _*)).as("sub")
     def subVec(v: Column): Column = slice(v, col("sub") * subDim + 1, lit(subDim))
 
-    // the 16-row centroid frame feeds four consumers (assignment,
-    // probes, centroid term, residuals) — cut its corpus-sort lineage
-    // once instead of re-running the sample per consumer
-    val cents = ivfCentroids(embeddings, nCentroids).localCheckpoint(true)
+    // the 16-row centroid set feeds four consumers (assignment,
+    // probes, centroid term, residuals) — collected once; the frame
+    // consumers read a LocalRelation instead of re-running the sample
+    val cands = collectedCents(ivfCentroids(embeddings, nCentroids))
+    val cents = centsDF(embeddings.sparkSession, cands)
 
     // one corpus pass: assign each vector to its argmax-dot centroid
-    // (keeping the embedding through the partial-agg, like lloydRound)
-    // and subtract — (vec_id, cid, embedding=residual), materialized
+    // (literal argmax — a zero-shuffle projection; the former
+    // formulation paid an n×k explode, a SortAggregate and a centroid
+    // re-join) and subtract via a literal cid→ce lookup —
+    // (vec_id, cid, embedding=residual), materialized
+    val ceOf = element_at(typedLit(cands.toMap), col("cid"))
     val res = Shared.materialize(
-      embeddings.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), struct(
-          dotDouble(col("embedding"), col("ce")).as("cdot"),
-          (-col("cid")).as("ncid"), col("cid").as("cid")).as("s"))
-        .groupBy("vec_id", "embedding").agg(max(col("s")).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("embedding"))
-        .join(broadcast(cents), "cid")
+      withAssignedCidLit(embeddings, cands)
         .select(col("vec_id"), col("cid"),
-          zip_with(col("embedding"), col("ce"), (a, b) =>
+          zip_with(col("embedding"), ceOf, (a, b) =>
             (a.cast("double") - b.cast("double")).cast("float"))
             .as("embedding")))
 
-    val cw =
+    val cwLit = collectedCw(
       if (trainIters > 0)
         pqCodebooksTrained(res.select("vec_id", "embedding"), nSub, nCodes, trainIters)
-      else pqCodebooksSampled(res.select("vec_id", "embedding"), nSub, nCodes)
+      else pqCodebooksSampled(res.select("vec_id", "embedding"), nSub, nCodes))
+    val cw = cwDF(embeddings.sparkSession, cwLit)
 
     // encode RESIDUAL subvectors against the residual codebooks
+    // (literal argmax — no explode, no aggregate)
     val vsubs = res.select(col("vec_id"), col("embedding"), subIdx)
       .select(col("vec_id"), col("sub"), subVec(col("embedding")).as("vs"))
-    val codes = vsubs.join(broadcast(cw), "sub")
-      .select(col("vec_id"), col("sub"), struct(
-        (dotDouble(col("vs"), col("cw")) - dotDouble(col("cw"), col("cw")) / 2).as("sc"),
-        (-col("cw_id")).as("nid"), col("cw_id").as("cw_id")).as("s"))
-      .groupBy("vec_id", "sub").agg(max(col("s")).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.cw_id").as("code"))
+    val codes = vsubs.select(col("vec_id"), col("sub"),
+      pqNearestStruct(cwLit, col("sub"), col("vs")).getField("cid").as("code"))
 
     // ADC parts from the RAW query subvectors (dot(q, ĉ+r̂) splits
     // into the centroid term + raw-query·residual-codeword parts)

@@ -72,8 +72,7 @@ object SemCatalog {
     }
     val cents = Similarity.ivfCentroids(histEmb, nCentroids)
     cents.write.mode("overwrite").parquet(s"${h.root}/cents")
-    val assigned = histEmb
-      .join(Similarity.ivfAssignWith(histEmb, this.cents(spark, h)), "vec_id")
+    val assigned = Similarity.withAssignedCid(histEmb, this.cents(spark, h))
       .select(col("vec_id"), col("cid"), col("embedding"))
       .withColumn("ingest_id", lit(0L))
     BucketedLayout.write(assigned, h.cellsT, "cid", nBuckets, Seq("cid"),
@@ -124,8 +123,7 @@ object SemCatalog {
     }
     val cells = maxIngestId.fold(spark.table(h.cellsT))(x =>
       spark.table(h.cellsT).filter(col("ingest_id") <= x))
-    val b = batchEmb
-      .join(Similarity.ivfAssignWith(batchEmb, cents(spark, h)), "vec_id")
+    val b = Similarity.withAssignedCid(batchEmb, cents(spark, h))
       .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("vb"))
     Similarity.semanticRollup(Similarity.semanticHits(b,
       cells.select(col("cid"), col("vec_id").as("h_id"), col("embedding").as("vh")),
@@ -144,8 +142,7 @@ object SemCatalog {
       s"ingestId $ingestId is at or below the maintenance floor $f: that " +
         "batch's state was folded into the landing (or expired) — " +
         "re-appending it would duplicate state rows and corrupt screens")
-    val assigned = emb
-      .join(Similarity.ivfAssignWith(emb, cents(spark, h)), "vec_id")
+    val assigned = Similarity.withAssignedCid(emb, cents(spark, h))
       .select(col("vec_id"), col("cid"), col("embedding"))
       .withColumn("ingest_id", lit(ingestId))
     BucketedLayout.overwritePartitions(spark, assigned, h.cellsT)

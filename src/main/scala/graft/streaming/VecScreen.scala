@@ -181,8 +181,7 @@ object VecScreen {
       val catalogV = SemCatalog.screen(s, batch, cat, threshold,
           maxIngestId = Some(batchId))
         .localCheckpoint(true)
-      val b = batch
-        .join(Similarity.ivfAssignWith(batch, SemCatalog.cents(s, cat)), "vec_id")
+      val b = Similarity.withAssignedCid(batch, SemCatalog.cents(s, cat))
         .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("vb"))
       val b2 = b.select(col("cid"), col("b_id").as("h_id"), col("vb").as("vh"))
       val intra = Similarity.semanticRollup(

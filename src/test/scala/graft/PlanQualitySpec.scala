@@ -388,7 +388,12 @@ class PlanQualitySpec extends AnyFunSuite {
     try {
     val emb = spark.range(20000).selectExpr("id as vec_id",
       "transform(sequence(0, 63), i -> cast(pmod(hash(id, i), 1000) / 1000.0 as float)) as embedding")
-    val df = graft.operators.Similarity.ivfPqTopKFrom(emb)
+    // round 21: the codebook selection runs as an eager collect inside
+    // pqCodebooksTrained/ivfPqTopKFrom (the literal-argmax rework), so
+    // its shard-fanout exchanges no longer appear in the top-k query's
+    // own plan — check the selection plan directly (it is exactly the
+    // plan that eager collect executes)
+    val df = graft.operators.Similarity.pqCodebooksSampled(emb)
     // QueryStageExec nodes are leaves whose subtree hangs off `.plan`,
     // so a flat collect only sees the last stage boundary — recurse
     def stagesOf(p: SparkPlan): Seq[ShuffleQueryStageExec] = p.collect {
