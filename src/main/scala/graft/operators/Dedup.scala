@@ -894,9 +894,16 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
       .distinct()
+    // tokenize ONCE per doc in a projection BELOW the generator: with
+    // size(tokens(text)) written next to the posexplode, the
+    // analyzer's generator extraction leaves it in the Project ABOVE
+    // the Generate, re-running the whole regex tokenization once per
+    // exploded TOKEN row (measured 20x on the gate corpus); over a
+    // materialized array attribute, the per-row size() is O(1)
     val toks = corpus
-      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_before"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("tpos", "tk")))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"), size(col("_ts")).as("n_before"),
+        posexplode(col("_ts")).as(Seq("tpos", "tk")))
     toks.join(del, Seq("doc_id", "tpos"), "left_anti")
       .groupBy(col("doc_id"), col("n_before"))
       .agg(count(lit(1)).as("n_after"),
@@ -1060,9 +1067,13 @@ object Dedup {
         max(when(col("kf"), 1).otherwise(0)).as("hk"))
       .filter(col("hc") === 1 && col("hk") === 0)
       .select("doc_id", "tpos")
+    // tokenize ONCE per doc below the generator — see
+    // cutContaminationSpansFrom's toks for the 20x pathology this
+    // placement avoids
     val toks = docs
-      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_before"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("tpos", "tk")))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"), size(col("_ts")).as("n_before"),
+        posexplode(col("_ts")).as(Seq("tpos", "tk")))
     toks.join(del, Seq("doc_id", "tpos"), "left_anti")
       .groupBy(col("doc_id"), col("n_before"))
       .agg(count(lit(1)).as("n_after"),
