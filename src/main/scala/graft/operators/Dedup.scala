@@ -668,7 +668,12 @@ object Dedup {
 
   def simhashPairsFrom(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit bands are only complete for d <= 3")
-    val banded = bandKeys(sig)
+    // pin the signature table across the self-join: both banded sides
+    // re-execute the sig subtree otherwise, and for the perceptual
+    // modalities that subtree IS the decode (ppm/wav/y4m fingerprint
+    // per doc — measured ~1s per extra pass at sf0.1). One row per
+    // doc, released by the action runner (the Shared contract).
+    val banded = bandKeys(graft.Shared.materialize(sig))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
