@@ -779,7 +779,12 @@ object Dedup {
       minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"dupSpans: k must be >= 1, got $k")
     require(minDocs >= 2, s"dupSpans: minDocs must be >= 2, got $minDocs")
-    val grams = gramKeyed(positionalGrams(docs, k), hashKeys)
+    // pin the gram table: the df screen and the position semi-join
+    // both read it, and rebuilding it is the regex-tokenize + k-gram
+    // string-assembly pass (the cached rows are text-sized, the same
+    // trade the pipeline's shingle table already makes)
+    val grams = graft.Shared.materialize(
+      gramKeyed(positionalGrams(docs, k), hashKeys))
     val dupGrams = grams.select("gram", "doc_id").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
@@ -977,7 +982,8 @@ object Dedup {
       k: Int = ShingleN, minDocs: Int = 2): DataFrame = {
     require(k >= 1, s"dupSpansIncremental: k must be >= 1, got $k")
     require(minDocs >= 2, s"dupSpansIncremental: minDocs must be >= 2, got $minDocs")
-    val bg = positionalGrams(batch, k)
+    // batch-sized pin, two readers (df screen + semi-join probe)
+    val bg = graft.Shared.materialize(positionalGrams(batch, k))
     val dupGrams = bg.select("gram", "doc_id").distinct()
       .groupBy("gram").agg(count(lit(1)).as("bdf"))
       .join(historyStats.select(col("gram"), col("df")), Seq("gram"), "left")
@@ -1037,7 +1043,9 @@ object Dedup {
       minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"cutDupSpans: k must be >= 1, got $k")
     require(minDocs >= 2, s"cutDupSpans: minDocs must be >= 2, got $minDocs")
-    val grams = gramKeyed(positionalGrams(docs, k), hashKeys)
+    // pinned for the same two readers as dupSpansFrom
+    val grams = graft.Shared.materialize(
+      gramKeyed(positionalGrams(docs, k), hashKeys))
     // per duplicated gram: its document frequency and earliest doc
     val gramMin = grams.select("gram", "doc_id").distinct()
       .groupBy("gram")

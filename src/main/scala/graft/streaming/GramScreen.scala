@@ -37,8 +37,12 @@ object GramScreen {
       minDocs: Int = 2, maxFilesPerTrigger: Int = 1): Unit = {
     val screen: (DataFrame, Long) => Unit = { (batch, batchId) =>
       val s = batch.sparkSession
+      // no checkpoint: the span frame has exactly one reader (the
+      // sink write), so an eager materialization job would be pure
+      // overhead; the append below never affects this screen (bounded
+      // to ingest partitions <= batchId)
       val spans = GramCatalog.screen(s, batch, cat, minDocs,
-        maxIngestId = Some(batchId)).localCheckpoint(true)
+        maxIngestId = Some(batchId))
       spans.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       GramCatalog.append(s, batch, cat, batchId + 1)
       graft.Shared.releaseAll(s)

@@ -70,14 +70,17 @@ object VecScreen {
       // bounded to ingest partitions <= batchId in the append loop so
       // a crash-replayed batch cannot self-match against its own
       // pre-crash append (see DocScreen)
-      val catalogV = VecCatalog.screen(s, batch, cat,
+      val catalogV0 = VecCatalog.screen(s, batch, cat,
         maxIngestId = if (appendAccepted) Some(batchId) else None,
         multiProbe = multiProbe)
-        .localCheckpoint(true)
       // ingest loop: near-dup the batch WITHIN itself too
       // (component-min survives) — two mutual near-dup vectors in one
-      // micro-batch must not both enter the catalog (see DocScreen)
-      val verdicts = if (!appendAccepted) catalogV else {
+      // micro-batch must not both enter the catalog (see DocScreen).
+      // The checkpoint exists for the two-reader append path only; the
+      // screen-only path writes the verdicts once and a forced
+      // materialization job would be pure overhead.
+      val verdicts = if (!appendAccepted) catalogV0 else {
+        val catalogV = catalogV0.localCheckpoint(true)
         val intra = graft.operators.Dedup.intraBatchVerdicts(
           graft.operators.Similarity.embeddingNearDupLshFrom(batch),
           "vec_id", "cos")
