@@ -171,6 +171,47 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Scale-adaptive STATE partition count for a stateful replay
+    * stream, derived from the source's landed byte size (AQE cannot
+    * run inside a streaming query — the state-store fan-out is pinned
+    * at query start from spark.sql.shuffle.partitions, so an
+    * unconditioned session constant is wrong at one of the two
+    * scales, exactly the anti-pattern the optimization guide's
+    * partitioning rules call out). The divisor is AQE's own
+    * minPartitionSize floor (default 1 MB), not the 64 MB advisory
+    * target: a state partition's fixed cost is a per-batch store
+    * commit, far cheaper than a task-launch-sized unit of work, and
+    * the session-window merge is sort-based so starving it of
+    * parallelism costs real time (measured on the 3 MB replay source:
+    * 32 stores × 4 micro-batches spent more time in delta commits
+    * than aggregation — window gate 4.4 → 1.7 s — while ONE partition
+    * serialized the session merge, 4.4 s vs 3.0 s at the 3 the floor
+    * yields). Capped by the session's shuffle-partition setting, so a
+    * cluster-sized input saturates at the configured fan-out.
+    */
+  private[graft] def statePartitionsFor(spark: SparkSession, srcDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val minPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB"))
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(cap,
+      math.ceil(bytes.toDouble / math.max(minPart, 1L)).toInt))
+  }
+
+  /** Run `f` (which starts and drains a stateful stream) under the
+    * input-derived state partition count, restoring the session
+    * setting afterwards (never leak a gate-local override into the
+    * caller's session — the setCheckpointDir lesson).
+    */
+  private def withStateParts[A](spark: SparkSession, srcDir: String)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val was = spark.conf.get(key)
+    spark.conf.set(key, statePartitionsFor(spark, srcDir).toString)
+    try f finally spark.conf.set(key, was)
+  }
+
   /** Land the replay source once per (scale dir, content fingerprint)
     * and return its path + schema — shared by the streaming replay
     * gates, which all micro-batch over the same 8 time-range slices.
@@ -220,7 +261,9 @@ object EventStream {
         unix_micros(col("session_window.start")).as("s_start"),
         unix_micros(col("session_window.end")).as("s_end"),
         col("n_events"))
-    replayToTable(spark, agg, "sess_replay_gate").orderBy("user_id", "s_start")
+    withStateParts(spark, replaySrcDir(spark, dir)._1) {
+      replayToTable(spark, agg, "sess_replay_gate")
+    }.orderBy("user_id", "s_start")
   }
 
   /** Windowed-aggregation twin of [[sessionReplayGate]]
@@ -238,7 +281,9 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("w_start"),
         col("event_type"), col("n"),
         round(col("total_raw"), 2).cast("double").as("total"))
-    replayToTable(spark, agg, "win_replay_gate").orderBy("w_start", "event_type")
+    withStateParts(spark, replaySrcDir(spark, dir)._1) {
+      replayToTable(spark, agg, "win_replay_gate")
+    }.orderBy("w_start", "event_type")
   }
 
   /** Checkpointed-ingest parity gate (ig_stream_ingest): run

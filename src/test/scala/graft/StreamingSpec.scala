@@ -50,6 +50,33 @@ class StreamingSpec extends AnyFunSuite {
 
   private def batchEvents: DataFrame = spark.read.parquet(splitDir)
 
+  test("state partition sizing: input-derived, floored at 1, capped by the session setting") {
+    // round-21 optimization: stateful replay gates derive their state
+    // partition count from the landed source's bytes (the AQE-style
+    // sizing a streaming query cannot get from AQE itself), capped by
+    // spark.sql.shuffle.partitions so a cluster-sized session keeps
+    // its configured fan-out. The rule must never emit 0 or exceed
+    // the cap, and must scale linearly with input in between.
+    val p = Files.createTempDirectory("state_parts").toString
+    spark.range(10).write.mode("overwrite").parquet(p) // a few KB
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // tiny input -> floor of 1, never 0
+    assert(EventStream.statePartitionsFor(spark, p) === 1)
+    // shrink the per-partition floor far below the input -> hits the cap
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val was = spark.conf.getOption(key)
+    spark.conf.set(key, "1b")
+    try assert(EventStream.statePartitionsFor(spark, p) === cap)
+    finally was match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // the gate wrapper restores the session setting afterwards
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    EventStream.sessionReplayGate(spark, dir).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
   test("windowed sketch: streaming HLL equals the batch expression exactly") {
     val stream = EventStream.fromDirectory(spark, splitDir, batchEvents.schema)
     EventStream.runToMemory(EventStream.sketchCounts(stream), "sk_stream")
