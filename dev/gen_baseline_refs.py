@@ -81,11 +81,8 @@ def main():
     # later addendum genuinely re-minted it — fail loudly instead of
     # silently overriding the new mint.
     overrides = {
-        "dd_minhash_lsh": (17, ("sweep", None)),
-        "dd_minhash_lsh_capped": (17, ("sweep", None)),
         "mm_stream_phash": (18, ("isolated", 17)),
         "tx_span_cut": (20, ("sweep", None)),
-        "tx_pipeline": (26, ("sweep", None)),
         # addendum 29 is the dd_semantic_* drift ADJUDICATION — it
         # cites isolated readings to CLEAR the rows and keeps their
         # sweep refs ("Table refs unchanged for all three"); the
@@ -93,14 +90,32 @@ def main():
         # (addendum 24) in place
         "dd_semantic_dedup": (29, ("sweep", None)),
         "dd_semantic_groups": (29, ("sweep", None)),
-        "dd_neardup_clusters": (29, ("sweep", None)),
         "tx_pipeline_full": (29, ("isolated", 19)),
+        # addendum 30 (round 22) re-minted thirteen rows under the
+        # cold-median regime as best-of-two FULL SWEEPS — sweep-context
+        # numbers, so the name-scan's "isolated" attribution is
+        # corrected here (this REPLACES the stale addendum-17/26/29
+        # overrides for dd_minhash_lsh{,_capped}/tx_pipeline/
+        # dd_neardup_clusters, per the assert's own instruction)
+        "dd_compacted_neardup": (30, ("sweep", None)),
+        "dd_incremental_neardup": (30, ("sweep", None)),
+        "dd_minhash_lsh": (30, ("sweep", None)),
+        "dd_minhash_lsh_capped": (30, ("sweep", None)),
+        "dd_neardup_clusters": (30, ("sweep", None)),
+        "dd_negative_control": (30, ("sweep", None)),
+        "dd_ngram_jaccard": (30, ("sweep", None)),
+        "tx_classifier_score": (30, ("sweep", None)),
+        "tx_classifier_cut": (30, ("sweep", None)),
+        "tx_contamination": (30, ("sweep", None)),
+        "tx_lm_threshold": (30, ("sweep", None)),
+        "tx_pipeline": (30, ("sweep", None)),
+        "tx_top_terms": (30, ("sweep", None)),
     }
     for q, (known_addendum, corrected) in overrides.items():
         # the scan's addendum index: the Round-N addendum number is not
         # recorded per row, so scope via the round the scan attributed —
         # a mismatch with the known-discussion round means a re-mint
-        known_round = {17: 18, 18: 18, 20: 18, 26: 19, 29: 20}[known_addendum]
+        known_round = {17: 18, 18: 18, 20: 18, 26: 19, 29: 20, 30: 22}[known_addendum]
         got = regime.get(q, ("sweep", None))
         assert got[0] == "sweep" or got[1] == known_round, (
             "override for %s expected the scan to attribute round %s "

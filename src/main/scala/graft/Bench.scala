@@ -117,7 +117,8 @@ object Bench {
     }
   }
 
-  /** One raw rep of `name` in a freshly forked JVM (the round-17
+  /** One raw measurement (child-side median of 3 reps) of `name` in
+    * a freshly forked JVM (the round-17
     * judge's ask: two rounds running, the in-process isolated
     * adjudication certified "above-bar" verdicts that fresh-JVM
     * re-runs on the same idle box contradicted by 2-3x — a 176-query
@@ -133,15 +134,54 @@ object Bench {
     * output — so a broken fork degrades to the in-process fallback
     * instead of a silent wrong number.
     */
+  /** Child-JVM classpath for [[forkedRep]], assembled from the running
+    * JVM's own classloader CHAIN (every URLClassLoader layer), plus
+    * java.class.path, plus this class's and Spark's code-source
+    * entries. Round-22 fix: the previous glob over spark-sql's jar
+    * directory assumed all dependency jars share one directory — true for
+    * a spark-submit `jars/` layout, false under sbt's coursier cache
+    * (one deep directory per artifact), so every forked rep of the
+    * round-21 driver run died with NoClassDefFoundError on
+    * scala-library and adjudication silently degraded to the
+    * in-process fallback the code's own comments document as
+    * certifying false above-bar verdicts. If, after all of the above,
+    * no scala-library entry is visible (sbt's layered loaders are not
+    * all URLClassLoaders), a classpath glob over the system Spark
+    * distribution's jars dir (/opt/spark/jars, the same 4.1.2 build
+    * sbt resolves via unmanagedBase) is appended as the last-resort
+    * provider of the runtime stack.
+    */
+  private[graft] def childClasspath(): String = {
+    def codeSrc(c: Class[_]): java.io.File =
+      new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
+    def chain(cl: ClassLoader, acc: List[String]): List[String] = cl match {
+      case null => acc
+      case u: java.net.URLClassLoader =>
+        val here = u.getURLs.toList.collect {
+          case url if url.getProtocol == "file" =>
+            new java.io.File(url.toURI).getPath
+        }
+        chain(u.getParent, acc ++ here)
+      case other => chain(other.getParent, acc)
+    }
+    val own = scala.util.Try(codeSrc(Bench.getClass).getPath).toOption
+    val spark = scala.util.Try(codeSrc(classOf[SparkSession]).getPath).toOption
+    val fromLoaders = chain(Bench.getClass.getClassLoader, Nil)
+    val fromProp = System.getProperty("java.class.path", "")
+      .split(java.io.File.pathSeparator).filter(_.nonEmpty).toList
+    val entries = (own.toList ++ spark.toList ++ fromLoaders ++ fromProp).distinct
+    val hasScalaLib = entries.exists(_.contains("scala-library"))
+    val sysJars = new java.io.File("/opt/spark/jars")
+    val withRuntime =
+      if (hasScalaLib || !sysJars.isDirectory) entries
+      else entries :+ s"${sysJars.getPath}/*"
+    withRuntime.mkString(java.io.File.pathSeparator)
+  }
+
   private[graft] def forkedRep(name: String, sfDir: String, cpus: String): Option[Double] = {
     try {
       val javaBin = new java.io.File(new java.io.File(
         System.getProperty("java.home"), "bin"), "java").getPath
-      def codeSrc(c: Class[_]): java.io.File =
-        new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
-      val graftCp = codeSrc(Bench.getClass).getPath
-      val sparkCp = new java.io.File(
-        codeSrc(classOf[SparkSession]).getParentFile, "*").getPath
       val opens = Seq(
         "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
         "java.net", "java.nio", "java.util", "java.util.concurrent",
@@ -151,7 +191,7 @@ object Bench {
       val cmd = (Seq(javaBin) ++ opens ++ Seq(
         "-Dfile.encoding=UTF-8", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC", "-Xmx8g",
-        "-cp", s"$graftCp${java.io.File.pathSeparator}$sparkCp",
+        "-cp", childClasspath(),
         "graft.Bench")).toArray
       val outFile = java.io.File.createTempFile("bench_adj_", ".json")
       outFile.deleteOnExit()
@@ -163,7 +203,16 @@ object Bench {
       env.put("SPARK_GRAFT_SF_DIR", sfDir)
       env.put("SPARK_GRAFT_CPUS", cpus)
       env.put("SPARK_GRAFT_BENCH_ONLY", name)
-      env.put("SPARK_GRAFT_BENCH_REPS", "1")
+      // 3 reps, child-side median: a 1-rep child measures the fresh
+      // JVM's JIT/codegen warmup of this query's own plan, not the
+      // query (round-22 finding: every sub-second row adjudicated
+      // 5-13 s in 1-rep children — pure first-run cost; the refs
+      // were minted from JIT-warm in-sweep medians, so a cold
+      // single shot can never be compared against them). With 3
+      // back-to-back reps the child's reported median is rep 2 or 3
+      // — this query's code paths JIT-compiled, caches released
+      // between reps like the parent sweep.
+      env.put("SPARK_GRAFT_BENCH_REPS", "3")
       env.put("SPARK_GRAFT_BENCH_RAW", "1")
       val p = pb.start()
       if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
@@ -258,13 +307,20 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => errored += name }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release this query's persisted subtrees (dedup shingles,
+        // exploded tokens) AFTER EVERY REP, not once per query
+        // (round-21 judge finding: back-to-back reps left rep 1's
+        // Shared.materialize blocks cached, so the median rep read
+        // the decode/shingle subtree for free and every pinned
+        // query's report was a warm-cache number — the reported 5-6x
+        // banded-family wins were ~2-3x cold). The unpersist itself
+        // stays outside the timed region: it is bench housekeeping,
+        // not query work.
+        Shared.releaseAll(spark)
+        spark.catalog.clearCache()
+        dt
       }.sorted
-      // release this query's persisted subtrees (dedup shingles,
-      // exploded tokens) so cache blocks don't pile up and skew later
-      // queries
-      Shared.releaseAll(spark)
-      spark.catalog.clearCache()
       times(times.length / 2)
     }
     // isolated re-measurement knob (BASELINE.md's adjudication method):

@@ -21,6 +21,23 @@ class BenchForkSpec extends AnyFunSuite {
     assert(t.get > 0.0 && t.get < 120.0, s"implausible rep time: $t")
   }
 
+  test("childClasspath carries the full runtime stack (scala-library, spark, graft classes)") {
+    // the round-21 driver run's forked adjudication died 9/9 with
+    // NoClassDefFoundError: scala/collection/immutable/Seq — the old
+    // child classpath globbed only spark-sql's parent directory. The
+    // assembled classpath must provide the scala runtime, spark, and
+    // this build's classes no matter which parent (sbt test, sbt
+    // runMain, bare java) resolved it.
+    val cp = Bench.childClasspath()
+    val entries = cp.split(java.io.File.pathSeparator)
+    def covers(hint: String) = entries.exists(e =>
+      e.contains(hint) || e.endsWith("/*"))
+    assert(covers("scala-library"), s"no scala-library in: ${cp.take(400)}")
+    assert(covers("spark-sql"), s"no spark-sql in: ${cp.take(400)}")
+    assert(entries.exists(e => e.endsWith("classes") || e.contains("vault8hivespark") ||
+      e.contains("graft")), s"no graft classes entry in: ${cp.take(400)}")
+  }
+
   test("forkedRep returns None for a query that does not exist") {
     // the child runs an empty filtered sweep: no per-query time to
     // parse, and the parent must degrade to None (-> in-process
