@@ -444,6 +444,39 @@ object CodecExpressions {
     * mean-luma thresholds scale without re-parsing the header. Same
     * accept/reject language as `y4m_decode` (shared header parser).
     */
+  /** `scene_y4m_payload(BIGINT) → BINARY` — native synthesis of the
+    * scene-cut gate's planted Y4M payload (byte-identical to the
+    * Column formula it replaced; see [[CodecImpl.sceneY4mPayload]]).
+    */
+  case class SceneY4mPayload(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      CodecImpl.sceneY4mPayload(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, d => s"$Impl.sceneY4mPayload($d)")
+    override protected def withNewChildInternal(c: Expression): SceneY4mPayload = copy(c)
+    override def prettyName: String = "scene_y4m_payload"
+  }
+
+  /** `vfp_y4m_payload(BIGINT) → BINARY` — native synthesis of the
+    * video-fingerprint gates' twin-planted Y4M payload
+    * (byte-identical to the Column formula it replaced; see
+    * [[CodecImpl.vfpY4mPayload]]).
+    */
+  case class VfpY4mPayload(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      CodecImpl.vfpY4mPayload(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, d => s"$Impl.vfpY4mPayload($d)")
+    override protected def withNewChildInternal(c: Expression): VfpY4mPayload = copy(c)
+    override def prettyName: String = "vfp_y4m_payload"
+  }
+
   case class Y4mFrameLumas(child: Expression) extends UnaryExpression
       with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -658,6 +691,8 @@ object CodecExpressions {
   def ppm_dhash(col: Column): Column = c(PpmDhash(e(col)))
   def ppm_ahash(col: Column): Column = c(PpmAhash(e(col)))
   def y4m_frame_lumas(col: Column): Column = c(Y4mFrameLumas(e(col)))
+  def scene_y4m_payload(col: Column): Column = c(SceneY4mPayload(e(col)))
+  def vfp_y4m_payload(col: Column): Column = c(VfpY4mPayload(e(col)))
   def wav_windows(col: Column, win: Column): Column =
     c(WavWindows(e(col), e(win)))
   def wav_fingerprint(col: Column): Column = c(WavFingerprint(e(col)))
@@ -696,6 +731,8 @@ object CodecExpressions {
     one("ppm_dhash", es => PpmDhash(es.head))
     one("ppm_ahash", es => PpmAhash(es.head))
     one("y4m_frame_lumas", es => Y4mFrameLumas(es.head))
+    one("scene_y4m_payload", es => SceneY4mPayload(es.head))
+    one("vfp_y4m_payload", es => VfpY4mPayload(es.head))
     one("wav_windows", es => WavWindows(es(0), es(1)))
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))

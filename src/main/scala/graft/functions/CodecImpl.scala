@@ -1081,4 +1081,103 @@ object CodecImpl {
     if (len > maxLen || len > plain.length - 2) return null
     java.util.Arrays.copyOfRange(plain, 2, 2 + len)
   }
+
+  // ------------------------------------------- planted-corpus synthesis
+
+  private def md5Chain(prefix: String, id: Long, blocks: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](blocks * 16)
+    var i = 0
+    while (i < blocks) {
+      md.reset()
+      val d = md.digest(s"$prefix$i|$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.arraycopy(d, 0, out, i * 16, 16)
+      i += 1
+    }
+    out
+  }
+
+  /** Native synthesis of the scene-cut gate's planted Y4M payload —
+    * byte-identical to the Column formula it replaces
+    * ([[graft.operators.Multimodal.scenePayloadColumns]], pinned by
+    * spec): per-frame constant luma = shot base (40 + id%30 before
+    * the cut, 180 + id%40 after) + deterministic jitter
+    * ((id·7 + f·13) % 9 − 4), chroma bytes from the "sc" md5 chain,
+    * docs ≡ 0 (mod 4) single-shot, docs ≡ 6 (mod 11) truncated by one
+    * byte. Moved into one static call because the 8-frame concat
+    * expression tree generated a projection method past the JIT's
+    * huge-method limit — measured ~3.6 ms/doc interpreted vs ~10 µs
+    * native for identical bytes.
+    */
+  def sceneY4mPayload(docId: Long): Array[Byte] = {
+    val w = (4 + (docId % 3) * 2).toInt
+    val h = (2 + (docId % 2) * 2).toInt
+    val nf = (4 + docId % 5).toInt
+    val cutAt = if (docId % 4 == 0) nf else (2 + docId % 3).toInt
+    val cs = (w / 2) * (h / 2) * 2
+    val chain = md5Chain("sc", docId, 8)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A0:0 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val frameSz = 6 + w * h + cs
+    val total = header.length + nf * frameSz
+    val out = new Array[Byte](total)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    var f = 0
+    while (f < nf) {
+      out(pos) = 'F'; out(pos + 1) = 'R'; out(pos + 2) = 'A'
+      out(pos + 3) = 'M'; out(pos + 4) = 'E'; out(pos + 5) = '\n'
+      pos += 6
+      val base = if (f < cutAt) 40 + docId % 30 else 180 + docId % 40
+      val yByte = (base + (docId * 7 + f * 13) % 9 - 4).toByte
+      java.util.Arrays.fill(out, pos, pos + w * h, yByte)
+      pos += w * h
+      System.arraycopy(chain, cs * f, out, pos, cs)
+      pos += cs
+      f += 1
+    }
+    if (docId % 11 == 6) java.util.Arrays.copyOf(out, total - 1) else out
+  }
+
+  /** Native synthesis of the video-fingerprint gates' twin-planted
+    * Y4M payload — byte-identical to the Column formula it replaces
+    * ([[graft.operators.Multimodal.vfpPayloadColumns]], pinned by
+    * spec): constant-luma frames whose per-frame byte is byte f of
+    * the BASE doc's "vf" md5 chain (exact twins at id−8, retouched
+    * twins at id−16 with frame 0 forced to 0xFF, short clips at
+    * 20 frames, docs ≡ 4 (mod 9) truncated by one byte), chroma a
+    * constant 0x80. Replaces the regexp_replace frame-template
+    * expansion (a regex pass over up to 144 hex chars per doc plus
+    * the hex↔binary round trip) with direct byte assembly.
+    */
+  def vfpY4mPayload(docId: Long): Array[Byte] = {
+    val exact = docId % 7 == 3 && docId >= 8
+    val pert = docId % 11 == 7 && docId >= 16 && !exact
+    val base = if (exact) docId - 8 else if (pert) docId - 16 else docId
+    val w = (4 + (docId % 3) * 2).toInt
+    val h = (2 + (docId % 2) * 2).toInt
+    val nf = (if (docId % 13 == 2) 20L else 65 + docId % 8).toInt
+    val cs = (w / 2) * (h / 2) * 2
+    val chain = md5Chain("vf", base, 5)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A0:0 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val frameSz = 6 + w * h + cs
+    val total = header.length + nf * frameSz
+    val out = new Array[Byte](total)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    var f = 0
+    while (f < nf) {
+      out(pos) = 'F'; out(pos + 1) = 'R'; out(pos + 2) = 'A'
+      out(pos + 3) = 'M'; out(pos + 4) = 'E'; out(pos + 5) = '\n'
+      pos += 6
+      val yByte = if (pert && f == 0) 0xFF.toByte else chain(f)
+      java.util.Arrays.fill(out, pos, pos + w * h, yByte)
+      pos += w * h
+      java.util.Arrays.fill(out, pos, pos + cs, 0x80.toByte)
+      pos += cs
+      f += 1
+    }
+    if (docId % 9 == 4) java.util.Arrays.copyOf(out, total - 1) else out
+  }
 }

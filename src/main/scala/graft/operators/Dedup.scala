@@ -528,6 +528,16 @@ object Dedup {
     * @return (doc_id, cluster_id) — one row per node that appears in
     *   ≥1 pair; cluster_id is the component's min doc_id.
     */
+  /** Shuffle fan-out for one CC star round, from the canonical edge
+    * count: one partition per ~2M (u, v) long-pair rows (≈ 32 MB of
+    * shuffle per task — guide §2.2's 100 MB-1 GB band, conservative
+    * because a round's symmetrized frame doubles the rows), capped at
+    * the session's configured setting and floored at 1. Pure so the
+    * spec can pin the curve.
+    */
+  private[graft] def ccLoopPartitions(edgeRows: Long, sessionCap: Int): Int =
+    math.max(1L, math.min(sessionCap.toLong, edgeRows / 2000000L + 1)).toInt
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 24): DataFrame = {
     // canonical orientation everywhere: u > v, no self-loops
     val e0 = pairs.select(
@@ -591,13 +601,36 @@ object Dedup {
     }
 
     var cur = e0.localCheckpoint(true)
-    var converged = isStarForest(cur)
+    // Input-derived loop fan-out (the EventStream.statePartitionsFor
+    // discipline applied to the batch loop; guide §2.2 fewer-larger
+    // partitions): every star round runs 3-4 shuffles over the CURRENT
+    // edge set, whose exact size the eager checkpoint just
+    // materialized — count() on it is a cached-block scan, not a
+    // recompute. At bench scale the set is KBs and the session's
+    // core-count fan-out is pure task-launch overhead across the
+    // O(log n) rounds (AQE's parallelismFirst coalescing deliberately
+    // keeps utilization-many tiny partitions; the driver's 8-core
+    // sweep ran this gate 4x faster than 32-core on identical code).
+    // At corpus scale the cap keeps the session's configured fan-out —
+    // the override can only shrink, never grow, and is restored even
+    // on a non-converging throw. Edge counts only shrink across star
+    // rounds, so sizing once from e0 is an upper bound for every
+    // round.
+    val spark = pairs.sparkSession
+    val partsKey = "spark.sql.shuffle.partitions"
+    val wasParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, ccLoopPartitions(cur.count(),
+      scala.util.Try(wasParts.toInt).getOrElse(200)).toString)
+    var converged = false
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      cur = smallStar(largeStar(cur)).localCheckpoint(true)
-      rounds += 1
+    try {
       converged = isStarForest(cur)
-    }
+      while (!converged && rounds < maxRounds) {
+        cur = smallStar(largeStar(cur)).localCheckpoint(true)
+        rounds += 1
+        converged = isStarForest(cur)
+      }
+    } finally spark.conf.set(partsKey, wasParts)
     require(converged,
       s"connectedComponents did not converge in $maxRounds rounds")
     // converged state is a set of stars: every edge is (member, root)

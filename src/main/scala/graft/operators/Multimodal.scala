@@ -626,7 +626,16 @@ object Multimodal {
     *    null, so brief clips can never pair;
     *  - docs ≡ 4 (mod 9) lose their last byte → decode null.
     */
-  private def vfpPayload(did: Column): Column = {
+  private[graft] def vfpPayload(did: Column): Column =
+    graft.functions.CodecExpressions.vfp_y4m_payload(did)
+
+  /** The original Column formulation of [[vfpPayload]] — kept as the
+    * parity oracle for the native expression (PayloadParitySpec pins
+    * byte equality over the corpus and the planted slices); the
+    * query path uses the native call, whose single static invocation
+    * replaces this tree's regexp template expansion.
+    */
+  private[graft] def vfpPayloadColumns(did: Column): Column = {
     val exact = did % 7 === 3 && did >= 8
     val pert = did % 11 === 7 && did >= 16 && !exact
     val base = when(exact, did - 8).when(pert, did - 16).otherwise(did)
@@ -733,7 +742,16 @@ object Multimodal {
     * (decoded but not summed — the luma walk must still skip them
     * correctly to land on the next FRAME marker).
     */
-  private def scenePayload(did: Column): Column = {
+  private[graft] def scenePayload(did: Column): Column =
+    graft.functions.CodecExpressions.scene_y4m_payload(did)
+
+  /** The original Column formulation of [[scenePayload]] — kept as
+    * the parity oracle for the native expression (PayloadParitySpec
+    * pins byte equality); the query path uses the native call. The
+    * 8-frame concat tree generated a projection method past the
+    * JIT's huge-method limit (~3.6 ms/doc interpreted).
+    */
+  private[graft] def scenePayloadColumns(did: Column): Column = {
     val w = (lit(4) + (did % 3) * 2).cast("int")
     val h = (lit(2) + (did % 2) * 2).cast("int")
     val nf = (lit(4) + did % 5).cast("int")

@@ -384,7 +384,12 @@ object Similarity {
     * (Lloyd means, PQ subvector slicing) would otherwise read past
     * the array and silently propagate nulls into centroids/codes.
     */
-  private def requireDim(embeddings: DataFrame, dim: Int): Unit = {
+  /** Returns the validated row count — the trainers reuse it as the
+    * input-size signal for the single-stage small-corpus round shape
+    * ([[smallCorpus]]), so the validation aggregate doubles as the
+    * sizing probe and no extra job runs.
+    */
+  private def requireDim(embeddings: DataFrame, dim: Int): Long = {
     // one aggregate checks EVERY row (a first-row-only probe lets
     // ragged dimensions elsewhere reach the slicing code and
     // propagate nulls silently), distinguishes the empty frame, and
@@ -402,7 +407,29 @@ object Similarity {
       s"${r.getLong(2) - r.getLong(3)} NULL embeddings")
     require(r.getInt(0) == dim && r.getInt(1) == dim,
       s"embedding dimensions [${r.getInt(0)}, ${r.getInt(1)}] != expected $dim")
+    r.getLong(2)
   }
+
+  /** Input-derived single-stage round shape for the Lloyd trainers
+    * (guide §2.2 partition sizing, the EventStream discipline): below
+    * this row count a round's k-group mean aggregate runs over a
+    * coalesce(1) input — partial and final aggregate share ONE task
+    * in ONE stage, so a round is one job with no exchange and no AQE
+    * stage boundary. The round's decimal sums are order- and
+    * grouping-independent (exact BigDecimal adds of identical
+    * addends), so the result is bit-identical either way; only the
+    * task layout changes. Threshold: ~1M 64-dim rows ≈ 300 MB and
+    // ~1 G multiply-adds of single-task argmax work — the top of the
+    * guide's per-task band. Above it the fan-out stays the session's
+    * configured setting. (Measured at bench scale: a 2000-row corpus
+    * paid ~0.55 s per round, almost all in the 2-stage AQE job pair
+    * around a 16-row exchange; the converged+replay gate runs up to
+    * 16 such rounds.)
+    */
+  private val SmallCorpusRows = 1000000L
+
+  private def roundInput(df: DataFrame, n: Long): DataFrame =
+    if (n <= SmallCorpusRows) df.coalesce(1) else df
 
   private[graft] def ivfCentroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
     embeddings
@@ -444,6 +471,17 @@ object Similarity {
     */
   private def nearestStruct(cands: Seq[(Long, Seq[Float])], v: Column,
       score: (Column, Seq[Float]) => Column): Column = {
+    // codegen-size bound (round-21 advice): one struct+dot per
+    // candidate is O(k) greatest branches — fine through the
+    // documented k ≤ 128 coarse-quantizer range (PlanQualitySpec pins
+    // whole-stage codegen at that bound), but an API caller's larger
+    // set would overrun janino's 64 KB method limit and silently fall
+    // back to interpreted execution (the measured PQ pathology:
+    // 1.8 s → 3.2 s). Fail fast instead; such a caller should use the
+    // broadcast-join formulation.
+    require(cands.size <= 256,
+      s"literal-argmax supports <= 256 candidates (got ${cands.size}); " +
+        "use a broadcast-join assignment for larger centroid sets")
     val ss = cands.map { case (cid, ce) =>
       struct(score(v, ce).as("cdot"),
         lit(-cid).as("ncid"), lit(cid).as("cid"))
@@ -482,9 +520,10 @@ object Similarity {
     */
   def ivfCentroidsTrained(embeddings: DataFrame, nCentroids: Int = 16,
       iters: Int = 2, dim: Int = 64): DataFrame = {
-    requireDim(embeddings, dim)
+    val n = requireDim(embeddings, dim)
+    val src = roundInput(embeddings, n)
     var cents = collectedCents(ivfCentroids(embeddings, nCentroids))
-    for (_ <- 0 until iters) cents = lloydRound(embeddings, cents, dim)
+    for (_ <- 0 until iters) cents = lloydRound(src, cents, dim)
     centsDF(embeddings.sparkSession, cents)
   }
 
@@ -542,13 +581,14 @@ object Similarity {
     */
   def ivfCentroidsConverged(embeddings: DataFrame, nCentroids: Int = 16,
       maxIters: Int = 8, tol: Double = 1e-3, dim: Int = 64): (DataFrame, Int, Seq[Double]) = {
-    requireDim(embeddings, dim)
+    val n = requireDim(embeddings, dim)
+    val src = roundInput(embeddings, n)
     var cents = collectedCents(ivfCentroids(embeddings, nCentroids))
     var rounds = 0
     var moved = Double.MaxValue
     val moves = Seq.newBuilder[Double]
     while (rounds < maxIters && moved > tol) {
-      val next = lloydRound(embeddings, cents, dim)
+      val next = lloydRound(src, cents, dim)
       moved = maxCentroidMove(cents, next)
       moves += moved
       cents = next
@@ -1058,14 +1098,15 @@ object Similarity {
     */
   def pqCodebooksTrained(embeddings: DataFrame, nSub: Int = 8,
       nCodes: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
-    requireDim(embeddings, dim)
+    val n = requireDim(embeddings, dim)
     if (iters <= 0) return pqCodebooksSampled(embeddings, nSub, nCodes, dim)
     var cw = collectedCw(pqCodebooksSampled(embeddings, nSub, nCodes, dim))
     // one corpus explode feeds every round (each round is one eager
     // job — its 128-row means collect — so all reads of the cached
     // frame complete inside the loop and the unpersist on exit can
-    // never force a recompute)
-    val vs = subvectors(embeddings, nSub, dim)
+    // never force a recompute); small corpora cache ONE block so each
+    // round is a single-stage single-task job (see roundInput)
+    val vs = roundInput(subvectors(embeddings, nSub, dim), n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try for (_ <- 0 until iters) cw = pqLloydRound(vs, cw, dim / nSub)
     finally vs.unpersist(false)
@@ -1100,7 +1141,7 @@ object Similarity {
     * nCodes structs (the IVF-sized `greatest`, which compiles), each
     * scoring argmin-L2 (dot(vs, cw) − dot(cw, cw)/2, /2 exact in
     * doubles, both dots the same kernel as the broadcast
-    * formulation). A ragged subspace repeats its first codeword in
+    * formulation). A ragged subspace repeats its LAST codeword in
     * the tail slots — a duplicated candidate is invisible to max.
     * Bit-identical to the broadcast-join + max(struct) aggregate it
     * replaces, with the same zero-shuffle win as [[nearestStruct]].
@@ -1180,15 +1221,16 @@ object Similarity {
   def pqCodebooksConverged(embeddings: DataFrame, nSub: Int = 8,
       nCodes: Int = 16, maxIters: Int = 8, tol: Double = 1e-3,
       dim: Int = 64): (DataFrame, Int, Seq[Double]) = {
-    requireDim(embeddings, dim)
+    val nRows = requireDim(embeddings, dim)
     var cw = collectedCw(pqCodebooksSampled(embeddings, nSub, nCodes, dim))
     var rounds = 0
     var moved = Double.MaxValue
     val moves = Seq.newBuilder[Double]
     // same one-explode-feeds-every-round cache as pqCodebooksTrained;
     // the movement probe runs on the codebooks the rounds already
-    // hold driver-side, so it costs no extra job
-    val vs = subvectors(embeddings, nSub, dim)
+    // hold driver-side, so it costs no extra job; small corpora cache
+    // ONE block so each round is a single-stage job (see roundInput)
+    val vs = roundInput(subvectors(embeddings, nSub, dim), nRows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try while (rounds < maxIters && moved > tol) {
       val next = pqLloydRound(vs, cw, dim / nSub)

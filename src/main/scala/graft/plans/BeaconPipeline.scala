@@ -153,12 +153,18 @@ object BeaconPipeline {
     val v1f = decodeV1(col("payload"))
     // null-gate the TLV walk on v1 rows at the SOURCE (not just via
     // CaseWhen laziness) so it can never throw on a v1 record even if
-    // codegen subexpression elimination hoists it
-    val fields = CE.tlv_decode(when(isV1, lit(null).cast("binary"))
-      .otherwise(col("payload")))
+    // codegen subexpression elimination hoists it. The walk itself is
+    // materialized BELOW the field extractors (higher-order filters
+    // are CodegenFallback — no subexpression elimination inside them,
+    // so an inlined child would re-parse once per extracted field;
+    // see decode()).
+    val fields = col("_tlv_fields")
     def tlvField(t: Int): Column =
       element_at(filter(fields, f => f.getField("type") === t), 1).getField("value")
-    wire.select(col("rec_id"),
+    wire
+      .withColumn("_tlv_fields", CE.tlv_decode(when(isV1, lit(null).cast("binary"))
+        .otherwise(col("payload"))))
+      .select(col("rec_id"),
       when(isV1, 1).otherwise(2).as("ver"),
       when(isV1, v1f.getField("mac"))
         .otherwise(tlvField(1).cast("string")).as("mac"),
@@ -214,14 +220,24 @@ object BeaconPipeline {
     */
   def decodeWirePayloads(wire: DataFrame): DataFrame = {
     val isC = col("version") >= 23
-    // 1 MiB cap: survey payloads are KBs; anything larger is a bomb
-    val plainPay = when(isC, CE.bz2_decompress(col("payload"), lit(1 << 20)))
-      .otherwise(col("payload"))
-    val fields = CE.tlv_decode(plainPay)
+    // 1 MiB cap: survey payloads are KBs; anything larger is a bomb.
+    // Decompression AND the TLV walk are materialized in a projection
+    // BELOW the field extractors: the extractors are higher-order
+    // filters (CodegenFallback — no subexpression elimination inside
+    // them), so inlining plainPay/fields as their children would
+    // re-run the bzip2 decompress + parse once per extracted field
+    // (see decode()).
+    val plainPay = col("_plain_pay")
+    val fields = col("_tlv_fields")
     def tlvField(t: Int): Column =
       element_at(filter(fields, f => f.getField("type") === t), 1).getField("value")
     val hasMagic = hex(substring(col("payload"), 1, 3)) === "425A68" // "BZh"
-    wire.select(col("rec_id"), col("version"),
+    wire
+      .withColumn("_plain_pay",
+        when(isC, CE.bz2_decompress(col("payload"), lit(1 << 20)))
+          .otherwise(col("payload")))
+      .withColumn("_tlv_fields", CE.tlv_decode(plainPay))
+      .select(col("rec_id"), col("version"),
       tlvField(1).cast("string").as("mac"),
       tlvField(2).cast("string").cast("bigint").as("uptime_s"),
       octet_length(tlvField(3)).as("blob_len"),
@@ -239,10 +255,23 @@ object BeaconPipeline {
     * [[decodeCompressedWire]] / gate ig_bz2_wire).
     */
   def decode(beacons: DataFrame): DataFrame = {
-    val fields = CE.tlv_decode(col("raw_tlv"))
+    // ONE TLV walk per record: the field extractors are higher-order
+    // filters, which are CodegenFallback in Spark 4 — whole-stage
+    // codegen's subexpression elimination does not reach inside them,
+    // so writing tlv_decode(raw_tlv) as each extractor's child
+    // re-parsed the full multi-KB payload NINE times per row (8
+    // fields + the parse_error scan; measured ~4x the whole gate).
+    // Materializing the decoded array in a projection BELOW the
+    // extractors pins one parse — CollapseProject keeps the two
+    // Projects apart because the producer expression is non-cheap and
+    // referenced 9 times (the §2 tokenize-below-the-generator fix
+    // applied to the TLV family).
+    val fields = col("_tlv_fields")
     def field(t: Int): Column =
       element_at(filter(fields, f => f.getField("type") === t), 1).getField("value")
-    beacons.select(
+    beacons
+      .withColumn("_tlv_fields", CE.tlv_decode(col("raw_tlv")))
+      .select(
       col("implant_id"), col("beacon_ts"), col("version"), col("os_code"), col("dialect"),
       field(1).cast("string").as("mac"),
       field(2).cast("string").cast("bigint").as("uptime_s"),

@@ -35,7 +35,21 @@ object BucketedLayout {
   def write(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int, sortCols: Seq[String], path: Option[String] = None,
       partitionCols: Seq[String] = Nil): Unit = {
-    val w0 = df.write.mode("overwrite").format("parquet")
+    // Cluster rows by the bucket spec BEFORE the bucketed write: a
+    // bucketed writer emits one file per (task, partition, bucket)
+    // combination, so an N-task input writes up to N x nBuckets tiny
+    // files per partition (guide §6's small-files trap — every later
+    // screen re-lists and re-opens them). Repartitioning on the
+    // bucket column into nBuckets tasks uses the same murmur3 hash as
+    // the bucket assignment, so each task holds exactly one bucket id
+    // and the layout lands at its minimum file count (one file per
+    // (partition, bucket)). Values and bucket contents are unchanged
+    // — this only moves rows between write tasks. nBuckets IS the
+    // layout's read parallelism, so bounding the write to it is the
+    // matching choice at any scale (a bigger deployment raises
+    // nBuckets, not the file count per bucket).
+    val clustered = df.repartition(nBuckets, col(bucketCol))
+    val w0 = clustered.write.mode("overwrite").format("parquet")
     val w1 = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
     val w = w1.bucketBy(nBuckets, bucketCol)
       .sortBy(sortCols.head, sortCols.tail: _*)
@@ -87,7 +101,17 @@ object BucketedLayout {
       table: String): Unit = overwriteLock.synchronized {
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.select(spark.table(table).columns.map(col): _*)
+    // same clustering as write(): land each appended partition at one
+    // file per bucket instead of one per (input task, bucket) — the
+    // per-ingest-batch appends are exactly where the small files pile
+    // up (every batch otherwise adds task-count x nBuckets files the
+    // next screen must open)
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(table)).bucketSpec
+    val clustered = bucketSpec.fold(df)(bs =>
+      df.repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*))
+    try clustered.select(spark.table(table).columns.map(col): _*)
       .write.mode("overwrite").insertInto(table)
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }

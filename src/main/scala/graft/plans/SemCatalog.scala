@@ -72,7 +72,14 @@ object SemCatalog {
     }
     val cents = Similarity.ivfCentroids(histEmb, nCentroids)
     cents.write.mode("overwrite").parquet(s"${h.root}/cents")
+    // empty-geometry guard (round-21 advice): the literal-argmax
+    // assignment yields a typed NULL cid when the centroid set is
+    // empty (the former empty-crossJoin yielded zero rows). Screens
+    // never match a null cid either way, but a PERSISTED null-cid
+    // state row would outlive the bootstrap — filter before landing
+    // so durable state never carries one.
     val assigned = Similarity.withAssignedCid(histEmb, this.cents(spark, h))
+      .filter(col("cid").isNotNull)
       .select(col("vec_id"), col("cid"), col("embedding"))
       .withColumn("ingest_id", lit(0L))
     BucketedLayout.write(assigned, h.cellsT, "cid", nBuckets, Seq("cid"),
@@ -142,7 +149,10 @@ object SemCatalog {
       s"ingestId $ingestId is at or below the maintenance floor $f: that " +
         "batch's state was folded into the landing (or expired) — " +
         "re-appending it would duplicate state rows and corrupt screens")
+    // same empty-geometry guard as land(): never persist a null-cid
+    // state row (see the landing-side comment)
     val assigned = Similarity.withAssignedCid(emb, cents(spark, h))
+      .filter(col("cid").isNotNull)
       .select(col("vec_id"), col("cid"), col("embedding"))
       .withColumn("ingest_id", lit(ingestId))
     BucketedLayout.overwritePartitions(spark, assigned, h.cellsT)

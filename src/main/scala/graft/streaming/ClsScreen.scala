@@ -112,13 +112,17 @@ object ClsScreen {
       out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       graft.Shared.releaseAll(s)
     }
-    val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
-      .writeStream
-      .foreachBatch(screen)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // input-derived fan-out for the per-batch screen jobs (AQE is off
+    // on the streaming plan; see EventStream.withStateParts)
+    EventStream.withStateParts(spark, srcDir) {
+      val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
+        .writeStream
+        .foreachBatch(screen)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Driver-gate REPLAY of the streaming classifier screen

@@ -124,12 +124,16 @@ object DocScreen {
       // pinned on the outer session
       graft.Shared.releaseAll(s)
     }
-    val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
-      .writeStream
-      .foreachBatch(screen)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // input-derived fan-out for the per-batch screen jobs (AQE is off
+    // on the streaming plan; see EventStream.withStateParts)
+    EventStream.withStateParts(spark, srcDir) {
+      val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
+        .writeStream
+        .foreachBatch(screen)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 }

@@ -195,17 +195,37 @@ object EventStream {
     val bytes = fs.getContentSummary(p).getLength
     val minPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB"))
-    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // a non-integer session setting (e.g. "auto" on some platforms)
+    // must degrade to a sane cap, not kill the stream at plan time
+    val cap = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
     math.max(1, math.min(cap,
       math.ceil(bytes.toDouble / math.max(minPart, 1L)).toInt))
   }
 
-  /** Run `f` (which starts and drains a stateful stream) under the
-    * input-derived state partition count, restoring the session
-    * setting afterwards (never leak a gate-local override into the
-    * caller's session — the setCheckpointDir lesson).
+  /** Run `f` (which starts and drains a streaming query over the
+    * landed source at `srcDir`) under the input-derived shuffle
+    * partition count, restoring the session setting afterwards (never
+    * leak a gate-local override into the caller's session — the
+    * setCheckpointDir lesson). Two consumers share this:
+    *
+    *  - STATEFUL replay gates: the state-store fan-out is pinned at
+    *    query start from spark.sql.shuffle.partitions and AQE cannot
+    *    run inside a streaming query, so an unconditioned session
+    *    constant is wrong at one of the two scales;
+    *  - foreachBatch SCREEN gates (round 22): the per-batch screen
+    *    jobs plan while the stream drains, with AQE disabled on the
+    *    streaming plan — every batch-sized shuffle (gram distinct/df
+    *    screen, banded join, verdict rollup, catalog append) fanned
+    *    out to the session's core-count setting over KB-sized batches
+    *    (measured: the span screen spent 3-5 s per 125-doc batch,
+    *    dominated by 32-way task launch across ~8 tiny shuffles).
+    *
+    * The count can only SHRINK from the session setting (capped), so
+    * cluster-scale behavior is unchanged; it derives from landed
+    * source bytes, not core count, so it is not a local[32] tune.
     */
-  private def withStateParts[A](spark: SparkSession, srcDir: String)(f: => A): A = {
+  private[streaming] def withStateParts[A](spark: SparkSession, srcDir: String)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val was = spark.conf.get(key)
     spark.conf.set(key, statePartitionsFor(spark, srcDir).toString)

@@ -93,13 +93,17 @@ object VecScreen {
           batch.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti"),
           cat, batchId + 1)
     }
-    val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
-      .writeStream
-      .foreachBatch(screen)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // input-derived fan-out for the per-batch screen jobs (AQE is off
+    // on the streaming plan; see EventStream.withStateParts)
+    EventStream.withStateParts(spark, srcDir) {
+      val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
+        .writeStream
+        .foreachBatch(screen)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Driver-gate REPLAY of the STREAMING semantic-decontamination
@@ -205,12 +209,16 @@ object VecScreen {
         batch.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti"),
         cat, batchId + 1)
     }
-    val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
-      .writeStream
-      .foreachBatch(screen)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // input-derived fan-out for the per-batch screen jobs (AQE is off
+    // on the streaming plan; see EventStream.withStateParts)
+    EventStream.withStateParts(spark, srcDir) {
+      val q = EventStream.fromDirectory(spark, srcDir, schema, maxFilesPerTrigger)
+        .writeStream
+        .foreachBatch(screen)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 }
