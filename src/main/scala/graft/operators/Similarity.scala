@@ -538,18 +538,25 @@ object Similarity {
   private def lloydRound(embeddings: DataFrame,
       cents: Seq[(Long, Seq[Float])], dim: Int): Seq[(Long, Seq[Float])] = {
     val cid = nearestStruct(cents, col("embedding"), ivfScore).getField("cid")
-    val sums = (0 until dim).map(i =>
-      // float -> DOUBLE -> decimal: the double->decimal edge is the
-      // validated engine-portable conversion (dotDecimal's path);
-      // a direct float->decimal cast rounds differently per engine
-      sum(col("embedding").getItem(i).cast("double").cast("decimal(28,12)"))
-        .as(s"s$i")) :+
-      count(lit(1)).as("n")
+    // float -> DOUBLE -> decimal: the double->decimal edge is the
+    // validated engine-portable conversion (dotDecimal's path); a
+    // direct float->decimal cast rounds differently per engine. The
+    // casts stay in the codegen'd projection; the per-component sums
+    // fold through ONE imperative aggregate (decimal_vec_sum) instead
+    // of dim separate sum() expressions — value-identical exact
+    // decimal addition, but the generated aggregate source is tiny,
+    // which removes the ~0.4 s/round plan-instantiation cost the dim
+    // sums paid (the trainers re-plan every round because the
+    // centroid literals move).
+    val decVec = array((0 until dim).map(i =>
+      col("embedding").getItem(i).cast("double").cast("decimal(28,12)")): _*)
     val means = embeddings
-      .select(col("embedding"), cid.as("cid"))
-      .groupBy("cid").agg(sums.head, sums.tail: _*)
+      .select(decVec.as("dv"), cid.as("cid"))
+      .groupBy("cid").agg(
+        graft.functions.VectorExpressions.decimal_vec_sum(col("dv"), dim).as("s"),
+        count(lit(1)).as("n"))
       .select(col("cid"), array((0 until dim).map(i =>
-        (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
+        (col("s").getItem(i).cast("double") / col("n")).cast("float")): _*).as("me"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq).toMap
     cents.map { case (c, ce) => c -> means.getOrElse(c, ce) }
   }
@@ -1189,14 +1196,16 @@ object Similarity {
   private def pqLloydRound(vsubs: DataFrame,
       cw: Seq[(Int, Long, Seq[Float])], subDim: Int): Seq[(Int, Long, Seq[Float])] = {
     val code = pqNearestStruct(cw, col("sub"), col("vs")).getField("cid")
-    val sums = (0 until subDim).map(i =>
-      sum(col("vs").getItem(i).cast("double").cast("decimal(28,12)"))
-        .as(s"s$i")) :+ count(lit(1)).as("n")
+    // same ONE-aggregate decimal-vector fold as lloydRound (see there)
+    val decVec = array((0 until subDim).map(i =>
+      col("vs").getItem(i).cast("double").cast("decimal(28,12)")): _*)
     val means = vsubs
-      .select(col("sub"), col("vs"), code.as("cw_id"))
-      .groupBy("sub", "cw_id").agg(sums.head, sums.tail: _*)
+      .select(col("sub"), decVec.as("dv"), code.as("cw_id"))
+      .groupBy("sub", "cw_id").agg(
+        graft.functions.VectorExpressions.decimal_vec_sum(col("dv"), subDim).as("s"),
+        count(lit(1)).as("n"))
       .select(col("sub"), col("cw_id"), array((0 until subDim).map(i =>
-        (col(s"s$i").cast("double") / col("n")).cast("float")): _*).as("me"))
+        (col("s").getItem(i).cast("double") / col("n")).cast("float")): _*).as("me"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2).toIndexedSeq)
       .toMap
