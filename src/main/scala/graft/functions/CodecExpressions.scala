@@ -477,6 +477,23 @@ object CodecExpressions {
     override def prettyName: String = "vfp_y4m_payload"
   }
 
+  /** `beacon_raw_tlv(BIGINT, BIGINT) → BINARY` — native synthesis of
+    * the beacon DAG's planted TLV wire payload from (user_id,
+    * event_id) (byte-identical to the Column formula it replaced; see
+    * [[CodecImpl.beaconRawTlv]]).
+    */
+  case class BeaconRawTlv(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(u: Any, e: Any): Any =
+      CodecImpl.beaconRawTlv(u.asInstanceOf[Long], e.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (u, e) => s"$Impl.beaconRawTlv($u, $e)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BeaconRawTlv = copy(l, r)
+    override def prettyName: String = "beacon_raw_tlv"
+  }
+
   case class Y4mFrameLumas(child: Expression) extends UnaryExpression
       with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -693,6 +710,8 @@ object CodecExpressions {
   def y4m_frame_lumas(col: Column): Column = c(Y4mFrameLumas(e(col)))
   def scene_y4m_payload(col: Column): Column = c(SceneY4mPayload(e(col)))
   def vfp_y4m_payload(col: Column): Column = c(VfpY4mPayload(e(col)))
+  def beacon_raw_tlv(uid: Column, eid: Column): Column =
+    c(BeaconRawTlv(e(uid), e(eid)))
   def wav_windows(col: Column, win: Column): Column =
     c(WavWindows(e(col), e(win)))
   def wav_fingerprint(col: Column): Column = c(WavFingerprint(e(col)))
@@ -733,6 +752,7 @@ object CodecExpressions {
     one("y4m_frame_lumas", es => Y4mFrameLumas(es.head))
     one("scene_y4m_payload", es => SceneY4mPayload(es.head))
     one("vfp_y4m_payload", es => VfpY4mPayload(es.head))
+    one("beacon_raw_tlv", es => BeaconRawTlv(es(0), es(1)))
     one("wav_windows", es => WavWindows(es(0), es(1)))
     one("bmp_decode", es => BmpDecode(es.head))
     one("wav_decode", es => WavDecode(es.head))

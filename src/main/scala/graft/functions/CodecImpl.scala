@@ -1180,4 +1180,85 @@ object CodecImpl {
     }
     if (docId % 9 == 4) java.util.Arrays.copyOf(out, total - 1) else out
   }
+
+  /** Native synthesis of the beacon DAG's planted TLV wire payload
+    * from (user_id, event_id) — byte-identical to the Column formula
+    * it replaces ([[graft.plans.BeaconPipeline.beaconRawTlvColumns]],
+    * pinned by PayloadParitySpec over a dense residue grid). The
+    * Column tree built five survey blobs through per-piece
+    * hex/lpad/format_string/concat chains (~20 µs/row of UTF8String
+    * churn over 100k rows per run); one static call assembles the
+    * identical bytes directly. Every arithmetic step mirrors the
+    * Column semantics literally (same Long wraparound, the same
+    * double-division octet extraction, hex() minimal-digit uppercase,
+    * lpad's left-truncation) so equality holds on any input, not just
+    * the planted domain.
+    */
+  def beaconRawTlv(uid: Long, eid: Long): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val ip = (eid * 2654435761L) % 4294967296L
+    val gwIp = (uid * 16843009L + 167772161L) % 4294967296L
+    // octet(): floor(ip/256^s) via double division, exactly like the
+    // Column's cast("double")/pow chain (exact for |v| < 2^52)
+    def octet(v: Long, shift: Int): Long =
+      math.floor(v.toDouble / math.pow(256, shift).toLong).toLong % 256
+    def hexMin(v: Long): String = java.lang.Long.toHexString(v).toUpperCase
+    def lpad(s: String, n: Int): String =
+      if (s.length >= n) s.substring(0, n)
+      else ("0" * (n - s.length)) + s
+    def hexByte(v: Long): String = lpad(hexMin(v), 2)
+    def hexAddr(v: Long, port: Long): String =
+      hexByte(octet(v, 0)) + hexByte(octet(v, 1)) + hexByte(octet(v, 2)) +
+        hexByte(octet(v, 3)) + ":" + lpad(hexMin(port), 4)
+    def dottedIp(v: Long): String =
+      s"${octet(v, 3)}.${octet(v, 2)}.${octet(v, 1)}.${octet(v, 0)}"
+
+    val macHex = lpad(hexMin(uid * 131071 % 281474976710656L), 12)
+    val mac = (0 until 6).map(i => macHex.substring(2 * i, 2 * i + 2))
+      .mkString("-").toLowerCase
+    val macColons = mac.replace('-', ':')
+
+    val procBlob =
+      String.format(java.util.Locale.US, "%d (beacond) S %d %d %d",
+        Int.box((eid % 32768).toInt), Int.box((uid % 1000).toInt),
+        Int.box((uid % 100).toInt), Int.box((eid % 100).toInt)) + "\n" +
+      String.format(java.util.Locale.US, "%d (survey) R %d %d %d",
+        Int.box(((eid + 1) % 32768).toInt), Int.box((eid % 32768).toInt),
+        Int.box((uid % 100).toInt), Int.box((eid % 100).toInt))
+
+    val netstatAn = "  0: " + hexAddr(ip, uid % 65536) + " " +
+      hexAddr(gwIp, 443L) + " " + hexByte((eid % 11 + 1).toInt.toLong) + " " +
+      hexByte(eid % 256) + ":" + hexByte(uid % 256)
+
+    val netstatRn = "eth0 " +
+      hexByte(octet(ip, 0)) + hexByte(octet(ip, 1)) +
+      hexByte(octet(ip, 2)) + hexByte(octet(ip, 3)) + " " +
+      hexByte(octet(gwIp, 0)) + hexByte(octet(gwIp, 1)) +
+      hexByte(octet(gwIp, 2)) + hexByte(octet(gwIp, 3)) +
+      " 0003 0 0 0 00FFFFFF 1500 0 0"
+
+    val dialect = uid % 3
+    val ipconfig =
+      if (dialect == 0)
+        "eth0      Link encap:Ethernet  HWaddr " + macColons.toUpperCase +
+          "\n          inet addr:" + dottedIp(ip) + "  Mask:255.255.255.0"
+      else if (dialect == 1)
+        "e1000g0: flags=1000843<UP> mtu 1500\n\tinet " + dottedIp(ip) +
+          " netmask ffffff00\n\tether " + macColons
+      else
+        "0 R name=\"ether1\" mac-address=" + macColons.toUpperCase +
+          " address=" + dottedIp(ip) + "/24"
+
+    val known = Seq(
+      1 -> mac.getBytes(UTF_8),
+      2 -> String.valueOf(uid * 37 % 864000).getBytes(UTF_8),
+      3 -> procBlob.getBytes(UTF_8),
+      4 -> ipconfig.getBytes(UTF_8),
+      5 -> netstatRn.getBytes(UTF_8),
+      6 -> netstatAn.getBytes(UTF_8),
+      7 -> String.valueOf(eid % 86400).getBytes(UTF_8))
+    val fields =
+      if (eid % 10 == 3) known :+ (99 -> "??".getBytes(UTF_8)) else known
+    tlvEncode(fields)
+  }
 }

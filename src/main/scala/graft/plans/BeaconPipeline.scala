@@ -41,11 +41,34 @@ object BeaconPipeline {
   /** Deterministic beacon corpus derived from events (one beacon per
     * event; one implant per user). ~10% of beacons get an unknown TLV
     * type; ~10% are version 22 (pre-compression wire version).
+    *
+    * The TLV payload is assembled by the native `beacon_raw_tlv`
+    * expression (one static call per row inside whole-stage codegen);
+    * the original Column formulation is kept as
+    * [[beaconRawTlvColumns]] and PayloadParitySpec pins byte-for-byte
+    * equality between the two over a dense residue grid, so the
+    * corpus bytes — and every decode gate downstream — are unchanged.
     */
   def syntheticBeacons(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val uid = col("user_id")
     val eid = col("event_id")
+    val dialect = when(uid % 3 === 0, "linux").when(uid % 3 === 1, "solaris").otherwise("mikrotik")
+    e.select(
+      concat(lit("imp-"), uid).as("implant_id"),
+      col("ts").as("beacon_ts"),
+      when(eid % 10 === 0, 22).otherwise(29).as("version"),
+      (uid % 70).cast("int").as("os_code"),
+      dialect.as("dialect"),
+      CE.beacon_raw_tlv(uid, eid).as("raw_tlv"))
+  }
+
+  /** The original Column formulation of the beacon TLV payload —
+    * retained as the parity reference for the native
+    * `beacon_raw_tlv` expression (PayloadParitySpec compares the two
+    * byte-for-byte; see [[syntheticBeacons]]).
+    */
+  def beaconRawTlvColumns(uid: Column, eid: Column): Column = {
     val ip = (eid * 2654435761L) % 4294967296L
     val gwIp = (uid * 16843009L + 167772161L) % 4294967296L
     val macHex = lpad(hex(uid * 131071 % 281474976710656L), 12, "0")
@@ -92,13 +115,7 @@ object BeaconPipeline {
     val withUnknown = concat(knownTlv,
       array(struct(lit(99).as("type"), lit("??").cast("binary").as("value"))))
 
-    e.select(
-      concat(lit("imp-"), uid).as("implant_id"),
-      col("ts").as("beacon_ts"),
-      when(eid % 10 === 0, 22).otherwise(29).as("version"),
-      (uid % 70).cast("int").as("os_code"),
-      dialect.as("dialect"),
-      CE.tlv_encode(when(eid % 10 === 3, withUnknown).otherwise(knownTlv)).as("raw_tlv"))
+    CE.tlv_encode(when(eid % 10 === 3, withUnknown).otherwise(knownTlv))
   }
 
   private def dottedIp(ip: Column): Column =

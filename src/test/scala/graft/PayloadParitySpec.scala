@@ -45,6 +45,26 @@ class PayloadParitySpec extends AnyFunSuite {
     assert(diff === 0, "native vfp payload diverges from the Column formula")
   }
 
+  test("beacon_raw_tlv == the Column formulation, byte for byte") {
+    import graft.functions.{CodecExpressions => CE}
+    // two (uid, eid) mappings: a dense small grid hitting every
+    // branch residue (dialect uid%3, unknown-TLV eid%10==3, version
+    // eid%10, state byte eid%11, pid eid%32768, port uid%65536, hex
+    // width edges) and a large-value mapping exercising multi-digit
+    // hex/decimal paths and the mod-2^32 ip wraparound
+    val small = spark.range(0, 3000)
+      .select((col("id") % 101).as("uid"), col("id").as("eid"))
+    val large = spark.range(0, 2000)
+      .select((col("id") * 7919 + 3).as("uid"), (col("id") * 104729 + 11).as("eid"))
+    val diff = small.union(large)
+      .select(
+        CE.beacon_raw_tlv(col("uid"), col("eid")).as("nat"),
+        graft.plans.BeaconPipeline.beaconRawTlvColumns(col("uid"), col("eid")).as("ref"))
+      .filter(not(col("nat") === col("ref")))
+      .count()
+    assert(diff === 0, "native beacon TLV diverges from the Column formula")
+  }
+
   test("native payloads decode through the same Y4M walk (spot lengths)") {
     // a doc of every interesting residue: frame counts, truncation,
     // twins — the decoded n_frames must match the planted geometry
